@@ -1,0 +1,55 @@
+"""User–user co-rating projection (SURVEY.md §2.3 J3, §2.7 G1 input).
+
+Reference Cypher (``algorithms/Alg_Community_Detection.py:25-27``)::
+
+    MATCH (u1:User)-[r1:RATED]->(b:Book)<-[r2:RATED]-(u2:User)
+    WHERE u1 <> u2 AND r1.rating >= 6 AND r2.rating >= 6
+    RETURN id(u1) AS source, id(u2) AS target, COUNT(*) AS weight
+
+i.e. a self-join of positive ratings on the shared book, directed both ways
+(Cypher emits (a,b) AND (b,a)), grouped to a weighted user-user edge list.
+
+Scale note (100 TB): this self-join is quadratic in per-book popularity —
+the one genuinely skew-prone operator in the catalog. Mitigations built in:
+AQE skew-join splitting is on by default (session.py), and
+``corating_edges(..., max_raters_per_book=N)`` caps the fanout for the
+approximate-at-scale variant (deterministic: keeps the N lowest user_ids,
+so tests stay reproducible). The exact variant is what the oracle checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def positive_ratings(ratings: DataFrame, min_rating: int = 6) -> DataFrame:
+    """P2 — positive-rating threshold (reference ``:26``, rating >= 6)."""
+    return ratings.filter(F.col("rating") >= min_rating)
+
+
+def corating_edges(
+    ratings: DataFrame,
+    min_rating: int = 6,
+    max_raters_per_book: int | None = None,
+) -> DataFrame:
+    """Weighted user–user co-rating edges ``(u1, u2, weight)``, both directions.
+
+    ``max_raters_per_book`` (scale path, off by default) deterministically
+    samples at most N raters per book before the self-join, bounding the
+    worst-case pair blowup at ``N^2`` per book.
+    """
+    pos = positive_ratings(ratings, min_rating).select("user_id", "isbn")
+    if max_raters_per_book is not None:
+        w = Window.partitionBy("isbn").orderBy("user_id")
+        pos = pos.withColumn("_rn", F.row_number().over(w)).filter(
+            F.col("_rn") <= max_raters_per_book
+        ).drop("_rn")
+    a = pos.select(F.col("user_id").alias("u1"), "isbn")
+    b = pos.select(F.col("user_id").alias("u2"), "isbn")
+    return (
+        a.join(b, "isbn")
+        .filter(F.col("u1") != F.col("u2"))
+        .groupBy("u1", "u2")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )

@@ -1,0 +1,79 @@
+"""ETL operators (SURVEY.md §2.1/§2.2: S4-S7, P1, J5, J9).
+
+The reference's ETL is three scripts + a batched Neo4j loader; on Spark it
+collapses into one linear declarative job per table — no 100-row batching,
+no client/server round-trips (reference ``data/load_data.py:65-91``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def filter_implicit_ratings(raw_ratings: DataFrame) -> DataFrame:
+    """P1 — drop implicit (rating=0) feedback.
+
+    Reference: ``data/ratings_filtering.py:12`` (``row[2] != '0'``).
+    Catalyst pushes this predicate into the parquet scan.
+    """
+    return raw_ratings.filter(F.col("rating") != 0)
+
+
+def semijoin_users(users: DataFrame, ratings: DataFrame) -> DataFrame:
+    """J5 — keep only users that appear in ratings.
+
+    Reference: Python set-membership filter ``data/user_books_filtering.py:22-33``.
+    ``left_semi`` is the exact relational equivalent; AQE turns it into a
+    broadcast when the distinct key side is small.
+    """
+    return users.join(ratings.select("user_id"), "user_id", "left_semi")
+
+
+def semijoin_books(books: DataFrame, ratings: DataFrame) -> DataFrame:
+    """J5 — keep only books that appear in ratings
+    (reference ``data/user_books_filtering.py:35-46``)."""
+    return books.join(ratings.select("isbn"), "isbn", "left_semi")
+
+
+def fk_enforced_ratings(ratings: DataFrame, users: DataFrame, books: DataFrame) -> DataFrame:
+    """J9/S5 — referential integrity by construction.
+
+    Reference: ``MATCH (u) MATCH (b) MERGE (u)-[r:RATED]->(b)``
+    (``data/load_data.py:54-61``) silently drops edges whose endpoints are
+    missing; two inner joins ARE that check.
+    """
+    return (
+        ratings.join(users.select("user_id"), "user_id", "inner")
+        .join(books.select("isbn"), "isbn", "inner")
+        .select("user_id", "isbn", "rating")
+    )
+
+
+def upsert_keep_last(existing: DataFrame, incoming: DataFrame, keys: list[str]) -> DataFrame:
+    """S4 — MERGE-upsert semantics (insert-or-update by key, incoming wins).
+
+    Reference: ``UNWIND $rows MERGE ... SET ...`` (``data/load_data.py:23-28``).
+    Spark-native: union with a precedence tag + keep-first per key. On a real
+    deployment this is Delta ``MERGE INTO``; plain parquet gets this
+    deterministic equivalent.
+    """
+    tagged = existing.withColumn("_prec", F.lit(1)).unionByName(
+        incoming.withColumn("_prec", F.lit(0))
+    )
+    w = Window.partitionBy(*keys).orderBy("_prec")
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_prec", "_rn")
+    )
+
+
+def duplicate_keys(df: DataFrame, keys: list[str]) -> DataFrame:
+    """S6 — uniqueness-constraint validation.
+
+    Reference: ``CREATE CONSTRAINT ... IS UNIQUE`` (``data/load_data.py:100-101``).
+    Spark has no enforced constraints; this returns the violating keys
+    (empty result == constraint holds).
+    """
+    return df.groupBy(*keys).count().filter(F.col("count") > 1)

@@ -1,0 +1,115 @@
+"""Top-k cosine KNN similarity join (SURVEY.md §2.3 J8, §2.7 G3).
+
+Reference: Neo4j GDS ``gds.knn.write`` over the ``embedding`` property,
+``topK=20``, ``similarityCutoff=0.8``, writing ``SIMILAR_TO {similarity}``
+edges (``algorithms/Alg_KNN_FastRP.py:99-116,158``).
+
+Two physical strategies, same logical contract ``(src, dst, similarity)``:
+
+- ``knn_exact``: block-nested self-join + native-function cosine + per-src
+  window top-k. The cosine kernel stays in whole-stage codegen (no UDF).
+  O(n^2) pairs — correct at any scale but only *fast* up to ~10^4..10^5
+  vectors per join side; this is the oracle-checked variant.
+- ``knn_lsh``: MLlib ``BucketedRandomProjectionLSH`` over L2-normalized
+  vectors (cosine similarity == 1 - ||a_n - b_n||^2 / 2 for unit vectors),
+  pruning candidate pairs before the exact re-rank. This is the 100 TB path:
+  candidate generation is a bucket-equi-join (shuffle on bucket id), not a
+  cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import vector as V
+
+
+def _prep(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return embeddings.select(
+        F.col(id_col).alias("_id"), V.l2_normalize(V.as_double(F.col(vec_col))).alias("_v")
+    )
+
+
+def knn_exact(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    top_k: int = 20,
+    cutoff: float = 0.8,
+) -> DataFrame:
+    """Exact top-k cosine neighbours per node: ``(src, dst, similarity)``.
+
+    Determinism: similarity rounded to 6 decimals before both the cutoff
+    filter and the ranking; ties broken by ``dst`` ascending.
+    """
+    a = _prep(embeddings, id_col, vec_col).select(
+        F.col("_id").alias("src"), F.col("_v").alias("_va")
+    )
+    b = _prep(embeddings, id_col, vec_col).select(
+        F.col("_id").alias("dst"), F.col("_v").alias("_vb")
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", F.round(V.dot(F.col("_va"), F.col("_vb")), V.SIM_SCALE).alias("similarity"))
+        .filter(F.col("similarity") >= cutoff)
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("similarity"), F.asc("dst"))
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= top_k)
+        .drop("_rn")
+    )
+
+
+def knn_lsh(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    top_k: int = 20,
+    cutoff: float = 0.8,
+    bucket_length: float = 1.0,
+    num_hash_tables: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate KNN via random-projection LSH, exact cosine re-rank.
+
+    For unit vectors, ``cos(a,b) >= cutoff  <=>  ||a-b|| <= sqrt(2-2*cutoff)``,
+    so the Euclidean LSH join threshold is derived from the cosine cutoff.
+    Candidates found by LSH are re-scored with the exact (rounded) cosine, so
+    results are a subset of ``knn_exact`` — recall depends on LSH params.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    prepped = _prep(embeddings, id_col, vec_col).select(
+        "_id", array_to_vector(F.col("_v")).alias("features"), F.col("_v")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(prepped)
+    dist_threshold = float((2.0 - 2.0 * cutoff) ** 0.5)
+    joined = model.approxSimilarityJoin(prepped, prepped, dist_threshold, distCol="_d")
+    pairs = (
+        joined.select(
+            F.col("datasetA._id").alias("src"),
+            F.col("datasetB._id").alias("dst"),
+            F.round(
+                V.dot(F.col("datasetA._v"), F.col("datasetB._v")), V.SIM_SCALE
+            ).alias("similarity"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .filter(F.col("similarity") >= cutoff)
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("similarity"), F.asc("dst"))
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= top_k)
+        .drop("_rn")
+    )

@@ -1,0 +1,213 @@
+"""Serving-query catalog: the KNN and community recommenders
+(SURVEY.md §2.8: q_knn_*, q_comm_*).
+
+Pure functions over DataFrames; ``similar_to`` / ``communities`` inputs are
+the materialized write-back tables (plans/pipeline.py), mirroring the
+reference's precompute-then-serve design (SURVEY.md §3 EP3).
+
+Determinism deviations from the reference (documented per SURVEY.md §5):
+every ``ORDER BY ... LIMIT`` gets an explicit unique tie-break key, and the
+reference's T4 "LIMIT before ORDER BY" picks-3-arbitrary-members quirk is
+canonicalized to order-then-limit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+# --- KNN recommender (reference recommender/recommender_knn.py) ---
+
+
+def recommend_books_knn(
+    similar_to: DataFrame,
+    ratings: DataFrame,
+    books: DataFrame,
+    user_id: int,
+    k: int = 3,
+) -> DataFrame:
+    """2-hop expand + anti-join + group-avg + top-k.
+
+    Reference Cypher at ``recommender/recommender_knn.py:11-28``::
+
+        MATCH (target {id:$u})-[:SIMILAR_TO]->(sim)-[r:RATED]->(book)
+        WHERE NOT (target)-[:RATED]->(book)
+        WITH book, avg(r.rating) AS avgRating, count(*) AS votes
+        ORDER BY avgRating DESC, votes DESC LIMIT k
+        RETURN book.title, book.author, avgRating, votes
+    """
+    sim_users = similar_to.filter(F.col("src") == user_id).select("dst")
+    already_rated = ratings.filter(F.col("user_id") == user_id).select("isbn")
+    return (
+        sim_users.join(ratings, sim_users.dst == ratings.user_id)
+        .join(already_rated, "isbn", "left_anti")
+        .join(F.broadcast(books), "isbn")
+        .groupBy("isbn", "title", "author")
+        .agg(F.round(F.avg("rating"), 6).alias("avgRating"), F.count(F.lit(1)).alias("votes"))
+        .orderBy(F.desc("avgRating"), F.desc("votes"), F.asc("isbn"))
+        .limit(k)
+        .select("title", "author", "avgRating", "votes")
+    )
+
+
+def similar_users_knn(similar_to: DataFrame, users: DataFrame, user_id: int, k: int = 3) -> DataFrame:
+    """Reference ``recommender/recommender_knn.py:31-45``: distinct similar
+    users, LIMIT k. T5 unordered-limit canonicalized: order by similarity
+    desc (tie-break user id) before limiting."""
+    return (
+        similar_to.filter(F.col("src") == user_id)
+        .filter(F.col("dst") != user_id)
+        .orderBy(F.desc("similarity"), F.asc("dst"))
+        .limit(k)
+        .join(users, F.col("dst") == users.user_id)
+        .select(F.col("user_id").alias("userId"), "location", "age")
+        .orderBy("userId")
+    )
+
+
+def graph_data_knn(
+    similar_to: DataFrame,
+    ratings: DataFrame,
+    books: DataFrame,
+    user_id: int,
+) -> DataFrame:
+    """Triple OPTIONAL MATCH ≡ chained left joins (J6), flattened.
+
+    Reference ``recommender/recommender_knn.py:48-79`` returns (target,
+    target's books+ratings, similar users+similarity, their books+ratings)
+    with NULLs where a pattern is absent. Node-object columns are flattened
+    to scalar columns for a relational result.
+    """
+    target = ratings.sparkSession.range(user_id, user_id + 1).select(
+        F.col("id").alias("target_id")
+    )
+    t_books = (
+        ratings.filter(F.col("user_id") == user_id)
+        .join(F.broadcast(books), "isbn")
+        .select(
+            F.col("isbn").alias("t_isbn"),
+            F.col("title").alias("t_title"),
+            F.col("rating").alias("t_rating"),
+        )
+    )
+    sim = similar_to.filter(F.col("src") == user_id).select(
+        F.col("dst").alias("sim_id"), F.col("similarity")
+    )
+    s_books = ratings.join(F.broadcast(books), "isbn").select(
+        F.col("user_id").alias("sim_id"),
+        F.col("isbn").alias("s_isbn"),
+        F.col("title").alias("s_title"),
+        F.col("rating").alias("s_rating"),
+    )
+    return (
+        target.join(t_books, how="left")
+        .join(sim, how="left")
+        .join(s_books, on="sim_id", how="left")
+        .select(
+            "target_id", "t_isbn", "t_title", "t_rating",
+            "sim_id", "similarity", "s_isbn", "s_title", "s_rating",
+        )
+    )
+
+
+# --- Community recommender (reference recommender/recommender_community.py) ---
+
+
+def recommend_books_community(
+    users_with_community: DataFrame,
+    ratings: DataFrame,
+    books: DataFrame,
+    user_id: int,
+    k: int = 3,
+    min_rating: int = 6,
+) -> DataFrame:
+    """Reference ``recommender/recommender_community.py:11-32``: books rated
+    >= 6 by same-community users, excluding already-read, top-k by vote count
+    (tie-break title, author for determinism)."""
+    target_comm = users_with_community.filter(F.col("user_id") == user_id).select("community")
+    peers = (
+        users_with_community.join(F.broadcast(target_comm), "community", "left_semi")
+        .filter(F.col("user_id") != user_id)
+        .select("user_id")
+    )
+    already_rated = ratings.filter(F.col("user_id") == user_id).select("isbn")
+    return (
+        ratings.filter(F.col("rating") >= min_rating)
+        .join(peers, "user_id", "left_semi")
+        .join(already_rated, "isbn", "left_anti")
+        .join(F.broadcast(books), "isbn")
+        .groupBy("title", "author")
+        .agg(F.count(F.lit(1)).alias("recommendCount"))
+        .orderBy(F.desc("recommendCount"), F.asc("title"), F.asc("author"))
+        .limit(k)
+    )
+
+
+def similar_users_community(
+    users_with_community: DataFrame, user_id: int, k: int = 3
+) -> DataFrame:
+    """Reference ``recommender/recommender_community.py:35-55``.
+
+    T4 quirk (DISTINCT ... LIMIT 3 *then* ORDER BY — arbitrary members) is
+    canonicalized: order by user_id before the limit. Documented deviation.
+    """
+    target_comm = users_with_community.filter(F.col("user_id") == user_id).select("community")
+    return (
+        users_with_community.join(F.broadcast(target_comm), "community", "left_semi")
+        .filter(F.col("user_id") != user_id)
+        .select(F.col("user_id").alias("userId"), "location", "age")
+        .orderBy("userId")
+        .limit(k)
+    )
+
+
+def graph_data_community(
+    users_with_community: DataFrame,
+    ratings: DataFrame,
+    books: DataFrame,
+    user_id: int,
+) -> DataFrame:
+    """Reference ``recommender/recommender_community.py:58-72``: all rating
+    edges within the target's community, flattened (user, book, rating)."""
+    target_comm = users_with_community.filter(F.col("user_id") == user_id).select("community")
+    members = users_with_community.join(F.broadcast(target_comm), "community", "left_semi")
+    return (
+        members.join(ratings, "user_id")
+        .join(F.broadcast(books), "isbn")
+        .select(
+            F.col("user_id").alias("userId"), "location", "age",
+            "isbn", "title", "author", "rating",
+        )
+    )
+
+
+def rating_color(rating) -> F.Column:
+    """P8 — rating→color bucketing used by the viz export
+    (reference ``recommender_community.py:101``)."""
+    c = F.col(rating) if isinstance(rating, str) else rating
+    return F.when(c <= 4, F.lit("red")).when(c <= 7, F.lit("yellow")).otherwise(F.lit("green"))
+
+
+def viz_export(graph_data: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """§2.9 — pyvis graph construction re-expressed as (nodes, edges)
+    DataFrames: users as dots, books as color-bucketed boxes, edge
+    thickness = rating. Rendering stays out of engine scope."""
+    user_nodes = graph_data.select(
+        F.concat(F.lit("user_"), F.col("userId")).alias("id"),
+        F.concat(F.lit("User "), F.col("userId")).alias("label"),
+        F.lit("dot").alias("shape"),
+        F.lit(None).cast("string").alias("color"),
+    ).distinct()
+    book_nodes = graph_data.select(
+        F.col("isbn").alias("id"),
+        F.col("title").alias("label"),
+        F.lit("box").alias("shape"),
+        rating_color("rating").alias("color"),
+    ).distinct()
+    edges = graph_data.select(
+        F.concat(F.lit("user_"), F.col("userId")).alias("src"),
+        F.col("isbn").alias("dst"),
+        F.col("rating").cast("double").alias("value"),
+    )
+    return user_nodes.unionByName(book_nodes), edges

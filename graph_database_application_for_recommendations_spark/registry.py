@@ -1,0 +1,355 @@
+"""Driver-contract registry: query name -> (spark_fn, oracle_sql).
+
+Every entry pairs the DataFrame-API implementation (engine side) with an
+ANSI-SQL twin DuckDB runs on the same parquet tables. Names, aliases and
+rounding are kept identical on both sides — the driver hash-compares values
+after sorting columns by name (see repo __spark_entry__.py docstring).
+
+Shared determinism rules (SURVEY.md §5, DESIGN.md):
+- float similarity/avg outputs rounded to 6 decimals on both sides;
+- every ORDER BY ... LIMIT carries a unique tie-break key;
+- vector math in double precision, sequential accumulation.
+
+Parameter bindings for the registered (parameterless) queries:
+- target user id = 1 (exists at every scale factor);
+- KNN: topK=20 like the reference call site (Alg_KNN_FastRP.py:158), but
+  cutoff=0.2 instead of 0.8 — the driver's synthetic embeddings are
+  near-random (max pairwise cosine ~0.51), so the reference cutoff would
+  produce the empty graph. The API default remains 0.8.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import corating, etl, knn, recommend, serving
+from .sources.views import (
+    ORACLE_PRELUDE,
+    build_users,
+    load_ref_tables,
+    oracle,
+)
+
+UID = 1
+KNN_TOPK = 20
+KNN_CUTOFF = 0.2
+
+# --- shared Spark-side derived inputs -------------------------------------
+
+
+def user_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver ``embeddings`` restricted to ids that are actual users —
+    vec_id plays the role of User.id carrying the embedding property
+    (reference Alg_KNN_FastRP.py:63-65). At sf<0.01 some vec_ids exceed the
+    user id range; the semi-join drops them on both engines."""
+    ref = load_ref_tables(spark, sf_dir)
+    return ref.embeddings.join(
+        ref.users.select(F.col("user_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+
+
+def similar_to(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SIMILAR_TO write-back table (reference Alg_KNN_FastRP.py:99-116)
+    computed from the driver embeddings with the exact KNN operator."""
+    return knn.knn_exact(
+        user_embeddings(spark, sf_dir), top_k=KNN_TOPK, cutoff=KNN_CUTOFF
+    )
+
+
+def users_with_community(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stand-in community binding for the oracle-checked
+    community-recommender queries: community := c_nationkey. The *real*
+    pipeline binds plans/lpa.py output instead (rows-only checked queries,
+    q_lpa_* below) — community ids from label propagation are partition-
+    stable but not value-stable, so they can't be hash-compared to SQL."""
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return build_users(customer).join(
+        customer.select(F.col("c_custkey").alias("user_id"), F.col("c_nationkey").alias("community")),
+        "user_id",
+    )
+
+
+# --- oracle CTE fragments ---------------------------------------------------
+
+USERS_COMM_SQL = """
+SELECT c_custkey AS user_id,
+       c_mktsegment AS location,
+       CASE WHEN c_acctbal < 0 THEN NULL
+            ELSE CAST(FLOOR(c_acctbal) AS INT) % 80 + 18 END AS age,
+       c_nationkey AS community
+FROM customer
+""".strip()
+
+# KNN over user embeddings: dot/norm in double, rounded to 6 decimals,
+# cutoff then per-src row_number top-k with dst tie-break — mirrors
+# operators/knn.py::knn_exact exactly.
+SIMILAR_TO_CTES = f"""
+vec AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+  WHERE vec_id IN (SELECT user_id FROM users)
+),
+pairs AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         ROUND(SUM(a.v[t.i] * b.v[t.i])
+               / (SQRT(SUM(a.v[t.i] * a.v[t.i])) * SQRT(SUM(b.v[t.i] * b.v[t.i]))),
+               6) AS similarity
+  FROM vec a, vec b, range(1, 65) t(i)
+  WHERE a.vec_id <> b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+),
+similar_to AS (
+  SELECT src, dst, similarity
+  FROM (SELECT src, dst, similarity,
+               ROW_NUMBER() OVER (PARTITION BY src ORDER BY similarity DESC, dst) AS rn
+        FROM pairs WHERE similarity >= {KNN_CUTOFF})
+  WHERE rn <= {KNN_TOPK}
+)
+""".strip()
+
+
+def _q(sql: str) -> str:
+    """Oracle query with the reference-view prelude."""
+    return oracle(sql)
+
+
+def _q_knn(sql: str) -> str:
+    """Oracle query that additionally needs the similar_to CTEs."""
+    return f"{ORACLE_PRELUDE},\n{SIMILAR_TO_CTES}\n{sql.strip()}"
+
+
+def _q_comm(sql: str) -> str:
+    """Oracle query that additionally needs the stand-in community CTE."""
+    return f"{ORACLE_PRELUDE},\nuc AS ({USERS_COMM_SQL}),\ntc AS (SELECT community FROM uc WHERE user_id = {UID})\n{sql.strip()}"
+
+
+# --- query registry ---------------------------------------------------------
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def _ref(spark: SparkSession, sf_dir: str):
+    return load_ref_tables(spark, sf_dir)
+
+
+QUERIES: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register(name: str, fn: QueryFn, oracle_sql: str | None) -> None:
+    QUERIES[name] = (fn, oracle_sql)
+
+
+# ETL (SURVEY §2.1/§2.2: P1, J5, J9, S6)
+register(
+    "q_etl_filter_ratings",
+    lambda s, d: etl.filter_implicit_ratings(_ref(s, d).raw_ratings),
+    _q("SELECT user_id, isbn, rating FROM raw_ratings WHERE rating <> 0"),
+)
+register(
+    "q_etl_semijoin_users",
+    lambda s, d: etl.semijoin_users(_ref(s, d).users, _ref(s, d).ratings),
+    _q(
+        """
+        SELECT u.user_id, u.location, u.age FROM users u
+        WHERE EXISTS (SELECT 1 FROM ratings r WHERE r.user_id = u.user_id)
+        """
+    ),
+)
+register(
+    "q_etl_semijoin_books",
+    lambda s, d: etl.semijoin_books(_ref(s, d).books, _ref(s, d).ratings),
+    _q(
+        """
+        SELECT b.isbn, b.title, b.author, b.year, b.publisher FROM books b
+        WHERE EXISTS (SELECT 1 FROM ratings r WHERE r.isbn = b.isbn)
+        """
+    ),
+)
+register(
+    "q_fk_enforced_edges",
+    lambda s, d: etl.fk_enforced_ratings(
+        _ref(s, d).ratings, _ref(s, d).users, _ref(s, d).books
+    ),
+    _q(
+        """
+        SELECT r.user_id, r.isbn, r.rating
+        FROM ratings r
+        JOIN users u ON r.user_id = u.user_id
+        JOIN books b ON r.isbn = b.isbn
+        """
+    ),
+)
+register(
+    "q_unique_key_violations",
+    lambda s, d: etl.duplicate_keys(_ref(s, d).ratings, ["user_id", "isbn"]),
+    _q(
+        """
+        SELECT user_id, isbn, COUNT(*) AS count FROM ratings
+        GROUP BY user_id, isbn HAVING COUNT(*) > 1
+        """
+    ),
+)
+
+# Serving: rated books (P4+J1+T3)
+register(
+    "q_rated_books",
+    lambda s, d: serving.rated_books(_ref(s, d).ratings, _ref(s, d).books, UID),
+    _q(
+        f"""
+        SELECT b.title, b.author, r.rating
+        FROM ratings r JOIN books b ON r.isbn = b.isbn
+        WHERE r.user_id = {UID}
+        """
+    ),
+)
+
+# Co-rating projection (J3+A1, the Louvain input graph)
+register(
+    "q_corating_projection",
+    lambda s, d: corating.corating_edges(_ref(s, d).ratings),
+    _q(
+        """
+        SELECT a.user_id AS u1, b.user_id AS u2, COUNT(*) AS weight
+        FROM (SELECT user_id, isbn FROM ratings WHERE rating >= 6) a
+        JOIN (SELECT user_id, isbn FROM ratings WHERE rating >= 6) b USING (isbn)
+        WHERE a.user_id <> b.user_id
+        GROUP BY a.user_id, b.user_id
+        """
+    ),
+)
+
+# KNN similarity graph (J8) and its serving queries
+register(
+    "q_knn_topk",
+    lambda s, d: similar_to(s, d),
+    _q_knn("SELECT src, dst, similarity FROM similar_to"),
+)
+register(
+    "q_knn_recommend",
+    lambda s, d: recommend.recommend_books_knn(
+        similar_to(s, d), _ref(s, d).ratings, _ref(s, d).books, UID, k=3
+    ),
+    _q_knn(
+        f"""
+        SELECT title, author, avgRating, votes FROM (
+          SELECT b.isbn, b.title, b.author,
+                 ROUND(AVG(r.rating), 6) AS avgRating, COUNT(*) AS votes
+          FROM (SELECT dst FROM similar_to WHERE src = {UID}) st
+          JOIN ratings r ON r.user_id = st.dst
+          JOIN books b ON b.isbn = r.isbn
+          WHERE NOT EXISTS (SELECT 1 FROM ratings t WHERE t.user_id = {UID} AND t.isbn = r.isbn)
+          GROUP BY b.isbn, b.title, b.author
+        ) ORDER BY avgRating DESC, votes DESC, isbn LIMIT 3
+        """
+    ),
+)
+register(
+    "q_knn_similar_users",
+    lambda s, d: recommend.similar_users_knn(similar_to(s, d), _ref(s, d).users, UID, k=3),
+    _q_knn(
+        f"""
+        SELECT u.user_id AS userId, u.location, u.age
+        FROM (SELECT dst FROM (
+                SELECT dst, ROW_NUMBER() OVER (ORDER BY similarity DESC, dst) AS rn
+                FROM similar_to WHERE src = {UID} AND dst <> {UID}) WHERE rn <= 3) s
+        JOIN users u ON u.user_id = s.dst
+        ORDER BY userId
+        """
+    ),
+)
+register(
+    "q_knn_graph_data",
+    lambda s, d: recommend.graph_data_knn(
+        similar_to(s, d), _ref(s, d).ratings, _ref(s, d).books, UID
+    ),
+    _q_knn(
+        f"""
+        , t_books AS (
+            SELECT r.isbn AS t_isbn, b.title AS t_title, r.rating AS t_rating
+            FROM ratings r JOIN books b ON b.isbn = r.isbn WHERE r.user_id = {UID}),
+        sim AS (SELECT dst AS sim_id, similarity FROM similar_to WHERE src = {UID}),
+        s_books AS (
+            SELECT r.user_id AS sim_id, r.isbn AS s_isbn, b.title AS s_title, r.rating AS s_rating
+            FROM ratings r JOIN books b ON b.isbn = r.isbn)
+        SELECT t.target_id, tb.t_isbn, tb.t_title, tb.t_rating,
+               s.sim_id, s.similarity, sb.s_isbn, sb.s_title, sb.s_rating
+        FROM (SELECT CAST({UID} AS BIGINT) AS target_id) t
+        LEFT JOIN t_books tb ON TRUE
+        LEFT JOIN sim s ON TRUE
+        LEFT JOIN s_books sb ON sb.sim_id = s.sim_id
+        """
+    ),
+)
+
+# Community recommender over the deterministic stand-in community binding
+register(
+    "q_comm_recommend",
+    lambda s, d: recommend.recommend_books_community(
+        users_with_community(s, d), _ref(s, d).ratings, _ref(s, d).books, UID, k=3
+    ),
+    _q_comm(
+        f"""
+        SELECT title, author, recommendCount FROM (
+          SELECT b.title, b.author, COUNT(*) AS recommendCount
+          FROM ratings r
+          JOIN (SELECT user_id FROM uc
+                WHERE community IN (SELECT community FROM tc) AND user_id <> {UID}) p
+            ON r.user_id = p.user_id
+          JOIN books b ON b.isbn = r.isbn
+          WHERE r.rating >= 6
+            AND NOT EXISTS (SELECT 1 FROM ratings t WHERE t.user_id = {UID} AND t.isbn = r.isbn)
+          GROUP BY b.title, b.author
+        ) ORDER BY recommendCount DESC, title, author LIMIT 3
+        """
+    ),
+)
+register(
+    "q_comm_similar_users",
+    lambda s, d: recommend.similar_users_community(users_with_community(s, d), UID, k=3),
+    _q_comm(
+        f"""
+        SELECT user_id AS userId, location, age FROM uc
+        WHERE community IN (SELECT community FROM tc) AND user_id <> {UID}
+        ORDER BY userId LIMIT 3
+        """
+    ),
+)
+register(
+    "q_comm_graph_data",
+    lambda s, d: recommend.graph_data_community(
+        users_with_community(s, d), _ref(s, d).ratings, _ref(s, d).books, UID
+    ),
+    _q_comm(
+        """
+        SELECT u.user_id AS userId, u.location, u.age, r.isbn, b.title, b.author, r.rating
+        FROM uc u
+        JOIN ratings r ON r.user_id = u.user_id
+        JOIN books b ON b.isbn = r.isbn
+        WHERE u.community IN (SELECT community FROM tc)
+        """
+    ),
+)
+register(
+    "q_community_members",
+    lambda s, d: serving.community_members(users_with_community(s, d)),
+    _q_comm(
+        """
+        SELECT communityId, userId, size FROM (
+          SELECT community AS communityId, user_id AS userId,
+                 COUNT(*) OVER (PARTITION BY community) AS size
+          FROM uc WHERE community IS NOT NULL
+        ) WHERE size >= 2
+        """
+    ),
+)
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in QUERIES.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in QUERIES.items() if sql is not None}
