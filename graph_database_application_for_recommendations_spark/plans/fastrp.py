@@ -1,0 +1,128 @@
+"""FastRP node embeddings as an iterative DataFrame program
+(SURVEY.md §2.7 G2).
+
+Reference: Neo4j GDS ``gds.fastRP.write`` with embeddingDimension=64,
+relationshipWeightProperty='rating' on the undirected bipartite User–Book
+graph (``algorithms/Alg_KNN_FastRP.py:53-70``).
+
+Algorithm (Chen et al., "Fast and Accurate Network Embeddings via Very
+Sparse Random Projection", CIKM 2019 — public paper; GDS implements the
+same scheme):
+
+1. Init each node with a very sparse random vector R_v ∈ {−√s, 0, +√s}^d,
+   P(±) = 1/(2s), s = 3. Seeded deterministically per (node, dim) via
+   murmur3 ``F.hash`` — no RNG state, so resumable and partition-order
+   independent.
+2. k rounds of weighted-mean message passing over the edges, L2-normalizing
+   after each round:  h^(i) = normalize( D^-1 · W · h^(i-1) ).
+3. Final embedding = Σ_i α_i · h^(i) (GDS default iterationWeights
+   [0.0, 1.0, 1.0]), L2-normalized.
+
+Scale notes: the per-iteration aggregate is posexplode → groupBy(node, dim)
+→ re-assemble, i.e. a plain partial-aggregatable shuffle of |E|·d rows — no
+per-node neighbor lists are ever collected, so hub nodes (books rated by
+millions of users at 100 TB) cannot OOM an executor; AQE splits any skewed
+reduce partition. ``localCheckpoint`` between rounds cuts the lineage that
+would otherwise re-run all previous rounds per action (on a cluster, a
+checkpoint dir or intermediate parquet would serve the same purpose).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SPARSITY = 3
+
+
+def _init_embeddings(nodes: DataFrame, dim: int, seed: int) -> DataFrame:
+    """Very sparse random projection vectors, hash-seeded per (node, dim)."""
+    scale = math.sqrt(SPARSITY)
+    return nodes.select(
+        "node_id",
+        F.expr(
+            f"transform(sequence(0, {dim - 1}), i -> "
+            f"CASE pmod(hash(node_id, i, {seed}), {2 * SPARSITY}) "
+            f"WHEN 0 THEN {scale}d WHEN 1 THEN {-scale}d ELSE 0d END)"
+        ).alias("vec"),
+    )
+
+
+def _normalize(df: DataFrame, col: str = "vec") -> DataFrame:
+    nrm = F.sqrt(F.aggregate(F.col(col), F.lit(0.0), lambda a, x: a + x * x))
+    return df.withColumn(
+        col, F.when(nrm > 0, F.transform(F.col(col), lambda x: x / nrm)).otherwise(F.col(col))
+    )
+
+
+def _propagate(edges: DataFrame, emb: DataFrame, dim: int) -> DataFrame:
+    """One round: h_dst = Σ_src w·h_src / Σ_src w  (weighted neighbor mean).
+
+    posexplode keeps the aggregation a flat (node, dim) sum — map-side
+    combinable, skew-splittable, no array buffering per group.
+    """
+    msgs = (
+        edges.join(emb.withColumnRenamed("node_id", "src"), "src")
+        .select("dst", "weight", F.posexplode("vec").alias("pos", "val"))
+        .groupBy("dst", "pos")
+        .agg(F.sum(F.col("weight") * F.col("val")).alias("s"), F.sum("weight").alias("w"))
+        .select("dst", "pos", (F.col("s") / F.col("w")).alias("val"))
+    )
+    return (
+        msgs.groupBy("dst")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "val"))).alias("pv"))
+        .select(
+            F.col("dst").alias("node_id"),
+            F.transform("pv", lambda x: x["val"]).alias("vec"),
+        )
+    )
+
+
+def fastrp(
+    nodes: DataFrame,
+    edges: DataFrame,
+    dim: int = 64,
+    iteration_weights: tuple[float, ...] = (0.0, 1.0, 1.0),
+    seed: int = 42,
+) -> DataFrame:
+    """Returns ``(node_id, embedding ARRAY<DOUBLE> dim d)`` for every node.
+
+    ``edges`` must already be undirected-doubled (plans/graphs.py).
+    Isolated nodes keep their (normalized) random projection at weight of
+    the first nonzero iteration — GDS behaves the same way modulo sign.
+    """
+    emb = _normalize(_init_embeddings(nodes, dim, seed)).localCheckpoint()
+    zero = F.expr(f"transform(sequence(0, {dim - 1}), i -> 0d)")
+    acc = nodes.select("node_id", zero.alias("acc"))
+
+    for alpha in iteration_weights:
+        emb = _normalize(_propagate(edges, emb, dim))
+        # nodes with no in-edges drop out of the aggregate; rejoin as zero
+        emb = (
+            nodes.join(emb, "node_id", "left")
+            .select("node_id", F.coalesce("vec", zero).alias("vec"))
+            .localCheckpoint()
+        )
+        if alpha != 0.0:
+            acc = (
+                acc.join(emb, "node_id")
+                .select(
+                    "node_id",
+                    F.zip_with("acc", "vec", lambda a, v: a + F.lit(alpha) * v).alias("acc"),
+                )
+                .localCheckpoint()
+            )
+
+    return _normalize(acc.withColumnRenamed("acc", "vec")).select(
+        "node_id", F.col("vec").alias("embedding")
+    )
+
+
+def user_embeddings_from_fastrp(emb: DataFrame) -> DataFrame:
+    """Project the User-node rows back to (user_id, embedding) — the
+    reference's S11 users+embedding projection for the KNN stage."""
+    return emb.filter(F.col("node_id").startswith("u:")).select(
+        F.split(F.col("node_id"), ":")[1].cast("long").alias("user_id"), "embedding"
+    )

@@ -1,0 +1,56 @@
+"""Weighted modularity of a community partition.
+
+The reference prints ``communityCount`` and ``modularity`` from the GDS
+Louvain summary (``algorithms/Alg_Community_Detection.py:45-50``); GDS
+computes standard Newman modularity. Two groupBys reproduce it:
+
+    Q = Σ_c [ in_c / (2m)  −  ( deg_c / (2m) )² ]
+
+where, over the *directed-doubled* edge list (Σ A_ij = 2m):
+``in_c`` is the doubled intra-community weight, ``deg_c`` the summed
+weighted degree of the community's nodes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def modularity(edges: DataFrame, communities: DataFrame, weight_col: str = "weight") -> float:
+    """``edges``: undirected-doubled (src, dst, weight); ``communities``:
+    (node_id, community). Returns Q ∈ [-0.5, 1]."""
+    lab = communities.select(F.col("node_id"), F.col("community"))
+    e = (
+        edges.join(lab.select(F.col("node_id").alias("src"), F.col("community").alias("c_src")), "src")
+        .join(lab.select(F.col("node_id").alias("dst"), F.col("community").alias("c_dst")), "dst")
+    )
+    two_m = e.agg(F.sum(weight_col)).collect()[0][0]
+    if not two_m:
+        return 0.0
+    in_c = (
+        e.filter(F.col("c_src") == F.col("c_dst"))
+        .groupBy("c_src")
+        .agg(F.sum(weight_col).alias("in_w"))
+    )
+    deg_c = (
+        e.groupBy("c_src")
+        .agg(F.sum(weight_col).alias("deg"))
+    )
+    parts = deg_c.join(in_c, "c_src", "left").select(
+        (
+            F.coalesce(F.col("in_w"), F.lit(0.0)) / two_m
+            - (F.col("deg") / two_m) * (F.col("deg") / two_m)
+        ).alias("q")
+    )
+    return float(parts.agg(F.sum("q")).collect()[0][0])
+
+
+def community_stats(communities: DataFrame) -> DataFrame:
+    """GDS-summary analog: community count + size distribution (A7)."""
+    sizes = communities.groupBy("community").agg(F.count(F.lit(1)).alias("size"))
+    return sizes.agg(
+        F.count(F.lit(1)).alias("communityCount"),
+        F.max("size").alias("maxSize"),
+        F.round(F.avg("size"), 6).alias("avgSize"),
+    )

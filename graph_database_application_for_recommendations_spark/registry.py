@@ -347,6 +347,81 @@ register(
 )
 
 
+# --- algorithm pipeline (G1/G2/G3) — rows-only checks -----------------------
+# FastRP embeddings and label-propagation community ids are not
+# SQL-expressible (iterative programs; ids value-unstable by nature, see
+# SURVEY.md §5), so these entries deliberately have no oracle twin: the
+# driver records the weaker rows-only check and pytest asserts invariants
+# (tests/test_algorithms.py).
+
+_PIPELINE_CACHE: dict[str, object] = {}
+
+
+def _pipeline(spark: SparkSession, sf_dir: str):
+    from .plans.pipeline import run_pipeline
+
+    res = _PIPELINE_CACHE.get(sf_dir)
+    if res is None:
+        # knn_cutoff 0.6 instead of the reference's 0.8: FastRP cosines over
+        # the synthetic uniform rating graph concentrate around 0.6-0.7
+        # (top-20 median 0.64), so 0.8 keeps ~6 edges in 1500 users. The API
+        # default stays 0.8 for reference parity.
+        res = run_pipeline(spark, sf_dir, knn_cutoff=0.6)
+        res.similar_to = res.similar_to.cache()
+        res.communities = res.communities.cache()
+        _PIPELINE_CACHE[sf_dir] = res
+    return res
+
+
+def _users_with_lpa_community(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ref(spark, sf_dir).users.join(
+        _pipeline(spark, sf_dir).communities, "user_id", "left"
+    )
+
+
+register(
+    "q_pipeline_fastrp_embeddings",
+    lambda s, d: _pipeline(s, d).embeddings,
+    None,
+)
+register(
+    "q_pipeline_similar_to",
+    lambda s, d: _pipeline(s, d).similar_to,
+    None,
+)
+register(
+    "q_pipeline_communities",
+    lambda s, d: _pipeline(s, d).communities,
+    None,
+)
+def _community_stats(s: SparkSession, d: str) -> DataFrame:
+    from .plans.modularity import community_stats
+
+    return community_stats(_pipeline(s, d).communities)
+
+
+register("q_pipeline_community_stats", _community_stats, None)
+register(
+    "q_pipeline_knn_recommend",
+    lambda s, d: recommend.recommend_books_knn(
+        _pipeline(s, d).similar_to, _ref(s, d).ratings, _ref(s, d).books, UID, k=10
+    ),
+    None,
+)
+register(
+    "q_pipeline_comm_recommend",
+    lambda s, d: recommend.recommend_books_community(
+        _users_with_lpa_community(s, d), _ref(s, d).ratings, _ref(s, d).books, UID, k=3
+    ),
+    None,
+)
+register(
+    "q_pipeline_community_members",
+    lambda s, d: serving.community_members(_users_with_lpa_community(s, d)),
+    None,
+)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in QUERIES.items()}
 
