@@ -1,0 +1,304 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (per the build mandate): exact dedup,
+canonical-fingerprint dedup, n-gram Jaccard, MinHash+LSH, SimHash, and
+embedding-cosine near-dup. All are pure DataFrame programs built on
+cross-engine-reproducible md5 hashing (functions/text.py), so each one is
+oracle-checkable against DuckDB.
+
+Scale notes (100 TB):
+- Exact/fingerprint dedup is a single hash-aggregate — map-side combinable.
+- MinHash+LSH is the scale path for near-dup: candidate generation is an
+  equi-join on (band, band_key) — shuffle proportional to |docs|·bands,
+  never |docs|², and banded keys distribute well. The n-gram Jaccard
+  self-join is exact but quadratic in per-shingle frequency; it's the
+  verification kernel, applied to LSH candidates (or small corpora).
+- SimHash reduces each doc to one int64; near-dup = small hamming distance,
+  candidates via band-of-bits equi-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import md5_hash32, md5_hash60, normalize, tokens, word_shingles
+
+
+# --- exact & fingerprint ---------------------------------------------------
+
+
+def dedup_exact(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: one row per distinct text, keeping the smallest id.
+
+    Returns (keep_id, n_dups, fingerprint=md5(text)).
+    """
+    return (
+        documents.groupBy(text_col)
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+        .select("keep_id", "n_dups", F.md5(F.col(text_col)).alias("fingerprint"))
+    )
+
+
+def dedup_fingerprint(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Canonical-fingerprint dedup: md5 over the sorted distinct token set
+    (catches word-order shuffles and duplicate whitespace)."""
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(F.col(text_col))))))
+    return (
+        documents.select(F.col(id_col), fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("group_size"))
+        .select("keep_id", "group_size", "fingerprint")
+    )
+
+
+# --- n-gram Jaccard (exact pairwise) ----------------------------------------
+
+
+def shingle_set(documents: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, shingle) — distinct n-word shingles per document."""
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact pairwise Jaccard over n-gram shingle sets.
+
+    (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded to 6dp.
+    Intersections come from a self-join on the shingle; pairs sharing no
+    shingle never materialize.
+    """
+    sh = shingle_set(documents, id_col, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --- MinHash + LSH -----------------------------------------------------------
+
+
+def minhash_signatures(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(doc_id, seed, mh): minhash component per permutation seed.
+
+    Permutation i = md5(shingle || '#i') — reproducible in any engine.
+    """
+    sh = shingle_set(documents, id_col, text_col, shingle_n)
+    hashed = sh.withColumn(
+        "seed", F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1)))
+    ).select(
+        "doc_id",
+        "seed",
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("shingle"), F.lit("#"), F.col("seed"))), 1, 8),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    return hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("mh"))
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate candidates with estimated Jaccard.
+
+    Signature is banded (``bands`` bands of ``num_hashes/bands`` rows);
+    docs colliding in any band become candidates; the estimate is the
+    fraction of matching signature components. (doc_a, doc_b, est_jaccard).
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(documents, id_col, text_col, num_hashes, shingle_n).cache()
+    banded = (
+        sig.withColumn("band", F.expr(f"seed div {rows_per_band}"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                    lambda x: x["mh"].cast("string"),
+                ),
+            ).alias("band_key")
+        )
+    )
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    est = (
+        cand.join(
+            sig.select(F.col("doc_id").alias("doc_a"), "seed", F.col("mh").alias("mh_a")),
+            "doc_a",
+        )
+        .join(
+            sig.select(F.col("doc_id").alias("doc_b"), "seed", F.col("mh").alias("mh_b")),
+            ["doc_b", "seed"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.round(
+                F.avg(F.when(F.col("mh_a") == F.col("mh_b"), 1.0).otherwise(0.0)), 6
+            ).alias("est_jaccard")
+        )
+    )
+    return est.filter(F.col("est_jaccard") >= threshold)
+
+
+# --- SimHash -----------------------------------------------------------------
+
+SIMHASH_BITS = 60  # 15 hex chars of md5 -> fits a signed int64
+
+
+def simhash_signatures(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, simhash): 60-bit SimHash over the distinct token set.
+
+    bit_i(simhash) = majority vote of bit_i(md5_60(token)) across tokens
+    (+1 when set, −1 when clear; >= 0 -> set).
+    """
+    tok = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("token"),
+    )
+    h = tok.select("doc_id", md5_hash60(F.col("token")).alias("h"))
+    bits = (
+        h.withColumn("bit", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))))
+        .groupBy("doc_id", "bit")
+        .agg(
+            F.sum(
+                F.when(F.expr("(h >> bit) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
+            ).alias("s")
+        )
+    )
+    return bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") >= 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
+                F.lit(0)
+            )
+        ).alias("simhash")
+    )
+
+
+def simhash_near_pairs(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) for signature pairs within ``max_hamming``.
+
+    Candidates via bit-slice equi-join over ``max_hamming + 1`` bands
+    (pigeonhole: <= ``max_hamming`` differing bits across ``max_hamming+1``
+    disjoint slices forces at least one identical slice — no false
+    negatives), then exact popcount verification. Narrow slices mean more
+    candidate collisions; at larger scale, widen the signature (multiple
+    64-bit words) to keep slices selective.
+    """
+    sig = simhash_signatures(documents, id_col, text_col).cache()
+    bands = max_hamming + 1
+    # band i covers bits [i*B/bands, (i+1)*B/bands) — near-uniform widths
+    banded = sig.withColumn(
+        "band", F.explode(F.sequence(F.lit(0), F.lit(bands - 1)))
+    ).withColumn(
+        "slice",
+        F.expr(
+            f"(simhash >> ((band * {SIMHASH_BITS}) div {bands})) "
+            f"& ((CAST(1 AS BIGINT) << (((band + 1) * {SIMHASH_BITS}) div {bands} "
+            f"- (band * {SIMHASH_BITS}) div {bands})) - 1)"
+        ),
+    )
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "slice"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(ha ^ hb)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# --- embedding near-dup -------------------------------------------------------
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """(id_a, id_b, similarity): embedding pairs with cosine >= threshold,
+    id_a < id_b. Exact O(n²) kernel — at scale, run it on LSH buckets
+    (operators/knn.py::knn_lsh) instead of the full cross join."""
+    from ..functions import vector as V
+
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"), V.l2_normalize(V.as_double(F.col(vec_col))).alias("_va")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"), V.l2_normalize(V.as_double(F.col(vec_col))).alias("_vb")
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(V.dot(F.col("_va"), F.col("_vb")), V.SIM_SCALE).alias("similarity"),
+        )
+        .filter(F.col("similarity") >= threshold)
+    )

@@ -1,0 +1,91 @@
+"""Batch operators over the events table (time windows, sessionization,
+stateful dedup's batch twin, JSON extraction).
+
+These are the batch twins of the Structured Streaming operators in
+streaming/events.py — same logical results, so the streaming versions are
+validated against these oracle-checked plans.
+
+Timezone discipline: all registered outputs are **epoch microseconds
+(BIGINT)**, computed via ``unix_micros`` on the timestamp *instant*. The
+driver's SparkSession timezone is unknown, and anything session-TZ-
+dependent (``date_trunc``, timestamp rendering in toPandas) would silently
+shift results against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+US_PER_MIN = 60 * 1_000_000
+
+
+def tumbling_counts(events: DataFrame, minutes: int = 60) -> DataFrame:
+    """(window_start_us, event_type, n, sum_value): tumbling window agg.
+
+    Epoch-floor windowing == ``date_trunc`` for hour-aligned windows but
+    independent of the session timezone.
+    """
+    width = minutes * US_PER_MIN
+    wstart = (F.unix_micros("ts") - F.unix_micros("ts") % width).alias("window_start_us")
+    return events.groupBy(wstart, "event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value")
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gaps-and-islands sessionization per user.
+
+    (user_id, session_start_us, n_events, duration_s): a new session starts
+    when the gap to the user's previous event exceeds ``gap_minutes``.
+    """
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_minutes * US_PER_MIN
+    with_flag = events.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        F.when(
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(by_user)) > gap_us, F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("new_session"),
+    )
+    cum = Window.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    with_sid = with_flag.withColumn("session_seq", F.sum("new_session").over(cum))
+    return (
+        with_sid.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts_us").alias("session_start_us"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round((F.max("ts_us") - F.min("ts_us")) / F.lit(1_000_000.0), 6).alias(
+                "duration_s"
+            ),
+        )
+        .select("user_id", "session_start_us", "n_events", "duration_s")
+    )
+
+
+def dedup_events(events: DataFrame) -> DataFrame:
+    """Stateful-dedup batch twin: first event per (user_id, event_type) —
+    earliest ts, smallest event_id on ties."""
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        events.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "event_id", F.unix_micros("ts").alias("ts_us"), "user_id", "event_type", "value"
+        )
+    )
+
+
+def json_props_stats(events: DataFrame) -> DataFrame:
+    """(event_type, n, avg_k): extract JSON ``props.k`` and aggregate."""
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("k"), 6).alias("avg_k"))
+    )

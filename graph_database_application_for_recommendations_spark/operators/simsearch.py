@@ -1,0 +1,148 @@
+"""Similarity search over an embedding column (ANN extension surface).
+
+- ``topk_bruteforce``: exact cosine top-k of a query set against a corpus —
+  the correctness baseline; O(|Q|·|C|) but |Q| is usually small.
+- ``topk_hyperplane_lsh``: random-hyperplane bucketing (sign-of-dot
+  signature) prunes the corpus to same-bucket candidates before the exact
+  re-rank — the scale path: candidate generation is an equi-join on the
+  bucket id, so cost follows bucket occupancy, not |Q|·|C|.
+
+The hyperplanes come from a seeded pure-Python LCG and are embedded as
+literal arrays in both the Spark plan and the DuckDB oracle, keeping the
+operator fully deterministic and cross-engine checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import vector as V
+
+
+def hyperplanes(num_planes: int = 4, dim: int = 64, seed: int = 123) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1), 6dp-rounded so
+    SQL literals parse to bit-identical doubles in any engine."""
+    x = seed & 0xFFFFFFFFFFFFFFFF
+    planes = []
+    for _ in range(num_planes):
+        row = []
+        for _ in range(dim):
+            x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(round(((x >> 33) / float(1 << 31)) * 2.0 - 1.0, 6))
+        planes.append(row)
+    return planes
+
+
+def _normed(df: DataFrame, id_col: str, vec_col: str, out_id: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias(out_id), V.l2_normalize(V.as_double(F.col(vec_col))).alias(f"_{out_id}_v")
+    )
+
+
+def topk_bruteforce(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, similarity), ties by id."""
+    q = _normed(queries, id_col, vec_col, "query_id")
+    c = _normed(corpus, id_col, vec_col, "neighbor_id")
+    pairs = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(V.dot(F.col("_query_id_v"), F.col("_neighbor_id_v")), V.SIM_SCALE).alias(
+                "similarity"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("similarity"), F.asc("neighbor_id"))
+    return pairs.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")
+
+
+def bucket_ids(
+    df: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, bucket): bucket = bitmask of sign(v · plane_p)."""
+    v = V.as_double(F.col(vec_col))
+    bucket = F.lit(0)
+    for p, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(x) for x in plane])
+        bucket = bucket + F.when(V.dot(v, lit_plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return df.select(F.col(id_col).alias("id"), bucket.cast("long").alias("bucket"))
+
+
+def multi_bucket_ids(
+    df: DataFrame,
+    planes: list[list[float]],
+    num_tables: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, table, bucket): one bucket per hash table (OR-amplification).
+
+    ``planes`` holds num_tables × planes_per_table rows, chunked per table.
+    """
+    per_table = len(planes) // num_tables
+    v = V.as_double(F.col(vec_col))
+    buckets = []
+    for t in range(num_tables):
+        bucket = F.lit(0)
+        for p in range(per_table):
+            lit_plane = F.array(*[F.lit(x) for x in planes[t * per_table + p]])
+            bucket = bucket + F.when(V.dot(v, lit_plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        buckets.append(F.struct(F.lit(t).alias("table"), bucket.cast("long").alias("bucket")))
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(F.array(*buckets)).alias("tb")
+    ).select("id", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+
+
+def topk_hyperplane_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    num_planes: int = 4,
+    num_tables: int = 4,
+    seed: int = 123,
+) -> DataFrame:
+    """Multi-table bucketed approximate top-k with exact re-rank.
+
+    A pair is a candidate if it collides in ANY of the ``num_tables`` hash
+    tables (recall amplification: 1-(1-p^planes)^tables); candidates are
+    deduped before the exact cosine re-rank, so each pair is scored once.
+    """
+    dim = len(queries.select(vec_col).first()[0])
+    planes = hyperplanes(num_planes * num_tables, dim, seed)
+    qb = multi_bucket_ids(queries, planes, num_tables, id_col, vec_col).withColumnRenamed(
+        "id", "query_id"
+    )
+    cb = multi_bucket_ids(corpus, planes, num_tables, id_col, vec_col).withColumnRenamed(
+        "id", "neighbor_id"
+    )
+    cand = (
+        qb.join(cb, ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = _normed(queries, id_col, vec_col, "query_id")
+    c = _normed(corpus, id_col, vec_col, "neighbor_id")
+    pairs = cand.join(q, "query_id").join(c, "neighbor_id").select(
+        "query_id",
+        "neighbor_id",
+        F.round(V.dot(F.col("_query_id_v"), F.col("_neighbor_id_v")), V.SIM_SCALE).alias(
+            "similarity"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("similarity"), F.asc("neighbor_id"))
+    return pairs.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")

@@ -1,0 +1,98 @@
+"""Text-analysis operators: language ID, quality scoring, token counting,
+source stats (the training-data-pipeline extension surface).
+
+Everything stays in native column expressions (codegen'd); the language-ID
+join uses a tiny broadcast stopword dimension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import STOPWORDS, normalize, tokens
+
+CJK_RE = r"[\x{4e00}-\x{9fff}]"
+PUNCT_RE = r"[.,;:!?]"
+
+
+def token_counts(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens): whitespace token count of normalized text."""
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+
+
+def quality_scores(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_tokens, stopword_ratio, punct_ratio, mean_token_len).
+
+    Classic cheap quality heuristics: heavy stopword presence ≈ natural
+    prose; extreme punctuation or token lengths ≈ boilerplate/garbage.
+    """
+    en = STOPWORDS["en"]
+    norm = normalize(F.col(text_col))
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(en)))
+    punct = F.length(norm) - F.length(F.regexp_replace(norm, PUNCT_RE, ""))
+    total_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(stop_hits.cast("double") / n_tok, 6).alias("stopword_ratio"),
+        F.round(punct.cast("double") / F.length(norm), 6).alias("punct_ratio"),
+        F.round(total_len.cast("double") / n_tok, 6).alias("mean_token_len"),
+    )
+
+
+def language_id(
+    spark: SparkSession, documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, lang_guess): stopword-hit argmax over the frozen per-language
+    lists, CJK-script override for 'zh', 'und' when nothing matches.
+
+    Deterministic: ties broken by language code ascending.
+    """
+    stop_rows = [(lang, w) for lang, ws in sorted(STOPWORDS.items()) for w in ws]
+    stop_dim = spark.createDataFrame(stop_rows, "lang STRING, word STRING")
+    norm_df = documents.select(
+        F.col(id_col).alias("doc_id"), normalize(F.col(text_col)).alias("norm")
+    )
+    tok = norm_df.select("doc_id", F.explode(F.split(F.col("norm"), " ")).alias("token"))
+    hits = (
+        tok.join(F.broadcast(stop_dim), tok.token == stop_dim.word)
+        .groupBy("doc_id", "lang")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("h"), F.asc("lang"))
+    best = hits.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    cjk = F.length(F.col("norm")) - F.length(F.regexp_replace(F.col("norm"), CJK_RE, ""))
+    return (
+        norm_df.join(best.select("doc_id", "lang"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(cjk.cast("double") / F.length("norm") > 0.3, F.lit("zh"))
+            .otherwise(F.coalesce(F.col("lang"), F.lit("und")))
+            .alias("lang_guess"),
+        )
+    )
+
+
+def source_stats(documents: DataFrame) -> DataFrame:
+    """(source, n_docs, avg_chars, total_tokens): corpus profile by source."""
+    return (
+        documents.select(
+            "source",
+            F.col("n_chars"),
+            F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )

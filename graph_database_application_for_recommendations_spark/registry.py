@@ -347,6 +347,372 @@ register(
 )
 
 
+# --- training-data pipeline extensions (dedup / text / simsearch / ---------
+# --- multimodal / events) ---------------------------------------------------
+
+from .functions.text import STOPWORDS  # noqa: E402
+from .operators import dedup, events, multimodal, simsearch, textstats  # noqa: E402
+
+# Shared oracle CTEs over documents: normalized text, tokens, 3-gram shingles
+# — each mirrors functions/text.py expression-for-expression.
+DOCS_CTES = r"""
+norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+  FROM documents
+),
+toks AS (SELECT doc_id, string_split(norm, ' ') AS t FROM norm),
+sh AS (
+  SELECT doc_id, unnest(s) AS shingle FROM (
+    SELECT doc_id,
+           list_distinct([array_to_string(list_slice(t, i, i + 2), ' ')
+                          for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS s
+    FROM toks)
+)
+""".strip()
+
+VEC_CTE = """
+vec AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)
+""".strip()
+
+
+def _q_docs(sql: str) -> str:
+    return f"WITH {DOCS_CTES}\n{sql.strip()}"
+
+
+def _q_vec(sql: str) -> str:
+    return f"WITH {VEC_CTE}\n{sql.strip()}"
+
+
+def _docs(s: SparkSession, d: str) -> DataFrame:
+    return _ref(s, d).documents
+
+
+register(
+    "q_dedup_exact",
+    lambda s, d: dedup.dedup_exact(_docs(s, d)),
+    """
+    SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups, md5(text) AS fingerprint
+    FROM documents GROUP BY text
+    """,
+)
+register(
+    "q_dedup_fingerprint",
+    lambda s, d: dedup.dedup_fingerprint(_docs(s, d)),
+    _q_docs(
+        """
+        SELECT MIN(doc_id) AS keep_id, COUNT(*) AS group_size, fingerprint FROM (
+          SELECT doc_id,
+                 md5(array_to_string(list_sort(list_distinct(string_split(norm, ' '))), ' ')) AS fingerprint
+          FROM norm)
+        GROUP BY fingerprint
+        """
+    ),
+)
+register(
+    "q_dedup_ngram_jaccard",
+    lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d), n=3, threshold=0.5),
+    _q_docs(
+        """
+        , sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b, jaccard FROM (
+          SELECT doc_a, doc_b,
+                 ROUND(CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b)
+        WHERE jaccard >= 0.5
+        """
+    ),
+)
+register(
+    "q_dedup_minhash_lsh",
+    lambda s, d: dedup.minhash_lsh_pairs(
+        _docs(s, d), num_hashes=32, bands=8, shingle_n=3, threshold=0.5
+    ),
+    _q_docs(
+        """
+        , sig AS (
+          SELECT doc_id, t.seed,
+                 MIN(CAST(('0x' || substr(md5(shingle || '#' || t.seed), 1, 8)) AS BIGINT)) AS mh
+          FROM sh CROSS JOIN range(0, 32) t(seed)
+          GROUP BY doc_id, t.seed),
+        bands AS (
+          SELECT doc_id, seed // 4 AS band,
+                 string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS band_key
+          FROM sig GROUP BY doc_id, seed // 4),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        est AS (
+          SELECT c.doc_a, c.doc_b,
+                 ROUND(AVG(CASE WHEN sa.mh = sb.mh THEN 1.0 ELSE 0.0 END), 6) AS est_jaccard
+          FROM cand c
+          JOIN sig sa ON sa.doc_id = c.doc_a
+          JOIN sig sb ON sb.doc_id = c.doc_b AND sb.seed = sa.seed
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+        """
+    ),
+)
+register(
+    "q_dedup_simhash",
+    lambda s, d: dedup.simhash_signatures(_docs(s, d)),
+    _q_docs(
+        """
+        , tok AS (SELECT DISTINCT doc_id, unnest(string_split(norm, ' ')) AS token FROM norm),
+        h AS (SELECT doc_id, CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) AS h FROM tok),
+        bits AS (
+          SELECT doc_id, t.i AS bit,
+                 SUM(CASE WHEN (h >> t.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+          FROM h CROSS JOIN range(0, 60) t(i)
+          GROUP BY doc_id, t.i)
+        SELECT doc_id,
+               -- CAST: DuckDB SUM(BIGINT) yields HUGEINT, which pandas
+               -- degrades to float64 and loses 60-bit precision
+               CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << bit)
+                             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id
+        """
+    ),
+)
+register(
+    "q_dedup_embedding",
+    lambda s, d: dedup.embedding_neardup_pairs(_ref(s, d).embeddings, threshold=0.4),
+    _q_vec(
+        """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(SUM(a.v[t.i] * b.v[t.i])
+                     / (SQRT(SUM(a.v[t.i] * a.v[t.i])) * SQRT(SUM(b.v[t.i] * b.v[t.i]))),
+                     6) AS similarity
+        FROM vec a, vec b, range(1, 65) t(i)
+        WHERE a.vec_id < b.vec_id
+        GROUP BY a.vec_id, b.vec_id
+        HAVING similarity >= 0.4
+        """
+    ),
+)
+
+# text analysis
+_SW_EN = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+_SW_VALUES = ", ".join(
+    f"('{lang}', '{w}')" for lang, ws in sorted(STOPWORDS.items()) for w in ws
+)
+
+register(
+    "q_text_tokens",
+    lambda s, d: textstats.token_counts(_docs(s, d)),
+    _q_docs("SELECT doc_id, CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens FROM norm"),
+)
+register(
+    "q_text_quality",
+    lambda s, d: textstats.quality_scores(_docs(s, d)),
+    _q_docs(
+        f"""
+        , tok AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS token FROM norm),
+        agg AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                 ROUND(AVG(CASE WHEN token IN ({_SW_EN}) THEN 1.0 ELSE 0.0 END), 6) AS stopword_ratio,
+                 ROUND(AVG(CAST(length(token) AS DOUBLE)), 6) AS mean_token_len
+          FROM tok GROUP BY doc_id)
+        SELECT a.doc_id, a.n_tokens, a.stopword_ratio,
+               ROUND(CAST(length(n.norm) - length(regexp_replace(n.norm, '[.,;:!?]', '', 'g')) AS DOUBLE)
+                     / length(n.norm), 6) AS punct_ratio,
+               a.mean_token_len
+        FROM agg a JOIN norm n USING (doc_id)
+        """
+    ),
+)
+register(
+    "q_text_langid",
+    lambda s, d: textstats.language_id(s, _docs(s, d)),
+    _q_docs(
+        f"""
+        , tok AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS token FROM norm),
+        sw(lang, word) AS (VALUES {_SW_VALUES}),
+        hits AS (
+          SELECT doc_id, lang, COUNT(*) AS h
+          FROM tok JOIN sw ON tok.token = sw.word
+          GROUP BY 1, 2),
+        best AS (
+          SELECT doc_id, lang FROM (
+            SELECT doc_id, lang,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h DESC, lang) AS rn
+            FROM hits) WHERE rn = 1)
+        SELECT n.doc_id,
+               CASE WHEN CAST(length(n.norm) - length(regexp_replace(n.norm, '[\\x{{4e00}}-\\x{{9fff}}]', '', 'g')) AS DOUBLE)
+                         / length(n.norm) > 0.3 THEN 'zh'
+                    ELSE COALESCE(b.lang, 'und') END AS lang_guess
+        FROM norm n LEFT JOIN best b USING (doc_id)
+        """
+    ),
+)
+register(
+    "q_text_source_stats",
+    lambda s, d: textstats.source_stats(_docs(s, d)),
+    _q_docs(
+        """
+        SELECT d.source, COUNT(*) AS n_docs, ROUND(AVG(d.n_chars), 6) AS avg_chars,
+               CAST(SUM(CAST(len(string_split(n.norm, ' ')) AS BIGINT)) AS BIGINT) AS total_tokens
+        FROM documents d JOIN norm n USING (doc_id)
+        GROUP BY d.source
+        """
+    ),
+)
+
+# similarity search (4 tables × 4 planes, matching the Spark call below)
+_PLANES = simsearch.hyperplanes(num_planes=16, dim=64, seed=123)
+_PLANES_VALUES = ", ".join(
+    f"({i // 4}, {i % 4}, [{', '.join(repr(x) for x in row)}])"
+    for i, row in enumerate(_PLANES)
+)
+_COS = (
+    "ROUND(SUM(a.v[t.i] * b.v[t.i]) / "
+    "(SQRT(SUM(a.v[t.i] * a.v[t.i])) * SQRT(SUM(b.v[t.i] * b.v[t.i]))), 6)"
+)
+
+register(
+    "q_simsearch_topk",
+    lambda s, d: simsearch.topk_bruteforce(
+        _ref(s, d).embeddings.filter(F.col("vec_id") < 10), _ref(s, d).embeddings, k=10
+    ),
+    _q_vec(
+        f"""
+        , pairs AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS} AS similarity
+          FROM vec a, vec b, range(1, 65) t(i)
+          WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+          GROUP BY 1, 2)
+        SELECT query_id, neighbor_id, similarity FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY similarity DESC, neighbor_id) AS rn
+          FROM pairs) WHERE rn <= 10
+        """
+    ),
+)
+register(
+    "q_simsearch_lsh",
+    lambda s, d: simsearch.topk_hyperplane_lsh(
+        _ref(s, d).embeddings.filter(F.col("vec_id") < 10),
+        _ref(s, d).embeddings,
+        k=10,
+        num_planes=4,
+        num_tables=4,
+        seed=123,
+    ),
+    _q_vec(
+        f"""
+        , planes(tid, pid, pv) AS (VALUES {_PLANES_VALUES}),
+        dots AS (
+          SELECT v.vec_id, p.tid, p.pid, SUM(v.v[t.i] * p.pv[t.i]) AS d
+          FROM vec v, planes p, range(1, 65) t(i)
+          GROUP BY 1, 2, 3),
+        buckets AS (
+          SELECT vec_id, tid,
+                 CAST(SUM(CASE WHEN d >= 0 THEN (1 << pid) ELSE 0 END) AS BIGINT) AS bucket
+          FROM dots GROUP BY vec_id, tid),
+        cand AS (
+          SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+          FROM buckets q
+          JOIN buckets c ON q.tid = c.tid AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
+          WHERE q.vec_id < 10),
+        pairs AS (
+          SELECT cand.query_id, cand.neighbor_id, {_COS} AS similarity
+          FROM cand
+          JOIN vec a ON a.vec_id = cand.query_id
+          JOIN vec b ON b.vec_id = cand.neighbor_id
+          CROSS JOIN range(1, 65) t(i)
+          GROUP BY 1, 2)
+        SELECT query_id, neighbor_id, similarity FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY similarity DESC, neighbor_id) AS rn
+          FROM pairs) WHERE rn <= 10
+        """
+    ),
+)
+
+# multimodal (metadata path is native + oracle-checked; feature extraction
+# exercises the mapInPandas plumbing with stubbed decoders — rows-only)
+register(
+    "q_multimodal_meta",
+    lambda s, d: multimodal.asset_meta(multimodal.assets_from_documents(_docs(s, d))),
+    """
+    SELECT doc_id AS asset_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'text'
+                WHEN doc_id % 3 = 1 THEN 'image'
+                ELSE 'audio' END AS kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+register(
+    "q_multimodal_features",
+    lambda s, d: multimodal.extract_features(
+        multimodal.assets_from_documents(_docs(s, d))
+    ),
+    None,
+)
+
+# events (batch twins of the streaming operators; epoch-us outputs are
+# session-timezone-proof)
+register(
+    "q_events_tumbling",
+    lambda s, d: events.tumbling_counts(_ref(s, d).events, minutes=60),
+    """
+    SELECT (epoch_us(ts) - epoch_us(ts) % 3600000000) AS window_start_us,
+           event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+register(
+    "q_events_sessionize",
+    lambda s, d: events.sessionize(_ref(s, d).events, gap_minutes=30),
+    """
+    WITH flagged AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sid AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flagged)
+    SELECT user_id, MIN(ts_us) AS session_start_us, COUNT(*) AS n_events,
+           ROUND((MAX(ts_us) - MIN(ts_us)) / 1000000.0, 6) AS duration_s
+    FROM sid GROUP BY user_id, session_seq
+    """,
+)
+register(
+    "q_events_dedup",
+    lambda s, d: events.dedup_events(_ref(s, d).events),
+    """
+    SELECT event_id, ts_us, user_id, event_type, value FROM (
+      SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events) WHERE rn = 1
+    """,
+)
+register(
+    "q_events_json",
+    lambda s, d: events.json_props_stats(_ref(s, d).events),
+    """
+    SELECT event_type, COUNT(*) AS n,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k
+    FROM events GROUP BY event_type
+    """,
+)
+
+
 # --- algorithm pipeline (G1/G2/G3) — rows-only checks -----------------------
 # FastRP embeddings and label-propagation community ids are not
 # SQL-expressible (iterative programs; ids value-unstable by nature, see

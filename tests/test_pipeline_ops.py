@@ -1,0 +1,120 @@
+"""Unit tests for the training-data pipeline operators (dedup, simsearch,
+multimodal). Oracle parity is covered by test_oracle_parity; these pin the
+semantic properties a SQL twin can't express."""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph_database_application_for_recommendations_spark.operators import (
+    dedup,
+    multimodal,
+    simsearch,
+)
+from graph_database_application_for_recommendations_spark.sources.views import load_ref_tables
+
+from .conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base.replace("lazy", "sleepy")),  # near dup of 1
+        (4, "  THE  quick brown fox jumps over the lazy dog and runs far away home "),  # ws/case
+        (5, "completely different text about spark query engines and shuffles at scale"),
+    ]
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def test_dedup_exact(spark, docs_with_dups):
+    got = {r["fingerprint"]: (r["keep_id"], r["n_dups"]) for r in dedup.dedup_exact(docs_with_dups).collect()}
+    assert len(got) == 4  # 1+2 collapse; 3,4,5 distinct raw texts
+    assert (1, 2) in got.values()
+
+
+def test_dedup_fingerprint_catches_case_and_whitespace(spark, docs_with_dups):
+    rows = dedup.dedup_fingerprint(docs_with_dups).collect()
+    groups = {r["keep_id"]: r["group_size"] for r in rows}
+    # 1, 2 and 4 share the canonical token set
+    assert groups[1] == 3
+    assert groups[3] == 1 and groups[5] == 1
+
+
+def test_ngram_jaccard_finds_near_dup(spark, docs_with_dups):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs_with_dups, n=3, threshold=0.3).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # identical docs
+    assert 0.3 <= pairs[(1, 3)] < 1.0  # one word changed
+    assert (1, 5) not in pairs  # unrelated doc
+
+
+def test_minhash_estimates_track_true_jaccard(spark, docs_with_dups):
+    est = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in dedup.minhash_lsh_pairs(
+            docs_with_dups, num_hashes=32, bands=8, threshold=0.0
+        ).collect()
+    }
+    assert est[(1, 2)] == 1.0  # identical signatures
+    assert est[(1, 4)] == 1.0  # normalization collapses case/whitespace
+    if (1, 3) in est:  # near-dup may or may not collide in a band
+        true_j = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard_pairs(docs_with_dups, threshold=0.0).collect()
+        }[(1, 3)]
+        assert est[(1, 3)] == pytest.approx(true_j, abs=0.25)
+
+
+def test_simhash_near_pairs(spark, docs_with_dups):
+    sig = {r["doc_id"]: r["simhash"] for r in dedup.simhash_signatures(docs_with_dups).collect()}
+    assert sig[1] == sig[2] == sig[4]  # identical token sets
+    ham = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_near_pairs(docs_with_dups, max_hamming=12).collect()
+    }
+    assert ham[(1, 2)] == 0
+    assert (1, 3) in ham  # one-token change stays within hamming 12
+    assert (1, 5) not in ham
+
+
+def test_simsearch_lsh_recall_against_bruteforce(spark):
+    emb = load_ref_tables(spark, SF_SMALL).embeddings
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = simsearch.topk_bruteforce(queries, emb, k=5)
+    approx = simsearch.topk_hyperplane_lsh(queries, emb, k=5, num_planes=4)
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    # 4 hyperplanes / 16 buckets over near-random vectors: recall is modest
+    # by design; the property that matters is candidates ⊂ honest top-k scoring
+    assert recall > 0.2
+    assert len(approx_pairs - exact_pairs) < len(approx_pairs)  # overlap exists
+
+
+def test_multimodal_feature_extraction_plumbing(spark, docs_with_dups):
+    docs = docs_with_dups.withColumn("source", F.lit("s")).withColumn("lang", F.lit("en"))
+    assets = multimodal.assets_from_documents(
+        docs.withColumnRenamed("doc_id", "doc_id")
+    )
+    feats = {r["asset_id"]: r for r in multimodal.extract_features(assets).collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert set(feats) == set(texts)
+    for doc_id, text in texts.items():
+        payload = text.encode("utf-8")
+        assert feats[doc_id]["n_bytes"] == len(payload)
+        assert feats[doc_id]["crc32"] == zlib.crc32(payload)
+        assert feats[doc_id]["first_byte"] == payload[0]
+        assert feats[doc_id]["last_byte"] == payload[-1]
+
+
+def test_multimodal_decoder_stub_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal._decode_image(b"\x89PNG")
