@@ -1,0 +1,172 @@
+"""Structured Streaming over the events table.
+
+Each operator here is the streaming twin of an oracle-checked batch plan in
+operators/events.py — the tests drive both and compare results, so the
+streaming semantics are anchored to the DuckDB-checked batch semantics.
+
+Design notes:
+- File source (parquet) with an explicit schema; ``maxFilesPerTrigger``
+  gives multi-batch replays in tests, ``availableNow`` bounded runs.
+- Watermarks bound state for tumbling windows and dedup; session windows
+  use the built-in ``session_window`` (gap-merged, same semantics as the
+  batch gaps-and-islands plan).
+- The custom stateful operator (running per-user profile) uses
+  ``applyInPandasWithState`` — the Arrow-batched stateful API.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Raw file schema: ts arrives as TIMESTAMP(NANOS) which Spark reads as long
+# under spark.sql.legacy.parquet.nanosAsLong (see sources/tables.py).
+RAW_EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming read of the events parquet with proper event-time column."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(RAW_EVENT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    # the file source rejects a plain file path ("basePath must be a
+    # directory") but accepts a glob that matches it
+    raw = reader.parquet(f"{sf_dir}/events.[p]arquet")
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts_stream(
+    events: DataFrame, minutes: int = 60, watermark_minutes: int = 120
+) -> DataFrame:
+    """Watermarked tumbling-window counts; twin of
+    operators/events.py::tumbling_counts."""
+    return (
+        events.withWatermark("ts", f"{watermark_minutes} minutes")
+        .groupBy(F.window("ts", f"{minutes} minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sessionize_stream(
+    events: DataFrame, gap_minutes: int = 30, watermark_minutes: int = 120
+) -> DataFrame:
+    """Session windows per user (gap-merged); twin of
+    operators/events.py::sessionize. ``session_window.end`` is
+    last-event + gap, so the gap is subtracted to recover the duration."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    return (
+        events.withWatermark("ts", f"{watermark_minutes} minutes")
+        .groupBy("user_id", F.session_window("ts", f"{gap_minutes} minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            "n_events",
+            F.round(
+                (
+                    F.unix_micros(F.col("session_window.end"))
+                    - F.unix_micros(F.col("session_window.start"))
+                    - F.lit(gap_us)
+                )
+                / F.lit(1_000_000.0),
+                6,
+            ).alias("duration_s"),
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark_minutes: int = 120) -> DataFrame:
+    """Stateful streaming dedup on (user_id, event_type): first arrival wins;
+    the watermark bounds the dedup state. Twin of
+    operators/events.py::dedup_events (equal when arrival order == event-time
+    order, which holds for the replayed parquet)."""
+    return (
+        events.withWatermark("ts", f"{watermark_minutes} minutes")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("event_id", F.unix_micros("ts").alias("ts_us"), "user_id", "event_type", "value")
+    )
+
+
+USER_PROFILE_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("last_ts_us", LongType()),
+    ]
+)
+
+_STATE_SCHEMA = "n_events LONG, total_value DOUBLE, last_ts_us LONG"
+
+
+def running_user_profile_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running (count, value sum, last
+    event time), emitted on every update — ``applyInPandasWithState``."""
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, total, last = state.get() if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            last = max(last, int(pdf["ts"].astype("int64").max() // 1000))
+        state.update((n, round(total, 6), last))
+        yield pd.DataFrame(
+            [{"user_id": key[0], "n_events": n, "total_value": round(total, 6), "last_ts_us": last}]
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=USER_PROFILE_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str, checkpoint_dir: str
+) -> DataFrame:
+    """Drive a bounded (availableNow) run into a memory sink; returns the
+    materialized result as a batch DataFrame."""
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return stream_df.sparkSession.table(name)

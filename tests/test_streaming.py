@@ -1,0 +1,122 @@
+"""Streaming twins vs oracle-checked batch plans: drive each streaming
+operator with availableNow over the sf0.001 events parquet and compare to
+the batch operator's result."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph_database_application_for_recommendations_spark.operators import events as batch_ops
+from graph_database_application_for_recommendations_spark.sources.views import load_ref_tables
+from graph_database_application_for_recommendations_spark.streaming import events as stream_ops
+
+from .conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark):
+    return load_ref_tables(spark, SF_SMALL).events.cache()
+
+
+@pytest.fixture(scope="module")
+def event_stream(spark):
+    return stream_ops.read_events_stream(spark, SF_SMALL)
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_streaming_tumbling_matches_batch(spark, event_stream, batch_events, tmp_path):
+    got = stream_ops.run_to_memory(
+        stream_ops.tumbling_counts_stream(event_stream, minutes=60),
+        "t_tumbling",
+        "complete",
+        str(tmp_path / "ck1"),
+    )
+    want = batch_ops.tumbling_counts(batch_events, minutes=60)
+    assert _rows(got) == _rows(want)
+
+
+def test_streaming_sessionize_matches_batch(spark, event_stream, batch_events, tmp_path):
+    got = stream_ops.run_to_memory(
+        stream_ops.sessionize_stream(event_stream, gap_minutes=30),
+        "t_sessions",
+        "complete",
+        str(tmp_path / "ck2"),
+    )
+    want = batch_ops.sessionize(batch_events, gap_minutes=30)
+    assert _rows(got) == _rows(want)
+
+
+def test_streaming_dedup_matches_batch_keys(spark, event_stream, batch_events, tmp_path):
+    got = stream_ops.run_to_memory(
+        stream_ops.dedup_stream(event_stream),
+        "t_dedup",
+        "append",
+        str(tmp_path / "ck3"),
+    )
+    want = batch_ops.dedup_events(batch_events)
+    # one surviving row per key on both sides; first-arrival == earliest-ts
+    # only when the file is time-ordered per key, so compare key sets
+    got_keys = {(r["user_id"], r["event_type"]) for r in got.collect()}
+    want_keys = {(r["user_id"], r["event_type"]) for r in want.collect()}
+    assert got_keys == want_keys
+    assert got.count() == len(got_keys)
+
+
+def test_streaming_stateful_profile(spark, event_stream, batch_events, tmp_path):
+    got = stream_ops.run_to_memory(
+        stream_ops.running_user_profile_stream(event_stream),
+        "t_profile",
+        "update",
+        str(tmp_path / "ck4"),
+    )
+    # single availableNow batch -> the last update per user is the total
+    import pandas as pd
+
+    gpdf = got.toPandas().sort_values("n_events").groupby("user_id").last().reset_index()
+    want = (
+        batch_events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+            F.max(F.unix_micros("ts")).alias("last_ts_us"),
+        )
+        .toPandas()
+    )
+    merged = gpdf.merge(want, on="user_id", suffixes=("_got", "_want"))
+    assert len(merged) == len(want)
+    assert (merged["n_events_got"] == merged["n_events_want"]).all()
+    assert (merged["last_ts_us_got"] == merged["last_ts_us_want"]).all()
+    assert (abs(merged["total_value_got"] - merged["total_value_want"]) < 1e-6).all()
+
+
+def test_streaming_multi_batch_replay(spark, batch_events, tmp_path):
+    """Split events into several files and replay one file per trigger —
+    exercises watermark advancement across micro-batches."""
+    src = str(tmp_path / "events_split")
+    batch_events.select(
+        "event_id",
+        F.expr("unix_micros(ts) * 1000").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    ).repartition(4).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(stream_ops.RAW_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    got = stream_ops.run_to_memory(
+        stream_ops.tumbling_counts_stream(stream, minutes=60),
+        "t_multibatch",
+        "complete",
+        str(tmp_path / "ck5"),
+    )
+    want = batch_ops.tumbling_counts(batch_events, minutes=60)
+    assert _rows(got) == _rows(want)
