@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the engine's representative queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>, "rows": {name: n, ...}}
+
+Query mix: the skew-prone co-rating self-join, the O(n²) vector kernels
+(KNN, simsearch, embedding near-dup), the serving join paths, the dedup
+suite over documents, text analysis, event sessionization/windows, and the
+iterative FastRP+LPA pipeline — i.e. every physical pattern the engine
+uses, not just the cheap ones.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+from graph_database_application_for_recommendations_spark import registry
+from graph_database_application_for_recommendations_spark.session import get_spark
+
+BENCH_QUERIES = [
+    "q_corating_projection",
+    "q_knn_topk",
+    "q_knn_recommend",
+    "q_comm_recommend",
+    "q_community_members",
+    "q_rated_books",
+    "q_fk_enforced_edges",
+    "q_dedup_exact",
+    "q_dedup_minhash_lsh",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_simhash",
+    "q_dedup_embedding",
+    "q_simsearch_topk",
+    "q_simsearch_lsh",
+    "q_text_langid",
+    "q_text_quality",
+    "q_multimodal_features",
+    "q_events_tumbling",
+    "q_events_sessionize",
+    "q_events_json",
+]
+
+# the iterative pipeline (FastRP -> KNN -> LPA) is measured as one unit,
+# mirroring the reference's algorithm run (Alg_KNN_FastRP.py main)
+PIPELINE_QUERY = "q_pipeline_similar_to"
+
+
+def _sf_of(sf_dir: str) -> float:
+    try:
+        return float(sf_dir.rstrip("/").rsplit("sf", 1)[1])
+    except (IndexError, ValueError):
+        return -1.0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("gdar-bench", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).select(F.sum("id")).collect()  # JVM warmup
+
+    queries = registry.queries()
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in BENCH_QUERIES + [PIPELINE_QUERY]:
+        t0 = time.time()
+        df = queries[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        rows[name] = n
+        print(f"  {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr, flush=True)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "rows": rows,
+                "sf": _sf_of(sf_dir),
+                "cpus": cpus,
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -58,8 +58,14 @@ def dedup_fingerprint(
 
 
 def shingle_set(documents: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, shingle) — distinct n-word shingles per document."""
-    return documents.select(
+    """(id, shingle) — distinct n-word shingles per document.
+
+    Repartitions first: document corpora often arrive as few large files,
+    and the shingle explosion + hashing is the CPU kernel — it must fan out
+    across the cluster, not run inside the scan tasks.
+    """
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    return documents.repartition(par).select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
     )
@@ -105,6 +111,23 @@ def ngram_jaccard_pairs(
 # --- MinHash + LSH -----------------------------------------------------------
 
 
+MINHASH_PRIME = 4294967311  # smallest prime > 2^32
+
+
+def minhash_coefficients(num_hashes: int, seed: int = 99) -> list[tuple[int, int, int]]:
+    """(seed_idx, a, b) per permutation, from a deterministic LCG;
+    a, b < 2^31 so a*h32 + b stays inside a signed int64."""
+    x = seed
+    out = []
+    for i in range(num_hashes):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        a = (x >> 33) | 1  # odd, < 2^31
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        b = x >> 33
+        out.append((i, a, b))
+    return out
+
+
 def minhash_signatures(
     documents: DataFrame,
     id_col: str = "doc_id",
@@ -114,21 +137,17 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, seed, mh): minhash component per permutation seed.
 
-    Permutation i = md5(shingle || '#i') — reproducible in any engine.
+    One md5 per shingle, then ``num_hashes`` universal-hash permutations
+    ``(a_i*h + b_i) mod p`` — 32× fewer md5 invocations than hashing per
+    (shingle, seed), and every step is reproducible in plain SQL.
     """
     sh = shingle_set(documents, id_col, text_col, shingle_n)
-    hashed = sh.withColumn(
-        "seed", F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1)))
-    ).select(
-        "doc_id",
-        "seed",
-        F.conv(
-            F.substring(F.md5(F.concat(F.col("shingle"), F.lit("#"), F.col("seed"))), 1, 8),
-            16,
-            10,
-        )
-        .cast("long")
-        .alias("h"),
+    base = sh.select("doc_id", md5_hash32(F.col("shingle")).alias("h"))
+    coef = documents.sparkSession.createDataFrame(
+        minhash_coefficients(num_hashes), "seed INT, a LONG, b LONG"
+    )
+    hashed = base.join(F.broadcast(coef)).select(
+        "doc_id", "seed", ((F.col("a") * F.col("h") + F.col("b")) % MINHASH_PRIME).alias("h")
     )
     return hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("mh"))
 
@@ -202,7 +221,8 @@ def simhash_signatures(
     bit_i(simhash) = majority vote of bit_i(md5_60(token)) across tokens
     (+1 when set, −1 when clear; >= 0 -> set).
     """
-    tok = documents.select(
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    tok = documents.repartition(par).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("token"),
     )
@@ -286,9 +306,10 @@ def embedding_neardup_pairs(
     (operators/knn.py::knn_lsh) instead of the full cross join."""
     from ..functions import vector as V
 
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
     a = embeddings.select(
         F.col(id_col).alias("id_a"), V.l2_normalize(V.as_double(F.col(vec_col))).alias("_va")
-    )
+    ).repartition(par)
     b = embeddings.select(
         F.col(id_col).alias("id_b"), V.l2_normalize(V.as_double(F.col(vec_col))).alias("_vb")
     )

@@ -42,9 +42,17 @@ def knn_exact(
 
     Determinism: similarity rounded to 6 decimals before both the cutoff
     filter and the ranking; ties broken by ``dst`` ascending.
+
+    The probe side is repartitioned across the cluster before the
+    nested-loop join — a single-file parquet source otherwise leaves the
+    whole O(n²) kernel in one task.
     """
-    a = _prep(embeddings, id_col, vec_col).select(
-        F.col("_id").alias("src"), F.col("_v").alias("_va")
+    spark = embeddings.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    a = (
+        _prep(embeddings, id_col, vec_col)
+        .select(F.col("_id").alias("src"), F.col("_v").alias("_va"))
+        .repartition(par)
     )
     b = _prep(embeddings, id_col, vec_col).select(
         F.col("_id").alias("dst"), F.col("_v").alias("_vb")
@@ -61,6 +69,47 @@ def knn_exact(
         .filter(F.col("_rn") <= top_k)
         .drop("_rn")
     )
+
+
+def knn_hyperplane(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    top_k: int = 20,
+    cutoff: float = 0.8,
+    num_planes: int | None = None,
+    num_tables: int = 4,
+    seed: int = 123,
+    target_bucket_occupancy: int = 50,
+) -> DataFrame:
+    """Approximate KNN via multi-table random-hyperplane LSH — the cosine-
+    native scale path (sign-of-projection buckets, OR-amplified across
+    tables, exact re-rank inside buckets; see operators/simsearch.py).
+
+    ``num_planes`` defaults to log2(n / target_bucket_occupancy), keeping
+    expected bucket occupancy — and therefore the candidate-join fanout —
+    roughly constant as the corpus grows.
+    """
+    import math
+
+    from .simsearch import topk_hyperplane_lsh
+
+    if num_planes is None:
+        n = embeddings.count()
+        num_planes = max(4, math.ceil(math.log2(max(n / target_bucket_occupancy, 2))))
+    pairs = topk_hyperplane_lsh(
+        embeddings,
+        embeddings,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=top_k,
+        num_planes=num_planes,
+        num_tables=num_tables,
+        seed=seed,
+    )
+    return pairs.select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"), "similarity"
+    ).filter(F.col("similarity") >= cutoff)
 
 
 def knn_lsh(

@@ -91,9 +91,10 @@ def extract_features(assets: DataFrame, batch_size: int = 256) -> DataFrame:
     """Arrow-batched feature extraction over the binary payload column.
 
     ``mapInPandas`` keeps the whole batch in one Python call (no per-row
-    overhead); partitioning of the input is preserved, so at scale this
-    parallelizes per input split with no shuffle.
+    overhead). The input is repartitioned first so the Python workers fan
+    out across the cluster even when the source is a single file.
     """
+    assets = assets.repartition(assets.sparkSession.sparkContext.defaultParallelism)
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -48,7 +48,8 @@ def topk_bruteforce(
     k: int = 10,
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, similarity), ties by id."""
-    q = _normed(queries, id_col, vec_col, "query_id")
+    par = queries.sparkSession.sparkContext.defaultParallelism
+    q = _normed(queries, id_col, vec_col, "query_id").repartition(par)
     c = _normed(corpus, id_col, vec_col, "neighbor_id")
     pairs = (
         q.crossJoin(c)
@@ -91,6 +92,7 @@ def multi_bucket_ids(
 
     ``planes`` holds num_tables × planes_per_table rows, chunked per table.
     """
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     per_table = len(planes) // num_tables
     v = V.as_double(F.col(vec_col))
     buckets = []

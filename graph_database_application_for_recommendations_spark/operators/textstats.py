@@ -58,7 +58,8 @@ def language_id(
     """
     stop_rows = [(lang, w) for lang, ws in sorted(STOPWORDS.items()) for w in ws]
     stop_dim = spark.createDataFrame(stop_rows, "lang STRING, word STRING")
-    norm_df = documents.select(
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    norm_df = documents.repartition(par).select(
         F.col(id_col).alias("doc_id"), normalize(F.col(text_col)).alias("norm")
     )
     tok = norm_df.select("doc_id", F.explode(F.split(F.col("norm"), " ")).alias("token"))

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.corating import corating_edges
-from ..operators.knn import knn_exact
+from ..operators.knn import knn_exact, knn_hyperplane
 from ..sources.views import load_ref_tables
 from . import fastrp as _fastrp
 from . import lpa as _lpa
@@ -41,6 +41,7 @@ def run_pipeline(
     knn_cutoff: float = 0.8,
     lpa_max_iter: int = 10,
     seed: int = 42,
+    knn_lsh_threshold: int = 8000,
 ) -> PipelineResult:
     """End-to-end algorithm pipeline over the reference-shaped tables.
 
@@ -48,6 +49,12 @@ def run_pipeline(
     (Alg_KNN_FastRP.py:158: topK=20, cutoff=0.8) — meaningful here because
     FastRP embeddings of co-rated users genuinely exceed 0.8 cosine, unlike
     the driver's random test embeddings.
+
+    Physical strategy switch: beyond ``knn_lsh_threshold`` users, the
+    O(n²) exact KNN becomes the dominant cost, so the pipeline moves to
+    the LSH candidate join (same output contract, approximate recall) —
+    the same call the reference makes is itself approximate (GDS KNN is
+    NN-descent, not exhaustive).
     """
     ref = load_ref_tables(spark, sf_dir)
     ratings = ref.ratings
@@ -58,8 +65,10 @@ def run_pipeline(
     user_emb = _fastrp.user_embeddings_from_fastrp(emb_all)
 
     # G3: KNN over the user embeddings (S11 + J8)
-    sim = knn_exact(user_emb, id_col="user_id", vec_col="embedding",
-                    top_k=knn_top_k, cutoff=knn_cutoff)
+    user_emb = user_emb.cache()
+    knn_fn = knn_exact if user_emb.count() <= knn_lsh_threshold else knn_hyperplane
+    sim = knn_fn(user_emb, id_col="user_id", vec_col="embedding",
+                 top_k=knn_top_k, cutoff=knn_cutoff)
 
     # G1: label propagation on the co-rating projection (S10 + J3)
     co = corating_edges(ratings).select(

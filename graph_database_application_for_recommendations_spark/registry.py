@@ -431,18 +431,25 @@ register(
         """
     ),
 )
+_MINHASH_COEF_VALUES = ", ".join(
+    f"({i}, {a}, {b})" for i, a, b in dedup.minhash_coefficients(32)
+)
+
 register(
     "q_dedup_minhash_lsh",
     lambda s, d: dedup.minhash_lsh_pairs(
         _docs(s, d), num_hashes=32, bands=8, shingle_n=3, threshold=0.5
     ),
     _q_docs(
-        """
-        , sig AS (
-          SELECT doc_id, t.seed,
-                 MIN(CAST(('0x' || substr(md5(shingle || '#' || t.seed), 1, 8)) AS BIGINT)) AS mh
-          FROM sh CROSS JOIN range(0, 32) t(seed)
-          GROUP BY doc_id, t.seed),
+        f"""
+        , coef(seed, a, b) AS (VALUES {_MINHASH_COEF_VALUES}),
+        base AS (
+          SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+          FROM sh),
+        sig AS (
+          SELECT doc_id, seed, MIN((a * h + b) % {dedup.MINHASH_PRIME}) AS mh
+          FROM base CROSS JOIN coef
+          GROUP BY doc_id, seed),
         bands AS (
           SELECT doc_id, seed // 4 AS band,
                  string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS band_key
