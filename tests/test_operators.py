@@ -1,0 +1,107 @@
+"""Per-operator corner-case tests (SURVEY.md §5.2 / FIXTURES.md §C):
+MERGE-upsert keep-last, '' -> NULL casts, undirected doubling, anti-join
+null behavior, viz export, CSV round-trip, recommender facade."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph_database_application_for_recommendations_spark.operators import etl, recommend
+from graph_database_application_for_recommendations_spark.plans.graphs import undirected
+from graph_database_application_for_recommendations_spark.sources import csv_io
+
+from .conftest import SF_SMALL
+
+
+def test_upsert_keep_last(spark):
+    """S4: MERGE semantics — incoming wins on key collision (FIXTURES
+    ratings_dup)."""
+    existing = spark.createDataFrame(
+        [(1, "a", 5), (2, "b", 7)], "user_id LONG, isbn STRING, rating INT"
+    )
+    incoming = spark.createDataFrame(
+        [(1, "a", 9), (3, "c", 3)], "user_id LONG, isbn STRING, rating INT"
+    )
+    got = {
+        (r["user_id"], r["isbn"]): r["rating"]
+        for r in etl.upsert_keep_last(existing, incoming, ["user_id", "isbn"]).collect()
+    }
+    assert got == {(1, "a"): 9, (2, "b"): 7, (3, "c"): 3}
+
+
+def test_duplicate_keys_detects_violations(spark):
+    df = spark.createDataFrame([(1, "x"), (1, "y"), (2, "z")], "id LONG, v STRING")
+    viol = etl.duplicate_keys(df, ["id"]).collect()
+    assert len(viol) == 1 and viol[0]["id"] == 1 and viol[0]["count"] == 2
+
+
+def test_undirected_doubling(spark):
+    """U2 (FIXTURES edges_mini): every directed edge appears both ways."""
+    e = spark.createDataFrame([(1, 2, 1.0), (2, 3, 2.0)], "src LONG, dst LONG, weight DOUBLE")
+    got = {(r["src"], r["dst"], r["weight"]) for r in undirected(e).collect()}
+    assert got == {(1, 2, 1.0), (2, 1, 1.0), (2, 3, 2.0), (3, 2, 2.0)}
+
+
+def test_csv_age_empty_to_null(spark, tmp_path):
+    """P6 (load_data.py:26): '' -> NULL, otherwise integer age."""
+    p = tmp_path / "users.csv"
+    p.write_text('User-ID,Location,Age\n1,berlin,33.0\n2,paris,\n3,"nyc, usa",19\n')
+    rows = {r["user_id"]: r for r in csv_io.read_users_csv(spark, str(p)).collect()}
+    assert rows[1]["age"] == 33
+    assert rows[2]["age"] is None
+    assert rows[3]["age"] == 19 and rows[3]["location"] == "nyc, usa"
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "x", 5)], "user_id LONG, isbn STRING, rating INT")
+    out = str(tmp_path / "out")
+    csv_io.write_csv(df, out)
+    back = spark.read.option("header", True).csv(out)
+    assert back.count() == 1 and back.columns == ["user_id", "isbn", "rating"]
+
+
+def test_rating_color_buckets(spark):
+    """P8 (recommender_community.py:101)."""
+    df = spark.createDataFrame([(1,), (4,), (5,), (7,), (8,), (10,)], "r INT")
+    got = [r["c"] for r in df.select(recommend.rating_color("r").alias("c")).collect()]
+    assert got == ["red", "red", "yellow", "yellow", "green", "green"]
+
+
+def test_viz_export_shapes(spark):
+    """§2.9: nodes carry shape/color; edges carry rating thickness."""
+    gd = spark.createDataFrame(
+        [(1, "loc", 30, "i1", "t1", "a1", 9), (2, "loc", None, "i1", "t1", "a1", 3)],
+        "userId LONG, location STRING, age INT, isbn STRING, title STRING, author STRING, rating INT",
+    )
+    nodes, edges = recommend.viz_export(gd)
+    n = {r["id"]: r for r in nodes.collect()}
+    assert n["user_1"]["shape"] == "dot" and n["user_1"]["color"] is None
+    # book node appears once per distinct color bucket of its ratings
+    assert n["i1"]["shape"] == "box"
+    e = edges.collect()
+    assert {(r["src"], r["dst"], r["value"]) for r in e} == {
+        ("user_1", "i1", 9.0),
+        ("user_2", "i1", 3.0),
+    }
+
+
+def test_recommender_facade(spark):
+    """EP1 dispatch parity: both algorithms serve the reference's three
+    API calls and return list[dict] like Bolt records."""
+    from graph_database_application_for_recommendations_spark.recommender import get_recommender
+    from graph_database_application_for_recommendations_spark.plans.pipeline import run_pipeline
+
+    pipe = run_pipeline(spark, SF_SMALL, knn_cutoff=0.4, dim=16)
+    for algo in ("knn", "community"):
+        rec = get_recommender(spark, SF_SMALL, algo, pipeline=pipe)
+        books = rec.recommend_books(1)
+        assert isinstance(books, list) and all(isinstance(b, dict) for b in books)
+        if books:
+            assert {"title", "author"} <= books[0].keys()
+        users = rec.get_similar_users(1)
+        assert len(users) <= 3
+        graph = rec.get_graph_data(1)
+        assert isinstance(graph, list)
+    with pytest.raises(ValueError):
+        get_recommender(spark, SF_SMALL, "nope", pipeline=pipe)
