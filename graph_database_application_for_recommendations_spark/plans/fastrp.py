@@ -93,26 +93,32 @@ def fastrp(
     Isolated nodes keep their (normalized) random projection at weight of
     the first nonzero iteration — GDS behaves the same way modulo sign.
     """
+    edges = edges.cache()
     emb = _normalize(_init_embeddings(nodes, dim, seed)).localCheckpoint()
     zero = F.expr(f"transform(sequence(0, {dim - 1}), i -> 0d)")
     acc = nodes.select("node_id", zero.alias("acc"))
 
+    # isolated nodes (no in-edges) drop out of the propagate aggregate and
+    # need a zero-fill rejoin each round; skip that join entirely when the
+    # graph has none (always true for graphs built from an edge list)
+    has_isolated = (
+        nodes.join(edges.select(F.col("dst").alias("node_id")), "node_id", "left_anti").count()
+        > 0
+    )
+
     for alpha in iteration_weights:
         emb = _normalize(_propagate(edges, emb, dim))
-        # nodes with no in-edges drop out of the aggregate; rejoin as zero
-        emb = (
-            nodes.join(emb, "node_id", "left")
-            .select("node_id", F.coalesce("vec", zero).alias("vec"))
-            .localCheckpoint()
-        )
+        if has_isolated:
+            emb = nodes.join(emb, "node_id", "left").select(
+                "node_id", F.coalesce("vec", zero).alias("vec")
+            )
+        emb = emb.localCheckpoint()
         if alpha != 0.0:
-            acc = (
-                acc.join(emb, "node_id")
-                .select(
-                    "node_id",
-                    F.zip_with("acc", "vec", lambda a, v: a + F.lit(alpha) * v).alias("acc"),
-                )
-                .localCheckpoint()
+            # acc's lineage only references checkpointed embs — no need to
+            # checkpoint the accumulator itself
+            acc = acc.join(emb, "node_id").select(
+                "node_id",
+                F.zip_with("acc", "vec", lambda a, v: a + F.lit(alpha) * v).alias("acc"),
             )
 
     return _normalize(acc.withColumnRenamed("acc", "vec")).select(

@@ -31,8 +31,11 @@ def label_propagation(
 
     Each round is one shuffle (groupBy dst,label) + one window (argmax per
     node); ``localCheckpoint`` cuts lineage so round N doesn't replay
-    rounds 1..N-1.
+    rounds 1..N-1. The edge list is cached up front — it is re-scanned
+    every round, and deriving it (e.g. the co-rating self-join) is often
+    the most expensive plan in the job.
     """
+    edges = edges.cache()
     labels = (
         edges.select(F.col("src").alias("node_id"))
         .union(edges.select(F.col("dst")))
