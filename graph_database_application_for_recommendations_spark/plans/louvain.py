@@ -1,0 +1,167 @@
+"""Distributed Louvain community detection (SURVEY.md §2.7 G1).
+
+Reference: Neo4j GDS ``gds.louvain.write`` on the weighted user–user
+co-rating graph (``algorithms/Alg_Community_Detection.py:36-50``).
+
+Louvain's classic local-move phase is sequential; the distributed
+formulation here follows the parallel-Louvain literature (synchronous
+local moves + graph coarsening — e.g. "Distributed Louvain" / Spark-GraphX
+community implementations, public):
+
+1. **Local move (synchronous red/black sweeps).** Every node evaluates
+   moving to a neighboring community, scoring the standard modularity gain
+   ΔQ ∝ k_i→c − deg_i · tot_c / 2m (ties → smallest community id). Only
+   half the nodes (hash parity, alternating per sweep) apply their move —
+   the red/black gating from the parallel-Louvain literature that prevents
+   the symmetric-swap oscillation of fully synchronous moves. A modularity
+   guard keeps the best sweep's assignment.
+2. **Coarsen.** Communities contract to supernodes (intra-community weight
+   becomes a self-loop), and the local-move phase repeats on the coarse
+   graph, composing the mapping back to original nodes, until modularity
+   stops improving or ``max_levels`` is reached.
+
+Every step is joins + groupBys over (node, community, weight) tuples —
+shuffle-partitioned, no driver-side per-node state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .modularity import modularity
+
+
+def _local_move(edges: DataFrame, max_sweeps: int) -> DataFrame:
+    """One Louvain phase on ``edges`` (undirected-doubled src,dst,weight).
+
+    Returns (node_id, community); keeps the best-modularity assignment
+    across sweeps.
+    """
+    m2 = edges.agg(F.sum("weight")).collect()[0][0]
+    deg = (
+        edges.groupBy("src").agg(F.sum("weight").alias("deg"))
+        .withColumnRenamed("src", "node_id")
+        .cache()
+    )
+    labels = deg.select("node_id", F.col("node_id").alias("community")).localCheckpoint()
+    best_labels, best_q = labels, modularity(edges, labels)
+    stale = 0
+
+    for sweep in range(max_sweeps):
+        dst_comm = labels.select(
+            F.col("node_id").alias("dst"), F.col("community").alias("c")
+        )
+        # k_i→c: weight from node i into community c (self-loops count into
+        # the node's own community like GDS does)
+        k_ic = (
+            edges.join(dst_comm, "dst")
+            .groupBy(F.col("src").alias("node_id"), "c")
+            .agg(F.sum("weight").alias("k_ic"))
+        )
+        tot = labels.join(deg, "node_id").groupBy("community").agg(
+            F.sum("deg").alias("tot")
+        )
+        cand = (
+            k_ic.join(tot, k_ic.c == tot.community)
+            .join(deg, "node_id")
+            .join(labels.select("node_id", F.col("community").alias("c_own")), "node_id")
+            .select(
+                "node_id",
+                "c",
+                "c_own",
+                # remove own degree from tot when evaluating the current
+                # community (standard ΔQ bookkeeping)
+                (
+                    F.col("k_ic")
+                    - F.col("deg")
+                    * (
+                        F.col("tot")
+                        - F.when(F.col("c") == F.col("c_own"), F.col("deg")).otherwise(F.lit(0.0))
+                    )
+                    / F.lit(m2)
+                ).alias("gain"),
+            )
+        )
+        w = Window.partitionBy("node_id").orderBy(F.desc("gain"), F.asc("c"))
+        chosen = (
+            cand.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node_id", F.col("c").alias("choice"))
+        )
+        # red/black gating: only nodes whose hash parity matches this sweep
+        # apply their move — prevents symmetric label swaps
+        active = F.pmod(F.hash("node_id"), F.lit(2)) == (sweep % 2)
+        new_labels = (
+            labels.join(chosen, "node_id", "left")
+            .select(
+                "node_id",
+                F.when(active, F.coalesce("choice", "community"))
+                .otherwise(F.col("community"))
+                .alias("community"),
+            )
+            .localCheckpoint()
+        )
+        q = modularity(edges, new_labels)
+        labels = new_labels
+        if q > best_q + 1e-9:
+            best_q, best_labels, stale = q, new_labels, 0
+        else:
+            # a half-sweep may be flat while the other half still improves;
+            # stop only after both parities stall
+            stale += 1
+            if stale >= 2:
+                break
+
+    return best_labels
+
+
+def _coarsen(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Contract communities to supernodes; intra edges become self-loops."""
+    src_map = labels.select(F.col("node_id").alias("src"), F.col("community").alias("c_src"))
+    dst_map = labels.select(F.col("node_id").alias("dst"), F.col("community").alias("c_dst"))
+    return (
+        edges.join(src_map, "src")
+        .join(dst_map, "dst")
+        .groupBy(F.col("c_src").alias("src"), F.col("c_dst").alias("dst"))
+        .agg(F.sum("weight").alias("weight"))
+    )
+
+
+def louvain(
+    edges: DataFrame, max_levels: int = 3, max_sweeps: int = 5
+) -> tuple[DataFrame, float]:
+    """Full Louvain: returns ((node_id, community), modularity).
+
+    ``edges``: undirected-doubled (src, dst, weight). Community ids are
+    canonicalized to the smallest member node id.
+    """
+    edges = edges.cache()
+    mapping: DataFrame | None = None  # original node_id -> current community
+    cur_edges = edges
+    prev_q = float("-inf")
+
+    for _ in range(max_levels):
+        labels = _local_move(cur_edges, max_sweeps)
+        composed = (
+            labels
+            if mapping is None
+            else mapping.join(
+                labels.withColumnRenamed("node_id", "community_prev"),
+                mapping.community == F.col("community_prev"),
+            ).select(mapping.node_id, labels.community)
+        )
+        q = modularity(
+            edges, composed.select("node_id", "community")
+        )
+        if q <= prev_q + 1e-9:
+            break
+        prev_q, mapping = q, composed.localCheckpoint()
+        cur_edges = _coarsen(cur_edges, labels).cache()
+
+    assert mapping is not None
+    canon = mapping.groupBy("community").agg(F.min("node_id").alias("canon"))
+    final = mapping.join(canon, "community").select(
+        "node_id", F.col("canon").alias("community")
+    )
+    return final, prev_q

@@ -42,6 +42,7 @@ def run_pipeline(
     lpa_max_iter: int = 10,
     seed: int = 42,
     knn_lsh_threshold: int = 8000,
+    community_algorithm: str = "lpa",
 ) -> PipelineResult:
     """End-to-end algorithm pipeline over the reference-shaped tables.
 
@@ -70,15 +71,23 @@ def run_pipeline(
     sim = knn_fn(user_emb, id_col="user_id", vec_col="embedding",
                  top_k=knn_top_k, cutoff=knn_cutoff)
 
-    # G1: label propagation on the co-rating projection (S10 + J3)
+    # G1: community detection on the co-rating projection (S10 + J3) —
+    # 'louvain' matches the reference algorithm (Alg_Community_Detection.py),
+    # 'lpa' is the cheaper default with the same interface
     co = corating_edges(ratings).select(
         F.col("u1").alias("src"), F.col("u2").alias("dst"),
         F.col("weight").cast("double").alias("weight"),
     )
-    comm = _lpa.label_propagation(co, max_iter=lpa_max_iter).select(
-        F.col("node_id").alias("user_id"), "community"
-    )
-    q = modularity(co, comm.select(F.col("user_id").alias("node_id"), "community"))
+    if community_algorithm == "louvain":
+        from .louvain import louvain
+
+        nodes_comm, q = louvain(co)
+        comm = nodes_comm.select(F.col("node_id").alias("user_id"), "community")
+    else:
+        comm = _lpa.label_propagation(co, max_iter=lpa_max_iter).select(
+            F.col("node_id").alias("user_id"), "community"
+        )
+        q = modularity(co, comm.select(F.col("user_id").alias("node_id"), "community"))
 
     if out_dir:
         user_emb.write.mode("overwrite").parquet(f"{out_dir}/embeddings_users.parquet")

@@ -795,6 +795,24 @@ register(
 )
 
 
+def _louvain_communities(s: SparkSession, d: str) -> DataFrame:
+    """Louvain proper (the reference's actual G1 algorithm) on the
+    co-rating projection — rows-only: community ids are value-unstable."""
+    from .plans.graphs import undirected as _undirected  # noqa: F401
+    from .plans.louvain import louvain
+
+    co = corating.corating_edges(_ref(s, d).ratings).select(
+        F.col("u1").alias("src"),
+        F.col("u2").alias("dst"),
+        F.col("weight").cast("double").alias("weight"),
+    )
+    comm, _ = louvain(co, max_levels=2, max_sweeps=3)
+    return comm.select(F.col("node_id").alias("user_id"), "community")
+
+
+register("q_louvain_communities", _louvain_communities, None)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in QUERIES.items()}
 
