@@ -40,6 +40,8 @@ BENCH_QUERIES = [
     "q_dedup_embedding",
     "q_simsearch_topk",
     "q_simsearch_lsh",
+    "q_simsearch_ivf",
+    "q_louvain_communities",
     "q_text_langid",
     "q_text_quality",
     "q_multimodal_features",

@@ -1,0 +1,140 @@
+"""IVF (inverted-file) approximate nearest-neighbor search.
+
+The second scale path for similarity search next to hyperplane LSH
+(operators/simsearch.py): a coarse quantizer (k-means over the corpus)
+partitions vectors into cells; a query probes only its ``nprobe`` nearest
+cells and re-ranks exactly inside them — candidate cost follows cell
+occupancy (~n/k · nprobe), not |corpus|.
+
+Fully DataFrame-native and deterministic:
+- centroid seeds are hash-sampled (no RNG state),
+- Lloyd iterations are posexplode elementwise means (map-side combinable,
+  the same scale-safe aggregation shape as FastRP),
+- assignment is an argmin join against the broadcast centroid table
+  (centroids are k·dim doubles — tiny by construction).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import vector as V
+
+
+def _assign(vectors: DataFrame, centroids: DataFrame, id_col: str, out: str) -> DataFrame:
+    """Nearest centroid per vector by cosine (vectors pre-normalized)."""
+    pairs = vectors.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col("_v"),
+        F.col("cell"),
+        V.dot(F.col("_v"), F.col("_c")).alias("_sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("cell"))
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "_v", F.col("cell").alias(out))
+    )
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_cells: int | None = None,
+    lloyd_iters: int = 2,
+) -> DataFrame:
+    """(cell, _c): k-means centroids (L2-normalized) over the corpus.
+
+    Seeds are the ``num_cells`` smallest md5-ranked ids — deterministic,
+    uniformly spread, no RNG state to synchronize across executors.
+    """
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    vecs = corpus.repartition(par).select(
+        F.col(id_col).alias("_id"), V.l2_normalize(V.as_double(F.col(vec_col))).alias("_v")
+    ).cache()
+    n = vecs.count()
+    k = num_cells or max(2, int(math.sqrt(n)))
+
+    rank_w = Window.orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
+    seeds = (
+        vecs.withColumn("_rk", F.row_number().over(rank_w))
+        .filter(F.col("_rk") <= k)
+        .select((F.col("_rk") - 1).alias("cell"), F.col("_v").alias("_c"))
+    )
+
+    centroids = seeds
+    for _ in range(lloyd_iters):
+        assigned = _assign(vecs, centroids, "_id", "cell")
+        dims = (
+            assigned.select("cell", F.posexplode("_v").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("val"))
+        )
+        centroids = (
+            dims.groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "val"))).alias("pv"))
+            .select("cell", F.transform("pv", lambda x: x["val"]).alias("_c"))
+        )
+        # normalize so the next assignment's dot products are cosines
+        nrm = F.sqrt(F.aggregate(F.col("_c"), F.lit(0.0), lambda a, x: a + x * x))
+        centroids = centroids.select(
+            "cell", F.transform("_c", lambda x: x / nrm).alias("_c")
+        ).localCheckpoint()
+    return centroids
+
+
+def topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    num_cells: int | None = None,
+    nprobe: int = 4,
+    lloyd_iters: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k: (query_id, neighbor_id, similarity).
+
+    Probes the ``nprobe`` nearest cells per query; exact cosine re-rank on
+    the probed candidates only.
+    """
+    centroids = train_ivf_centroids(corpus, id_col, vec_col, num_cells, lloyd_iters)
+
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    c_vecs = corpus.repartition(par).select(
+        F.col(id_col).alias("neighbor_id"),
+        V.l2_normalize(V.as_double(F.col(vec_col))).alias("_v"),
+    )
+    c_assigned = _assign(c_vecs, centroids, "neighbor_id", "cell").select(
+        "neighbor_id", F.col("_v").alias("_cv"), "cell"
+    )
+
+    q_vecs = queries.select(
+        F.col(id_col).alias("query_id"),
+        V.l2_normalize(V.as_double(F.col(vec_col))).alias("_v"),
+    )
+    q_cells = q_vecs.crossJoin(F.broadcast(centroids)).select(
+        "query_id", "_v", "cell", V.dot(F.col("_v"), F.col("_c")).alias("_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("cell"))
+    probes = (
+        q_cells.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", F.col("_v").alias("_qv"), "cell")
+    )
+
+    pairs = (
+        probes.join(c_assigned, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(V.dot(F.col("_qv"), F.col("_cv")), V.SIM_SCALE).alias("similarity"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("similarity"), F.asc("neighbor_id"))
+    return pairs.withColumn("_rn", F.row_number().over(w2)).filter(F.col("_rn") <= k).drop("_rn")

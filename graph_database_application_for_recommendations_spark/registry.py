@@ -813,6 +813,18 @@ def _louvain_communities(s: SparkSession, d: str) -> DataFrame:
 register("q_louvain_communities", _louvain_communities, None)
 
 
+def _simsearch_ivf(s: SparkSession, d: str) -> DataFrame:
+    """IVF ANN (k-means cells + nprobe; rows-only: Lloyd means are float
+    aggregation-order dependent, so cell boundaries aren't hash-stable)."""
+    from .operators.ivf import topk_ivf
+
+    emb = _ref(s, d).embeddings
+    return topk_ivf(emb.filter(F.col("vec_id") < 10), emb, k=10, nprobe=4)
+
+
+register("q_simsearch_ivf", _simsearch_ivf, None)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in QUERIES.items()}
 

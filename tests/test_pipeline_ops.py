@@ -99,6 +99,28 @@ def test_simsearch_lsh_recall_against_bruteforce(spark):
     assert len(approx_pairs - exact_pairs) < len(approx_pairs)  # overlap exists
 
 
+def test_simsearch_ivf_recall_against_bruteforce(spark):
+    from graph_database_application_for_recommendations_spark.operators.ivf import topk_ivf
+
+    emb = load_ref_tables(spark, SF_SMALL).embeddings
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = simsearch.topk_bruteforce(queries, emb, k=5)
+    approx = topk_ivf(queries, emb, k=5, nprobe=4)
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    approx_rows = approx.collect()
+    approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx_rows}
+    assert len(exact_pairs & approx_pairs) / len(exact_pairs) > 0.3
+    # every probed candidate's similarity is the exact cosine (re-rank is honest)
+    exact_all = {
+        (r["query_id"], r["neighbor_id"]): r["similarity"]
+        for r in simsearch.topk_bruteforce(queries, emb, k=len(emb.collect())).collect()
+    }
+    for r in approx_rows:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_all:
+            assert r["similarity"] == pytest.approx(exact_all[key], abs=1e-9)
+
+
 def test_multimodal_feature_extraction_plumbing(spark, docs_with_dups):
     docs = docs_with_dups.withColumn("source", F.lit("s")).withColumn("lang", F.lit("en"))
     assets = multimodal.assets_from_documents(
