@@ -86,6 +86,23 @@ def test_viz_export_shapes(spark):
     }
 
 
+def test_sql_surface(spark):
+    """users can query the engine with plain spark.sql after registering
+    the reference-shaped views."""
+    from graph_database_application_for_recommendations_spark.sources.sql import register_ref_views
+
+    register_ref_views(spark, SF_SMALL)
+    top = spark.sql(
+        """
+        SELECT b.author, COUNT(*) AS n
+        FROM ratings r JOIN books b USING (isbn)
+        WHERE r.rating >= 6
+        GROUP BY b.author ORDER BY n DESC, author LIMIT 3
+        """
+    ).collect()
+    assert len(top) == 3 and top[0]["n"] >= top[2]["n"]
+
+
 def test_recommender_facade(spark):
     """EP1 dispatch parity: both algorithms serve the reference's three
     API calls and return list[dict] like Bolt records."""

@@ -1,0 +1,78 @@
+"""Hypothesis property tests for operator algebra (semantic laws the
+oracle compare can't express: idempotence, symmetry, bounds)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from graph_database_application_for_recommendations_spark.operators import dedup, etl, events
+
+SLOW = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+words = st.sampled_from("alpha beta gamma delta epsilon zeta eta theta".split())
+texts = st.lists(words, min_size=3, max_size=12).map(" ".join)
+
+
+@given(docs=st.lists(texts, min_size=2, max_size=6, unique=True))
+@SLOW
+def test_jaccard_bounds_and_symmetry(spark, docs):
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id LONG, text STRING")
+    rows = dedup.ngram_jaccard_pairs(df, n=2, threshold=0.0).collect()
+    for r in rows:
+        assert 0.0 <= r["jaccard"] <= 1.0
+        assert r["doc_a"] < r["doc_b"]  # canonical orientation, no dup pairs
+    # identical docs appended -> jaccard 1 with their twin
+    df2 = spark.createDataFrame(
+        list(enumerate(docs)) + [(100, docs[0])], "doc_id LONG, text STRING"
+    )
+    rows2 = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(df2, n=2, threshold=0.0).collect()
+    }
+    assert rows2[(0, 100)] == 1.0
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(1, 5), st.sampled_from("abc"), st.integers(1, 10)),
+        min_size=1,
+        max_size=12,
+    )
+)
+@SLOW
+def test_upsert_idempotent_and_total(spark, rows):
+    df = spark.createDataFrame(rows, "user_id LONG, isbn STRING, rating INT")
+    base = etl.upsert_keep_last(
+        df.limit(0), df.dropDuplicates(["user_id", "isbn"]), ["user_id", "isbn"]
+    )
+    once = etl.upsert_keep_last(base, base, ["user_id", "isbn"])
+    # upserting a table into itself changes nothing
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, base.collect()))
+    # keys unique after upsert
+    assert etl.duplicate_keys(once, ["user_id", "isbn"]).count() == 0
+
+
+@given(
+    ts_offsets=st.lists(st.integers(0, 10_000), min_size=1, max_size=20),
+)
+@SLOW
+def test_sessionize_partitions_events(spark, ts_offsets):
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(seconds=off), 1, "click", 1.0)
+        for i, off in enumerate(sorted(ts_offsets))
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE"
+    )
+    sessions = events.sessionize(df, gap_minutes=30).collect()
+    # sessions partition the events: counts sum to total, durations >= 0
+    assert sum(r["n_events"] for r in sessions) == len(rows)
+    assert all(r["duration_s"] >= 0 for r in sessions)
