@@ -118,11 +118,17 @@ def knn_lsh(
     vec_col: str = "embedding",
     top_k: int = 20,
     cutoff: float = 0.8,
-    bucket_length: float = 1.0,
+    bucket_length: float = 0.25,
     num_hash_tables: int = 3,
     seed: int = 42,
 ) -> DataFrame:
     """Approximate KNN via random-projection LSH, exact cosine re-rank.
+
+    ``bucket_length`` is sized for L2-normalized inputs: projections of
+    unit vectors span roughly [-1, 1], so 0.25 yields ~8 buckets per table;
+    1.0 would put nearly everything in one bucket and degenerate the
+    candidate join to a cross join. Prefer ``knn_hyperplane`` for cosine
+    workloads — sign buckets don't need this tuning.
 
     For unit vectors, ``cos(a,b) >= cutoff  <=>  ||a-b|| <= sqrt(2-2*cutoff)``,
     so the Euclidean LSH join threshold is derived from the cosine cutoff.

@@ -733,7 +733,10 @@ _PIPELINE_CACHE: dict[str, object] = {}
 def _pipeline(spark: SparkSession, sf_dir: str):
     from .plans.pipeline import run_pipeline
 
-    res = _PIPELINE_CACHE.get(sf_dir)
+    # keyed by session too: cached DataFrames die with their session, and
+    # the driver may hand us a fresh one
+    key = (id(spark), sf_dir)
+    res = _PIPELINE_CACHE.get(key)
     if res is None:
         # knn_cutoff 0.6 instead of the reference's 0.8: FastRP cosines over
         # the synthetic uniform rating graph concentrate around 0.6-0.7
@@ -742,7 +745,7 @@ def _pipeline(spark: SparkSession, sf_dir: str):
         res = run_pipeline(spark, sf_dir, knn_cutoff=0.6)
         res.similar_to = res.similar_to.cache()
         res.communities = res.communities.cache()
-        _PIPELINE_CACHE[sf_dir] = res
+        _PIPELINE_CACHE[key] = res
     return res
 
 
