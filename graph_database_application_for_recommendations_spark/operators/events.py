@@ -33,6 +33,37 @@ def tumbling_counts(events: DataFrame, minutes: int = 60) -> DataFrame:
     )
 
 
+def sliding_counts(events: DataFrame, width_minutes: int = 60, slide_minutes: int = 30) -> DataFrame:
+    """(window_start_us, event_type, n, sum_value): sliding (hopping)
+    window agg — each event lands in ``width/slide`` windows.
+
+    Batch twin of ``F.window(ts, width, slide)``: the covering window
+    starts are generated per event and exploded (epoch arithmetic, so
+    session-timezone-proof like the rest of this module).
+    """
+    width = width_minutes * US_PER_MIN
+    slide = slide_minutes * US_PER_MIN
+    k = width // slide
+    anchor = F.unix_micros("ts") - F.unix_micros("ts") % slide
+    starts = F.transform(
+        F.sequence(F.lit(0), F.lit(int(k - 1))), lambda i: anchor - i * slide
+    )
+    return (
+        events.select(
+            F.explode(starts).alias("window_start_us"),
+            "event_type",
+            "value",
+            F.unix_micros("ts").alias("_ts_us"),
+        )
+        .filter(
+            (F.col("_ts_us") >= F.col("window_start_us"))
+            & (F.col("_ts_us") < F.col("window_start_us") + width)
+        )
+        .groupBy("window_start_us", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+    )
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Gaps-and-islands sessionization per user.
 

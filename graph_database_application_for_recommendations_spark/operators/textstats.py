@@ -16,11 +16,18 @@ CJK_RE = r"[\x{4e00}-\x{9fff}]"
 PUNCT_RE = r"[.,;:!?]"
 
 
+TOKEN_RE = "[a-z0-9]+"  # BPE-ish word-piece proxy; RE2/Java-identical
+
+
 def token_counts(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(doc_id, n_tokens): whitespace token count of normalized text."""
+    """(doc_id, n_tokens, n_regex_tokens): whitespace token count plus a
+    regex token count (alnum runs — the cheap BPE-ish proxy)."""
     return documents.select(
         F.col(id_col).alias("doc_id"),
         F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+        F.regexp_count(normalize(F.col(text_col)), F.lit(TOKEN_RE)).cast("long").alias(
+            "n_regex_tokens"
+        ),
     )
 
 

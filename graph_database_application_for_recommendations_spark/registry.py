@@ -491,6 +491,33 @@ register(
     ),
 )
 register(
+    "q_dedup_simhash_pairs",
+    lambda s, d: dedup.simhash_near_pairs(_docs(s, d), max_hamming=8),
+    # oracle: brute-force pairwise hamming over the (oracle-checked)
+    # signatures — the banded Spark plan has no false negatives by
+    # pigeonhole and verifies exactly, so the sets must match
+    _q_docs(
+        """
+        , tok AS (SELECT DISTINCT doc_id, unnest(string_split(norm, ' ')) AS token FROM norm),
+        h AS (SELECT doc_id, CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) AS h FROM tok),
+        bits AS (
+          SELECT doc_id, t.i AS bit,
+                 SUM(CASE WHEN (h >> t.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+          FROM h CROSS JOIN range(0, 60) t(i)
+          GROUP BY doc_id, t.i),
+        sig AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << bit)
+                               ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+          FROM bits GROUP BY doc_id)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+        """
+    ),
+)
+register(
     "q_dedup_embedding",
     lambda s, d: dedup.embedding_neardup_pairs(_ref(s, d).embeddings, threshold=0.4),
     _q_vec(
@@ -516,7 +543,13 @@ _SW_VALUES = ", ".join(
 register(
     "q_text_tokens",
     lambda s, d: textstats.token_counts(_docs(s, d)),
-    _q_docs("SELECT doc_id, CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens FROM norm"),
+    _q_docs(
+        f"""
+        SELECT doc_id, CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(regexp_extract_all(norm, '{textstats.TOKEN_RE}')) AS BIGINT) AS n_regex_tokens
+        FROM norm
+        """
+    ),
 )
 register(
     "q_text_quality",
@@ -676,6 +709,20 @@ register(
     SELECT (epoch_us(ts) - epoch_us(ts) % 3600000000) AS window_start_us,
            event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
     FROM events GROUP BY 1, 2
+    """,
+)
+register(
+    "q_events_sliding",
+    lambda s, d: events.sliding_counts(_ref(s, d).events, width_minutes=60, slide_minutes=30),
+    """
+    WITH exploded AS (
+      SELECT (epoch_us(ts) - epoch_us(ts) % 1800000000) - t.i * 1800000000 AS window_start_us,
+             event_type, value, epoch_us(ts) AS ts_us
+      FROM events CROSS JOIN range(0, 2) t(i))
+    SELECT window_start_us, event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
+    FROM exploded
+    WHERE ts_us >= window_start_us AND ts_us < window_start_us + 3600000000
+    GROUP BY 1, 2
     """,
 )
 register(

@@ -77,6 +77,30 @@ def tumbling_counts_stream(
     )
 
 
+def sliding_counts_stream(
+    events: DataFrame,
+    width_minutes: int = 60,
+    slide_minutes: int = 30,
+    watermark_minutes: int = 120,
+) -> DataFrame:
+    """Watermarked sliding-window counts; twin of
+    operators/events.py::sliding_counts."""
+    return (
+        events.withWatermark("ts", f"{watermark_minutes} minutes")
+        .groupBy(
+            F.window("ts", f"{width_minutes} minutes", f"{slide_minutes} minutes"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
 def sessionize_stream(
     events: DataFrame, gap_minutes: int = 30, watermark_minutes: int = 120
 ) -> DataFrame:

@@ -39,6 +39,17 @@ def test_streaming_tumbling_matches_batch(spark, event_stream, batch_events, tmp
     assert _rows(got) == _rows(want)
 
 
+def test_streaming_sliding_matches_batch(spark, event_stream, batch_events, tmp_path):
+    got = stream_ops.run_to_memory(
+        stream_ops.sliding_counts_stream(event_stream, width_minutes=60, slide_minutes=30),
+        "t_sliding",
+        "complete",
+        str(tmp_path / "ck_slide"),
+    )
+    want = batch_ops.sliding_counts(batch_events, width_minutes=60, slide_minutes=30)
+    assert _rows(got) == _rows(want)
+
+
 def test_streaming_sessionize_matches_batch(spark, event_stream, batch_events, tmp_path):
     got = stream_ops.run_to_memory(
         stream_ops.sessionize_stream(event_stream, gap_minutes=30),
