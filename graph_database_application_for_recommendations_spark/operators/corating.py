@@ -32,12 +32,21 @@ def corating_edges(
     ratings: DataFrame,
     min_rating: int = 6,
     max_raters_per_book: int | None = None,
+    salt: int | None = None,
 ) -> DataFrame:
     """Weighted user–user co-rating edges ``(u1, u2, weight)``, both directions.
 
-    ``max_raters_per_book`` (scale path, off by default) deterministically
-    samples at most N raters per book before the self-join, bounding the
-    worst-case pair blowup at ``N^2`` per book.
+    Scale controls (both off by default; exact result unless capped):
+
+    - ``max_raters_per_book`` deterministically samples at most N raters
+      per book before the self-join, bounding the worst-case pair blowup
+      at ``N²`` per book (approximate result).
+    - ``salt`` spreads each book's join group over ``salt`` sub-keys: the
+      left side keeps one salted copy per row, the right side is
+      replicated ``salt`` times, and the join key becomes (isbn, salt) —
+      identical output, but a hot book's pairs land on ``salt`` reducers
+      instead of one. AQE's skew split handles moderate skew on its own;
+      salting is for the pathological hub keys AQE can't subdivide further.
     """
     pos = positive_ratings(ratings, min_rating).select("user_id", "isbn")
     if max_raters_per_book is not None:
@@ -47,8 +56,16 @@ def corating_edges(
         ).drop("_rn")
     a = pos.select(F.col("user_id").alias("u1"), "isbn")
     b = pos.select(F.col("user_id").alias("u2"), "isbn")
+    if salt:
+        a = a.withColumn("_salt", F.pmod(F.hash("u1"), F.lit(salt)))
+        b = b.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        )
+        join_keys = ["isbn", "_salt"]
+    else:
+        join_keys = ["isbn"]
     return (
-        a.join(b, "isbn")
+        a.join(b, join_keys)
         .filter(F.col("u1") != F.col("u2"))
         .groupBy("u1", "u2")
         .agg(F.count(F.lit(1)).alias("weight"))

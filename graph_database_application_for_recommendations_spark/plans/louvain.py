@@ -45,7 +45,7 @@ def _local_move(edges: DataFrame, max_sweeps: int) -> DataFrame:
         .cache()
     )
     labels = deg.select("node_id", F.col("node_id").alias("community")).localCheckpoint()
-    best_labels, best_q = labels, modularity(edges, labels)
+    best_labels, best_q = labels, modularity(edges, labels, two_m=m2)
     stale = 0
 
     for sweep in range(max_sweeps):
@@ -102,7 +102,7 @@ def _local_move(edges: DataFrame, max_sweeps: int) -> DataFrame:
             )
             .localCheckpoint()
         )
-        q = modularity(edges, new_labels)
+        q = modularity(edges, new_labels, two_m=m2)
         labels = new_labels
         if q > best_q + 1e-9:
             best_q, best_labels, stale = q, new_labels, 0

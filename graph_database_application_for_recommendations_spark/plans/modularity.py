@@ -17,15 +17,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def modularity(edges: DataFrame, communities: DataFrame, weight_col: str = "weight") -> float:
+def modularity(
+    edges: DataFrame,
+    communities: DataFrame,
+    weight_col: str = "weight",
+    two_m: float | None = None,
+) -> float:
     """``edges``: undirected-doubled (src, dst, weight); ``communities``:
-    (node_id, community). Returns Q ∈ [-0.5, 1]."""
+    (node_id, community). Returns Q ∈ [-0.5, 1].
+
+    ``two_m`` (total doubled weight) is graph-invariant — callers looping
+    over partitions (Louvain sweeps) pass it once instead of re-summing.
+    """
     lab = communities.select(F.col("node_id"), F.col("community"))
     e = (
         edges.join(lab.select(F.col("node_id").alias("src"), F.col("community").alias("c_src")), "src")
         .join(lab.select(F.col("node_id").alias("dst"), F.col("community").alias("c_dst")), "dst")
     )
-    two_m = e.agg(F.sum(weight_col)).collect()[0][0]
+    if two_m is None:
+        two_m = e.agg(F.sum(weight_col)).collect()[0][0]
     if not two_m:
         return 0.0
     in_c = (

@@ -61,6 +61,20 @@ def test_csv_roundtrip(spark, tmp_path):
     assert back.count() == 1 and back.columns == ["user_id", "isbn", "rating"]
 
 
+def test_corating_salted_equals_unsalted(spark):
+    """J3 skew path: salting redistributes the join without changing the
+    result."""
+    from graph_database_application_for_recommendations_spark.operators.corating import (
+        corating_edges,
+    )
+
+    rows = [(u, "b1", 8) for u in range(6)] + [(1, "b2", 9), (2, "b2", 7), (5, "b3", 6)]
+    ratings = spark.createDataFrame(rows, "user_id LONG, isbn STRING, rating INT")
+    plain = sorted(map(tuple, corating_edges(ratings).collect()))
+    salted = sorted(map(tuple, corating_edges(ratings, salt=4).collect()))
+    assert plain == salted and len(plain) > 0
+
+
 def test_rating_color_buckets(spark):
     """P8 (recommender_community.py:101)."""
     df = spark.createDataFrame([(1,), (4,), (5,), (7,), (8,), (10,)], "r INT")
