@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "q_dedup_minhash_lsh",
     "q_dedup_ngram_jaccard",
     "q_dedup_simhash",
+    "q_dedup_simhash_pairs",
     "q_dedup_embedding",
     "q_simsearch_topk",
     "q_simsearch_lsh",
@@ -46,6 +47,7 @@ BENCH_QUERIES = [
     "q_text_quality",
     "q_multimodal_features",
     "q_events_tumbling",
+    "q_events_sliding",
     "q_events_sessionize",
     "q_events_json",
 ]
