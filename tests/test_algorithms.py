@@ -113,6 +113,26 @@ def test_fastrp_corated_users_more_similar_than_random(spark):
     assert co_sim > rand_pairs + 0.02
 
 
+def test_pipeline_writeback_roundtrip(spark, tmp_path):
+    """EP3: write-back tables materialize to parquet and serve queries on
+    re-read, like the reference's precompute-then-serve flow."""
+    from graph_database_application_for_recommendations_spark.operators.recommend import (
+        recommend_books_knn,
+    )
+    from graph_database_application_for_recommendations_spark.plans.pipeline import run_pipeline
+    from graph_database_application_for_recommendations_spark.sources.views import load_ref_tables
+
+    out = str(tmp_path / "writeback")
+    res = run_pipeline(spark, SF_SMALL, dim=16, knn_cutoff=0.4, out_dir=out)
+    sim = spark.read.parquet(f"{out}/similar_to.parquet")
+    assert sorted(map(tuple, sim.collect())) == sorted(map(tuple, res.similar_to.collect()))
+    ref = load_ref_tables(spark, SF_SMALL)
+    served = recommend_books_knn(sim, ref.ratings, ref.books, 1, k=3)
+    assert served.count() <= 3
+    comm = spark.read.parquet(f"{out}/communities.parquet")
+    assert comm.count() == res.communities.count()
+
+
 def test_knn_lsh_subset_of_exact(spark):
     emb = load_ref_tables(spark, SF_SMALL).embeddings
     exact = knn_exact(emb, top_k=10, cutoff=0.2)
