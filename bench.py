@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "q_events_tumbling",
     "q_events_sliding",
     "q_events_sessionize",
+    "q_events_asof",
     "q_events_json",
 ]
 

@@ -756,6 +756,54 @@ register(
       FROM events) WHERE rn = 1
     """,
 )
+def _events_asof(s: SparkSession, d: str) -> DataFrame:
+    """As-of join: each 'purchase' event picks up the user's most recent
+    'view' event at-or-before it (point-in-time feature attach)."""
+    from .operators.asof import asof_join
+
+    ev = _ref(s, d).events
+    left = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_event_id"), "value"
+    )
+    out = asof_join(left, right, key="user_id", right_cols=["view_event_id", "value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("r_view_event_id").alias("view_event_id"),
+        F.round(F.col("r_value"), 6).alias("view_value"),
+    )
+
+
+register(
+    "q_events_asof",
+    _events_asof,
+    """
+    WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+               FROM events WHERE event_type = 'purchase'),
+    r AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id AS view_event_id, value
+          FROM events WHERE event_type = 'view'),
+    merged AS (
+      SELECT user_id, ts_us, 1 AS is_left, event_id,
+             NULL::BIGINT AS view_event_id, NULL::DOUBLE AS value
+      FROM l
+      UNION ALL
+      SELECT user_id, ts_us, 0 AS is_left, NULL::BIGINT AS event_id,
+             view_event_id, value
+      FROM r),
+    carried AS (
+      SELECT *,
+             last_value(view_event_id IGNORE NULLS) OVER w AS v_id,
+             last_value(value IGNORE NULLS) OVER w AS v_val
+      FROM merged
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, is_left
+                   ROWS UNBOUNDED PRECEDING))
+    SELECT event_id, user_id, ts_us, v_id AS view_event_id,
+           ROUND(v_val, 6) AS view_value
+    FROM carried WHERE is_left = 1
+    """,
+)
 register(
     "q_events_json",
     lambda s, d: events.json_props_stats(_ref(s, d).events),

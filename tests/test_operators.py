@@ -100,6 +100,32 @@ def test_viz_export_shapes(spark):
     }
 
 
+def test_asof_join_semantics(spark):
+    """Backward as-of: latest right row at-or-before, NULL before any,
+    equal timestamps match."""
+    import datetime
+
+    from graph_database_application_for_recommendations_spark.operators.asof import asof_join
+
+    t = lambda s: datetime.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, 1, t(5)), (2, 1, t(10)), (3, 1, t(2)), (4, 2, t(7))],
+        "event_id LONG, user_id LONG, ts TIMESTAMP",
+    )
+    right = spark.createDataFrame(
+        [(1, t(3), 100.0), (1, t(10), 200.0), (2, t(9), 300.0)],
+        "user_id LONG, ts TIMESTAMP, value DOUBLE",
+    )
+    got = {
+        r["event_id"]: r["r_value"]
+        for r in asof_join(left, right, right_cols=["value"]).collect()
+    }
+    assert got[3] is None  # t=2: before any right row
+    assert got[1] == 100.0  # t=5: latest right is t=3
+    assert got[2] == 200.0  # t=10: equal timestamp matches
+    assert got[4] is None  # user 2 at t=7: right row is t=9 (after)
+
+
 def test_sql_surface(spark):
     """users can query the engine with plain spark.sql after registering
     the reference-shaped views."""
