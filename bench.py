@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "q_simsearch_ivf",
     "q_louvain_communities",
     "q_text_langid",
+    "q_text_tfidf",
+    "q_corpus_clean",
     "q_text_quality",
     "q_multimodal_features",
     "q_events_tumbling",

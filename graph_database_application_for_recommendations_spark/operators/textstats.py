@@ -89,6 +89,46 @@ def language_id(
     )
 
 
+def tfidf_top_terms(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 5,
+) -> DataFrame:
+    """(doc_id, token, tfidf): top-N characteristic terms per document.
+
+    tf = term count / doc token count; idf = ln(N / df) over distinct
+    document frequency. Two shuffles (doc-term counts, df counts) +
+    a broadcast of the tiny df dimension; scores rounded to 6dp with
+    token tie-break for cross-engine determinism.
+    """
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    tok = documents.repartition(par).select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    n_docs = documents.count()
+    term_counts = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tc"))
+    doc_len = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    df_counts = term_counts.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        term_counts.join(doc_len, "doc_id")
+        .join(F.broadcast(df_counts), "token")
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                (F.col("tc").cast("double") / F.col("dl"))
+                * F.log(F.lit(float(n_docs)) / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return scored.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= top_n
+    ).drop("_rn")
+
+
 def source_stats(documents: DataFrame) -> DataFrame:
     """(source, n_docs, avg_chars, total_tokens): corpus profile by source."""
     return (

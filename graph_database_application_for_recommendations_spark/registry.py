@@ -595,6 +595,27 @@ register(
     ),
 )
 register(
+    "q_text_tfidf",
+    lambda s, d: textstats.tfidf_top_terms(_docs(s, d), top_n=5),
+    _q_docs(
+        """
+        , tok AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS token FROM norm),
+        tc AS (SELECT doc_id, token, COUNT(*) AS tc FROM tok GROUP BY 1, 2),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+        df AS (SELECT token, COUNT(*) AS df FROM tc GROUP BY 1),
+        nd AS (SELECT COUNT(*) AS n FROM documents),
+        scored AS (
+          SELECT tc.doc_id, tc.token,
+                 ROUND((CAST(tc.tc AS DOUBLE) / dl.dl) * ln(CAST(nd.n AS DOUBLE) / df.df), 6) AS tfidf
+          FROM tc JOIN dl USING (doc_id) JOIN df USING (token) CROSS JOIN nd)
+        SELECT doc_id, token, tfidf FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, token) AS rn
+          FROM scored) WHERE rn <= 5
+        """
+    ),
+)
+register(
     "q_text_source_stats",
     lambda s, d: textstats.source_stats(_docs(s, d)),
     _q_docs(
@@ -606,6 +627,53 @@ register(
         """
     ),
 )
+
+def _corpus_clean(s: SparkSession, d: str) -> DataFrame:
+    """Composed training-data cleaning pass: token-count bounds +
+    stopword-ratio floor (quality), then canonical-fingerprint dedup
+    keeping the smallest doc_id — the surviving corpus."""
+    docs = _docs(s, d)
+    q = textstats.quality_scores(docs)
+    keep = q.filter(
+        (F.col("n_tokens") >= 10)
+        & (F.col("n_tokens") <= 500)
+        & (F.col("stopword_ratio") >= 0.01)
+    ).select("doc_id")
+    survivors = docs.join(keep, "doc_id", "left_semi")
+    deduped = dedup.dedup_fingerprint(survivors).select(
+        F.col("keep_id").alias("doc_id"), "group_size"
+    )
+    return deduped.join(docs.select("doc_id", "source", "lang"), "doc_id").select(
+        "doc_id", "source", "lang", "group_size"
+    )
+
+
+register(
+    "q_corpus_clean",
+    _corpus_clean,
+    _q_docs(
+        """
+        , tok AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS token FROM norm),
+        q AS (
+          SELECT doc_id, COUNT(*) AS n_tokens,
+                 AVG(CASE WHEN token IN ('the','and','of','to','a','in','is','it','for','on')
+                          THEN 1.0 ELSE 0.0 END) AS stopword_ratio
+          FROM tok GROUP BY doc_id),
+        keep AS (SELECT doc_id FROM q
+                 WHERE n_tokens BETWEEN 10 AND 500 AND stopword_ratio >= 0.01),
+        fp AS (
+          SELECT n.doc_id,
+                 md5(array_to_string(list_sort(list_distinct(string_split(n.norm, ' '))), ' ')) AS fingerprint
+          FROM norm n JOIN keep USING (doc_id)),
+        dedup AS (
+          SELECT MIN(doc_id) AS doc_id, COUNT(*) AS group_size
+          FROM fp GROUP BY fingerprint)
+        SELECT d.doc_id, doc.source, doc.lang, d.group_size
+        FROM dedup d JOIN documents doc ON doc.doc_id = d.doc_id
+        """
+    ),
+)
+
 
 # similarity search (4 tables × 4 planes, matching the Spark call below)
 _PLANES = simsearch.hyperplanes(num_planes=16, dim=64, seed=123)
