@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "q_rated_books",
     "q_fk_enforced_edges",
     "q_dedup_exact",
+    "q_dedup_fingerprint",
     "q_dedup_minhash_lsh",
     "q_dedup_ngram_jaccard",
     "q_dedup_simhash",

@@ -141,6 +141,38 @@ def dedup_stream(events: DataFrame, watermark_minutes: int = 120) -> DataFrame:
     )
 
 
+DOC_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def read_documents_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming read of the documents corpus (file-source replay)."""
+    reader = spark.readStream.schema(DOC_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(f"{sf_dir}/documents.[p]arquet")
+
+
+def dedup_documents_stream(docs: DataFrame) -> DataFrame:
+    """Streaming canonical-fingerprint dedup: the arriving corpus keeps the
+    first document per canonical token-set fingerprint — the streaming twin
+    of operators/dedup.py::dedup_fingerprint (ingestion-time dedup for a
+    continuously-arriving training corpus)."""
+    from ..functions.text import normalize, tokens
+
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(F.col("text"))))))
+    return docs.withColumn("fingerprint", fp).dropDuplicates(["fingerprint"])
+
+
 USER_PROFILE_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),

@@ -104,6 +104,28 @@ def test_streaming_stateful_profile(spark, event_stream, batch_events, tmp_path)
     assert (abs(merged["total_value_got"] - merged["total_value_want"]) < 1e-6).all()
 
 
+def test_streaming_document_dedup(spark, tmp_path):
+    """Ingestion-time corpus dedup: one survivor per canonical fingerprint,
+    matching the batch dedup_fingerprint group count."""
+    from graph_database_application_for_recommendations_spark.operators.dedup import (
+        dedup_fingerprint,
+    )
+    from graph_database_application_for_recommendations_spark.sources.views import (
+        load_ref_tables,
+    )
+
+    docs_batch = load_ref_tables(spark, SF_SMALL).documents
+    got = stream_ops.run_to_memory(
+        stream_ops.dedup_documents_stream(stream_ops.read_documents_stream(spark, SF_SMALL)),
+        "t_docdedup",
+        "append",
+        str(tmp_path / "ck_docs"),
+    )
+    want_groups = dedup_fingerprint(docs_batch).count()
+    assert got.count() == want_groups
+    assert got.select("fingerprint").distinct().count() == want_groups
+
+
 def test_streaming_multi_batch_replay(spark, batch_events, tmp_path):
     """Split events into several files and replay one file per trigger —
     exercises watermark advancement across micro-batches."""
