@@ -57,14 +57,23 @@ def _normalize(df: DataFrame, col: str = "vec") -> DataFrame:
     )
 
 
-def _propagate(edges: DataFrame, emb: DataFrame, dim: int) -> DataFrame:
+def _propagate(
+    edges: DataFrame, emb: DataFrame, dim: int, broadcast_emb: bool = False
+) -> DataFrame:
     """One round: h_dst = Σ_src w·h_src / Σ_src w  (weighted neighbor mean).
 
     posexplode keeps the aggregation a flat (node, dim) sum — map-side
     combinable, skew-splittable, no array buffering per group.
+
+    ``broadcast_emb`` skips shuffling the (large) edge list into the join:
+    right for node tables that fit an executor (the caller gates on node
+    count); huge graphs fall back to the shuffle join.
     """
+    emb_side = emb.withColumnRenamed("node_id", "src")
+    if broadcast_emb:
+        emb_side = F.broadcast(emb_side)
     msgs = (
-        edges.join(emb.withColumnRenamed("node_id", "src"), "src")
+        edges.join(emb_side, "src")
         .select("dst", "weight", F.posexplode("vec").alias("pos", "val"))
         .groupBy("dst", "pos")
         .agg(F.sum(F.col("weight") * F.col("val")).alias("s"), F.sum("weight").alias("w"))
@@ -98,6 +107,10 @@ def fastrp(
     zero = F.expr(f"transform(sequence(0, {dim - 1}), i -> 0d)")
     acc = nodes.select("node_id", zero.alias("acc"))
 
+    # ~(dim * 8)B per node: broadcast the node-vector table while it fits
+    # comfortably in an executor; beyond that, shuffle join
+    broadcast_emb = nodes.count() * dim * 8 < 256 * 1024 * 1024
+
     # isolated nodes (no in-edges) drop out of the propagate aggregate and
     # need a zero-fill rejoin each round; skip that join entirely when the
     # graph has none (always true for graphs built from an edge list)
@@ -107,7 +120,7 @@ def fastrp(
     )
 
     for alpha in iteration_weights:
-        emb = _normalize(_propagate(edges, emb, dim))
+        emb = _normalize(_propagate(edges, emb, dim, broadcast_emb))
         if has_isolated:
             emb = nodes.join(emb, "node_id", "left").select(
                 "node_id", F.coalesce("vec", zero).alias("vec")
