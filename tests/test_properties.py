@@ -58,6 +58,52 @@ def test_upsert_idempotent_and_total(spark, rows):
 
 
 @given(
+    left_evs=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 100)), min_size=1, max_size=10
+    ),
+    right_evs=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 100), st.floats(0, 10)),
+        min_size=0,
+        max_size=10,
+    ),
+)
+@SLOW
+def test_asof_join_matches_bruteforce(spark, left_evs, right_evs):
+    """asof_join == argmax-over-filter reference implementation."""
+    import datetime
+
+    from graph_database_application_for_recommendations_spark.operators.asof import asof_join
+
+    base = datetime.datetime(2024, 1, 1)
+    t = lambda s: base + datetime.timedelta(seconds=s)
+    left = spark.createDataFrame(
+        [(i, k, t(s)) for i, (k, s) in enumerate(left_evs)],
+        "event_id LONG, user_id LONG, ts TIMESTAMP",
+    )
+    right_rows = [(k, t(s), round(v, 3)) for k, s, v in right_evs]
+    right = spark.createDataFrame(
+        right_rows or [(0, t(0), 0.0)], "user_id LONG, ts TIMESTAMP, value DOUBLE"
+    )
+    if not right_rows:
+        right = right.limit(0)
+    got = {
+        r["event_id"]: r["r_value"]
+        for r in asof_join(left, right, right_cols=["value"]).collect()
+    }
+    # brute force in python: max-ts right row with ts <= left.ts, same key;
+    # tie on equal right ts resolved by the window's last-row order, so only
+    # assert value-set membership on ties
+    for i, (k, s) in enumerate(left_evs):
+        cands = [(rs, v) for rk, rs, v in right_evs if rk == k and rs <= s]
+        if not cands:
+            assert got[i] is None
+        else:
+            best_ts = max(rs for rs, _ in cands)
+            best_vals = {round(v, 3) for rs, v in cands if rs == best_ts}
+            assert got[i] in best_vals
+
+
+@given(
     ts_offsets=st.lists(st.integers(0, 10_000), min_size=1, max_size=20),
 )
 @SLOW
