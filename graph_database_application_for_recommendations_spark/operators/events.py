@@ -112,6 +112,41 @@ def dedup_events(events: DataFrame) -> DataFrame:
     )
 
 
+def value_percentiles(events: DataFrame) -> DataFrame:
+    """(event_type, n, p50, p90, p99): exact linear-interpolation
+    percentiles of ``value`` — Spark ``percentile`` and DuckDB
+    ``quantile_cont`` share the interpolation rule, so this stays
+    oracle-checkable (rounded)."""
+    pct = F.expr("percentile(value, array(0.5D, 0.9D, 0.99D))")
+    return (
+        events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), pct.alias("_p"))
+        .select(
+            "event_type",
+            "n",
+            F.round(F.col("_p")[0], 6).alias("p50"),
+            F.round(F.col("_p")[1], 6).alias("p90"),
+            F.round(F.col("_p")[2], 6).alias("p99"),
+        )
+    )
+
+
+def daily_rollup(events: DataFrame) -> DataFrame:
+    """Hypertable-style rollup: counts and value sums at (day, event_type),
+    (day), and grand-total grain in one pass (``ROLLUP`` grouping sets).
+
+    (day_us, event_type, n, sum_value) with NULLs marking rolled-up
+    levels; day boundaries are epoch floors (timezone-proof).
+    """
+    day_us = 86_400 * 1_000_000
+    day = (F.unix_micros("ts") - F.unix_micros("ts") % day_us).alias("day_us")
+    return (
+        events.select(day, "event_type", "value")
+        .rollup("day_us", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+    )
+
+
 def json_props_stats(events: DataFrame) -> DataFrame:
     """(event_type, n, avg_k): extract JSON ``props.k`` and aggregate."""
     k = F.get_json_object(F.col("props"), "$.k").cast("int")

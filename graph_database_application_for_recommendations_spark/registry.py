@@ -873,6 +873,27 @@ register(
     """,
 )
 register(
+    "q_events_percentiles",
+    lambda s, d: events.value_percentiles(_ref(s, d).events),
+    """
+    SELECT event_type, COUNT(*) AS n,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.9), 6) AS p90,
+           ROUND(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+register(
+    "q_events_rollup",
+    lambda s, d: events.daily_rollup(_ref(s, d).events),
+    """
+    SELECT (epoch_us(ts) - epoch_us(ts) % 86400000000) AS day_us,
+           event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
+    FROM events
+    GROUP BY ROLLUP (day_us, event_type)
+    """,
+)
+register(
     "q_events_json",
     lambda s, d: events.json_props_stats(_ref(s, d).events),
     """
