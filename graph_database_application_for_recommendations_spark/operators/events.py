@@ -147,6 +147,23 @@ def daily_rollup(events: DataFrame) -> DataFrame:
     )
 
 
+def distinct_users(events: DataFrame) -> DataFrame:
+    """(event_type, n_users): exact distinct-aggregation (Spark expands
+    this to a two-stage partial-distinct plan automatically)."""
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+
+
+def approx_distinct_users(events: DataFrame, rsd: float = 0.05) -> DataFrame:
+    """(event_type, n_users_approx): HyperLogLog++ distinct estimate — the
+    100 TB path where an exact distinct would shuffle every key; sketch
+    merge is associative, so it map-side combines like any sum."""
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=rsd).alias("n_users_approx")
+    )
+
+
 def json_props_stats(events: DataFrame) -> DataFrame:
     """(event_type, n, avg_k): extract JSON ``props.k`` and aggregate."""
     k = F.get_json_object(F.col("props"), "$.k").cast("int")

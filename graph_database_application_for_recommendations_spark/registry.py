@@ -894,6 +894,20 @@ register(
     """,
 )
 register(
+    "q_events_distinct_users",
+    lambda s, d: events.distinct_users(_ref(s, d).events),
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+# HLL sketches are engine-specific — rows-only; accuracy pinned in pytest
+register(
+    "q_events_approx_users",
+    lambda s, d: events.approx_distinct_users(_ref(s, d).events),
+    None,
+)
+register(
     "q_events_json",
     lambda s, d: events.json_props_stats(_ref(s, d).events),
     """

@@ -100,6 +100,23 @@ def test_viz_export_shapes(spark):
     }
 
 
+def test_approx_distinct_accuracy(spark):
+    """HLL estimate within its advertised relative error of the exact
+    distinct count."""
+    from graph_database_application_for_recommendations_spark.operators import events as ev
+    from graph_database_application_for_recommendations_spark.sources.views import load_ref_tables
+
+    e = load_ref_tables(spark, SF_SMALL).events
+    exact = {r["event_type"]: r["n_users"] for r in ev.distinct_users(e).collect()}
+    approx = {
+        r["event_type"]: r["n_users_approx"]
+        for r in ev.approx_distinct_users(e, rsd=0.05).collect()
+    }
+    assert approx.keys() == exact.keys()
+    for k in exact:
+        assert abs(approx[k] - exact[k]) <= max(3, 0.15 * exact[k])
+
+
 def test_asof_join_semantics(spark):
     """Backward as-of: latest right row at-or-before, NULL before any,
     equal timestamps match."""
