@@ -1,0 +1,32 @@
+"""Bucketed table storage — co-located joins without a shuffle.
+
+At 100 TB the dominant serving-join cost is shuffling the ratings fact on
+its join key. Bucketing materializes that shuffle once at write time:
+both sides bucketed by the same key into the same bucket count join with
+zero Exchange (verified by plan assertion in tests/test_plans.py).
+
+Bucketing requires the session catalog (``saveAsTable``); tables land in
+``spark.sql.warehouse.dir``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Materialize ``df`` as a bucketed (optionally sorted) catalog table."""
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)

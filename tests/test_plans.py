@@ -1,0 +1,65 @@
+"""Physical-plan assertions — regression guards for the scale discipline
+DESIGN.md promises: predicate pushdown, column pruning, broadcast joins,
+and shuffle-free bucketed joins."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph_database_application_for_recommendations_spark import registry
+from graph_database_application_for_recommendations_spark.sources.views import load_ref_tables
+
+from .conftest import SF_SMALL
+
+
+def _formatted_plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_point_lookup_pushdown(spark):
+    """The user-id point lookup must reach the orders parquet scan through
+    the ratings view derivation (filter below the aggregate)."""
+    plan = _formatted_plan(registry.queries()["q_rated_books"](spark, SF_SMALL))
+    assert "EqualTo(o_custkey,1)" in plan
+
+
+def test_column_pruning(spark):
+    """A two-column projection must not scan all lineitem columns."""
+    ref = load_ref_tables(spark, SF_SMALL)
+    plan = _formatted_plan(ref.ratings.select("user_id", "rating"))
+    scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    lineitem_scan = next(l for l in scan_lines if "l_quantity" in l or "l_partkey" in l)
+    assert "l_extendedprice" not in lineitem_scan
+    assert "l_shipdate" not in lineitem_scan
+
+
+def test_books_dim_broadcast(spark):
+    """The books dimension joins broadcast, not sort-merge."""
+    plan = _formatted_plan(registry.queries()["q_knn_recommend"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key join without an Exchange."""
+    from graph_database_application_for_recommendations_spark.sources.bucketing import (
+        read_table,
+        write_bucketed,
+    )
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ref = load_ref_tables(spark, SF_SMALL)
+        write_bucketed(ref.ratings, "b_ratings", ["user_id"], num_buckets=8)
+        write_bucketed(ref.users, "b_users", ["user_id"], num_buckets=8)
+        joined = read_table(spark, "b_ratings").join(read_table(spark, "b_users"), "user_id")
+        plan = _formatted_plan(joined)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange" not in plan  # the whole point of bucketing
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS b_ratings")
+        spark.sql("DROP TABLE IF EXISTS b_users")
