@@ -211,6 +211,39 @@ def running_user_profile_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def run_writeback(
+    stream_df: DataFrame,
+    out_path: str,
+    keys: list[str],
+    checkpoint_dir: str,
+) -> None:
+    """Streaming write-back: maintain a parquet table upserted per
+    micro-batch (``foreachBatch`` + MERGE-style keep-incoming, the same
+    semantics as operators/etl.py::upsert_keep_last) — the streaming analog
+    of the reference's GDS write-back pattern. On Delta/Iceberg this
+    becomes a real MERGE INTO; plain parquet gets read-union-rewrite."""
+    from ..operators.etl import upsert_keep_last
+
+    spark = stream_df.sparkSession
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            existing = spark.read.parquet(out_path)
+        except Exception:  # first batch: nothing materialized yet
+            existing = batch_df.limit(0)
+        merged = upsert_keep_last(existing, batch_df, keys).localCheckpoint()
+        merged.write.mode("overwrite").parquet(out_path)
+
+    query = (
+        stream_df.writeStream.foreachBatch(_merge)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+
 def run_to_memory(
     stream_df: DataFrame, name: str, output_mode: str, checkpoint_dir: str
 ) -> DataFrame:

@@ -126,6 +126,21 @@ def test_streaming_document_dedup(spark, tmp_path):
     assert got.select("fingerprint").distinct().count() == want_groups
 
 
+def test_streaming_writeback_parquet(spark, batch_events, tmp_path):
+    """foreachBatch write-back: the maintained parquet table converges to
+    the batch tumbling aggregate (GDS write-back pattern, streamed)."""
+    out = str(tmp_path / "writeback_out")
+    stream = stream_ops.tumbling_counts_stream(
+        stream_ops.read_events_stream(spark, SF_SMALL), minutes=60
+    )
+    stream_ops.run_writeback(
+        stream, out, keys=["window_start_us", "event_type"], checkpoint_dir=str(tmp_path / "ck_wb")
+    )
+    got = spark.read.parquet(out)
+    want = batch_ops.tumbling_counts(batch_events, minutes=60)
+    assert _rows(got) == _rows(want)
+
+
 def test_streaming_multi_batch_replay(spark, batch_events, tmp_path):
     """Split events into several files and replay one file per trigger —
     exercises watermark advancement across micro-batches."""
