@@ -1,0 +1,26 @@
+"""JSON-lines source/sink — schema-explicit, like every source here.
+
+The reference only ingests CSV; JSONL is the interchange format most
+training-data pipelines actually move documents/events in, so the engine
+supports it first-class. Always pass a schema: inference reads the data
+twice and types drift run-to-run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    return spark.read.schema(schema).json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def read_jsonl_stream(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """Streaming JSONL source (file replay, same contract as the parquet
+    event stream in streaming/events.py)."""
+    return spark.readStream.schema(schema).json(path)

@@ -75,6 +75,27 @@ def test_corating_salted_equals_unsalted(spark):
     assert plain == salted and len(plain) > 0
 
 
+def test_jsonl_roundtrip_batch_and_stream(spark, tmp_path):
+    """JSONL sink -> batch source -> streaming source all agree."""
+    from graph_database_application_for_recommendations_spark.sources import json_io
+    from graph_database_application_for_recommendations_spark.sources.views import load_ref_tables
+    from graph_database_application_for_recommendations_spark.streaming.events import run_to_memory
+
+    docs = load_ref_tables(spark, SF_SMALL).documents
+    path = str(tmp_path / "docs_jsonl")
+    json_io.write_jsonl(docs, path)
+    back = json_io.read_jsonl(spark, path, docs.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, docs.collect()))
+    streamed = run_to_memory(
+        json_io.read_jsonl_stream(spark, path, docs.schema).groupBy("lang").count(),
+        "t_jsonl",
+        "complete",
+        str(tmp_path / "ck_jsonl"),
+    )
+    want = {(r["lang"], r["count"]) for r in docs.groupBy("lang").count().collect()}
+    assert {(r["lang"], r["count"]) for r in streamed.collect()} == want
+
+
 def test_rating_color_buckets(spark):
     """P8 (recommender_community.py:101)."""
     df = spark.createDataFrame([(1,), (4,), (5,), (7,), (8,), (10,)], "r INT")
