@@ -10,7 +10,7 @@ reference's Cypher reads node properties.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -24,12 +24,65 @@ from .graphs import bipartite_rating_graph, undirected
 from .modularity import modularity
 
 
-@dataclass
 class PipelineResult:
-    embeddings: DataFrame  # (user_id, embedding)
-    similar_to: DataFrame  # (src, dst, similarity)
-    communities: DataFrame  # (user_id, community)
-    modularity: float
+    """Lazily-evaluated pipeline stages.
+
+    The community stage (LPA/Louvain) runs driver-side iteration loops with
+    actions inside — eager construction would pay that cost even for
+    callers that only read ``similar_to``. Each stage materializes on first
+    access and is cached; ``similar_to``/``communities`` may be reassigned
+    (e.g. wrapped in ``.cache()``) by callers.
+    """
+
+    def __init__(
+        self,
+        embeddings_fn: Callable[[], DataFrame],
+        similar_to_fn: Callable[[], DataFrame],
+        communities_fn: Callable[[], tuple[DataFrame, float]],
+    ):
+        self._embeddings_fn = embeddings_fn
+        self._similar_to_fn = similar_to_fn
+        self._communities_fn = communities_fn
+        self._embeddings: DataFrame | None = None
+        self._similar_to: DataFrame | None = None
+        self._communities: DataFrame | None = None
+        self._modularity: float | None = None
+
+    @property
+    def embeddings(self) -> DataFrame:
+        if self._embeddings is None:
+            self._embeddings = self._embeddings_fn()
+        return self._embeddings
+
+    @property
+    def similar_to(self) -> DataFrame:
+        if self._similar_to is None:
+            self._similar_to = self._similar_to_fn()
+        return self._similar_to
+
+    @similar_to.setter
+    def similar_to(self, df: DataFrame) -> None:
+        self._similar_to = df
+
+    def _run_communities(self) -> None:
+        if self._communities is None:
+            self._communities, self._modularity = self._communities_fn()
+
+    @property
+    def communities(self) -> DataFrame:
+        self._run_communities()
+        return self._communities
+
+    @communities.setter
+    def communities(self, df: DataFrame) -> None:
+        self._communities = df
+
+    @property
+    def modularity(self) -> float:
+        if self._modularity is None and self._communities is not None:
+            return float("nan")  # communities injected externally
+        self._run_communities()
+        return self._modularity
 
 
 def run_pipeline(
@@ -60,38 +113,45 @@ def run_pipeline(
     ref = load_ref_tables(spark, sf_dir)
     ratings = ref.ratings
 
-    # G2: FastRP on the undirected weighted bipartite graph (S9)
-    nodes, edges = bipartite_rating_graph(ratings)
-    emb_all = _fastrp.fastrp(nodes, edges, dim=dim, seed=seed)
-    user_emb = _fastrp.user_embeddings_from_fastrp(emb_all)
+    def _embeddings() -> DataFrame:
+        # G2: FastRP on the undirected weighted bipartite graph (S9)
+        nodes, edges = bipartite_rating_graph(ratings)
+        emb_all = _fastrp.fastrp(nodes, edges, dim=dim, seed=seed)
+        return _fastrp.user_embeddings_from_fastrp(emb_all).cache()
 
-    # G3: KNN over the user embeddings (S11 + J8)
-    user_emb = user_emb.cache()
-    knn_fn = knn_exact if user_emb.count() <= knn_lsh_threshold else knn_hyperplane
-    sim = knn_fn(user_emb, id_col="user_id", vec_col="embedding",
-                 top_k=knn_top_k, cutoff=knn_cutoff)
+    def _similar_to() -> DataFrame:
+        # G3: KNN over the user embeddings (S11 + J8)
+        user_emb = result.embeddings
+        knn_fn = knn_exact if user_emb.count() <= knn_lsh_threshold else knn_hyperplane
+        return knn_fn(user_emb, id_col="user_id", vec_col="embedding",
+                      top_k=knn_top_k, cutoff=knn_cutoff)
 
-    # G1: community detection on the co-rating projection (S10 + J3) —
-    # 'louvain' matches the reference algorithm (Alg_Community_Detection.py),
-    # 'lpa' is the cheaper default with the same interface
-    co = corating_edges(ratings).select(
-        F.col("u1").alias("src"), F.col("u2").alias("dst"),
-        F.col("weight").cast("double").alias("weight"),
-    )
-    if community_algorithm == "louvain":
-        from .louvain import louvain
-
-        nodes_comm, q = louvain(co)
-        comm = nodes_comm.select(F.col("node_id").alias("user_id"), "community")
-    else:
-        comm = _lpa.label_propagation(co, max_iter=lpa_max_iter).select(
-            F.col("node_id").alias("user_id"), "community"
+    def _communities() -> tuple[DataFrame, float]:
+        # G1: community detection on the co-rating projection (S10 + J3) —
+        # 'louvain' matches the reference algorithm
+        # (Alg_Community_Detection.py), 'lpa' is the cheaper default with
+        # the same interface
+        co = corating_edges(ratings).select(
+            F.col("u1").alias("src"), F.col("u2").alias("dst"),
+            F.col("weight").cast("double").alias("weight"),
         )
-        q = modularity(co, comm.select(F.col("user_id").alias("node_id"), "community"))
+        if community_algorithm == "louvain":
+            from .louvain import louvain
+
+            nodes_comm, q = louvain(co)
+            comm = nodes_comm.select(F.col("node_id").alias("user_id"), "community")
+        else:
+            comm = _lpa.label_propagation(co, max_iter=lpa_max_iter).select(
+                F.col("node_id").alias("user_id"), "community"
+            )
+            q = modularity(co, comm.select(F.col("user_id").alias("node_id"), "community"))
+        return comm, q
+
+    result = PipelineResult(_embeddings, _similar_to, _communities)
 
     if out_dir:
-        user_emb.write.mode("overwrite").parquet(f"{out_dir}/embeddings_users.parquet")
-        sim.write.mode("overwrite").parquet(f"{out_dir}/similar_to.parquet")
-        comm.write.mode("overwrite").parquet(f"{out_dir}/communities.parquet")
+        result.embeddings.write.mode("overwrite").parquet(f"{out_dir}/embeddings_users.parquet")
+        result.similar_to.write.mode("overwrite").parquet(f"{out_dir}/similar_to.parquet")
+        result.communities.write.mode("overwrite").parquet(f"{out_dir}/communities.parquet")
 
-    return PipelineResult(user_emb, sim, comm, q)
+    return result
