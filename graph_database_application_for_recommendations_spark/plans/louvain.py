@@ -45,7 +45,6 @@ def _local_move(edges: DataFrame, max_sweeps: int) -> DataFrame:
         .cache()
     )
     labels = deg.select("node_id", F.col("node_id").alias("community")).localCheckpoint()
-    best_labels, best_q = labels, modularity(edges, labels, two_m=m2)
     stale = 0
 
     for sweep in range(max_sweeps):
@@ -102,18 +101,29 @@ def _local_move(edges: DataFrame, max_sweeps: int) -> DataFrame:
             )
             .localCheckpoint()
         )
-        q = modularity(edges, new_labels, two_m=m2)
+        # convergence = no label changed; cheap count on the (small,
+        # checkpointed) label tables instead of a full-edge modularity
+        # evaluation per sweep — with red/black gating the moves are
+        # monotone enough that the per-sweep exact-Q guard isn't worth a
+        # 2-join pass over the edge list (the per-level Q guard in
+        # louvain() still rejects a non-improving level)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node_id")
+            .filter(F.col("n.community") != F.col("o.community"))
+            .count()
+        )
         labels = new_labels
-        if q > best_q + 1e-9:
-            best_q, best_labels, stale = q, new_labels, 0
-        else:
-            # a half-sweep may be flat while the other half still improves;
-            # stop only after both parities stall
+        if changed == 0:
+            # a half-sweep may be flat while the other half still has
+            # moves; stop only after both parities stall
             stale += 1
             if stale >= 2:
                 break
+        else:
+            stale = 0
 
-    return best_labels
+    return labels
 
 
 def _coarsen(edges: DataFrame, labels: DataFrame) -> DataFrame:
