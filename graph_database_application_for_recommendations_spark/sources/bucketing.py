@@ -30,3 +30,13 @@ def write_bucketed(
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Hive-style partitioned parquet layout — equality/range filters on
+    the partition columns prune directories before any file is opened
+    (verified by `PartitionFilters` plan assertion in tests/test_plans.py).
+    The at-scale layout for point-lookup-heavy serving tables."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)

@@ -24,7 +24,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
+    FloatType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -209,6 +212,56 @@ def running_user_profile_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+EMBEDDING_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("label", IntegerType()),
+    ]
+)
+
+
+def read_embeddings_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming read of arriving query vectors (file replay)."""
+    reader = spark.readStream.schema(EMBEDDING_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(f"{sf_dir}/embeddings.[p]arquet")
+
+
+def simsearch_stream_writeback(
+    query_stream: DataFrame,
+    corpus: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    k: int = 5,
+) -> None:
+    """Streaming similarity search: each micro-batch of arriving query
+    vectors is matched against the static corpus with the exact top-k
+    operator (stream-static pattern via foreachBatch), appending results.
+
+    At scale the per-batch operator swaps for the LSH/IVF variants — the
+    orchestration is identical.
+    """
+    from ..operators.simsearch import topk_bruteforce
+
+    def _match(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        topk_bruteforce(batch_df, corpus, k=k).write.mode("append").parquet(out_path)
+
+    query = (
+        query_stream.writeStream.foreachBatch(_match)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
 
 
 def run_writeback(

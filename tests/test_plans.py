@@ -42,6 +42,22 @@ def test_books_dim_broadcast(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_partition_pruning(spark, tmp_path):
+    """A filter on the partition column must prune at planning time."""
+    from graph_database_application_for_recommendations_spark.sources.bucketing import (
+        write_partitioned,
+    )
+
+    ref = load_ref_tables(spark, SF_SMALL)
+    path = str(tmp_path / "ratings_by_rating")
+    write_partitioned(ref.ratings, path, ["rating"])
+    df = spark.read.parquet(path).filter(F.col("rating") == 8)
+    plan = _formatted_plan(df)
+    scan = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "rating" in scan and "8" in scan
+    assert df.count() == ref.ratings.filter("rating = 8").count()
+
+
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     """Two tables bucketed on the join key join without an Exchange."""
     from graph_database_application_for_recommendations_spark.sources.bucketing import (

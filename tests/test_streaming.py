@@ -141,6 +141,30 @@ def test_streaming_writeback_parquet(spark, batch_events, tmp_path):
     assert _rows(got) == _rows(want)
 
 
+def test_streaming_simsearch_matches_batch(spark, tmp_path):
+    """Stream-static similarity search: streamed query vectors matched
+    against the static corpus equal the batch top-k."""
+    from graph_database_application_for_recommendations_spark.operators.simsearch import (
+        topk_bruteforce,
+    )
+    from graph_database_application_for_recommendations_spark.sources.views import (
+        load_ref_tables,
+    )
+
+    corpus = load_ref_tables(spark, SF_SMALL).embeddings.cache()
+    out = str(tmp_path / "sims_out")
+    stream_ops.simsearch_stream_writeback(
+        stream_ops.read_embeddings_stream(spark, SF_SMALL).filter("vec_id < 15"),
+        corpus,
+        out,
+        str(tmp_path / "ck_sims"),
+        k=5,
+    )
+    got = spark.read.parquet(out)
+    want = topk_bruteforce(corpus.filter("vec_id < 15"), corpus, k=5)
+    assert _rows(got) == _rows(want)
+
+
 def test_streaming_multi_batch_replay(spark, batch_events, tmp_path):
     """Split events into several files and replay one file per trigger —
     exercises watermark advancement across micro-batches."""
