@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import md5_hash32, md5_hash60, normalize, tokens, word_shingles
+from ..functions.text import md5_hash32, md5_hash60, tokens, word_shingles
 
 
 # --- exact & fingerprint ---------------------------------------------------

@@ -20,7 +20,7 @@ from ..operators.knn import knn_exact, knn_hyperplane
 from ..sources.views import load_ref_tables
 from . import fastrp as _fastrp
 from . import lpa as _lpa
-from .graphs import bipartite_rating_graph, undirected
+from .graphs import bipartite_rating_graph
 from .modularity import modularity
 
 

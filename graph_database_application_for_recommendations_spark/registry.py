@@ -999,7 +999,6 @@ register(
 def _louvain_communities(s: SparkSession, d: str) -> DataFrame:
     """Louvain proper (the reference's actual G1 algorithm) on the
     co-rating projection — rows-only: community ids are value-unstable."""
-    from .plans.graphs import undirected as _undirected  # noqa: F401
     from .plans.louvain import louvain
 
     co = corating.corating_edges(_ref(s, d).ratings).select(

@@ -170,7 +170,7 @@ def dedup_documents_stream(docs: DataFrame) -> DataFrame:
     first document per canonical token-set fingerprint — the streaming twin
     of operators/dedup.py::dedup_fingerprint (ingestion-time dedup for a
     continuously-arriving training corpus)."""
-    from ..functions.text import normalize, tokens
+    from ..functions.text import tokens
 
     fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(F.col("text"))))))
     return docs.withColumn("fingerprint", fp).dropDuplicates(["fingerprint"])
