@@ -121,6 +121,54 @@ def test_viz_export_shapes(spark):
     }
 
 
+def test_csv_etl_pipeline_end_to_end(spark, tmp_path):
+    """EP2 (SURVEY §3): the reference's full ETL over Kaggle-shaped CSVs —
+    filter implicit ratings, semi-join dims, FK-enforce edges — then serve
+    a recommendation off the result."""
+    from graph_database_application_for_recommendations_spark.operators.corating import (
+        corating_edges,
+    )
+    from graph_database_application_for_recommendations_spark.operators.recommend import (
+        recommend_books_community,
+    )
+    from graph_database_application_for_recommendations_spark.sources import csv_io
+
+    (tmp_path / "Users.csv").write_text(
+        "User-ID,Location,Age\n1,berlin,30\n2,paris,\n3,rome,41\n9,unused,50\n"
+    )
+    (tmp_path / "Books.csv").write_text(
+        "ISBN,Book-Title,Book-Author,Year-Of-Publication,Publisher\n"
+        "b1,T1,A1,1999,P\nb2,T2,A2,2001,P\nb3,T3,A3,2005,P\n"
+    )
+    (tmp_path / "Ratings.csv").write_text(
+        "User-ID,ISBN,Book-Rating\n"
+        "1,b1,8\n1,b2,0\n2,b1,9\n2,b2,7\n3,b1,6\n3,b3,10\n"
+        "7,b1,9\n"  # user 7 doesn't exist -> FK join must drop it
+        "1,missing,5\n"  # book doesn't exist -> dropped
+    )
+    from graph_database_application_for_recommendations_spark.operators import etl
+
+    users = csv_io.read_users_csv(spark, str(tmp_path / "Users.csv"))
+    books = csv_io.read_books_csv(spark, str(tmp_path / "Books.csv"))
+    raw = csv_io.read_ratings_csv(spark, str(tmp_path / "Ratings.csv"))
+
+    ratings = etl.filter_implicit_ratings(raw)  # P1: drops (1,b2,0)
+    ratings = etl.fk_enforced_ratings(ratings, users, books)  # J9: drops user 7, book 'missing'
+    assert ratings.count() == 5
+    users_kept = etl.semijoin_users(users, ratings)  # J5: drops user 9
+    assert {r["user_id"] for r in users_kept.collect()} == {1, 2, 3}
+
+    co = corating_edges(ratings)  # b1 rated >=6 by 1,2,3 -> all pairs
+    assert co.filter("u1 = 1 AND u2 = 2").collect()[0]["weight"] == 1
+
+    uc = users_kept.withColumn("community", F.lit(0))
+    recs = recommend_books_community(uc, ratings, books, user_id=1, k=3)
+    got = {r["title"] for r in recs.collect()}
+    # b2 counts as unread: user 1's rating on it was implicit (0) and P1
+    # removed it — exactly the reference's ETL semantics
+    assert got == {"T2", "T3"}
+
+
 def test_approx_distinct_accuracy(spark):
     """HLL estimate within its advertised relative error of the exact
     distinct count."""
