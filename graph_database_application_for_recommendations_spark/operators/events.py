@@ -147,6 +147,28 @@ def daily_rollup(events: DataFrame) -> DataFrame:
     )
 
 
+def user_event_analytics(events: DataFrame, top_per_user: int = 3) -> DataFrame:
+    """Analytic-window family over events: per user, the top-N events by
+    value with their rank, the value delta to the user's previous event in
+    time (lag), and the user's running event index.
+
+    (user_id, event_id, value_rank, value, prev_delta, event_seq)
+    """
+    by_value = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    by_time = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.select(
+            "user_id",
+            "event_id",
+            "value",
+            F.row_number().over(by_value).alias("value_rank"),
+            F.round(F.col("value") - F.lag("value").over(by_time), 6).alias("prev_delta"),
+            F.row_number().over(by_time).alias("event_seq"),
+        )
+        .filter(F.col("value_rank") <= top_per_user)
+    )
+
+
 def distinct_users(events: DataFrame) -> DataFrame:
     """(event_type, n_users): exact distinct-aggregation (Spark expands
     this to a two-stage partial-distinct plan automatically)."""

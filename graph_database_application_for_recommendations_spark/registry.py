@@ -894,6 +894,19 @@ register(
     """,
 )
 register(
+    "q_events_analytics",
+    lambda s, d: events.user_event_analytics(_ref(s, d).events, top_per_user=3),
+    """
+    SELECT user_id, event_id, value, value_rank, prev_delta, event_seq FROM (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS value_rank,
+             ROUND(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS prev_delta,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS event_seq
+      FROM events)
+    WHERE value_rank <= 3
+    """,
+)
+register(
     "q_events_distinct_users",
     lambda s, d: events.distinct_users(_ref(s, d).events),
     """
