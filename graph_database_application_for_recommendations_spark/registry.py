@@ -628,6 +628,30 @@ register(
     ),
 )
 
+def _skew_report(s: SparkSession, d: str) -> DataFrame:
+    """Skew profile of the co-rating join key (per-book rater counts) —
+    the decision input for the J3 salting/cap strategy."""
+    from .operators.diagnostics import skew_report
+
+    pos = corating.positive_ratings(_ref(s, d).ratings).select("isbn")
+    return skew_report(pos, ["isbn"], top_n=10)
+
+
+register(
+    "q_diag_corating_skew",
+    _skew_report,
+    _q(
+        """
+        SELECT isbn, n, share FROM (
+          SELECT isbn, COUNT(*) AS n,
+                 ROUND(COUNT(*) / CAST((SELECT COUNT(*) FROM ratings WHERE rating >= 6) AS DOUBLE), 6) AS share
+          FROM ratings WHERE rating >= 6 GROUP BY isbn)
+        ORDER BY n DESC, isbn LIMIT 10
+        """
+    ),
+)
+
+
 def _corpus_clean(s: SparkSession, d: str) -> DataFrame:
     """Composed training-data cleaning pass: token-count bounds +
     stopword-ratio floor (quality), then canonical-fingerprint dedup
