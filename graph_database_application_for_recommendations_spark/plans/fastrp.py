@@ -18,11 +18,12 @@ same scheme):
 3. Final embedding = Σ_i α_i · h^(i) (GDS default iterationWeights
    [0.0, 1.0, 1.0]), L2-normalized.
 
-Scale notes: the per-iteration aggregate is posexplode → groupBy(node, dim)
-→ re-assemble, i.e. a plain partial-aggregatable shuffle of |E|·d rows — no
-per-node neighbor lists are ever collected, so hub nodes (books rated by
-millions of users at 100 TB) cannot OOM an executor; AQE splits any skewed
-reduce partition. ``localCheckpoint`` between rounds cuts the lineage that
+Scale notes: the per-iteration aggregate is a single groupBy(node) with one
+sum buffer per vector slot — a partial-aggregatable shuffle of |E| rows
+(map-side combined to one row per partition×node) — no per-node neighbor
+lists are ever collected, so hub nodes (books rated by millions of users at
+100 TB) cannot OOM an executor; AQE splits any skewed reduce partition.
+``localCheckpoint`` between rounds cuts the lineage that
 would otherwise re-run all previous rounds per action (on a cluster, a
 checkpoint dir or intermediate parquet would serve the same purpose).
 """
@@ -62,8 +63,11 @@ def _propagate(
 ) -> DataFrame:
     """One round: h_dst = Σ_src w·h_src / Σ_src w  (weighted neighbor mean).
 
-    posexplode keeps the aggregation a flat (node, dim) sum — map-side
-    combinable, skew-splittable, no array buffering per group.
+    One HashAggregate with ``dim`` sum buffers (one per vector slot) keeps
+    the shuffle at |E| rows — map-side combined down to one row per
+    (partition, dst) — instead of the |E|·dim row blowup a posexplode
+    formulation pays. Re-assembly back to an array is a codegen'd
+    projection, no second aggregate.
 
     ``broadcast_emb`` skips shuffling the (large) edge list into the join:
     right for node tables that fit an executor (the caller gates on node
@@ -72,19 +76,16 @@ def _propagate(
     emb_side = emb.withColumnRenamed("node_id", "src")
     if broadcast_emb:
         emb_side = F.broadcast(emb_side)
-    msgs = (
-        edges.join(emb_side, "src")
-        .select("dst", "weight", F.posexplode("vec").alias("pos", "val"))
-        .groupBy("dst", "pos")
-        .agg(F.sum(F.col("weight") * F.col("val")).alias("s"), F.sum("weight").alias("w"))
-        .select("dst", "pos", (F.col("s") / F.col("w")).alias("val"))
-    )
+    sums = [
+        F.sum(F.col("vec")[i] * F.col("weight")).alias(f"_s{i}") for i in range(dim)
+    ]
     return (
-        msgs.groupBy("dst")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "val"))).alias("pv"))
+        edges.join(emb_side, "src")
+        .groupBy("dst")
+        .agg(*sums, F.sum("weight").alias("_w"))
         .select(
             F.col("dst").alias("node_id"),
-            F.transform("pv", lambda x: x["val"]).alias("vec"),
+            F.array(*[F.col(f"_s{i}") / F.col("_w") for i in range(dim)]).alias("vec"),
         )
     )
 
@@ -102,22 +103,39 @@ def fastrp(
     Isolated nodes keep their (normalized) random projection at weight of
     the first nonzero iteration — GDS behaves the same way modulo sign.
     """
+    # nodes is typically *derived* (e.g. a distinct over the edge list);
+    # without a cache every downstream action — init, broadcast gate,
+    # isolated check, each iteration's zero-fill rejoin — would re-run
+    # that distinct. This cache alone is worth ~2x on the whole algorithm.
+    nodes = nodes.cache()
+    # the propagate map side (join + partial agg over |E| rows) inherits the
+    # edge cache's partitioning — a narrow source (one parquet file, a small
+    # shuffle output) would pin the whole per-iteration kernel to a handful
+    # of cores; spread it across the cluster once, reuse every iteration
+    par = nodes.sparkSession.sparkContext.defaultParallelism
+    if edges.rdd.getNumPartitions() < par:
+        edges = edges.repartition(par)
     edges = edges.cache()
-    emb = _normalize(_init_embeddings(nodes, dim, seed)).localCheckpoint()
+    n_nodes = nodes.count()
+    # checkpoint boundaries freeze whatever partition count the upstream
+    # shuffle used (AQE does not re-plan through them) — pin the small
+    # node-vector table to the session parallelism so every later stage
+    # over it schedules |cores| tasks, not |initialPartitionNum|
+    emb = _normalize(_init_embeddings(nodes, dim, seed)).coalesce(par).localCheckpoint()
     zero = F.expr(f"transform(sequence(0, {dim - 1}), i -> 0d)")
     acc = nodes.select("node_id", zero.alias("acc"))
 
     # ~(dim * 8)B per node: broadcast the node-vector table while it fits
     # comfortably in an executor; beyond that, shuffle join
-    broadcast_emb = nodes.count() * dim * 8 < 256 * 1024 * 1024
+    broadcast_emb = n_nodes * dim * 8 < 256 * 1024 * 1024
 
     # isolated nodes (no in-edges) drop out of the propagate aggregate and
     # need a zero-fill rejoin each round; skip that join entirely when the
     # graph has none (always true for graphs built from an edge list)
-    has_isolated = (
-        nodes.join(edges.select(F.col("dst").alias("node_id")), "node_id", "left_anti").count()
-        > 0
-    )
+    # distinct first (map-side combinable) so the probe side broadcasts;
+    # a raw |E|-row right side would force a shuffle join here
+    reached = edges.select(F.col("dst").alias("node_id")).distinct()
+    has_isolated = nodes.join(F.broadcast(reached), "node_id", "left_anti").count() > 0
 
     for alpha in iteration_weights:
         emb = _normalize(_propagate(edges, emb, dim, broadcast_emb))
@@ -125,7 +143,7 @@ def fastrp(
             emb = nodes.join(emb, "node_id", "left").select(
                 "node_id", F.coalesce("vec", zero).alias("vec")
             )
-        emb = emb.localCheckpoint()
+        emb = emb.coalesce(par).localCheckpoint()
         if alpha != 0.0:
             # acc's lineage only references checkpointed embs — no need to
             # checkpoint the accumulator itself
