@@ -26,7 +26,7 @@ shuffle-partitioned, no driver-side per-node state.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .modularity import modularity
@@ -37,13 +37,26 @@ def _local_move(edges: DataFrame, max_sweeps: int) -> DataFrame:
 
     Returns (node_id, community); keeps the best-modularity assignment
     across sweeps.
+
+    Physical note: the per-sweep label/degree tables come out of
+    ``localCheckpoint`` — a LogicalRDD with no size stats, which Catalyst
+    will never auto-broadcast. Left un-hinted, every sweep's
+    edges ⋈ labels join plans as a sort-merge join that re-shuffles the
+    whole edge list. We gate an explicit broadcast on the node count
+    (node tables are |V|, tiny next to |E|); graphs too big to broadcast
+    fall back to the shuffle join.
     """
+    spark = edges.sparkSession
+    par = spark.sparkContext.defaultParallelism
     m2 = edges.agg(F.sum("weight")).collect()[0][0]
     deg = (
         edges.groupBy("src").agg(F.sum("weight").alias("deg"))
         .withColumnRenamed("src", "node_id")
+        .coalesce(par)
         .cache()
     )
+    n_nodes = deg.count()
+    bc = (lambda df: F.broadcast(df)) if n_nodes * 24 < 256 * 1024 * 1024 else (lambda df: df)
     labels = deg.select("node_id", F.col("node_id").alias("community")).localCheckpoint()
     stale = 0
 
@@ -54,17 +67,17 @@ def _local_move(edges: DataFrame, max_sweeps: int) -> DataFrame:
         # k_i→c: weight from node i into community c (self-loops count into
         # the node's own community like GDS does)
         k_ic = (
-            edges.join(dst_comm, "dst")
+            edges.join(bc(dst_comm), "dst")
             .groupBy(F.col("src").alias("node_id"), "c")
             .agg(F.sum("weight").alias("k_ic"))
         )
-        tot = labels.join(deg, "node_id").groupBy("community").agg(
+        tot = labels.join(bc(deg), "node_id").groupBy("community").agg(
             F.sum("deg").alias("tot")
         )
         cand = (
-            k_ic.join(tot, k_ic.c == tot.community)
-            .join(deg, "node_id")
-            .join(labels.select("node_id", F.col("community").alias("c_own")), "node_id")
+            k_ic.join(bc(tot), k_ic.c == tot.community)
+            .join(bc(deg), "node_id")
+            .join(bc(labels.select("node_id", F.col("community").alias("c_own"))), "node_id")
             .select(
                 "node_id",
                 "c",
@@ -82,11 +95,22 @@ def _local_move(edges: DataFrame, max_sweeps: int) -> DataFrame:
                 ).alias("gain"),
             )
         )
-        w = Window.partitionBy("node_id").orderBy(F.desc("gain"), F.asc("c"))
+        # argmax via hash aggregate, not a row_number() sort-window: the
+        # aggregate gets a map-side partial combine and skips the per-sweep
+        # full sort of the candidate table (tie-break gain desc, c asc —
+        # node/community ids are numeric, so max(-c) == min(c))
         chosen = (
-            cand.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("node_id", F.col("c").alias("choice"))
+            cand.groupBy("node_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("gain"),
+                        (-F.col("c")).alias("_neg_c"),
+                        F.col("c").alias("choice"),
+                    )
+                ).alias("best")
+            )
+            .select("node_id", F.col("best.choice").alias("choice"))
         )
         # red/black gating: only nodes whose hash parity matches this sweep
         # apply their move — prevents symmetric label swaps
@@ -99,6 +123,7 @@ def _local_move(edges: DataFrame, max_sweeps: int) -> DataFrame:
                 .otherwise(F.col("community"))
                 .alias("community"),
             )
+            .coalesce(par)
             .localCheckpoint()
         )
         # convergence = no label changed; cheap count on the (small,
@@ -109,7 +134,7 @@ def _local_move(edges: DataFrame, max_sweeps: int) -> DataFrame:
         # louvain() still rejects a non-improving level)
         changed = (
             new_labels.alias("n")
-            .join(labels.alias("o"), "node_id")
+            .join(bc(labels.alias("o")), "node_id")
             .filter(F.col("n.community") != F.col("o.community"))
             .count()
         )
@@ -128,6 +153,8 @@ def _local_move(edges: DataFrame, max_sweeps: int) -> DataFrame:
 
 def _coarsen(edges: DataFrame, labels: DataFrame) -> DataFrame:
     """Contract communities to supernodes; intra edges become self-loops."""
+    if labels.count() * 24 < 256 * 1024 * 1024:
+        labels = F.broadcast(labels)
     src_map = labels.select(F.col("node_id").alias("src"), F.col("community").alias("c_src"))
     dst_map = labels.select(F.col("node_id").alias("dst"), F.col("community").alias("c_dst"))
     return (
@@ -146,6 +173,9 @@ def louvain(
     ``edges``: undirected-doubled (src, dst, weight). Community ids are
     canonicalized to the smallest member node id.
     """
+    par = edges.sparkSession.sparkContext.defaultParallelism
+    if edges.rdd.getNumPartitions() < par:
+        edges = edges.repartition(par)
     edges = edges.cache()
     mapping: DataFrame | None = None  # original node_id -> current community
     cur_edges = edges
@@ -157,7 +187,11 @@ def louvain(
             labels
             if mapping is None
             else mapping.join(
-                labels.withColumnRenamed("node_id", "community_prev"),
+                # the coarse-level label table shrinks every level — hint it
+                # while broadcastable (checkpointed → no stats for an
+                # auto-broadcast)
+                (F.broadcast(labels) if labels.count() * 24 < 256 * 1024 * 1024 else labels)
+                .withColumnRenamed("node_id", "community_prev"),
                 mapping.community == F.col("community_prev"),
             ).select(mapping.node_id, labels.community)
         )
@@ -171,6 +205,8 @@ def louvain(
 
     assert mapping is not None
     canon = mapping.groupBy("community").agg(F.min("node_id").alias("canon"))
+    if canon.count() * 24 < 256 * 1024 * 1024:
+        canon = F.broadcast(canon)
     final = mapping.join(canon, "community").select(
         "node_id", F.col("canon").alias("community")
     )

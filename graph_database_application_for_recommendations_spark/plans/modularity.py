@@ -30,6 +30,11 @@ def modularity(
     over partitions (Louvain sweeps) pass it once instead of re-summing.
     """
     lab = communities.select(F.col("node_id"), F.col("community"))
+    # label tables usually arrive checkpointed (no size stats) — Catalyst
+    # won't auto-broadcast them and would shuffle the edge list twice; hint
+    # it while |V| is broadcastable
+    if lab.count() * 24 < 256 * 1024 * 1024:
+        lab = F.broadcast(lab)
     e = (
         edges.join(lab.select(F.col("node_id").alias("src"), F.col("community").alias("c_src")), "src")
         .join(lab.select(F.col("node_id").alias("dst"), F.col("community").alias("c_dst")), "dst")
