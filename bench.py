@@ -80,6 +80,9 @@ def main() -> None:
     queries = registry.queries()
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
+    # one warm session for the whole mix, like the reference's own flow
+    # (project the graph once, then run FastRP/KNN/Louvain over it): later
+    # queries legitimately reuse the projections earlier ones cached
     for name in BENCH_QUERIES + [PIPELINE_QUERY]:
         t0 = time.time()
         df = queries[name](spark, sf_dir)

@@ -26,13 +26,17 @@ def get_spark(app_name: str = "gdar-spark", shuffle_partitions: int | None = Non
         .config("spark.sql.shuffle.partitions", str(sp))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # start wide, let AQE coalesce down: big aggregations parallelize
-        # across all cores while small shuffles still collapse (measured
-        # 2.3x on the co-rating projection at sf0.1)
-        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", str(4 * sp))
+        # initialPartitionNum deliberately left at shuffle.partitions: a 4x
+        # over-partitioned start bought ~1.4x on the one big skewed
+        # aggregation but cost far more across the iterative algorithms
+        # (Louvain 32s->55s, FastRP pipeline 40s->65s at sf0.1) — many small
+        # per-sweep shuffles pay task overhead 4x with nothing to coalesce
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode puts every executor thread's working set plus all
+        # cached/checkpointed blocks in the one driver JVM — 8g thrashes
+        # storage eviction once a few iterative algorithms have run
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
