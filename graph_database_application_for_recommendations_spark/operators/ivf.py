@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import vector as V
+from ..plans import materialize
 
 
 def _assign(vectors: DataFrame, centroids: DataFrame, id_col: str, out: str) -> DataFrame:
@@ -81,9 +82,9 @@ def train_ivf_centroids(
         )
         # normalize so the next assignment's dot products are cosines
         nrm = F.sqrt(F.aggregate(F.col("_c"), F.lit(0.0), lambda a, x: a + x * x))
-        centroids = centroids.select(
-            "cell", F.transform("_c", lambda x: x / nrm).alias("_c")
-        ).localCheckpoint()
+        centroids = materialize(
+            centroids.select("cell", F.transform("_c", lambda x: x / nrm).alias("_c"))
+        )
     return centroids
 
 

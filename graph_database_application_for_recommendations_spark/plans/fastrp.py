@@ -23,9 +23,9 @@ sum buffer per vector slot — a partial-aggregatable shuffle of |E| rows
 (map-side combined to one row per partition×node) — no per-node neighbor
 lists are ever collected, so hub nodes (books rated by millions of users at
 100 TB) cannot OOM an executor; AQE splits any skewed reduce partition.
-``localCheckpoint`` between rounds cuts the lineage that
-would otherwise re-run all previous rounds per action (on a cluster, a
-checkpoint dir or intermediate parquet would serve the same purpose).
+An eager cache between rounds (``plans.materialize``) stops round N from
+re-executing rounds 0..N-1 per action (on a cluster, a checkpoint dir or
+intermediate parquet would serve the same purpose for crash recovery).
 """
 
 from __future__ import annotations
@@ -34,6 +34,8 @@ import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from . import materialize
 
 SPARSITY = 3
 
@@ -117,11 +119,7 @@ def fastrp(
         edges = edges.repartition(par)
     edges = edges.cache()
     n_nodes = nodes.count()
-    # checkpoint boundaries freeze whatever partition count the upstream
-    # shuffle used (AQE does not re-plan through them) — pin the small
-    # node-vector table to the session parallelism so every later stage
-    # over it schedules |cores| tasks, not |initialPartitionNum|
-    emb = _normalize(_init_embeddings(nodes, dim, seed)).coalesce(par).localCheckpoint()
+    emb = materialize(_normalize(_init_embeddings(nodes, dim, seed)))
     zero = F.expr(f"transform(sequence(0, {dim - 1}), i -> 0d)")
     acc = nodes.select("node_id", zero.alias("acc"))
 
@@ -138,19 +136,23 @@ def fastrp(
     has_isolated = nodes.join(F.broadcast(reached), "node_id", "left_anti").count() > 0
 
     for alpha in iteration_weights:
+        prev = emb
         emb = _normalize(_propagate(edges, emb, dim, broadcast_emb))
         if has_isolated:
             emb = nodes.join(emb, "node_id", "left").select(
                 "node_id", F.coalesce("vec", zero).alias("vec")
             )
-        emb = emb.coalesce(par).localCheckpoint()
+        emb = materialize(emb, supersedes=prev)
         if alpha != 0.0:
-            # acc's lineage only references checkpointed embs — no need to
-            # checkpoint the accumulator itself
+            # the accumulator is materialized per round too, so each round's
+            # pinned state is exactly {current emb, current acc} — the
+            # superseded round is dead and safe to unpersist
+            prev_acc = acc
             acc = acc.join(emb, "node_id").select(
                 "node_id",
                 F.zip_with("acc", "vec", lambda a, v: a + F.lit(alpha) * v).alias("acc"),
             )
+            acc = materialize(acc, supersedes=prev_acc)  # no-op on uncached df
 
     return _normalize(acc.withColumnRenamed("acc", "vec")).select(
         "node_id", F.col("vec").alias("embedding")

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from . import materialize
 from .modularity import modularity
 
 
@@ -38,8 +39,8 @@ def _local_move(edges: DataFrame, max_sweeps: int) -> DataFrame:
     Returns (node_id, community); keeps the best-modularity assignment
     across sweeps.
 
-    Physical note: the per-sweep label/degree tables come out of
-    ``localCheckpoint`` — a LogicalRDD with no size stats, which Catalyst
+    Physical note: per-sweep label/degree tables come out of
+    ``plans.materialize`` as LogicalRDDs with no size stats, which Catalyst
     will never auto-broadcast. Left un-hinted, every sweep's
     edges ⋈ labels join plans as a sort-merge join that re-shuffles the
     whole edge list. We gate an explicit broadcast on the node count
@@ -57,7 +58,7 @@ def _local_move(edges: DataFrame, max_sweeps: int) -> DataFrame:
     )
     n_nodes = deg.count()
     bc = (lambda df: F.broadcast(df)) if n_nodes * 24 < 256 * 1024 * 1024 else (lambda df: df)
-    labels = deg.select("node_id", F.col("node_id").alias("community")).localCheckpoint()
+    labels = materialize(deg.select("node_id", F.col("node_id").alias("community")))
     stale = 0
 
     for sweep in range(max_sweeps):
@@ -124,10 +125,10 @@ def _local_move(edges: DataFrame, max_sweeps: int) -> DataFrame:
                 .alias("community"),
             )
             .coalesce(par)
-            .localCheckpoint()
         )
+        new_labels = materialize(new_labels)
         # convergence = no label changed; cheap count on the (small,
-        # checkpointed) label tables instead of a full-edge modularity
+        # materialized) label tables instead of a full-edge modularity
         # evaluation per sweep — with red/black gating the moves are
         # monotone enough that the per-sweep exact-Q guard isn't worth a
         # 2-join pass over the edge list (the per-level Q guard in
@@ -138,6 +139,7 @@ def _local_move(edges: DataFrame, max_sweeps: int) -> DataFrame:
             .filter(F.col("n.community") != F.col("o.community"))
             .count()
         )
+        labels.unpersist(blocking=False)
         labels = new_labels
         if changed == 0:
             # a half-sweep may be flat while the other half still has
@@ -183,13 +185,13 @@ def louvain(
 
     for _ in range(max_levels):
         labels = _local_move(cur_edges, max_sweeps)
+        first_level = mapping is None
         composed = (
             labels
-            if mapping is None
+            if first_level
             else mapping.join(
                 # the coarse-level label table shrinks every level — hint it
-                # while broadcastable (checkpointed → no stats for an
-                # auto-broadcast)
+                # while broadcastable
                 (F.broadcast(labels) if labels.count() * 24 < 256 * 1024 * 1024 else labels)
                 .withColumnRenamed("node_id", "community_prev"),
                 mapping.community == F.col("community_prev"),
@@ -200,8 +202,16 @@ def louvain(
         )
         if q <= prev_q + 1e-9:
             break
-        prev_q, mapping = q, composed.localCheckpoint()
-        cur_edges = _coarsen(cur_edges, labels).cache()
+        prev_q, mapping = q, materialize(composed, supersedes=mapping)
+        prev_edges = cur_edges
+        cur_edges = materialize(_coarsen(cur_edges, labels))
+        # this level's labels and edge list are dead once the coarse graph
+        # and composed mapping are pinned (first level: composed IS labels,
+        # which now backs the mapping — keep it)
+        if not first_level:
+            labels.unpersist(blocking=False)
+        if prev_edges is not edges:
+            prev_edges.unpersist(blocking=False)
 
     assert mapping is not None
     canon = mapping.groupBy("community").agg(F.min("node_id").alias("canon"))

@@ -17,8 +17,10 @@ on the graph, not on partitioning. A max-iteration cap bounds the known
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from . import materialize
 
 
 def label_propagation(
@@ -29,45 +31,57 @@ def label_propagation(
     """``edges`` is an undirected-doubled (src, dst, weight) edge list over
     long node ids. Returns ``(node_id, community)``.
 
-    Each round is one shuffle (groupBy dst,label) + one window (argmax per
-    node); ``localCheckpoint`` cuts lineage so round N doesn't replay
-    rounds 1..N-1. The edge list is cached up front — it is re-scanned
-    every round, and deriving it (e.g. the co-rating self-join) is often
-    the most expensive plan in the job.
+    Each round is one shuffle (groupBy dst,label) + an argmax hash
+    aggregate; an eager cache per round (``plans.materialize``) stops round
+    N from re-executing rounds 1..N-1. The edge list is cached up front —
+    it is re-scanned every round, and deriving it (e.g. the co-rating
+    self-join) is often the most expensive plan in the job.
     """
     edges = edges.cache()
-    labels = (
+    labels = materialize(
         edges.select(F.col("src").alias("node_id"))
         .union(edges.select(F.col("dst")))
         .distinct()
         .withColumn("community", F.col("node_id"))
-        .localCheckpoint()
     )
+    # materialized label tables are LogicalRDDs with no size stats — hint
+    # the broadcast while |V| is small so each round's edges ⋈ labels join
+    # doesn't re-shuffle the edge list; huge graphs fall back to shuffle
+    n_nodes = labels.count()
+    bc = (lambda df: F.broadcast(df)) if n_nodes * 24 < 256 * 1024 * 1024 else (lambda df: df)
 
     for _ in range(max_iter):
         scores = (
             edges.join(
-                labels.select(F.col("node_id").alias("src"), "community"), "src"
+                bc(labels.select(F.col("node_id").alias("src"), "community")), "src"
             )
             .groupBy("dst", "community")
             .agg(F.sum(weight_col).alias("score"))
         )
-        w = Window.partitionBy("dst").orderBy(F.desc("score"), F.asc("community"))
+        # argmax via hash aggregate (map-side combine, no sort): highest
+        # score, ties -> smallest label; ids are numeric so max(-id)=min(id)
         new_labels = (
-            scores.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select(F.col("dst").alias("node_id"), "community")
+            scores.groupBy("dst")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("score"),
+                        (-F.col("community")).alias("_neg"),
+                        F.col("community").alias("choice"),
+                    )
+                ).alias("best")
+            )
+            .select(F.col("dst").alias("node_id"), F.col("best.choice").alias("community"))
         )
         # isolated nodes (no edges) keep their own id as community
-        new_labels = (
+        new_labels = materialize(
             labels.select("node_id")
             .join(new_labels, "node_id", "left")
             .select("node_id", F.coalesce("community", F.col("node_id")).alias("community"))
-            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
-            .join(labels.alias("o"), "node_id")
+            .join(bc(labels.alias("o")), "node_id")
             .filter(F.col("n.community") != F.col("o.community"))
             .count()
         )
