@@ -47,6 +47,15 @@ def corating_edges(
       identical output, but a hot book's pairs land on ``salt`` reducers
       instead of one. AQE's skew split handles moderate skew on its own;
       salting is for the pathological hub keys AQE can't subdivide further.
+
+    Join strategy: when the positive-rating table is small enough to ship
+    to every executor (≤ ~256 MB), one side is broadcast — the self-join
+    then needs no shuffle or sort at all and the (u1,u2) aggregate starts
+    map-side right behind it. Catalyst can't make this call itself (the
+    post-filter size estimate stays above ``autoBroadcastJoinThreshold``),
+    so we gate it on an actual count. Beyond that size — the 100 TB case —
+    it falls back to the sort-merge join with AQE skew-split + optional
+    salting.
     """
     pos = positive_ratings(ratings, min_rating).select("user_id", "isbn")
     if max_raters_per_book is not None:
@@ -56,6 +65,14 @@ def corating_edges(
         ).drop("_rn")
     a = pos.select(F.col("user_id").alias("u1"), "isbn")
     b = pos.select(F.col("user_id").alias("u2"), "isbn")
+    # ~32 bytes per (user_id, isbn) row in the broadcast hash relation
+    if salt is None and pos.count() * 32 < 256 * 1024 * 1024:
+        return (
+            a.join(F.broadcast(b), "isbn")
+            .filter(F.col("u1") != F.col("u2"))
+            .groupBy("u1", "u2")
+            .agg(F.count(F.lit(1)).alias("weight"))
+        )
     if salt:
         a = a.withColumn("_salt", F.pmod(F.hash("u1"), F.lit(salt)))
         b = b.withColumn(

@@ -37,3 +37,28 @@ def materialize(df: DataFrame, *, supersedes: DataFrame | None = None) -> DataFr
     if supersedes is not None:
         supersedes.unpersist(blocking=False)
     return out
+
+
+def cache_wide(df: DataFrame, min_partitions: int) -> DataFrame:
+    """Cache ``df`` eagerly, re-spreading it over ``min_partitions`` if the
+    executed plan landed narrower.
+
+    Iterative algorithms re-scan their (cached) edge list every round, so
+    its partition count bounds per-round parallelism — and AQE coalesces a
+    few-MB aggregate output down to 1-2 partitions, which would serialize
+    every sweep. Probing ``df.rdd.getNumPartitions()`` BEFORE executing is
+    a trap: resolving the final AQE plan runs the whole upstream job once,
+    uncached, and the subsequent cache fill runs it again. So: cache, fill,
+    THEN probe (free on a finalized plan), and if too narrow, repartition
+    *from the cache* (a cheap cached scan, not a recompute). A wide input —
+    the 100 TB case, where repartitioning would be a full-data shuffle —
+    is left exactly as it arrived.
+    """
+    cached = df.cache()
+    cached.count()
+    if cached.rdd.getNumPartitions() >= min_partitions:
+        return cached
+    wide = cached.repartition(min_partitions).cache()
+    wide.count()
+    cached.unpersist(blocking=False)
+    return wide

@@ -35,7 +35,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from . import materialize
+from . import cache_wide, materialize
 
 SPARSITY = 3
 
@@ -115,9 +115,7 @@ def fastrp(
     # shuffle output) would pin the whole per-iteration kernel to a handful
     # of cores; spread it across the cluster once, reuse every iteration
     par = nodes.sparkSession.sparkContext.defaultParallelism
-    if edges.rdd.getNumPartitions() < par:
-        edges = edges.repartition(par)
-    edges = edges.cache()
+    edges = cache_wide(edges, par)
     n_nodes = nodes.count()
     emb = materialize(_normalize(_init_embeddings(nodes, dim, seed)))
     zero = F.expr(f"transform(sequence(0, {dim - 1}), i -> 0d)")

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from . import materialize
+from . import cache_wide, materialize
 from .modularity import modularity
 
 
@@ -65,10 +65,17 @@ def _local_move(edges: DataFrame, max_sweeps: int) -> DataFrame:
         dst_comm = labels.select(
             F.col("node_id").alias("dst"), F.col("community").alias("c")
         )
+        # red/black gating: only nodes whose hash parity matches this sweep
+        # may move — filtering the edge list on src parity BEFORE the
+        # per-sweep join halves the sweep's dominant shuffle/agg (the
+        # inactive half's argmax would be computed and then discarded)
+        active_edges = edges.filter(
+            F.pmod(F.hash("src"), F.lit(2)) == (sweep % 2)
+        )
         # k_i→c: weight from node i into community c (self-loops count into
         # the node's own community like GDS does)
         k_ic = (
-            edges.join(bc(dst_comm), "dst")
+            active_edges.join(bc(dst_comm), "dst")
             .groupBy(F.col("src").alias("node_id"), "c")
             .agg(F.sum("weight").alias("k_ic"))
         )
@@ -113,16 +120,14 @@ def _local_move(edges: DataFrame, max_sweeps: int) -> DataFrame:
             )
             .select("node_id", F.col("best.choice").alias("choice"))
         )
-        # red/black gating: only nodes whose hash parity matches this sweep
-        # apply their move — prevents symmetric label swaps
-        active = F.pmod(F.hash("node_id"), F.lit(2)) == (sweep % 2)
+        # ``chosen`` only contains this sweep's active-parity nodes (the
+        # edge prefilter above), so a left join + coalesce applies exactly
+        # their moves; inactive nodes keep their community
         new_labels = (
             labels.join(chosen, "node_id", "left")
             .select(
                 "node_id",
-                F.when(active, F.coalesce("choice", "community"))
-                .otherwise(F.col("community"))
-                .alias("community"),
+                F.coalesce("choice", "community").alias("community"),
             )
             .coalesce(par)
         )
@@ -176,9 +181,7 @@ def louvain(
     canonicalized to the smallest member node id.
     """
     par = edges.sparkSession.sparkContext.defaultParallelism
-    if edges.rdd.getNumPartitions() < par:
-        edges = edges.repartition(par)
-    edges = edges.cache()
+    edges = cache_wide(edges, par)
     mapping: DataFrame | None = None  # original node_id -> current community
     cur_edges = edges
     prev_q = float("-inf")

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from . import materialize
+from . import cache_wide, materialize
 
 
 def label_propagation(
@@ -37,7 +37,7 @@ def label_propagation(
     it is re-scanned every round, and deriving it (e.g. the co-rating
     self-join) is often the most expensive plan in the job.
     """
-    edges = edges.cache()
+    edges = cache_wide(edges, edges.sparkSession.sparkContext.defaultParallelism)
     labels = materialize(
         edges.select(F.col("src").alias("node_id"))
         .union(edges.select(F.col("dst")))

@@ -28,6 +28,15 @@ def modularity(
 
     ``two_m`` (total doubled weight) is graph-invariant — callers looping
     over partitions (Louvain sweeps) pass it once instead of re-summing.
+
+    Single-pass formulation: with ``deg_c = Σ_{i∈c} k_i`` and ``in_c`` the
+    doubled intra-community weight,
+
+        Q = (Σ_c in_c)/2m − (Σ_c deg_c²)/(2m)²   and   2m = Σ_c deg_c,
+
+    so one groupBy over the label-joined edge list plus one tiny aggregate
+    over the per-community table yields Q in ONE scan (the naive reading of
+    the formula costs three).
     """
     lab = communities.select(F.col("node_id"), F.col("community"))
     # label tables usually arrive checkpointed (no size stats) — Catalyst
@@ -39,26 +48,24 @@ def modularity(
         edges.join(lab.select(F.col("node_id").alias("src"), F.col("community").alias("c_src")), "src")
         .join(lab.select(F.col("node_id").alias("dst"), F.col("community").alias("c_dst")), "dst")
     )
-    if two_m is None:
-        two_m = e.agg(F.sum(weight_col)).collect()[0][0]
-    if not two_m:
-        return 0.0
-    in_c = (
-        e.filter(F.col("c_src") == F.col("c_dst"))
-        .groupBy("c_src")
-        .agg(F.sum(weight_col).alias("in_w"))
-    )
-    deg_c = (
+    w = F.col(weight_col)
+    row = (
         e.groupBy("c_src")
-        .agg(F.sum(weight_col).alias("deg"))
+        .agg(
+            F.sum(w).alias("deg"),
+            F.sum(F.when(F.col("c_src") == F.col("c_dst"), w).otherwise(F.lit(0.0))).alias("in_w"),
+        )
+        .agg(
+            F.sum("in_w").alias("in_total"),
+            F.sum(F.col("deg") * F.col("deg")).alias("deg_sq"),
+            F.sum("deg").alias("m_doubled"),
+        )
+        .collect()[0]
     )
-    parts = deg_c.join(in_c, "c_src", "left").select(
-        (
-            F.coalesce(F.col("in_w"), F.lit(0.0)) / two_m
-            - (F.col("deg") / two_m) * (F.col("deg") / two_m)
-        ).alias("q")
-    )
-    return float(parts.agg(F.sum("q")).collect()[0][0])
+    m = two_m if two_m is not None else row["m_doubled"]
+    if not m:
+        return 0.0
+    return float(row["in_total"] / m - row["deg_sq"] / (m * m))
 
 
 def community_stats(communities: DataFrame) -> DataFrame:
