@@ -122,14 +122,32 @@ def topk_hyperplane_lsh(
     A pair is a candidate if it collides in ANY of the ``num_tables`` hash
     tables (recall amplification: 1-(1-p^planes)^tables); candidates are
     deduped before the exact cosine re-rank, so each pair is scored once.
+
+    Self-KNN (``queries is corpus``) buckets and normalizes the table ONCE
+    and joins it with itself — the signature computation (tables × planes
+    dim-d dot products per row) is the second-largest cost after the
+    re-rank, and computing it per side doubles it for nothing. The bucket
+    table is eagerly cached either way: both join sides scan it.
+
+    Re-rank joins: the candidate table is |pairs| rows but the vector
+    tables are only |Q| / |C| rows — broadcast them while they fit
+    (gated on a count; they arrive checkpointed/cached with no stats, so
+    Catalyst can't make the call) instead of shuffling the pair table
+    twice.
     """
     dim = len(queries.select(vec_col).first()[0])
     planes = hyperplanes(num_planes * num_tables, dim, seed)
+    self_knn = queries is corpus
     qb = multi_bucket_ids(queries, planes, num_tables, id_col, vec_col).withColumnRenamed(
         "id", "query_id"
     )
-    cb = multi_bucket_ids(corpus, planes, num_tables, id_col, vec_col).withColumnRenamed(
-        "id", "neighbor_id"
+    qb.cache().count()
+    cb = (
+        qb.select(F.col("query_id").alias("neighbor_id"), "table", "bucket")
+        if self_knn
+        else multi_bucket_ids(corpus, planes, num_tables, id_col, vec_col).withColumnRenamed(
+            "id", "neighbor_id"
+        )
     )
     cand = (
         qb.join(cb, ["table", "bucket"])
@@ -138,7 +156,19 @@ def topk_hyperplane_lsh(
         .distinct()
     )
     q = _normed(queries, id_col, vec_col, "query_id")
-    c = _normed(corpus, id_col, vec_col, "neighbor_id")
+    c = (
+        q.select(F.col("query_id").alias("neighbor_id"), F.col("_query_id_v").alias("_neighbor_id_v"))
+        if self_knn
+        else _normed(corpus, id_col, vec_col, "neighbor_id")
+    )
+    # ~(dim * 8)B per vector row in a broadcast hash relation
+    vec_bytes = dim * 8 + 24
+    n_q = q.count()
+    n_c = n_q if self_knn else c.count()
+    if n_q * vec_bytes < 256 * 1024 * 1024:
+        q = F.broadcast(q)
+    if n_c * vec_bytes < 256 * 1024 * 1024:
+        c = F.broadcast(c)
     pairs = cand.join(q, "query_id").join(c, "neighbor_id").select(
         "query_id",
         "neighbor_id",
