@@ -140,16 +140,32 @@ def minhash_signatures(
     One md5 per shingle, then ``num_hashes`` universal-hash permutations
     ``(a_i*h + b_i) mod p`` — 32× fewer md5 invocations than hashing per
     (shingle, seed), and every step is reproducible in plain SQL.
+
+    The permutations are ``num_hashes`` min-buffers in ONE hash aggregate
+    over the |shingles| rows (map-side combinable), not an explode to
+    |shingles|·num_hashes rows feeding a (doc, seed) shuffle — the shuffle
+    carries one wide row per doc instead of num_hashes rows per shingle.
+    The (doc_id, seed, mh) long form the banding/estimate steps consume is
+    a cheap post-aggregate unpivot.
     """
     sh = shingle_set(documents, id_col, text_col, shingle_n)
     base = sh.select("doc_id", md5_hash32(F.col("shingle")).alias("h"))
-    coef = documents.sparkSession.createDataFrame(
-        minhash_coefficients(num_hashes), "seed INT, a LONG, b LONG"
+    mins = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"_mh{i}")
+        for i, a, b in minhash_coefficients(num_hashes)
+    ]
+    wide = base.groupBy("doc_id").agg(*mins)
+    stacked = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(i).cast("int").alias("seed"), F.col(f"_mh{i}").alias("mh"))
+                for i in range(num_hashes)
+            ]
+        )
     )
-    hashed = base.join(F.broadcast(coef)).select(
-        "doc_id", "seed", ((F.col("a") * F.col("h") + F.col("b")) % MINHASH_PRIME).alias("h")
+    return wide.select("doc_id", stacked.alias("s")).select(
+        "doc_id", F.col("s.seed").alias("seed"), F.col("s.mh").alias("mh")
     )
-    return hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("mh"))
 
 
 def minhash_lsh_pairs(

@@ -158,6 +158,89 @@ def _local_move(edges: DataFrame, max_sweeps: int) -> DataFrame:
     return labels
 
 
+def _louvain_sequential(
+    src, dst, weight, max_levels: int = 10, max_sweeps: int = 20
+):
+    """Exact sequential Louvain on driver-local numpy edge arrays.
+
+    Input is a directed-doubled edge list; returns ``(node_ids, community,
+    q)`` with ``community`` indexed by position in ``node_ids``.
+
+    Move rule mirrors the distributed scorer (argmax of
+    k_i→c − deg_i·(tot_c − [c=c_i]·deg_i)/2m), but moves require a STRICT
+    improvement over staying, so modularity is monotone non-decreasing and
+    the node-ascending iteration order makes the result deterministic.
+    """
+    import numpy as np
+
+    node_ids, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    n0 = len(node_ids)
+    s, d = inv[: len(src)].copy(), inv[len(src) :].copy()
+    w = np.asarray(weight, dtype=np.float64)
+    m2 = w.sum()
+    mapping = np.arange(n0)  # original node index -> current community label
+    q_best = -1.0
+
+    for _level in range(max_levels):
+        n = int(max(s.max(), d.max())) + 1 if len(s) else 0
+        order = np.argsort(s, kind="stable")
+        s_o, d_o, w_o = s[order], d[order], w[order]
+        indptr = np.searchsorted(s_o, np.arange(n + 1))
+        deg = np.bincount(s_o, weights=w_o, minlength=n)
+        comm = np.arange(n)
+        tot = deg.copy()
+
+        for _sweep in range(max_sweeps):
+            moved = 0
+            for i in range(n):
+                lo, hi = indptr[i], indptr[i + 1]
+                if lo == hi:
+                    continue
+                cs = comm[d_o[lo:hi]]
+                uc, pos = np.unique(cs, return_inverse=True)
+                k_ic = np.bincount(pos, weights=w_o[lo:hi])
+                ci = comm[i]
+                own = uc == ci
+                gain = k_ic - deg[i] * (tot[uc] - own * deg[i]) / m2
+                stay_idx = np.flatnonzero(own)
+                # no edge into the own community: staying scores
+                # k_i→ci=0 with the own-degree correction still applied
+                stay_gain = (
+                    gain[stay_idx[0]]
+                    if len(stay_idx)
+                    else -deg[i] * (tot[ci] - deg[i]) / m2
+                )
+                best = int(np.argmax(gain))  # uc sorted -> ties pick smallest
+                cb = int(uc[best])
+                if cb != ci and gain[best] > stay_gain:
+                    tot[ci] -= deg[i]
+                    tot[cb] += deg[i]
+                    comm[i] = cb
+                    moved += 1
+            if moved == 0:
+                break
+
+        # modularity of this level's partition (on the coarse graph == on
+        # the original graph, coarsening preserves Q)
+        in_c = np.bincount(comm[s_o], weights=w_o * (comm[s_o] == comm[d_o]), minlength=n)
+        tot_c = np.bincount(comm[s_o], weights=w_o, minlength=n)
+        q = in_c.sum() / m2 - (tot_c**2).sum() / (m2 * m2)
+        if q <= q_best + 1e-9:
+            break
+        q_best = q
+        # relabel communities densely, compose mapping, coarsen edges
+        uniq, comp = np.unique(comm, return_inverse=True)
+        mapping = comp[mapping]
+        key = comp[s] * len(uniq) + comp[d]
+        uk, pos = np.unique(key, return_inverse=True)
+        w = np.bincount(pos, weights=w)
+        s, d = uk // len(uniq), uk % len(uniq)
+        if len(uniq) == n:  # no contraction -> converged
+            break
+
+    return node_ids, mapping, q_best
+
+
 def _coarsen(edges: DataFrame, labels: DataFrame) -> DataFrame:
     """Contract communities to supernodes; intra edges become self-loops."""
     if labels.count() * 24 < 256 * 1024 * 1024:
@@ -173,20 +256,70 @@ def _coarsen(edges: DataFrame, labels: DataFrame) -> DataFrame:
 
 
 def louvain(
-    edges: DataFrame, max_levels: int = 3, max_sweeps: int = 5
+    edges: DataFrame, max_levels: int = 3, max_sweeps: int = 5,
+    local_threshold: int = 5_000_000,
 ) -> tuple[DataFrame, float]:
     """Full Louvain: returns ((node_id, community), modularity).
 
     ``edges``: undirected-doubled (src, dst, weight). Community ids are
     canonicalized to the smallest member node id.
+
+    Hybrid coarsening (the standard shape in the distributed-Louvain
+    literature): level 0 always runs the distributed synchronous local-move
+    — at scale the input graph is the whole point — but coarsening shrinks
+    the graph geometrically, so once a coarse level's edge list fits the
+    driver (≤ ``local_threshold`` rows, ~24 B/row), the remaining levels
+    collect and run the EXACT sequential algorithm locally: better
+    modularity than synchronous sweeps, and it trades dozens of small
+    Spark jobs for one numpy loop. Even with a 100 TB input, the level-1
+    supernode graph is usually thousands of nodes.
     """
-    par = edges.sparkSession.sparkContext.defaultParallelism
+    spark = edges.sparkSession
+    par = spark.sparkContext.defaultParallelism
     edges = cache_wide(edges, par)
     mapping: DataFrame | None = None  # original node_id -> current community
     cur_edges = edges
     prev_q = float("-inf")
 
-    for _ in range(max_levels):
+    for level in range(max_levels):
+        if (
+            mapping is not None
+            and local_threshold
+            and cur_edges.count() <= local_threshold
+        ):
+            pdf = cur_edges.toPandas()
+            node_ids, comm_idx, q_local = _louvain_sequential(
+                pdf["src"].to_numpy(), pdf["dst"].to_numpy(), pdf["weight"].to_numpy()
+            )
+            if q_local > prev_q + 1e-9:
+                import pandas as pd
+
+                local_map = spark.createDataFrame(
+                    pd.DataFrame(
+                        {"community_prev": node_ids, "community": comm_idx}
+                    ).astype("int64")
+                )
+                # left join: every supernode appears in the coarse edge
+                # list (coarsening keeps self-loops), but if one ever
+                # slipped through it must keep its old community rather
+                # than vanish from the result. Offset local labels so the
+                # two label spaces cannot collide.
+                offset = int(mapping.agg(F.max("community")).collect()[0][0]) + 1
+                mapping = materialize(
+                    mapping.join(
+                        F.broadcast(local_map),
+                        mapping.community == F.col("community_prev"),
+                        "left",
+                    ).select(
+                        mapping.node_id,
+                        F.coalesce(
+                            local_map.community + F.lit(offset), mapping.community
+                        ).alias("community"),
+                    ),
+                    supersedes=mapping,
+                )
+                prev_q = q_local
+            break
         labels = _local_move(cur_edges, max_sweeps)
         first_level = mapping is None
         composed = (
