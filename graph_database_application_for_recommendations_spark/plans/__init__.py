@@ -39,7 +39,7 @@ def materialize(df: DataFrame, *, supersedes: DataFrame | None = None) -> DataFr
     return out
 
 
-def cache_wide(df: DataFrame, min_partitions: int) -> DataFrame:
+def cache_wide(df: DataFrame, min_partitions: int, *partition_cols: str) -> DataFrame:
     """Cache ``df`` eagerly, re-spreading it over ``min_partitions`` if the
     executed plan landed narrower.
 
@@ -53,7 +53,21 @@ def cache_wide(df: DataFrame, min_partitions: int) -> DataFrame:
     *from the cache* (a cheap cached scan, not a recompute). A wide input —
     the 100 TB case, where repartitioning would be a full-data shuffle —
     is left exactly as it arrived.
+
+    ``partition_cols``: hash-partition on these columns instead of round-
+    robin. Worth it when every iteration aggregates or joins on exactly
+    these keys: the cached table's outputPartitioning then satisfies the
+    per-round ClusteredDistribution, so N rounds pay ONE setup shuffle
+    instead of N per-round exchanges (and a broadcast-join probe preserves
+    the partitioning through to the aggregate). The repartition is then
+    unconditional (a round-robin layout never satisfies the distribution),
+    so the probe-then-repartition dance is skipped: one shuffle, one cache
+    fill, upstream executed exactly once as the shuffle's map side.
     """
+    if partition_cols:
+        wide = df.repartition(min_partitions, *partition_cols).cache()
+        wide.count()
+        return wide
     cached = df.cache()
     cached.count()
     if cached.rdd.getNumPartitions() >= min_partitions:

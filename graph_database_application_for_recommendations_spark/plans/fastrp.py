@@ -18,14 +18,38 @@ same scheme):
 3. Final embedding = Σ_i α_i · h^(i) (GDS default iterationWeights
    [0.0, 1.0, 1.0]), L2-normalized.
 
+Physical strategy — two deliberate choices, both measured at sf0.1:
+
+- **Flat columns, not arrays, inside the loop.** The embedding travels as
+  ``dim`` primitive DOUBLE columns (`e0..e63`), not ``ARRAY<DOUBLE>``.
+  The per-round aggregate then sums primitive columns (codegen'd primitive
+  buffers) instead of evaluating 64 array ``getItem`` calls per edge row
+  and re-assembling an array per group: 5.4s → 1.8s per round. The array
+  form exists only at the API boundary (final ``embedding`` column).
+- **Edges hash-partitioned by ``dst`` once, no per-round shuffle.** Every
+  round is `edges ⋈ (broadcast) emb → groupBy(dst)`. A broadcast-hash-join
+  probe preserves the left side's partitioning, so caching the edge list
+  pre-partitioned on ``dst`` satisfies the aggregate's distribution in
+  every round: N rounds pay ONE setup shuffle instead of N. The per-round
+  exchange this removes is also the worst one in the program — map-side
+  combine is useless for it (avg edges per (partition, dst) ≈ degree/P < 1
+  at 32+ partitions), so it was shipping the full |E| × (dim+2)-column
+  join output (~0.6 GB/round at sf0.1). Measured 28s → 17s end-to-end.
+- **Eager per-round materialization** (cache + localCheckpoint, see
+  ``materialize``): round N's accumulator and round N+1's propagate both
+  read round N's table, and letting that chain stay lazy re-executes the
+  shared subtree at every reference (35s vs 17s end-to-end) — plans also
+  grow exponentially with depth (round N's tree embeds round N-1's twice).
+  On a real cluster a checkpoint dir would add crash recovery on top.
+
 Scale notes: the per-iteration aggregate is a single groupBy(node) with one
 sum buffer per vector slot — a partial-aggregatable shuffle of |E| rows
 (map-side combined to one row per partition×node) — no per-node neighbor
 lists are ever collected, so hub nodes (books rated by millions of users at
 100 TB) cannot OOM an executor; AQE splits any skewed reduce partition.
-An eager cache between rounds (``plans.materialize``) stops round N from
-re-executing rounds 0..N-1 per action (on a cluster, a checkpoint dir or
-intermediate parquet would serve the same purpose for crash recovery).
+The node-vector table (dim × 8 B per node) is broadcast into the edge join
+while it fits an executor; beyond that the join degrades gracefully to a
+shuffle join keyed on node id.
 """
 
 from __future__ import annotations
@@ -40,23 +64,45 @@ from . import cache_wide, materialize
 SPARSITY = 3
 
 
+def _ecols(dim: int) -> list[str]:
+    return [f"e{i}" for i in range(dim)]
+
+
 def _init_embeddings(nodes: DataFrame, dim: int, seed: int) -> DataFrame:
-    """Very sparse random projection vectors, hash-seeded per (node, dim)."""
+    """Very sparse random projection vectors, hash-seeded per (node, dim),
+    one flat DOUBLE column per slot."""
     scale = math.sqrt(SPARSITY)
     return nodes.select(
         "node_id",
-        F.expr(
-            f"transform(sequence(0, {dim - 1}), i -> "
-            f"CASE pmod(hash(node_id, i, {seed}), {2 * SPARSITY}) "
-            f"WHEN 0 THEN {scale}d WHEN 1 THEN {-scale}d ELSE 0d END)"
-        ).alias("vec"),
+        *[
+            F.expr(
+                f"CASE pmod(hash(node_id, {i}, {seed}), {2 * SPARSITY}) "
+                f"WHEN 0 THEN {scale}d WHEN 1 THEN {-scale}d ELSE 0d END"
+            ).alias(c)
+            for i, c in enumerate(_ecols(dim))
+        ],
     )
 
 
-def _normalize(df: DataFrame, col: str = "vec") -> DataFrame:
-    nrm = F.sqrt(F.aggregate(F.col(col), F.lit(0.0), lambda a, x: a + x * x))
-    return df.withColumn(
-        col, F.when(nrm > 0, F.transform(F.col(col), lambda x: x / nrm)).otherwise(F.col(col))
+def _normalize(df: DataFrame, dim: int) -> DataFrame:
+    """L2-normalize the flat vector columns (zero vectors pass through).
+
+    The norm lands in a real projected column first so codegen computes it
+    once per row, not once per slot.
+    """
+    cols = _ecols(dim)
+    nrm = F.sqrt(sum(F.col(c) * F.col(c) for c in cols))
+    return (
+        df.withColumn("_n", nrm)
+        .select(
+            "node_id",
+            *[
+                F.when(F.col("_n") > 0, F.col(c) / F.col("_n"))
+                .otherwise(F.col(c))
+                .alias(c)
+                for c in cols
+            ],
+        )
     )
 
 
@@ -65,29 +111,25 @@ def _propagate(
 ) -> DataFrame:
     """One round: h_dst = Σ_src w·h_src / Σ_src w  (weighted neighbor mean).
 
-    One HashAggregate with ``dim`` sum buffers (one per vector slot) keeps
-    the shuffle at |E| rows — map-side combined down to one row per
-    (partition, dst) — instead of the |E|·dim row blowup a posexplode
-    formulation pays. Re-assembly back to an array is a codegen'd
-    projection, no second aggregate.
+    One HashAggregate with ``dim`` primitive sum buffers keeps the shuffle
+    at |E| rows — map-side combined down to one row per (partition, dst).
 
     ``broadcast_emb`` skips shuffling the (large) edge list into the join:
     right for node tables that fit an executor (the caller gates on node
     count); huge graphs fall back to the shuffle join.
     """
+    cols = _ecols(dim)
     emb_side = emb.withColumnRenamed("node_id", "src")
     if broadcast_emb:
         emb_side = F.broadcast(emb_side)
-    sums = [
-        F.sum(F.col("vec")[i] * F.col("weight")).alias(f"_s{i}") for i in range(dim)
-    ]
+    sums = [F.sum(F.col(c) * F.col("weight")).alias(f"_s{i}") for i, c in enumerate(cols)]
     return (
         edges.join(emb_side, "src")
         .groupBy("dst")
         .agg(*sums, F.sum("weight").alias("_w"))
         .select(
             F.col("dst").alias("node_id"),
-            F.array(*[F.col(f"_s{i}") / F.col("_w") for i in range(dim)]).alias("vec"),
+            *[(F.col(f"_s{i}") / F.col("_w")).alias(c) for i, c in enumerate(cols)],
         )
     )
 
@@ -110,16 +152,18 @@ def fastrp(
     # isolated check, each iteration's zero-fill rejoin — would re-run
     # that distinct. This cache alone is worth ~2x on the whole algorithm.
     nodes = nodes.cache()
-    # the propagate map side (join + partial agg over |E| rows) inherits the
-    # edge cache's partitioning — a narrow source (one parquet file, a small
-    # shuffle output) would pin the whole per-iteration kernel to a handful
-    # of cores; spread it across the cluster once, reuse every iteration
+    # hash-partition the edge cache on dst: the broadcast-join probe keeps
+    # that partitioning, so every round's groupBy(dst) runs exchange-free
+    # (see module docstring) — and it spreads the per-iteration kernel
+    # across the cluster even when the source was a single narrow file
     par = nodes.sparkSession.sparkContext.defaultParallelism
-    edges = cache_wide(edges, par)
+    edges = cache_wide(edges, par, "dst")
     n_nodes = nodes.count()
-    emb = materialize(_normalize(_init_embeddings(nodes, dim, seed)))
-    zero = F.expr(f"transform(sequence(0, {dim - 1}), i -> 0d)")
-    acc = nodes.select("node_id", zero.alias("acc"))
+    cols = _ecols(dim)
+    # left lazy: the init table's only consumer is round 0's broadcast (or
+    # join probe), which executes the projection exactly once — pinning it
+    # would pay a store pass for nothing
+    emb = _normalize(_init_embeddings(nodes, dim, seed), dim)
 
     # ~(dim * 8)B per node: broadcast the node-vector table while it fits
     # comfortably in an executor; beyond that, shuffle join
@@ -133,27 +177,40 @@ def fastrp(
     reached = edges.select(F.col("dst").alias("node_id")).distinct()
     has_isolated = nodes.join(F.broadcast(reached), "node_id", "left_anti").count() > 0
 
+    acc: DataFrame | None = None
+    prev: DataFrame | None = None
     for alpha in iteration_weights:
-        prev = emb
-        emb = _normalize(_propagate(edges, emb, dim, broadcast_emb))
+        emb = _normalize(_propagate(edges, emb, dim, broadcast_emb), dim)
         if has_isolated:
             emb = nodes.join(emb, "node_id", "left").select(
-                "node_id", F.coalesce("vec", zero).alias("vec")
+                "node_id", *[F.coalesce(c, F.lit(0.0)).alias(c) for c in cols]
             )
-        emb = materialize(emb, supersedes=prev)
+        # materialize only multi-consumer rounds: with α=0 this round's
+        # table feeds exactly one plan (the next round's broadcast/probe),
+        # so pinning it would trade one lazy execution for an execution
+        # plus a store pass. With α≠0 it has two consumers (next round +
+        # accumulator) — pin it so neither re-executes the propagate.
+        # Each round's pinned state is exactly {current emb, current acc};
+        # the superseded round is dead and safe to unpersist.
         if alpha != 0.0:
-            # the accumulator is materialized per round too, so each round's
-            # pinned state is exactly {current emb, current acc} — the
-            # superseded round is dead and safe to unpersist
-            prev_acc = acc
-            acc = acc.join(emb, "node_id").select(
-                "node_id",
-                F.zip_with("acc", "vec", lambda a, v: a + F.lit(alpha) * v).alias("acc"),
-            )
-            acc = materialize(acc, supersedes=prev_acc)  # no-op on uncached df
+            emb = materialize(emb, supersedes=prev)
+            prev = emb
+            if acc is None:
+                acc = emb.select(
+                    "node_id", *[(F.lit(alpha) * F.col(c)).alias(c) for c in cols]
+                )
+            else:
+                prev_acc = acc
+                e2 = emb.withColumnRenamed("node_id", "_nid")
+                acc = acc.join(e2, F.col("node_id") == F.col("_nid")).select(
+                    "node_id",
+                    *[(acc[c] + F.lit(alpha) * e2[c]).alias(c) for c in cols],
+                )
+                acc = materialize(acc, supersedes=prev_acc)
 
-    return _normalize(acc.withColumnRenamed("acc", "vec")).select(
-        "node_id", F.col("vec").alias("embedding")
+    final = acc if acc is not None else emb
+    return _normalize(final, dim).select(
+        "node_id", F.array(*cols).alias("embedding")
     )
 
 
