@@ -122,28 +122,29 @@ def _local_move(edges: DataFrame, max_sweeps: int) -> DataFrame:
         )
         # ``chosen`` only contains this sweep's active-parity nodes (the
         # edge prefilter above), so a left join + coalesce applies exactly
-        # their moves; inactive nodes keep their community
-        new_labels = (
+        # their moves; inactive nodes keep their community. The convergence
+        # signal rides along as a ``_moved`` flag so ONE job both fills the
+        # new label cache and counts the moves — no separate old⋈new
+        # comparison pass per sweep. (With red/black gating the moves are
+        # monotone enough that a per-sweep exact-Q guard isn't worth a
+        # 2-join pass over the edge list; the per-level Q guard in
+        # louvain() still rejects a non-improving level.)
+        flagged = (
             labels.join(chosen, "node_id", "left")
             .select(
                 "node_id",
                 F.coalesce("choice", "community").alias("community"),
+                (
+                    F.col("choice").isNotNull()
+                    & (F.col("choice") != F.col("community"))
+                ).alias("_moved"),
             )
             .coalesce(par)
+            .cache()
         )
-        new_labels = materialize(new_labels)
-        # convergence = no label changed; cheap count on the (small,
-        # materialized) label tables instead of a full-edge modularity
-        # evaluation per sweep — with red/black gating the moves are
-        # monotone enough that the per-sweep exact-Q guard isn't worth a
-        # 2-join pass over the edge list (the per-level Q guard in
-        # louvain() still rejects a non-improving level)
-        changed = (
-            new_labels.alias("n")
-            .join(bc(labels.alias("o")), "node_id")
-            .filter(F.col("n.community") != F.col("o.community"))
-            .count()
-        )
+        changed = flagged.filter("_moved").count()
+        new_labels = flagged.select("node_id", "community").localCheckpoint()
+        flagged.unpersist(blocking=False)
         labels.unpersist(blocking=False)
         labels = new_labels
         if changed == 0:
@@ -276,7 +277,14 @@ def louvain(
     """
     spark = edges.sparkSession
     par = spark.sparkContext.defaultParallelism
-    edges = cache_wide(edges, par)
+    # hash-partition the edge cache on src: every per-sweep aggregate
+    # downstream groups on src or (src, c) after broadcast joins that
+    # preserve the probe side's partitioning, and HashPartitioning(src)
+    # satisfies both clustered distributions — so the sweeps' dominant
+    # k_i→c aggregation and the per-node argmax both run exchange-free,
+    # every sweep, for one setup shuffle (same strategy as FastRP's
+    # dst-partitioned cache)
+    edges = cache_wide(edges, par, "src")
     mapping: DataFrame | None = None  # original node_id -> current community
     cur_edges = edges
     prev_q = float("-inf")
