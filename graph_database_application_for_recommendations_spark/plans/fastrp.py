@@ -63,6 +63,14 @@ from . import cache_wide, materialize
 
 SPARSITY = 3
 
+# Driver-side exact solve below this many (undirected-doubled) edges —
+# ~100 MB of (src, dst, weight) rows, far below driver heap. Same hybrid
+# pattern as plans/louvain.py's sequential coarse solve: a graph this size
+# is driver-sized data, and ~6 chained Spark jobs of fixed overhead cost
+# more than the arithmetic itself. At 100 TB the gate fails and the
+# distributed iteration below runs unchanged.
+LOCAL_MAX_EDGES = 4_000_000
+
 
 def _ecols(dim: int) -> list[str]:
     return [f"e{i}" for i in range(dim)]
@@ -134,12 +142,80 @@ def _propagate(
     )
 
 
+def _fastrp_local(
+    nodes: DataFrame,
+    edges: DataFrame,
+    dim: int,
+    iteration_weights: tuple[float, ...],
+    seed: int,
+) -> DataFrame:
+    """Exact driver-side FastRP for driver-sized graphs (numpy kernel).
+
+    The init vectors come from the SAME Spark projection as the distributed
+    path (hash-seeded per (node, dim)), so both paths start from identical
+    state; propagation is the identical weighted-mean + L2-normalize
+    recurrence, differing only in float summation order (~1e-15, within the
+    rows-only check tolerance). Node order is canonicalized by sorting ids,
+    so the solve is deterministic regardless of partition layout.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = nodes.sparkSession
+    cols = _ecols(dim)
+    # the init projection evaluates dim murmur hashes per node — spread it
+    # over the cores first (the cached node table is often 1-2 partitions)
+    par = spark.sparkContext.defaultParallelism
+    ip = _normalize(_init_embeddings(nodes.repartition(par), dim, seed), dim).toPandas()
+    ip = ip.sort_values("node_id", kind="mergesort", ignore_index=True)
+    ids = ip["node_id"].to_numpy()
+    index = {nid: i for i, nid in enumerate(ids)}
+    # vectors travel transposed (dim, n): each propagation dim is then a
+    # contiguous 1-D gather + segmented reduceat, ~5x faster than the 2-D
+    # axis-0 reduceat (which strides across the full row width per segment)
+    ht = np.ascontiguousarray(ip[cols].to_numpy(dtype=np.float64).T)
+
+    ep = edges.select("src", "dst", "weight").toPandas()
+    src = ep["src"].map(index).to_numpy(dtype=np.int64)
+    dst = ep["dst"].map(index).to_numpy(dtype=np.int64)
+    w = ep["weight"].to_numpy(dtype=np.float64)
+    order = np.argsort(dst, kind="stable")
+    src, dst, w = src[order], dst[order], w[order]
+    # contiguous dst runs -> segmented sums via reduceat (vectorized groupBy)
+    uniq, starts = np.unique(dst, return_index=True)
+    wsum = np.add.reduceat(w, starts)
+
+    def _norm_cols(m: "np.ndarray") -> "np.ndarray":
+        nrm = np.sqrt((m * m).sum(axis=0))
+        nz = nrm > 0
+        m[:, nz] /= nrm[nz]
+        return m
+
+    acc = None
+    for alpha in iteration_weights:
+        nxt = np.zeros_like(ht)
+        for d in range(dim):
+            nxt[d][uniq] = np.add.reduceat(ht[d][src] * w, starts) / wsum
+        ht = _norm_cols(nxt)
+        if alpha != 0.0:
+            acc = alpha * ht if acc is None else acc + alpha * ht
+    final = _norm_cols(ht.copy() if acc is None else acc)
+
+    pdf = pd.DataFrame({"node_id": ids, "embedding": final.T.tolist()})
+    id_field = nodes.schema["node_id"]
+    return spark.createDataFrame(
+        pdf,
+        schema=f"node_id {id_field.dataType.simpleString()}, embedding array<double>",
+    )
+
+
 def fastrp(
     nodes: DataFrame,
     edges: DataFrame,
     dim: int = 64,
     iteration_weights: tuple[float, ...] = (0.0, 1.0, 1.0),
     seed: int = 42,
+    local_max_edges: int = LOCAL_MAX_EDGES,
 ) -> DataFrame:
     """Returns ``(node_id, embedding ARRAY<DOUBLE> dim d)`` for every node.
 
@@ -152,6 +228,12 @@ def fastrp(
     # isolated check, each iteration's zero-fill rejoin — would re-run
     # that distinct. This cache alone is worth ~2x on the whole algorithm.
     nodes = nodes.cache()
+    edges = edges.cache()
+    n_edges = edges.count()
+    if 0 < n_edges <= local_max_edges:
+        out = _fastrp_local(nodes, edges, dim, iteration_weights, seed)
+        edges.unpersist(blocking=False)
+        return out
     # hash-partition the edge cache on dst: the broadcast-join probe keeps
     # that partitioning, so every round's groupBy(dst) runs exchange-free
     # (see module docstring) — and it spreads the per-iteration kernel
@@ -179,7 +261,8 @@ def fastrp(
 
     acc: DataFrame | None = None
     prev: DataFrame | None = None
-    for alpha in iteration_weights:
+    for idx, alpha in enumerate(iteration_weights):
+        is_last = idx == len(iteration_weights) - 1
         emb = _normalize(_propagate(edges, emb, dim, broadcast_emb), dim)
         if has_isolated:
             emb = nodes.join(emb, "node_id", "left").select(
@@ -189,12 +272,17 @@ def fastrp(
         # table feeds exactly one plan (the next round's broadcast/probe),
         # so pinning it would trade one lazy execution for an execution
         # plus a store pass. With α≠0 it has two consumers (next round +
-        # accumulator) — pin it so neither re-executes the propagate.
+        # accumulator) — pin it so neither re-executes the propagate. On
+        # the LAST round both the round table and the accumulator are
+        # single-consumer again (emb feeds only the accumulator, acc feeds
+        # only the output normalize), so both pins are skipped — the final
+        # job evaluates the last propagate + blend in one lazy pass.
         # Each round's pinned state is exactly {current emb, current acc};
         # the superseded round is dead and safe to unpersist.
         if alpha != 0.0:
-            emb = materialize(emb, supersedes=prev)
-            prev = emb
+            if not is_last:
+                emb = materialize(emb, supersedes=prev)
+                prev = emb
             if acc is None:
                 acc = emb.select(
                     "node_id", *[(F.lit(alpha) * F.col(c)).alias(c) for c in cols]
@@ -206,7 +294,8 @@ def fastrp(
                     "node_id",
                     *[(acc[c] + F.lit(alpha) * e2[c]).alias(c) for c in cols],
                 )
-                acc = materialize(acc, supersedes=prev_acc)
+                if not is_last:
+                    acc = materialize(acc, supersedes=prev_acc)
 
     final = acc if acc is not None else emb
     return _normalize(final, dim).select(
