@@ -23,21 +23,44 @@ STAR_TABLES = (
 )
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one star-schema table.
+def normalize_event_ts(raw: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to a microsecond TIMESTAMP column.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; it is read as raw nanos
-    (``spark.sql.legacy.parquet.nanosAsLong``) and truncated to microsecond
-    timestamps — the same ns->us truncation DuckDB's reader applies, so
-    oracle compares stay exact.
+    Two physical encodings exist across testdata generations:
+
+    - parquet TIMESTAMP(NANOS): Spark's vectorized reader rejects it, so it
+      is read as raw nanos (``spark.sql.legacy.parquet.nanosAsLong``) and
+      truncated here — the same ns->us truncation DuckDB's reader applies,
+      so oracle compares stay exact.
+    - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads
+      TIMESTAMP_NTZ, which half the timestamp function surface
+      (``unix_micros`` et al.) rejects. Re-tag the same naive micros as a
+      TIMESTAMP via pure NTZ arithmetic (``timestampdiff`` against an NTZ
+      epoch literal) — a plain ``cast`` would route through the session
+      timezone, and the driver's session timezone is unknown.
+
+    Both branches yield byte-identical epoch micros, matching what DuckDB
+    hands the oracle.
     """
+    from pyspark.sql.types import LongType
+
+    if isinstance(raw.schema["ts"].dataType, LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn(
+        "ts",
+        F.timestamp_micros(
+            F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)")
+        ),
+    )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one star-schema table (see ``normalize_event_ts`` for events)."""
     path = f"{sf_dir}/{name}.parquet"
     if name != "events":
         return spark.read.parquet(path)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(spark.read.parquet(path))
 
 
 def load_star(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -34,8 +34,10 @@ from pyspark.sql.types import (
     StructType,
 )
 
-# Raw file schema: ts arrives as TIMESTAMP(NANOS) which Spark reads as long
-# under spark.sql.legacy.parquet.nanosAsLong (see sources/tables.py).
+# Raw file schema for the TIMESTAMP(NANOS) testdata generation: ts arrives
+# as long under spark.sql.legacy.parquet.nanosAsLong (see sources/tables.py).
+# Later generations write TIMESTAMP(MICROS) — read_events_stream probes the
+# file's footer (one cheap batch schema read) and picks the right variant.
 RAW_EVENT_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -52,14 +54,19 @@ def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     """Streaming read of the events parquet with proper event-time column."""
+    from ..sources.tables import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(RAW_EVENT_SCHEMA)
+    # streaming file sources require an explicit schema; take it from the
+    # batch reader's footer inference so either ts encoding works
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     # the file source rejects a plain file path ("basePath must be a
     # directory") but accepts a glob that matches it
     raw = reader.parquet(f"{sf_dir}/events.[p]arquet")
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(raw)
 
 
 def tumbling_counts_stream(
