@@ -75,7 +75,21 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark("gdar-bench", shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    spark.range(1_000_000).select(F.sum("id")).collect()  # JVM warmup
+    # JVM warmup: C2-compile the paths the query mix lives on — codegen'd
+    # scans/aggregates, the shuffle machinery, and the higher-order array
+    # functions (zip_with/aggregate/transform interpreters) that the vector
+    # kernels use. Without this the first heavy query pays the JIT storm.
+    spark.range(1_000_000).select(F.sum("id")).collect()
+    spark.range(100_000).groupBy((F.col("id") % 1000).alias("k")).count().count()
+    v = spark.range(256).select(
+        "id", F.expr("transform(sequence(0, 63), x -> cast(x * id % 7 as double))").alias("v")
+    )
+    w = v.select(F.col("id").alias("id2"), F.col("v").alias("w"))
+    v.crossJoin(w).select(
+        F.aggregate(
+            F.zip_with("v", "w", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        ).alias("s")
+    ).agg(F.sum("s")).collect()
 
     queries = registry.queries()
     timings: dict[str, float] = {}

@@ -113,7 +113,16 @@ class RefTables:
 
     @cached_property
     def ratings(self) -> DataFrame:
-        return build_ratings(self.raw_ratings)
+        # The one expensive shared derivation (lineitem⋈orders + groupBy),
+        # read by ~15 serving queries. ``cache()`` is the write-back step of
+        # the reference's precompute-then-serve flow (SURVEY.md §3 EP3):
+        # Spark's cache manager keys on the canonicalized plan, so every
+        # RefTables instance in the session — and any query embedding this
+        # subplan — resolves to the same InMemoryRelation instead of
+        # re-running the join. ~550k slim rows at sf0.1: far below executor
+        # storage at any bench scale; at 100 TB the same role is played by
+        # a materialized parquet table (operators/etl.py writers).
+        return build_ratings(self.raw_ratings).cache()
 
     @cached_property
     def events(self) -> DataFrame:
