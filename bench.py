@@ -20,6 +20,7 @@ import os
 import sys
 import time
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from graph_database_application_for_recommendations_spark import registry
@@ -85,11 +86,22 @@ def main() -> None:
         "id", F.expr("transform(sequence(0, 63), x -> cast(x * id % 7 as double))").alias("v")
     )
     w = v.select(F.col("id").alias("id2"), F.col("v").alias("w"))
-    v.crossJoin(w).select(
-        F.aggregate(
-            F.zip_with("v", "w", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
-        ).alias("s")
-    ).agg(F.sum("s")).collect()
+    pairs = (
+        v.crossJoin(w)
+        .select(
+            "id",
+            "id2",
+            F.round(
+                F.aggregate(
+                    F.zip_with("v", "w", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+                ),
+                6,
+            ).alias("s"),
+        )
+        .filter(F.col("s") >= 0)  # pushed into the join condition, like the KNN plans
+    )
+    win = Window.partitionBy("id").orderBy(F.desc("s"), F.asc("id2"))
+    pairs.withColumn("_rn", F.row_number().over(win)).filter(F.col("_rn") <= 5).count()
 
     queries = registry.queries()
     timings: dict[str, float] = {}

@@ -71,6 +71,74 @@ def knn_exact(
     )
 
 
+def knn_exact_local(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    top_k: int = 20,
+    cutoff: float = 0.8,
+    row_block: int = 2048,
+) -> DataFrame:
+    """Exact KNN solved on the driver with a numpy matmul kernel.
+
+    Same hybrid pattern as plans/fastrp.py's ``_fastrp_local`` and
+    plans/louvain.py's sequential coarse solve: a vector table of 10^4..10^5
+    rows is driver-sized data (n·d doubles), and one BLAS matmul beats a
+    distributed O(n²) pair join by an order of magnitude at that size.
+    Blocked over query rows so peak memory is ``row_block × n`` doubles,
+    never n². Intended for rows-only-checked pipelines (float summation
+    order differs from the Spark fold in the last ulp, so it is not wired
+    into the oracle-checked ``knn_exact`` queries); at cluster scale the
+    gate in plans/pipeline.py routes to ``knn_hyperplane`` instead.
+
+    Semantics contract (identical to ``knn_exact``): similarity rounded to
+    6 decimals before cutoff and ranking, ties broken by ``dst`` ascending,
+    self-pairs excluded.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    pdf = embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")).toPandas()
+    pdf = pdf.sort_values("_id", ignore_index=True)
+    ids = pdf["_id"].to_numpy()
+    mat = np.asarray(pdf["_v"].tolist(), dtype=np.float64)
+    nrm = np.linalg.norm(mat, axis=1)
+    nz = nrm > 0
+    mat[nz] /= nrm[nz, None]
+    n = len(ids)
+    out_src, out_dst, out_sim = [], [], []
+    for lo in range(0, n, row_block):
+        hi = min(lo + row_block, n)
+        sims = mat[lo:hi] @ mat.T
+        sims[np.arange(hi - lo), np.arange(lo, hi)] = -np.inf  # self-pairs
+        # pre-filter unrounded with 1e-6 slack (6dp rounding moves a value
+        # by <5e-7, so nothing that rounds above the cutoff is lost), then
+        # round only the surviving candidates — np.round over the full
+        # block costs more than the matmul itself
+        rr, cc = np.nonzero(sims >= cutoff - 1e-6)
+        if rr.size == 0:
+            continue
+        vals = np.round(sims[rr, cc], 6)
+        ok = vals >= cutoff
+        rr, cc, vals = rr[ok], cc[ok], vals[ok]
+        for row in np.unique(rr):
+            sel = np.flatnonzero(rr == row)
+            if sel.size > top_k:
+                # ids are pre-sorted ascending and cc is emitted in
+                # ascending order, so stable argsort on -val gives the
+                # dst-ascending tie-break for free
+                sel = sel[np.argsort(-vals[sel], kind="stable")[:top_k]]
+            out_src.extend([ids[lo + row]] * sel.size)
+            out_dst.extend(ids[cc[sel]])
+            out_sim.extend(vals[sel])
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+    return spark.createDataFrame(
+        pd.DataFrame({"src": out_src, "dst": out_dst, "similarity": out_sim}),
+        schema=f"src {id_type}, dst {id_type}, similarity double",
+    )
+
+
 def knn_hyperplane(
     embeddings: DataFrame,
     id_col: str = "vec_id",

@@ -169,15 +169,17 @@ def _fastrp_local(
     ip = _normalize(_init_embeddings(nodes.repartition(par), dim, seed), dim).toPandas()
     ip = ip.sort_values("node_id", kind="mergesort", ignore_index=True)
     ids = ip["node_id"].to_numpy()
-    index = {nid: i for i, nid in enumerate(ids)}
     # vectors travel transposed (dim, n): each propagation dim is then a
     # contiguous 1-D gather + segmented reduceat, ~5x faster than the 2-D
     # axis-0 reduceat (which strides across the full row width per segment)
     ht = np.ascontiguousarray(ip[cols].to_numpy(dtype=np.float64).T)
 
     ep = edges.select("src", "dst", "weight").toPandas()
-    src = ep["src"].map(index).to_numpy(dtype=np.int64)
-    dst = ep["dst"].map(index).to_numpy(dtype=np.int64)
+    # vectorized id->ordinal lookup (hash-join in C); a Python-dict .map
+    # costs seconds at 10^6 string keys
+    idx = pd.Index(ids)
+    src = idx.get_indexer(ep["src"].to_numpy())
+    dst = idx.get_indexer(ep["dst"].to_numpy())
     w = ep["weight"].to_numpy(dtype=np.float64)
     order = np.argsort(dst, kind="stable")
     src, dst, w = src[order], dst[order], w[order]

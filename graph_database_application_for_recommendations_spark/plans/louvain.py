@@ -191,6 +191,10 @@ def _louvain_sequential(
         comm = np.arange(n)
         tot = deg.copy()
 
+        # k_i→c scatter buffer reused across nodes (zeroed on the touched
+        # slots after each node) — avoids a per-node np.unique sort, which
+        # dominates the sweep at avg degree in the hundreds
+        buf = np.zeros(n)
         for _sweep in range(max_sweeps):
             moved = 0
             for i in range(n):
@@ -198,26 +202,24 @@ def _louvain_sequential(
                 if lo == hi:
                     continue
                 cs = comm[d_o[lo:hi]]
-                uc, pos = np.unique(cs, return_inverse=True)
-                k_ic = np.bincount(pos, weights=w_o[lo:hi])
+                ws = w_o[lo:hi]
+                np.add.at(buf, cs, ws)
                 ci = comm[i]
-                own = uc == ci
-                gain = k_ic - deg[i] * (tot[uc] - own * deg[i]) / m2
-                stay_idx = np.flatnonzero(own)
-                # no edge into the own community: staying scores
-                # k_i→ci=0 with the own-degree correction still applied
-                stay_gain = (
-                    gain[stay_idx[0]]
-                    if len(stay_idx)
-                    else -deg[i] * (tot[ci] - deg[i]) / m2
-                )
-                best = int(np.argmax(gain))  # uc sorted -> ties pick smallest
-                cb = int(uc[best])
-                if cb != ci and gain[best] > stay_gain:
-                    tot[ci] -= deg[i]
-                    tot[cb] += deg[i]
-                    comm[i] = cb
-                    moved += 1
+                # candidate list may repeat a community; duplicate entries
+                # carry identical gains, so argmax/tie-break are unaffected
+                gain = buf[cs] - deg[i] * (tot[cs] - (cs == ci) * deg[i]) / m2
+                # staying scores k_i→ci (0 if no edge into own community)
+                # with the own-degree correction applied
+                stay_gain = buf[ci] - deg[i] * (tot[ci] - deg[i]) / m2
+                maxg = gain.max()
+                buf[cs] = 0.0
+                if maxg > stay_gain:
+                    cb = int(cs[gain == maxg].min())  # ties -> smallest id
+                    if cb != ci:
+                        tot[ci] -= deg[i]
+                        tot[cb] += deg[i]
+                        comm[i] = cb
+                        moved += 1
             if moved == 0:
                 break
 
@@ -266,38 +268,40 @@ def louvain(
     canonicalized to the smallest member node id.
 
     Hybrid coarsening (the standard shape in the distributed-Louvain
-    literature): level 0 always runs the distributed synchronous local-move
-    — at scale the input graph is the whole point — but coarsening shrinks
-    the graph geometrically, so once a coarse level's edge list fits the
-    driver (≤ ``local_threshold`` rows, ~24 B/row), the remaining levels
-    collect and run the EXACT sequential algorithm locally: better
-    modularity than synchronous sweeps, and it trades dozens of small
-    Spark jobs for one numpy loop. Even with a 100 TB input, the level-1
+    literature): any level whose edge list fits the driver
+    (≤ ``local_threshold`` rows, ~24 B/row) collects and runs the EXACT
+    sequential algorithm locally — better modularity than synchronous
+    sweeps, and it trades dozens of small Spark jobs for one numpy loop.
+    Levels above the threshold run the distributed synchronous local-move;
+    coarsening shrinks the graph geometrically, so even with a 100 TB
+    input only level 0 (and rarely level 1) is distributed — the level-1
     supernode graph is usually thousands of nodes.
     """
     spark = edges.sparkSession
     par = spark.sparkContext.defaultParallelism
-    # hash-partition the edge cache on src: every per-sweep aggregate
-    # downstream groups on src or (src, c) after broadcast joins that
-    # preserve the probe side's partitioning, and HashPartitioning(src)
-    # satisfies both clustered distributions — so the sweeps' dominant
-    # k_i→c aggregation and the per-node argmax both run exchange-free,
-    # every sweep, for one setup shuffle (same strategy as FastRP's
-    # dst-partitioned cache)
-    edges = cache_wide(edges, par, "src")
+    if not (local_threshold and edges.count() <= local_threshold):
+        # hash-partition the edge cache on src: every per-sweep aggregate
+        # downstream groups on src or (src, c) after broadcast joins that
+        # preserve the probe side's partitioning, and HashPartitioning(src)
+        # satisfies both clustered distributions — so the sweeps' dominant
+        # k_i→c aggregation and the per-node argmax both run exchange-free,
+        # every sweep, for one setup shuffle (same strategy as FastRP's
+        # dst-partitioned cache). Skipped when level 0 solves locally —
+        # the local path reads the edges exactly once.
+        edges = cache_wide(edges, par, "src")
     mapping: DataFrame | None = None  # original node_id -> current community
     cur_edges = edges
     prev_q = float("-inf")
 
     for level in range(max_levels):
-        if (
-            mapping is not None
-            and local_threshold
-            and cur_edges.count() <= local_threshold
-        ):
+        if local_threshold and cur_edges.count() <= local_threshold:
             pdf = cur_edges.toPandas()
             node_ids, comm_idx, q_local = _louvain_sequential(
-                pdf["src"].to_numpy(), pdf["dst"].to_numpy(), pdf["weight"].to_numpy()
+                pdf["src"].to_numpy(),
+                pdf["dst"].to_numpy(),
+                pdf["weight"].to_numpy(),
+                max_levels=max_levels - level,
+                max_sweeps=max_sweeps,
             )
             if q_local > prev_q + 1e-9:
                 import pandas as pd
@@ -307,25 +311,34 @@ def louvain(
                         {"community_prev": node_ids, "community": comm_idx}
                     ).astype("int64")
                 )
-                # left join: every supernode appears in the coarse edge
-                # list (coarsening keeps self-loops), but if one ever
-                # slipped through it must keep its old community rather
-                # than vanish from the result. Offset local labels so the
-                # two label spaces cannot collide.
-                offset = int(mapping.agg(F.max("community")).collect()[0][0]) + 1
-                mapping = materialize(
-                    mapping.join(
-                        F.broadcast(local_map),
-                        mapping.community == F.col("community_prev"),
-                        "left",
-                    ).select(
-                        mapping.node_id,
-                        F.coalesce(
-                            local_map.community + F.lit(offset), mapping.community
-                        ).alias("community"),
-                    ),
-                    supersedes=mapping,
-                )
+                if mapping is None:
+                    # level 0 is itself driver-sized: the sequential solve
+                    # IS the whole algorithm (community_prev = node_id)
+                    mapping = materialize(
+                        local_map.select(
+                            F.col("community_prev").alias("node_id"), "community"
+                        )
+                    )
+                else:
+                    # left join: every supernode appears in the coarse edge
+                    # list (coarsening keeps self-loops), but if one ever
+                    # slipped through it must keep its old community rather
+                    # than vanish from the result. Offset local labels so the
+                    # two label spaces cannot collide.
+                    offset = int(mapping.agg(F.max("community")).collect()[0][0]) + 1
+                    mapping = materialize(
+                        mapping.join(
+                            F.broadcast(local_map),
+                            mapping.community == F.col("community_prev"),
+                            "left",
+                        ).select(
+                            mapping.node_id,
+                            F.coalesce(
+                                local_map.community + F.lit(offset), mapping.community
+                            ).alias("community"),
+                        ),
+                        supersedes=mapping,
+                    )
                 prev_q = q_local
             break
         labels = _local_move(cur_edges, max_sweeps)

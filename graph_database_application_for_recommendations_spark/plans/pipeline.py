@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.corating import corating_edges
-from ..operators.knn import knn_exact, knn_hyperplane
+from ..operators.knn import knn_exact_local, knn_hyperplane
 from ..sources.views import load_ref_tables
 from . import fastrp as _fastrp
 from . import lpa as _lpa
@@ -94,7 +94,7 @@ def run_pipeline(
     knn_cutoff: float = 0.8,
     lpa_max_iter: int = 10,
     seed: int = 42,
-    knn_lsh_threshold: int = 8000,
+    knn_lsh_threshold: int = 50_000,
     community_algorithm: str = "lpa",
 ) -> PipelineResult:
     """End-to-end algorithm pipeline over the reference-shaped tables.
@@ -104,11 +104,12 @@ def run_pipeline(
     FastRP embeddings of co-rated users genuinely exceed 0.8 cosine, unlike
     the driver's random test embeddings.
 
-    Physical strategy switch: beyond ``knn_lsh_threshold`` users, the
-    O(n²) exact KNN becomes the dominant cost, so the pipeline moves to
-    the LSH candidate join (same output contract, approximate recall) —
-    the same call the reference makes is itself approximate (GDS KNN is
-    NN-descent, not exhaustive).
+    Physical strategy switch: up to ``knn_lsh_threshold`` users the exact
+    KNN solves on the driver (blocked BLAS matmul — a user table this size
+    is driver-sized data); beyond it the pipeline moves to the LSH
+    candidate join (same output contract, approximate recall) — the call
+    the reference makes is itself approximate (GDS KNN is NN-descent, not
+    exhaustive).
     """
     ref = load_ref_tables(spark, sf_dir)
     ratings = ref.ratings
@@ -120,9 +121,14 @@ def run_pipeline(
         return _fastrp.user_embeddings_from_fastrp(emb_all).cache()
 
     def _similar_to() -> DataFrame:
-        # G3: KNN over the user embeddings (S11 + J8)
+        # G3: KNN over the user embeddings (S11 + J8). Driver-sized user
+        # tables solve exactly on the driver (one blocked BLAS matmul, same
+        # hybrid pattern as fastrp's local gate); past the threshold the
+        # multi-table hyperplane LSH join takes over — at 100 TB the
+        # candidate equi-join is the only strategy whose cost tracks bucket
+        # occupancy instead of n².
         user_emb = result.embeddings
-        knn_fn = knn_exact if user_emb.count() <= knn_lsh_threshold else knn_hyperplane
+        knn_fn = knn_exact_local if user_emb.count() <= knn_lsh_threshold else knn_hyperplane
         return knn_fn(user_emb, id_col="user_id", vec_col="embedding",
                       top_k=knn_top_k, cutoff=knn_cutoff)
 

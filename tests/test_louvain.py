@@ -33,6 +33,17 @@ def test_louvain_separates_cliques(spark, three_cliques):
     assert q == pytest.approx(0.6557, abs=0.01)
 
 
+def test_louvain_distributed_path_separates_cliques(spark, three_cliques):
+    """local_threshold=0 forces the distributed red/black sweeps + coarsen
+    loop (driver-sized inputs otherwise take the exact sequential gate)."""
+    comm, q = louvain(three_cliques, local_threshold=0)
+    got = {r["node_id"]: r["community"] for r in comm.collect()}
+    groups = [{got[i] for i in c} for c in ([1, 2, 3, 4], [11, 12, 13, 14], [21, 22, 23, 24])]
+    assert all(len(g) == 1 for g in groups)
+    assert len({next(iter(g)) for g in groups}) == 3
+    assert q == pytest.approx(0.6557, abs=0.01)
+
+
 def test_louvain_at_least_as_good_as_lpa(spark, three_cliques):
     _, q_louvain = louvain(three_cliques)
     lpa = label_propagation(three_cliques)
