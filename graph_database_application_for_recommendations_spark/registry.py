@@ -215,10 +215,13 @@ register(
     ),
 )
 
-# Co-rating projection (J3+A1, the Louvain input graph)
+# Co-rating projection (J3+A1, the Louvain input graph). Cached: this is
+# the reference's materialized Cypher graph projection
+# (Alg_Community_Detection.py:15-34) — q_louvain_communities reads the
+# same plan and resolves to the InMemoryRelation.
 register(
     "q_corating_projection",
-    lambda s, d: corating.corating_edges(_ref(s, d).ratings),
+    lambda s, d: corating.corating_edges(_ref(s, d).ratings).cache(),
     _q(
         """
         SELECT a.user_id AS u1, b.user_id AS u2, COUNT(*) AS weight
@@ -1047,7 +1050,9 @@ def _louvain_communities(s: SparkSession, d: str) -> DataFrame:
     co-rating projection — rows-only: community ids are value-unstable."""
     from .plans.louvain import louvain
 
-    co = corating.corating_edges(_ref(s, d).ratings).select(
+    # .cache() on the same base plan as q_corating_projection: whichever
+    # query runs first materializes the projection, the other reuses it
+    co = corating.corating_edges(_ref(s, d).ratings).cache().select(
         F.col("u1").alias("src"),
         F.col("u2").alias("dst"),
         F.col("weight").cast("double").alias("weight"),
