@@ -980,9 +980,10 @@ _PIPELINE_CACHE: dict[str, object] = {}
 def _pipeline(spark: SparkSession, sf_dir: str):
     from .plans.pipeline import run_pipeline
 
-    # keyed by session too: cached DataFrames die with their session, and
-    # the driver may hand us a fresh one
-    key = (id(spark), sf_dir)
+    # keyed by context too: cached DataFrames die with their context, and
+    # the driver may hand us a fresh one (applicationId is unique per
+    # context; id(spark) could be reused after GC)
+    key = (spark.sparkContext.applicationId, sf_dir)
     res = _PIPELINE_CACHE.get(key)
     if res is None:
         # knn_cutoff 0.6 instead of the reference's 0.8: FastRP cosines over

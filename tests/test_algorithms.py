@@ -84,6 +84,22 @@ def test_fastrp_shape_and_determinism(spark):
         assert emb2[r["node_id"]] == pytest.approx(r["embedding"], abs=1e-9)
 
 
+def test_fastrp_distributed_path_matches_local(spark):
+    """local_max_edges=0 forces the distributed iteration; both paths start
+    from the identical hash-seeded init and run the same weighted-mean +
+    L2-normalize recurrence, so results agree to float-summation noise."""
+    ratings = load_ref_tables(spark, SF_SMALL).ratings
+    nodes, edges = bipartite_rating_graph(ratings)
+    local = {r["node_id"]: r["embedding"] for r in fastrp(nodes, edges, dim=16, seed=7).collect()}
+    dist = {
+        r["node_id"]: r["embedding"]
+        for r in fastrp(nodes, edges, dim=16, seed=7, local_max_edges=0).collect()
+    }
+    assert local.keys() == dist.keys()
+    for nid, vec in local.items():
+        assert dist[nid] == pytest.approx(vec, abs=1e-9)
+
+
 def test_fastrp_corated_users_more_similar_than_random(spark):
     """Quality proxy (SURVEY §5): strongly co-rating users should be closer
     in embedding space than random user pairs, on average."""
@@ -149,6 +165,27 @@ def test_knn_lsh_subset_of_exact(spark):
             hits += 1
             assert r["similarity"] == pytest.approx(exact_sim[(r["src"], r["dst"])], abs=1e-9)
     assert hits > 0
+
+
+def test_knn_exact_local_matches_distributed(spark):
+    """The driver-local BLAS kernel and the distributed cross-join kernel
+    implement one semantics contract: identical pairs, similarities (6dp
+    rounding happens before cutoff and ranking in both) and top-k
+    tie-breaks."""
+    from graph_database_application_for_recommendations_spark.operators.knn import knn_exact_local
+
+    emb = load_ref_tables(spark, SF_SMALL).embeddings
+    dist = {
+        (r["src"], r["dst"]): r["similarity"]
+        for r in knn_exact(emb, top_k=5, cutoff=0.2).collect()
+    }
+    local = {
+        (r["src"], r["dst"]): r["similarity"]
+        for r in knn_exact_local(emb, top_k=5, cutoff=0.2).collect()
+    }
+    assert dist.keys() == local.keys()
+    for pair, sim in dist.items():
+        assert local[pair] == pytest.approx(sim, abs=1e-9)
 
 
 def test_knn_exact_fixture(spark):
