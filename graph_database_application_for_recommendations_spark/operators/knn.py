@@ -180,6 +180,41 @@ def knn_hyperplane(
     ).filter(F.col("similarity") >= cutoff)
 
 
+def knn_ivf(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    top_k: int = 20,
+    cutoff: float = 0.8,
+    num_cells: int | None = None,
+    nprobe: int = 8,
+) -> DataFrame:
+    """Approximate KNN via IVF (k-means cells + nprobe, operators/ivf.py).
+
+    The preferred beyond-driver-size path for the *moderate*-similarity
+    regime of FastRP user graphs: sign-hyperplane LSH collision probability
+    decays as (1 - θ/π)^planes, which at cosine ≈ 0.6 leaves ~18% recall
+    for any affordable table count (measured at sf0.1), while probing the
+    8 nearest k-means cells recovers ~60% at the same cost. Candidate
+    volume ≈ n · nprobe · (n / cells) — an equi-join on cell id, never a
+    cross join.
+    """
+    from .ivf import topk_ivf
+
+    pairs = topk_ivf(
+        embeddings,
+        embeddings,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=top_k,
+        num_cells=num_cells,
+        nprobe=nprobe,
+    )
+    return pairs.select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"), "similarity"
+    ).filter(F.col("similarity") >= cutoff)
+
+
 def knn_lsh(
     embeddings: DataFrame,
     id_col: str = "vec_id",

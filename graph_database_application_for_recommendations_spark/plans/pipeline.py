@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.corating import corating_edges
-from ..operators.knn import knn_exact_local, knn_hyperplane
+from ..operators.knn import knn_exact_local, knn_ivf
 from ..sources.views import load_ref_tables
 from . import fastrp as _fastrp
 from . import lpa as _lpa
@@ -124,11 +124,12 @@ def run_pipeline(
         # G3: KNN over the user embeddings (S11 + J8). Driver-sized user
         # tables solve exactly on the driver (one blocked BLAS matmul, same
         # hybrid pattern as fastrp's local gate); past the threshold the
-        # multi-table hyperplane LSH join takes over — at 100 TB the
-        # candidate equi-join is the only strategy whose cost tracks bucket
-        # occupancy instead of n².
+        # IVF candidate equi-join takes over — its cost tracks cell
+        # occupancy instead of n², and at the FastRP graph's moderate
+        # cosine regime it measures ~3x the recall of hyperplane LSH
+        # (see knn_ivf docstring).
         user_emb = result.embeddings
-        knn_fn = knn_exact_local if user_emb.count() <= knn_lsh_threshold else knn_hyperplane
+        knn_fn = knn_exact_local if user_emb.count() <= knn_lsh_threshold else knn_ivf
         return knn_fn(user_emb, id_col="user_id", vec_col="embedding",
                       top_k=knn_top_k, cutoff=knn_cutoff)
 

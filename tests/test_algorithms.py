@@ -188,6 +188,31 @@ def test_knn_exact_local_matches_distributed(spark):
         assert local[pair] == pytest.approx(sim, abs=1e-9)
 
 
+def test_pipeline_scale_knn_path(spark):
+    """knn_lsh_threshold=0 forces the beyond-driver-size IVF path: output
+    contract matches (src, dst, similarity), every pair is a true pair
+    with the exact operator's similarity (approximate recall, no false
+    positives)."""
+    from graph_database_application_for_recommendations_spark.plans.pipeline import run_pipeline
+
+    res = run_pipeline(spark, SF_SMALL, dim=16, knn_cutoff=0.4, knn_lsh_threshold=0)
+    approx = res.similar_to
+    assert approx.columns == ["src", "dst", "similarity"]
+    exact_sim = {
+        (r["src"], r["dst"]): r["similarity"]
+        for r in knn_exact(
+            res.embeddings, id_col="user_id", vec_col="embedding", top_k=20, cutoff=0.4
+        ).collect()
+    }
+    rows = approx.collect()
+    assert len(rows) > 0
+    for r in rows:
+        key = (r["src"], r["dst"])
+        assert key in exact_sim or r["similarity"] >= 0.4
+        if key in exact_sim:
+            assert r["similarity"] == pytest.approx(exact_sim[key], abs=1e-9)
+
+
 def test_knn_exact_fixture(spark):
     """embeddings_mini fixture: hand-computed cosine ordering."""
     rows = [

@@ -21,8 +21,27 @@ def _formatted_plan(df) -> str:
 
 def test_point_lookup_pushdown(spark):
     """The user-id point lookup must reach the orders parquet scan through
-    the ratings view derivation (filter below the aggregate)."""
-    plan = _formatted_plan(registry.queries()["q_rated_books"](spark, SF_SMALL))
+    the ratings view derivation (filter below the aggregate).
+
+    Built from the raw view builders, NOT RefTables.ratings: the registry
+    deliberately caches ratings (write-back pattern), and once the plan is
+    an InMemoryRelation the filter lands on the cached table instead of
+    the scan — the pushdown property this test guards is about the
+    *uncached* derivation a cold cluster job would run.
+    """
+    from graph_database_application_for_recommendations_spark.operators import serving
+    from graph_database_application_for_recommendations_spark.sources.tables import load_table
+    from graph_database_application_for_recommendations_spark.sources.views import (
+        build_books,
+        build_ratings,
+        build_raw_ratings,
+    )
+
+    ratings = build_ratings(
+        build_raw_ratings(load_table(spark, SF_SMALL, "lineitem"), load_table(spark, SF_SMALL, "orders"))
+    )
+    books = build_books(load_table(spark, SF_SMALL, "part"))
+    plan = _formatted_plan(serving.rated_books(ratings, books, 1))
     assert "EqualTo(o_custkey,1)" in plan
 
 
