@@ -142,6 +142,102 @@ def _propagate(
     )
 
 
+# --- vectorized Spark-compatible Murmur3 (numpy) ---------------------------
+# Bit-exact replica of Spark's `hash(node_id, i, seed)` expression
+# (Murmur3_x86_32 with per-byte tail mixing, fold seed 42) so the local
+# FastRP init needs no Spark jobs; test_fastrp_distributed_path_matches_local
+# pins the two inits against each other.
+
+_M32 = None  # lazy numpy constants
+
+
+def _mm3():
+    global _M32
+    if _M32 is None:
+        import numpy as np
+
+        M = np.uint64(0xFFFFFFFF)
+
+        def rotl(x, r):
+            return ((x << np.uint64(r)) | (x >> np.uint64(32 - r))) & M
+
+        def mixK1(k1):
+            return (rotl((k1 * np.uint64(0xCC9E2D51)) & M, 15) * np.uint64(0x1B873593)) & M
+
+        def mixH1(h1, k1):
+            return (rotl(h1 ^ k1, 13) * np.uint64(5) + np.uint64(0xE6546B64)) & M
+
+        def fmix(h1, length):
+            h1 = h1 ^ length
+            h1 = h1 ^ (h1 >> np.uint64(16))
+            h1 = (h1 * np.uint64(0x85EBCA6B)) & M
+            h1 = h1 ^ (h1 >> np.uint64(13))
+            h1 = (h1 * np.uint64(0xC2B2AE35)) & M
+            return h1 ^ (h1 >> np.uint64(16))
+
+        def hash_int(v, h):
+            return fmix(mixH1(h, mixK1(v)), np.uint64(4))
+
+        _M32 = (mixK1, mixH1, fmix, hash_int)
+    return _M32
+
+
+def _hash_strings_local(ids, h0: int):
+    """Vectorized Spark ``hashUnsafeBytes`` over an array of strings."""
+    import numpy as np
+
+    mixK1, mixH1, fmix, _ = _mm3()
+    bs = [s.encode("utf-8") for s in ids]
+    n = len(bs)
+    lengths = np.fromiter((len(b) for b in bs), dtype=np.int64, count=n)
+    maxlen = int(lengths.max()) if n else 0
+    mat = np.zeros((n, maxlen), dtype=np.uint8)
+    for i, b in enumerate(bs):
+        mat[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+    h1 = np.full(n, h0, dtype=np.uint64)
+    aligned = (lengths // 4) * 4
+    for j in range(0, max(maxlen - 3, 0), 4):
+        m = aligned > j
+        if not m.any():
+            continue
+        w = (
+            mat[:, j].astype(np.uint64)
+            | (mat[:, j + 1].astype(np.uint64) << np.uint64(8))
+            | (mat[:, j + 2].astype(np.uint64) << np.uint64(16))
+            | (mat[:, j + 3].astype(np.uint64) << np.uint64(24))
+        )
+        h1 = np.where(m, mixH1(h1, mixK1(w)), h1)
+    for j in range(maxlen):
+        m = (aligned <= j) & (j < lengths)
+        if not m.any():
+            continue
+        b = mat[:, j].astype(np.int64)
+        b = np.where(b > 127, b - 256, b)  # signed java byte, int32-wrapped
+        h1 = np.where(m, mixH1(h1, mixK1((b & 0xFFFFFFFF).astype(np.uint64))), h1)
+    return fmix(h1, lengths.astype(np.uint64))
+
+
+def _init_matrix_local(ids, dim: int, seed: int):
+    """(dim, n) very-sparse random projection matrix — the numpy twin of
+    ``_init_embeddings``'s per-(node, dim) ``hash(node_id, i, seed)``."""
+    import numpy as np
+
+    _, _, _, hash_int = _mm3()
+    scale = math.sqrt(SPARSITY)
+    base = _hash_strings_local(ids, 42)
+    n = len(ids)
+    out = np.zeros((dim, n), dtype=np.float64)
+    seed_vec = np.full(n, np.uint32(seed), dtype=np.uint64)
+    for i in range(dim):
+        h = hash_int(np.full(n, np.uint64(i), dtype=np.uint64), base)
+        h = hash_int(seed_vec, h)
+        signed = h.astype(np.uint32).astype(np.int64)
+        signed = np.where(signed >= 2**31, signed - 2**32, signed)
+        mod = np.mod(signed, 2 * SPARSITY)  # numpy mod is non-negative == pmod
+        out[i] = np.where(mod == 0, scale, np.where(mod == 1, -scale, 0.0))
+    return out
+
+
 def _fastrp_local(
     nodes: DataFrame,
     edges: DataFrame,
@@ -151,8 +247,10 @@ def _fastrp_local(
 ) -> DataFrame:
     """Exact driver-side FastRP for driver-sized graphs (numpy kernel).
 
-    The init vectors come from the SAME Spark projection as the distributed
-    path (hash-seeded per (node, dim)), so both paths start from identical
+    The init vectors come from a bit-exact numpy replica of the
+    distributed path's hash-seeded Spark projection (``_init_matrix_local``
+    vs ``_init_embeddings`` — pinned against each other by the
+    distributed/local equivalence test), so both paths start from identical
     state; propagation is the identical weighted-mean + L2-normalize
     recurrence, differing only in float summation order (~1e-15, within the
     rows-only check tolerance). Node order is canonicalized by sorting ids,
@@ -162,17 +260,13 @@ def _fastrp_local(
     import pandas as pd
 
     spark = nodes.sparkSession
-    cols = _ecols(dim)
-    # the init projection evaluates dim murmur hashes per node — spread it
-    # over the cores first (the cached node table is often 1-2 partitions)
-    par = spark.sparkContext.defaultParallelism
-    ip = _normalize(_init_embeddings(nodes.repartition(par), dim, seed), dim).toPandas()
+    ip = nodes.select("node_id").toPandas()
     ip = ip.sort_values("node_id", kind="mergesort", ignore_index=True)
     ids = ip["node_id"].to_numpy()
     # vectors travel transposed (dim, n): each propagation dim is then a
     # contiguous 1-D gather + segmented reduceat, ~5x faster than the 2-D
     # axis-0 reduceat (which strides across the full row width per segment)
-    ht = np.ascontiguousarray(ip[cols].to_numpy(dtype=np.float64).T)
+    ht = _init_matrix_local(ids, dim, seed)
 
     ep = edges.select("src", "dst", "weight").toPandas()
     # vectorized id->ordinal lookup (hash-join in C); a Python-dict .map
@@ -193,6 +287,7 @@ def _fastrp_local(
         m[:, nz] /= nrm[nz]
         return m
 
+    ht = _norm_cols(ht)  # distributed path normalizes the init the same way
     acc = None
     for alpha in iteration_weights:
         nxt = np.zeros_like(ht)
