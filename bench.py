@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "q_events_sliding",
     "q_events_sessionize",
     "q_events_asof",
+    "q_events_conversions",
     "q_events_percentiles",
     "q_events_rollup",
     "q_events_json",

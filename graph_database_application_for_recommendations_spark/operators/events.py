@@ -194,3 +194,40 @@ def json_props_stats(events: DataFrame) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("k"), 6).alias("avg_k"))
     )
+
+
+def event_conversions(
+    events: DataFrame,
+    first_type: str = "click",
+    then_type: str = "purchase",
+    within_minutes: int = 30,
+) -> DataFrame:
+    """(user_id, first_event_id, then_event_id, first_us, then_us):
+    funnel correlation — every ``then_type`` event that follows a
+    ``first_type`` event by the same user within the interval.
+
+    Batch twin of ``streaming/events.py::conversions_stream`` (the
+    stream-stream interval join). Physically an equi-join on ``user_id``
+    with the time bound as a residual predicate — the same shape Spark
+    gives the watermarked stream-stream join, where the bound also limits
+    join state retention.
+    """
+    width = within_minutes * US_PER_MIN
+    first = events.filter(F.col("event_type") == first_type).select(
+        "user_id",
+        F.col("event_id").alias("first_event_id"),
+        F.unix_micros("ts").alias("first_us"),
+    )
+    then = events.filter(F.col("event_type") == then_type).select(
+        "user_id",
+        F.col("event_id").alias("then_event_id"),
+        F.unix_micros("ts").alias("then_us"),
+    )
+    return (
+        first.join(then, "user_id")
+        .filter(
+            (F.col("then_us") > F.col("first_us"))
+            & (F.col("then_us") <= F.col("first_us") + F.lit(width))
+        )
+        .select("user_id", "first_event_id", "then_event_id", "first_us", "then_us")
+    )

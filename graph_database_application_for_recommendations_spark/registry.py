@@ -909,6 +909,21 @@ register(
     """,
 )
 register(
+    "q_events_conversions",
+    lambda s, d: events.event_conversions(_ref(s, d).events),
+    """
+    SELECT c.user_id,
+           c.event_id AS first_event_id,
+           p.event_id AS then_event_id,
+           epoch_us(c.ts) AS first_us,
+           epoch_us(p.ts) AS then_us
+    FROM events c JOIN events p ON c.user_id = p.user_id
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+      AND epoch_us(p.ts) > epoch_us(c.ts)
+      AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000
+    """,
+)
+register(
     "q_events_percentiles",
     lambda s, d: events.value_percentiles(_ref(s, d).events),
     """

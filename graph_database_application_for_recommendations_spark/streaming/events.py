@@ -151,6 +151,57 @@ def dedup_stream(events: DataFrame, watermark_minutes: int = 120) -> DataFrame:
     )
 
 
+def conversions_stream(
+    events: DataFrame,
+    first_type: str = "click",
+    then_type: str = "purchase",
+    within_minutes: int = 30,
+    watermark_minutes: int = 120,
+) -> DataFrame:
+    """Stream-stream interval self-join: ``then_type`` events joined to the
+    ``first_type`` events they follow (same user, within the interval).
+    Twin of operators/events.py::event_conversions.
+
+    Both sides carry a watermark and the join condition bounds event time
+    on both ends, so Spark can expire join state: a buffered ``first`` row
+    is droppable once the ``then`` watermark passes first_ts + interval —
+    this is THE state-retention contract for stream-stream joins at scale.
+    """
+    first = (
+        events.filter(F.col("event_type") == first_type)
+        .select(
+            F.col("user_id").alias("first_user"),
+            F.col("event_id").alias("first_event_id"),
+            F.col("ts").alias("first_ts"),
+        )
+        .withWatermark("first_ts", f"{watermark_minutes} minutes")
+    )
+    then = (
+        events.filter(F.col("event_type") == then_type)
+        .select(
+            F.col("user_id").alias("then_user"),
+            F.col("event_id").alias("then_event_id"),
+            F.col("ts").alias("then_ts"),
+        )
+        .withWatermark("then_ts", f"{watermark_minutes} minutes")
+    )
+    joined = first.join(
+        then,
+        F.expr(
+            f"""first_user = then_user
+            AND then_ts > first_ts
+            AND then_ts <= first_ts + INTERVAL {within_minutes} MINUTES"""
+        ),
+    )
+    return joined.select(
+        F.col("first_user").alias("user_id"),
+        "first_event_id",
+        "then_event_id",
+        F.unix_micros("first_ts").alias("first_us"),
+        F.unix_micros("then_ts").alias("then_us"),
+    )
+
+
 DOC_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

@@ -40,6 +40,10 @@ def test_point_lookup_pushdown(spark):
     ratings = build_ratings(
         build_raw_ratings(load_table(spark, SF_SMALL, "lineitem"), load_table(spark, SF_SMALL, "orders"))
     )
+    # drop any cache entry another test left for this exact plan — cache
+    # substitution applies to structurally equal subplans no matter who
+    # built them, and an InMemoryRelation would absorb the filter
+    ratings.unpersist()
     books = build_books(load_table(spark, SF_SMALL, "part"))
     plan = _formatted_plan(serving.rated_books(ratings, books, 1))
     assert "EqualTo(o_custkey,1)" in plan

@@ -50,6 +50,20 @@ def test_streaming_sliding_matches_batch(spark, event_stream, batch_events, tmp_
     assert _rows(got) == _rows(want)
 
 
+def test_streaming_conversions_matches_batch(spark, event_stream, batch_events, tmp_path):
+    """Stream-stream interval self-join (click -> purchase funnel) equals
+    the batch interval join. Inner stream-stream joins emit rows as both
+    sides arrive; append mode is exact here."""
+    got = stream_ops.run_to_memory(
+        stream_ops.conversions_stream(event_stream, within_minutes=30),
+        "t_conversions",
+        "append",
+        str(tmp_path / "ck_conv"),
+    )
+    want = batch_ops.event_conversions(batch_events, within_minutes=30)
+    assert _rows(got) == _rows(want)
+
+
 def test_streaming_sessionize_matches_batch(spark, event_stream, batch_events, tmp_path):
     got = stream_ops.run_to_memory(
         stream_ops.sessionize_stream(event_stream, gap_minutes=30),
