@@ -122,3 +122,39 @@ def test_sessionize_partitions_events(spark, ts_offsets):
     # sessions partition the events: counts sum to total, durations >= 0
     assert sum(r["n_events"] for r in sessions) == len(rows)
     assert all(r["duration_s"] >= 0 for r in sessions)
+
+
+@given(
+    evs=st.lists(
+        st.tuples(
+            st.integers(1, 4),                      # user_id
+            st.sampled_from(["click", "purchase"]),  # event_type
+            st.integers(0, 7200),                    # seconds offset
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@SLOW
+def test_event_conversions_matches_bruteforce(spark, evs):
+    """Interval-join funnel == brute-force pair enumeration."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    t = lambda s: base + datetime.timedelta(seconds=s)
+    df = spark.createDataFrame(
+        [(i, u, ty, t(s)) for i, (u, ty, s) in enumerate(evs)],
+        "event_id LONG, user_id LONG, event_type STRING, ts TIMESTAMP",
+    )
+    got = {
+        (r["user_id"], r["first_event_id"], r["then_event_id"])
+        for r in events.event_conversions(df, within_minutes=30).collect()
+    }
+    width_s = 30 * 60
+    want = {
+        (u1, i, j)
+        for i, (u1, ty1, s1) in enumerate(evs)
+        for j, (u2, ty2, s2) in enumerate(evs)
+        if ty1 == "click" and ty2 == "purchase" and u1 == u2 and 0 < s2 - s1 <= width_s
+    }
+    assert got == want
