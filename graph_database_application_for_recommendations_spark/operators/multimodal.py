@@ -87,14 +87,23 @@ def _byte_features(payload: bytes) -> dict:
 DECODERS = {"image": _decode_image, "audio": _decode_audio}
 
 
-def extract_features(assets: DataFrame, batch_size: int = 256) -> DataFrame:
+def extract_features(
+    assets: DataFrame, batch_size: int = 256, rows_per_task: int = 2048
+) -> DataFrame:
     """Arrow-batched feature extraction over the binary payload column.
 
     ``mapInPandas`` keeps the whole batch in one Python call (no per-row
     overhead). The input is repartitioned first so the Python workers fan
-    out across the cluster even when the source is a single file.
+    out across the cluster even when the source is a single file — but the
+    fan-out is sized to the data (``rows_per_task``), capped at the
+    cluster's parallelism: spawning a Python worker per core for a few
+    thousand rows pays seconds of interpreter startup for milliseconds of
+    work, while at 100 TB the count pushes the partition count to the
+    cluster-wide cap. The count itself is one cheap metadata-ish job.
     """
-    assets = assets.repartition(assets.sparkSession.sparkContext.defaultParallelism)
+    par = assets.sparkSession.sparkContext.defaultParallelism
+    n = assets.count()
+    assets = assets.repartition(max(1, min(par, -(-n // rows_per_task))))
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
