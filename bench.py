@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "q_dedup_fingerprint",
     "q_dedup_minhash_lsh",
     "q_dedup_ngram_jaccard",
+    "q_dedup_repeated_ngrams",
     "q_dedup_simhash",
     "q_dedup_simhash_pairs",
     "q_dedup_embedding",

@@ -108,6 +108,42 @@ def ngram_jaccard_pairs(
     )
 
 
+def repeated_ngrams(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """(ngram_hash, n_docs, n_occurrences) — exact n-token span duplication
+    statistics across the corpus.
+
+    The primitive behind exact-substring dedup of training corpora
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", ACL 2022 — public paper): token spans repeated across
+    documents are removal candidates. Unlike ``shingle_set`` this counts
+    occurrences WITH multiplicity (every position), so ``n_occurrences``
+    is the corpus-wide frequency of the span. One explode + one hash
+    aggregate — map-side combinable, fans out like the other text kernels.
+    """
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    toks = tokens(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return (
+        documents.repartition(par)
+        .select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("gram"))
+        .groupBy(F.md5("gram").alias("ngram_hash"))
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
 # --- MinHash + LSH -----------------------------------------------------------
 
 

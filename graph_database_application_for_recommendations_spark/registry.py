@@ -424,6 +424,23 @@ register(
     ),
 )
 register(
+    "q_dedup_repeated_ngrams",
+    lambda s, d: dedup.repeated_ngrams(_docs(s, d), n=8),
+    _q_docs(
+        """
+        , grams AS (
+          SELECT doc_id,
+                 unnest([array_to_string(list_slice(t, i, i + 7), ' ')
+                         for i in range(1, greatest(len(t) - 7, 1) + 1)]) AS gram
+          FROM toks)
+        SELECT md5(gram) AS ngram_hash,
+               COUNT(DISTINCT doc_id) AS n_docs,
+               COUNT(*) AS n_occurrences
+        FROM grams GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+        """
+    ),
+)
+register(
     "q_dedup_ngram_jaccard",
     lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d), n=3, threshold=0.5),
     _q_docs(

@@ -56,6 +56,27 @@ def test_ngram_jaccard_finds_near_dup(spark, docs_with_dups):
     assert (1, 5) not in pairs  # unrelated doc
 
 
+def test_repeated_ngrams_counts_cross_doc_spans(spark):
+    """8-token spans shared across docs surface with doc + occurrence
+    counts; spans unique to one doc don't."""
+    shared = "one two three four five six seven eight"
+    rows = [
+        (1, f"{shared} tail-a"),
+        (2, f"head-b {shared}"),
+        (3, f"{shared} and {shared}"),  # twice in one doc
+        (4, "completely unrelated words that repeat nothing from the others"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r["ngram_hash"]: (r["n_docs"], r["n_occurrences"])
+           for r in dedup.repeated_ngrams(df, n=8).collect()}
+    import hashlib
+
+    h = hashlib.md5(shared.encode()).hexdigest()
+    assert got[h] == (3, 4)  # docs 1,2,3; doc 3 contributes two positions
+    # no span from doc 4 is shared
+    assert all(n_docs >= 2 for n_docs, _ in got.values())
+
+
 def test_minhash_estimates_track_true_jaccard(spark, docs_with_dups):
     est = {
         (r["doc_a"], r["doc_b"]): r["est_jaccard"]
