@@ -375,3 +375,56 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("similarity") >= threshold)
     )
+
+
+def embedding_neardup_lsh(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    num_planes: int = 4,
+    num_tables: int = 4,
+    seed: int = 123,
+) -> DataFrame:
+    """The scale path for ``embedding_neardup_pairs``: hyperplane-bucketed
+    candidate generation + exact cosine verify.
+
+    Candidate volume follows bucket occupancy (an equi-join on
+    (table, bucket)), never n². Sign buckets fit the near-dup regime —
+    at cosine ≥ 0.95 a colliding pair survives a plane with p ≈ 0.9, so
+    a handful of OR-amplified tables reaches high recall (unlike the
+    moderate-similarity KNN regime, where IVF wins — see knn_ivf).
+    Deterministic planes (seeded LCG) keep the operator oracle-checkable.
+    """
+    from ..functions import vector as V
+    from .simsearch import hyperplanes, multi_bucket_ids
+
+    dim = len(embeddings.select(vec_col).first()[0])
+    planes = hyperplanes(num_planes * num_tables, dim, seed)
+    mb = multi_bucket_ids(embeddings, planes, num_tables, id_col, vec_col)
+    mb.cache().count()
+    a = mb.select(F.col("id").alias("id_a"), "table", "bucket")
+    b = mb.select(F.col("id").alias("id_b"), "table", "bucket")
+    cand = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    vecs = embeddings.select(
+        F.col(id_col).alias("_vid"), V.l2_normalize(V.as_double(F.col(vec_col))).alias("_v")
+    )
+    if vecs.count() * (dim * 8 + 24) < 256 * 1024 * 1024:
+        vecs = F.broadcast(vecs)
+    va = vecs.select(F.col("_vid").alias("id_a"), F.col("_v").alias("_va"))
+    vb = vecs.select(F.col("_vid").alias("id_b"), F.col("_v").alias("_vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(V.dot(F.col("_va"), F.col("_vb")), V.SIM_SCALE).alias("similarity"),
+        )
+        .filter(F.col("similarity") >= threshold)
+    )

@@ -740,6 +740,37 @@ _COS = (
 )
 
 register(
+    "q_dedup_embedding_lsh",
+    lambda s, d: dedup.embedding_neardup_lsh(
+        _ref(s, d).embeddings, threshold=0.4, num_planes=4, num_tables=4, seed=123
+    ),
+    _q_vec(
+        f"""
+        , planes(tid, pid, pv) AS (VALUES {_PLANES_VALUES}),
+        dots AS (
+          SELECT v.vec_id, p.tid, p.pid, SUM(v.v[t.i] * p.pv[t.i]) AS d
+          FROM vec v, planes p, range(1, 65) t(i)
+          GROUP BY 1, 2, 3),
+        buckets AS (
+          SELECT vec_id, tid,
+                 CAST(SUM(CASE WHEN d >= 0 THEN (1 << pid) ELSE 0 END) AS BIGINT) AS bucket
+          FROM dots GROUP BY vec_id, tid),
+        cand AS (
+          SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+          FROM buckets l
+          JOIN buckets r ON l.tid = r.tid AND l.bucket = r.bucket AND l.vec_id < r.vec_id),
+        pairs AS (
+          SELECT cand.id_a, cand.id_b, {_COS} AS similarity
+          FROM cand
+          JOIN vec a ON a.vec_id = cand.id_a
+          JOIN vec b ON b.vec_id = cand.id_b
+          CROSS JOIN range(1, 65) t(i)
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, similarity FROM pairs WHERE similarity >= 0.4
+        """
+    ),
+)
+register(
     "q_simsearch_topk",
     lambda s, d: simsearch.topk_bruteforce(
         _ref(s, d).embeddings.filter(F.col("vec_id") < 10), _ref(s, d).embeddings, k=10

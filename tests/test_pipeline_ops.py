@@ -77,6 +77,22 @@ def test_repeated_ngrams_counts_cross_doc_spans(spark):
     assert all(n_docs >= 2 for n_docs, _ in got.values())
 
 
+def test_embedding_neardup_lsh_subset_of_exact(spark):
+    from graph_database_application_for_recommendations_spark.sources.views import load_ref_tables
+
+    from .conftest import SF_SMALL
+
+    emb = load_ref_tables(spark, SF_SMALL).embeddings
+    exact = {
+        (r["id_a"], r["id_b"]): r["similarity"]
+        for r in dedup.embedding_neardup_pairs(emb, threshold=0.3).collect()
+    }
+    lsh = dedup.embedding_neardup_lsh(emb, threshold=0.3).collect()
+    assert len(lsh) > 0
+    for r in lsh:
+        assert exact[(r["id_a"], r["id_b"])] == r["similarity"]
+
+
 def test_minhash_estimates_track_true_jaccard(spark, docs_with_dups):
     est = {
         (r["doc_a"], r["doc_b"]): r["est_jaccard"]
