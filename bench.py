@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "q_dedup_simhash_pairs",
     "q_dedup_embedding",
     "q_dedup_embedding_lsh",
+    "q_corpus_dedup_groups",
     "q_simsearch_topk",
     "q_simsearch_lsh",
     "q_simsearch_ivf",

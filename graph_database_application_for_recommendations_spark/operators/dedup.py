@@ -428,3 +428,117 @@ def embedding_neardup_lsh(
         )
         .filter(F.col("similarity") >= threshold)
     )
+
+
+# --- near-dup group collapse (connected components) --------------------------
+
+
+def neardup_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    local_max_edges: int = 5_000_000,
+    max_iter: int = 50,
+) -> DataFrame:
+    """(doc_id, group_id): connected components of the near-dup pair graph,
+    ``group_id`` = MIN id in the component — the step that turns pairwise
+    near-dup evidence into dedup groups.
+
+    Hybrid like the other iterative plans: a driver-sized pair list (the
+    normal case — LSH candidates are a tiny fraction of the corpus) solves
+    locally with an iterated numpy min-label pass (O(E) per pass, converges
+    in graph-diameter passes); larger graphs run the distributed min-label
+    propagation loop, one join + min-aggregate per round, localCheckpoint
+    lineage cuts — O(diameter) shuffles total.
+    """
+    from ..plans import materialize
+
+    spark = pairs.sparkSession
+    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    n_edges = edges.count()
+    if n_edges == 0:
+        return spark.createDataFrame([], "doc_id long, group_id long")
+    if n_edges <= local_max_edges:
+        import numpy as np
+        import pandas as pd
+
+        pdf = edges.toPandas()
+        ids, inv = np.unique(
+            np.concatenate([pdf["a"].to_numpy(), pdf["b"].to_numpy()]), return_inverse=True
+        )
+        s, d = inv[: len(pdf)], inv[len(pdf) :]
+        labels = np.arange(len(ids))
+        while True:
+            prev = labels.copy()
+            np.minimum.at(labels, d, labels[s])
+            np.minimum.at(labels, s, labels[d])
+            # pointer-jump: chase labels toward component minimum
+            labels = labels[labels]
+            if np.array_equal(labels, prev):
+                break
+        return spark.createDataFrame(
+            pd.DataFrame({"doc_id": ids, "group_id": ids[labels]}).astype("int64"),
+            schema="doc_id long, group_id long",
+        )
+    und = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    und = und.cache()
+    labels = materialize(
+        und.select(F.col("a").alias("doc_id")).distinct().select(
+            "doc_id", F.col("doc_id").alias("group_id")
+        )
+    )
+    for _ in range(max_iter):
+        neigh = (
+            und.join(labels.withColumnRenamed("doc_id", "a"), "a")
+            .groupBy(F.col("b").alias("doc_id"))
+            .agg(F.min("group_id").alias("neigh_min"))
+        )
+        new_labels = materialize(
+            labels.join(neigh, "doc_id", "left").select(
+                "doc_id",
+                F.least(F.col("group_id"), F.coalesce("neigh_min", F.col("group_id"))).alias(
+                    "group_id"
+                ),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.group_id") != F.col("o.group_id"))
+            .count()
+        )
+        labels.unpersist(blocking=False)
+        labels = new_labels
+        if changed == 0:
+            break
+    und.unpersist(blocking=False)
+    return labels
+
+
+def corpus_dedup_groups(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(doc_id, group_id, keep): every document tagged with its near-dup
+    group (MinHash-LSH pairs -> connected components); ``keep`` marks the
+    group representative (smallest id). The full corpus-dedup decision
+    table a training-data pipeline filters on.
+    """
+    pairs = minhash_lsh_pairs(
+        documents, id_col, text_col, num_hashes, bands, shingle_n, threshold
+    )
+    comp = neardup_components(pairs)
+    return (
+        documents.select(F.col(id_col).alias("doc_id"))
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("group_id", F.col("doc_id")).alias("group_id"),
+        )
+        .withColumn("keep", F.col("doc_id") == F.col("group_id"))
+    )

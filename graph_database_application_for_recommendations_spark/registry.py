@@ -702,6 +702,13 @@ def _corpus_clean(s: SparkSession, d: str) -> DataFrame:
 
 
 register(
+    "q_corpus_dedup_groups",
+    # rows-only: the connected-components collapse is iterative (min-label
+    # propagation / union-find), not single-statement SQL
+    lambda s, d: dedup.corpus_dedup_groups(_docs(s, d), threshold=0.5),
+    None,
+)
+register(
     "q_corpus_clean",
     _corpus_clean,
     _q_docs(

@@ -93,6 +93,29 @@ def test_embedding_neardup_lsh_subset_of_exact(spark):
         assert exact[(r["id_a"], r["id_b"])] == r["similarity"]
 
 
+def test_neardup_components_local_and_distributed(spark):
+    """Chain a-b-c is one group under min id; d-e separate; both the local
+    union-find and the forced distributed min-label loop agree."""
+    pairs = spark.createDataFrame(
+        [(10, 20), (20, 30), (40, 50)], "doc_a LONG, doc_b LONG"
+    )
+    for threshold in (5_000_000, 0):  # local path, then distributed path
+        comp = {
+            r["doc_id"]: r["group_id"]
+            for r in dedup.neardup_components(pairs, local_max_edges=threshold).collect()
+        }
+        assert comp == {10: 10, 20: 10, 30: 10, 40: 40, 50: 40}
+
+
+def test_corpus_dedup_groups_marks_representatives(spark, docs_with_dups):
+    rows = {r["doc_id"]: (r["group_id"], r["keep"])
+            for r in dedup.corpus_dedup_groups(docs_with_dups, threshold=0.5).collect()}
+    assert set(rows) == {1, 2, 3, 4, 5}          # every doc tagged
+    assert rows[1] == (1, True)                   # group representative
+    assert rows[2] == (1, False)                  # exact dup of 1
+    assert all(keep == (gid == did) for did, (gid, keep) in rows.items())
+
+
 def test_minhash_estimates_track_true_jaccard(spark, docs_with_dups):
     est = {
         (r["doc_a"], r["doc_b"]): r["est_jaccard"]
