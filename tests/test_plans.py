@@ -65,6 +65,36 @@ def test_books_dim_broadcast(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_fastrp_round_is_exchange_free(spark):
+    """The FastRP distributed round (edges ⋈ broadcast emb → groupBy dst)
+    must run with NO shuffle above the dst-partitioned edge cache: the
+    broadcast-join probe preserves the cache's HashPartitioning(dst), so
+    the aggregate's distribution is already satisfied. This is the
+    one-setup-shuffle-for-N-rounds contract fastrp's docstring claims."""
+    from graph_database_application_for_recommendations_spark.plans import cache_wide
+    from graph_database_application_for_recommendations_spark.plans import fastrp as FR
+    from graph_database_application_for_recommendations_spark.plans.graphs import (
+        bipartite_rating_graph,
+    )
+
+    ratings = load_ref_tables(spark, SF_SMALL).ratings
+    nodes, edges = bipartite_rating_graph(ratings)
+    e = cache_wide(edges, 8, "dst")
+    emb = FR._normalize(FR._init_embeddings(nodes, 8, 1), 8)
+    plan = (
+        FR._propagate(e, emb, 8, broadcast_emb=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .treeString()
+    )
+    # everything above the cached edge relation: aggregate pair + join;
+    # exchanges inside the InMemoryRelation subtree ran once at cache fill
+    above_cache = plan.split("InMemoryRelation", 1)[0]
+    assert "HashAggregate" in above_cache and "BroadcastHashJoin" in above_cache
+    assert "Exchange hashpartitioning" not in above_cache
+    e.unpersist(blocking=False)
+
+
 def test_partition_pruning(spark, tmp_path):
     """A filter on the partition column must prune at planning time."""
     from graph_database_application_for_recommendations_spark.sources.bucketing import (
