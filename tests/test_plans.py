@@ -95,6 +95,36 @@ def test_fastrp_round_is_exchange_free(spark):
     e.unpersist(blocking=False)
 
 
+def test_louvain_sweep_aggregate_is_exchange_free(spark):
+    """The Louvain sweep's dominant k_i→c aggregation (parity-filtered
+    edges ⋈ broadcast labels → groupBy (src, c)) must not re-shuffle the
+    src-partitioned edge cache: HashPartitioning(src) already clusters
+    (src, c)."""
+    from graph_database_application_for_recommendations_spark.operators.corating import (
+        corating_edges,
+    )
+    from graph_database_application_for_recommendations_spark.plans import cache_wide
+
+    ratings = load_ref_tables(spark, SF_SMALL).ratings
+    co = corating_edges(ratings).select(
+        F.col("u1").alias("src"), F.col("u2").alias("dst"),
+        F.col("weight").cast("double").alias("weight"),
+    )
+    edges = cache_wide(co, 8, "src")
+    labels = edges.select(F.col("dst"), F.col("dst").alias("c")).distinct()
+    k_ic = (
+        edges.filter(F.pmod(F.hash("src"), F.lit(2)) == 0)
+        .join(F.broadcast(labels), "dst")
+        .groupBy(F.col("src").alias("node_id"), "c")
+        .agg(F.sum("weight").alias("k_ic"))
+    )
+    plan = k_ic._jdf.queryExecution().executedPlan().treeString()
+    above_cache = plan.split("InMemoryRelation", 1)[0]
+    assert "HashAggregate" in above_cache
+    assert "Exchange hashpartitioning" not in above_cache
+    edges.unpersist(blocking=False)
+
+
 def test_partition_pruning(spark, tmp_path):
     """A filter on the partition column must prune at planning time."""
     from graph_database_application_for_recommendations_spark.sources.bucketing import (
