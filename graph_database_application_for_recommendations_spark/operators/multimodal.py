@@ -141,3 +141,93 @@ def asset_meta(assets: DataFrame) -> DataFrame:
     return assets.select(
         "asset_id", "kind", F.length(F.col("payload")).cast("long").alias("n_bytes")
     )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_bytes", BinaryType()),
+    ]
+)
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def sample_frames(assets: DataFrame, every_n_bytes: int = 1024, max_frames: int = 8) -> DataFrame:
+    """(asset_id, frame_idx, frame_bytes): frame sampling over video
+    payloads — a 1→N `mapInPandas` expansion (each input row yields up to
+    ``max_frames`` output rows), the Spark shape real frame extraction
+    needs. A real decoder (pyav/ffmpeg — not in this container) would
+    replace ``_fake_frames``; the deterministic stub slices the payload at
+    fixed strides so tests pin the distributed plumbing end-to-end.
+    """
+
+    def _fake_frames(payload: bytes) -> list[bytes]:
+        return [
+            payload[off : off + every_n_bytes]
+            for off in range(0, min(len(payload), every_n_bytes * max_frames), every_n_bytes)
+        ]
+
+    par = assets.sparkSession.sparkContext.defaultParallelism
+    n = assets.count()
+    src = assets.repartition(max(1, min(par, -(-n // 2048))))
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for asset_id, kind, payload in zip(pdf["asset_id"], pdf["kind"], pdf["payload"]):
+                if kind != "video" and kind != "audio":
+                    continue  # frame sampling only applies to temporal media
+                payload = bytes(payload) if payload is not None else b""
+                for i, fr in enumerate(_fake_frames(payload)):
+                    out.append({"asset_id": asset_id, "frame_idx": i, "frame_bytes": fr})
+            if out:
+                yield pd.DataFrame(out)
+
+    return src.mapInPandas(_extract, FRAME_SCHEMA)
+
+
+def resize_images(assets: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """(asset_id, kind, width, height, payload): image resize plumbing.
+
+    A real decoder (PIL — not in this container) would decode, resize and
+    re-encode; the stub deterministically truncates/pads the payload to
+    width*height bytes so the output contract (fixed-size payload, typed
+    dims) and the Arrow batch shape are fully exercised.
+    """
+    target = width * height
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for asset_id, kind, payload in zip(pdf["asset_id"], pdf["kind"], pdf["payload"]):
+                if kind != "image":
+                    continue
+                payload = bytes(payload) if payload is not None else b""
+                resized = payload[:target].ljust(target, b"\0")
+                out.append(
+                    {
+                        "asset_id": asset_id,
+                        "kind": kind,
+                        "width": width,
+                        "height": height,
+                        "payload": resized,
+                    }
+                )
+            if out:
+                yield pd.DataFrame(out)
+
+    par = assets.sparkSession.sparkContext.defaultParallelism
+    n = assets.count()
+    return assets.repartition(max(1, min(par, -(-n // 2048)))).mapInPandas(
+        _resize, RESIZE_SCHEMA
+    )

@@ -858,6 +858,15 @@ register(
     ),
     None,
 )
+register(
+    "q_multimodal_frames",
+    # rows-only: binary frame payloads aren't SQL-comparable; the 1->N
+    # mapInPandas expansion contract is unit-pinned instead
+    lambda s, d: multimodal.sample_frames(
+        multimodal.assets_from_documents(_docs(s, d)), every_n_bytes=256, max_frames=4
+    ),
+    None,
+)
 
 # events (batch twins of the streaming operators; epoch-us outputs are
 # session-timezone-proof)

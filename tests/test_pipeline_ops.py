@@ -197,6 +197,31 @@ def test_multimodal_feature_extraction_plumbing(spark, docs_with_dups):
         assert feats[doc_id]["last_byte"] == payload[-1]
 
 
+def test_multimodal_frame_sampling_and_resize(spark):
+    """1->N frame expansion over temporal media; fixed-size resize output
+    for images; non-matching kinds are dropped by each operator."""
+    rows = [
+        (1, "video", b"a" * 3000, "s", "en"),
+        (2, "image", b"xyz", "s", "en"),
+        (3, "text", b"plain", "s", "en"),
+    ]
+    assets = spark.createDataFrame(
+        rows, "asset_id LONG, kind STRING, payload BINARY, meta_source STRING, meta_lang STRING"
+    )
+    frames = multimodal.sample_frames(assets, every_n_bytes=1024, max_frames=8).collect()
+    by_asset = {}
+    for r in frames:
+        by_asset.setdefault(r["asset_id"], []).append(r)
+    assert set(by_asset) == {1}  # only the video row expands
+    assert [r["frame_idx"] for r in sorted(by_asset[1], key=lambda r: r["frame_idx"])] == [0, 1, 2]
+    assert bytes(by_asset[1][0]["frame_bytes"]) == b"a" * 1024
+
+    resized = multimodal.resize_images(assets, width=4, height=4).collect()
+    assert [r["asset_id"] for r in resized] == [2]
+    assert resized[0]["width"] == 4 and resized[0]["height"] == 4
+    assert bytes(resized[0]["payload"]) == b"xyz" + b"\0" * 13
+
+
 def test_multimodal_decoder_stub_raises():
     with pytest.raises(NotImplementedError):
         multimodal._decode_image(b"\x89PNG")
