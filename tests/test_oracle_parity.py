@@ -18,3 +18,16 @@ def test_parity_sf0001(spark, name):
     fn = registry.queries()[name]
     sql = registry.oracle_sql()[name]
     compare(name, fn(spark, SF_SMALL), sql, SF_SMALL)
+
+
+@pytest.mark.parametrize("name", [n for n in CASES if n.startswith("q_events")])
+def test_events_parity_is_session_timezone_proof(spark, name):
+    """The driver's session timezone is unknown; every event-time output is
+    epoch-micros arithmetic, so parity must hold under any session tz."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        compare(name, registry.queries()[name](spark, SF_SMALL),
+                registry.oracle_sql()[name], SF_SMALL)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
