@@ -1082,11 +1082,25 @@ def _users_with_lpa_community(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "q_pipeline_fastrp_embeddings",
-    lambda s, d: _pipeline(s, d).embeddings,
-    None,
-)
+def _fastrp_embeddings_flat(s: SparkSession, d: str) -> DataFrame:
+    """FastRP embeddings in driver-canonicalizable shape.
+
+    The pipeline API keeps ``(node_id, embedding array<double>)`` for
+    run_pipeline callers (reference parity: gds.fastRP.mutate writes a
+    vector property — Alg_KNN_FastRP.py:118-127), but the driver's
+    pandas canonicalizer cannot sort an array column, so the registered
+    query posexplodes to one scalar row per (node_id, dim). Values are
+    rounded so the check tolerates last-ulp float noise without hiding a
+    real regression.
+    """
+    emb = _pipeline(s, d).embeddings
+    (id_col,) = [c for c in emb.columns if c != "embedding"]
+    return emb.select(
+        id_col, F.posexplode("embedding").alias("dim", "value")
+    ).withColumn("value", F.round("value", 6))
+
+
+register("q_pipeline_fastrp_embeddings", _fastrp_embeddings_flat, None)
 register(
     "q_pipeline_similar_to",
     lambda s, d: _pipeline(s, d).similar_to,
