@@ -22,6 +22,27 @@ def undirected(edges: DataFrame) -> DataFrame:
     return edges.unionByName(flipped)
 
 
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(node_id, component): connected components of an edge list,
+    ``component`` = MIN node id in the component. GDS exposes this as
+    ``gds.wcc``; it is also the invariant-checkable core of the iterative
+    min-label machinery the community/dedup plans share — unlike LPA or
+    Louvain labels, CC labels are fully determined by the graph, so the
+    driver can hash-compare them against a recursive-CTE SQL oracle.
+
+    Delegates to the hybrid local/distributed min-label solver
+    (operators/dedup.py::neardup_components — numpy fixpoint under the
+    driver-size gate, O(diameter)-shuffle label propagation above it).
+    """
+    from ..operators.dedup import neardup_components
+
+    return neardup_components(edges, id_a=src, id_b=dst).select(
+        F.col("doc_id").alias("node_id"), F.col("group_id").alias("component")
+    )
+
+
 def bipartite_rating_graph(ratings: DataFrame) -> tuple[DataFrame, DataFrame]:
     """S9 — the undirected weighted User–Book graph FastRP runs on
     (reference Alg_KNN_FastRP.py:28-50).

@@ -1139,26 +1139,186 @@ register(
 )
 
 
+_LOUVAIN_CACHE: dict[tuple[str, str], tuple[DataFrame, float]] = {}
+
+
+def _louvain(s: SparkSession, d: str) -> tuple[DataFrame, float]:
+    from .plans.louvain import louvain
+
+    key = (s.sparkContext.applicationId, d)
+    res = _LOUVAIN_CACHE.get(key)
+    if res is None:
+        # .cache() on the same base plan as q_corating_projection: whichever
+        # query runs first materializes the projection, the other reuses it
+        co = corating.corating_edges(_ref(s, d).ratings).cache().select(
+            F.col("u1").alias("src"),
+            F.col("u2").alias("dst"),
+            F.col("weight").cast("double").alias("weight"),
+        )
+        # sweep budget sized for the sequential local path (plans/louvain.py):
+        # 20 sweeps converge to q≈0.077 on the sf0.1 co-rating graph vs 0.056
+        # at the 3-sweep budget the distributed path wanted
+        comm, q = louvain(co, max_levels=2, max_sweeps=20)
+        res = (comm.cache(), q)
+        _LOUVAIN_CACHE[key] = res
+    return res
+
+
 def _louvain_communities(s: SparkSession, d: str) -> DataFrame:
     """Louvain proper (the reference's actual G1 algorithm) on the
     co-rating projection — rows-only: community ids are value-unstable."""
-    from .plans.louvain import louvain
-
-    # .cache() on the same base plan as q_corating_projection: whichever
-    # query runs first materializes the projection, the other reuses it
-    co = corating.corating_edges(_ref(s, d).ratings).cache().select(
-        F.col("u1").alias("src"),
-        F.col("u2").alias("dst"),
-        F.col("weight").cast("double").alias("weight"),
-    )
-    # sweep budget sized for the sequential local path (plans/louvain.py):
-    # 20 sweeps converge to q≈0.077 on the sf0.1 co-rating graph vs 0.056
-    # at the 3-sweep budget the distributed path wanted
-    comm, _ = louvain(co, max_levels=2, max_sweeps=20)
+    comm, _ = _louvain(s, d)
     return comm.select(F.col("node_id").alias("user_id"), "community")
 
 
 register("q_louvain_communities", _louvain_communities, None)
+
+
+def _louvain_modularity(s: SparkSession, d: str) -> DataFrame:
+    """Rounded Newman Q of the Louvain partition — the number the reference
+    prints from the GDS summary (Alg_Community_Detection.py:45-50).
+    Deterministic (sequential local path, pinned tie-breaks), so this one
+    row is the regression tripwire for the whole Louvain stage; unlike the
+    LPA pipeline's Q (which is exactly 0.0 at driver scales — LPA collapses
+    to one community on the dense co-rating graph) it is a nontrivial value.
+    tests/test_algorithms.py recomputes Q over the labels in DuckDB."""
+    _, q = _louvain(s, d)
+    return s.createDataFrame([(float(round(q, 6)),)], "modularity double")
+
+
+register("q_louvain_modularity", _louvain_modularity, None)
+
+
+# --- iterative-machinery invariants (round-2 VERDICT item 2) ----------------
+# LPA/Louvain labels are value-unstable, so the pipeline community queries
+# are rows-only. These queries check the SAME iterative machinery against a
+# full hash oracle where the output IS graph-determined:
+# - connected components (gds.wcc analog; min-label = exactly the solver the
+#   community/dedup plans share) vs a recursive-CTE transitive closure;
+# - Newman modularity (the metric Alg_Community_Detection.py:45-50 prints)
+#   under the deterministic nation-community binding vs the same formula in
+#   plain SQL.
+
+
+def _corating_double(s: SparkSession, d: str) -> DataFrame:
+    """The Louvain/LPA input graph, shared-cache with q_corating_projection."""
+    return corating.corating_edges(_ref(s, d).ratings).cache().select(
+        F.col("u1").alias("src"),
+        F.col("u2").alias("dst"),
+        F.col("weight").cast("double").alias("weight"),
+    )
+
+
+# weight >= 3 keeps the strong-tie subgraph: sparse enough that the SQL
+# oracle's transitive closure (Σ per-component |c|²/2 rows) stays cheap,
+# dense enough for a 48-component / 653-node-giant structure at sf0.01
+COMPONENTS_MIN_WEIGHT = 3
+
+
+def _graph_components(s: SparkSession, d: str) -> DataFrame:
+    from .plans.graphs import connected_components
+
+    strong = _corating_double(s, d).filter(F.col("weight") >= COMPONENTS_MIN_WEIGHT)
+    return connected_components(strong).select(
+        F.col("node_id").alias("user_id"), "component"
+    )
+
+
+# Transitive-closure min-label: reach(node, label) holds every label that can
+# reach node; the `label < dst` prune is lossless (any label routed through a
+# smaller node is beaten by that node's own label downstream).
+_COMPONENTS_ORACLE = (
+    f"""{ORACLE_PRELUDE},
+pos AS (SELECT user_id, isbn FROM ratings WHERE rating >= 6),
+uedges AS (
+  SELECT src, dst FROM (
+    SELECT a.user_id AS src, b.user_id AS dst, COUNT(*) AS w
+    FROM pos a JOIN pos b USING (isbn)
+    WHERE a.user_id <> b.user_id
+    GROUP BY a.user_id, b.user_id)
+  WHERE w >= {COMPONENTS_MIN_WEIGHT}),
+reach(node, label) AS (
+  SELECT src, src FROM uedges
+  UNION
+  SELECT e.dst, r.label
+  FROM reach r JOIN uedges e ON e.src = r.node
+  WHERE r.label < e.dst)
+SELECT node AS user_id, MIN(label) AS component FROM reach GROUP BY node
+""".replace("WITH ", "WITH RECURSIVE ", 1)
+)
+
+register("q_graph_components", _graph_components, _COMPONENTS_ORACLE)
+
+
+def _modularity_nation(s: SparkSession, d: str) -> DataFrame:
+    from .plans.modularity import modularity
+
+    customer = s.read.parquet(f"{d}/customer.parquet")
+    labels = customer.select(
+        F.col("c_custkey").alias("node_id"), F.col("c_nationkey").alias("community")
+    )
+    q = modularity(_corating_double(s, d), labels)
+    return s.createDataFrame([(float(round(q, 6)),)], "modularity double")
+
+
+_MODULARITY_NATION_ORACLE = f"""{ORACLE_PRELUDE},
+co AS (
+  SELECT a.user_id AS src, b.user_id AS dst, CAST(COUNT(*) AS DOUBLE) AS weight
+  FROM (SELECT user_id, isbn FROM ratings WHERE rating >= 6) a
+  JOIN (SELECT user_id, isbn FROM ratings WHERE rating >= 6) b USING (isbn)
+  WHERE a.user_id <> b.user_id
+  GROUP BY a.user_id, b.user_id),
+lab AS (SELECT c_custkey AS node_id, c_nationkey AS community FROM customer),
+e AS (
+  SELECT la.community AS c_src, lb.community AS c_dst, co.weight
+  FROM co
+  JOIN lab la ON co.src = la.node_id
+  JOIN lab lb ON co.dst = lb.node_id),
+percomm AS (
+  SELECT c_src, SUM(weight) AS deg,
+         SUM(CASE WHEN c_src = c_dst THEN weight ELSE 0 END) AS in_w
+  FROM e GROUP BY c_src)
+SELECT ROUND(SUM(in_w) / SUM(deg) - SUM(deg * deg) / (SUM(deg) * SUM(deg)), 6)
+       AS modularity
+FROM percomm
+"""
+
+register("q_modularity_nation", _modularity_nation, _MODULARITY_NATION_ORACLE)
+
+
+def _pipeline_modularity(s: SparkSession, d: str) -> DataFrame:
+    """Rounded Newman Q of the pipeline's LPA partition — deterministic
+    given the deterministic LPA (sync updates, min-label ties), so this
+    single row is a regression tripwire for the whole community stage even
+    though the labels themselves can't be hash-compared.
+    tests/test_algorithms.py recomputes Q over the exported labels in
+    DuckDB and pins equality."""
+    _ = _pipeline(s, d).communities  # force the community stage
+    q = _pipeline(s, d).modularity
+    return s.createDataFrame([(float(round(q, 6)),)], "modularity double")
+
+
+register("q_pipeline_modularity", _pipeline_modularity, None)
+
+
+def _fastrp_digest(s: SparkSession, d: str) -> DataFrame:
+    """Order-independent digest of the FastRP embedding table:
+    (n_values, bit_xor of per-(id,dim,value) hashes). Deterministic across
+    runs (FastRP path is bit-exact, pinned by tests/test_algorithms.py),
+    so a changed digest means the embedding stage regressed."""
+    emb = _pipeline(s, d).embeddings
+    (id_col,) = [c for c in emb.columns if c != "embedding"]
+    flat = emb.select(id_col, F.posexplode("embedding").alias("dim", "value"))
+    return flat.agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.expr(
+            f"bit_xor(xxhash64(cast({id_col} as string), cast(dim as string),"
+            " cast(round(value, 6) as string)))"
+        ).alias("digest"),
+    )
+
+
+register("q_pipeline_fastrp_digest", _fastrp_digest, None)
 
 
 def _simsearch_ivf(s: SparkSession, d: str) -> DataFrame:

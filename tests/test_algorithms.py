@@ -230,3 +230,82 @@ def test_knn_exact_fixture(spark):
     # cos(1,4)≈0.7071, cos(2,4)≈0.7808, cos(3,4)≈0.7071, cos(1,3)=0
     assert got.keys() == {(1, 2), (2, 1)}
     assert got[(1, 2)] == pytest.approx(0.993884, abs=1e-6)
+
+
+# --- cross-engine invariants for the iterative stages (VERDICT r1 item 2) ---
+
+
+def _duckdb_modularity(edges_pdf, labels_pdf) -> float:
+    """Newman Q recomputed in DuckDB from exported (doubled) edges+labels —
+    an independent engine checking the modularity implementation."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("e", edges_pdf)
+    con.register("lab", labels_pdf)
+    return con.execute(
+        """
+        WITH j AS (
+          SELECT la.community AS c_src, lb.community AS c_dst, e.weight
+          FROM e JOIN lab la ON e.src = la.node_id
+                 JOIN lab lb ON e.dst = lb.node_id),
+        percomm AS (
+          SELECT c_src, SUM(weight) AS deg,
+                 SUM(CASE WHEN c_src = c_dst THEN weight ELSE 0 END) AS in_w
+          FROM j GROUP BY c_src)
+        SELECT SUM(in_w)/SUM(deg) - SUM(deg*deg)/(SUM(deg)*SUM(deg)) FROM percomm
+        """
+    ).fetchone()[0]
+
+
+def test_pipeline_modularity_matches_duckdb(spark):
+    """q_pipeline_modularity's value equals DuckDB-recomputed Q over the
+    exported LPA labels — would catch a modularity (or label-export)
+    regression, which the rows-only driver check cannot."""
+    from graph_database_application_for_recommendations_spark import registry
+
+    res = registry._pipeline(spark, SF_SMALL)
+    q_spark = res.modularity
+    co = corating_edges(load_ref_tables(spark, SF_SMALL).ratings).select(
+        F.col("u1").alias("src"), F.col("u2").alias("dst"),
+        F.col("weight").cast("double").alias("weight"))
+    labels = res.communities.select(
+        F.col("user_id").alias("node_id"), "community")
+    q_duck = _duckdb_modularity(co.toPandas(), labels.toPandas())
+    assert round(q_spark, 6) == pytest.approx(round(q_duck, 6), abs=2e-6)
+
+
+def test_louvain_modularity_matches_duckdb(spark):
+    """Same cross-engine Q check for the Louvain partition (nontrivial Q)."""
+    from graph_database_application_for_recommendations_spark import registry
+
+    comm, q_spark = registry._louvain(spark, SF_SMALL)
+    co = corating_edges(load_ref_tables(spark, SF_SMALL).ratings).select(
+        F.col("u1").alias("src"), F.col("u2").alias("dst"),
+        F.col("weight").cast("double").alias("weight"))
+    labels = comm.select(F.col("node_id"), "community")
+    q_duck = _duckdb_modularity(co.toPandas(), labels.toPandas())
+    assert q_spark != 0.0  # nontrivial partition at sf0.001
+    assert round(q_spark, 6) == pytest.approx(round(q_duck, 6), abs=2e-6)
+
+
+def test_fastrp_digest_stable_across_runs(spark):
+    """q_pipeline_fastrp_digest is identical across two independent FastRP
+    runs (fresh plans, no shared cache) — the digest is a real determinism
+    pin, not a snapshot of one cached frame."""
+    from graph_database_application_for_recommendations_spark.plans.pipeline import run_pipeline
+
+    def digest(emb):
+        flat = emb.select("user_id", F.posexplode("embedding").alias("dim", "value"))
+        return flat.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "bit_xor(xxhash64(cast(user_id as string), cast(dim as string),"
+                " cast(round(value, 6) as string)))"
+            ).alias("digest"),
+        ).collect()[0]
+
+    d1 = digest(run_pipeline(spark, SF_SMALL).embeddings)
+    d2 = digest(run_pipeline(spark, SF_SMALL).embeddings)
+    assert d1["n"] > 0
+    assert (d1["n"], d1["digest"]) == (d2["n"], d2["digest"])
