@@ -19,7 +19,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import md5_hash32, md5_hash60, tokens, word_shingles
@@ -71,29 +71,10 @@ def shingle_set(documents: DataFrame, id_col: str, text_col: str, n: int) -> Dat
     )
 
 
-def ngram_jaccard_pairs(
-    documents: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 3,
-    threshold: float = 0.5,
+def _jaccard_from_intersections(
+    inter: DataFrame, sizes: DataFrame, threshold: float
 ) -> DataFrame:
-    """Exact pairwise Jaccard over n-gram shingle sets.
-
-    (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded to 6dp.
-    Intersections come from a self-join on the shingle; pairs sharing no
-    shingle never materialize.
-    """
-    sh = shingle_set(documents, id_col, text_col, n)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
+    """(doc_a, doc_b, i) + per-doc shingle counts -> thresholded Jaccard."""
     return (
         inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
         .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
@@ -106,6 +87,82 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_docs_per_shingle: int | None = None,
+) -> DataFrame:
+    """Exact pairwise Jaccard over n-gram shingle sets.
+
+    (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded to 6dp.
+    Intersections come from a self-join on the shingle; pairs sharing no
+    shingle never materialize.
+
+    SCALE WARNING: standalone cost is quadratic in per-shingle document
+    frequency — one stop-shingle shared by 10⁵ docs creates 10¹⁰ join
+    rows. Two scale-safe uses:
+
+    - ``neardup_lsh_verified`` (the corpus-scale composition): MinHash-LSH
+      generates candidates, this kernel verifies only those pairs;
+    - ``max_docs_per_shingle`` (mirrors ``corating_edges(
+      max_raters_per_book=…)``): deterministically keep at most N docs
+      (smallest ids) per shingle before the self-join, bounding the
+      worst-case blowup at N² per shingle. Approximate: a dropped
+      (shingle, doc) occurrence can only *lower* an affected pair's
+      intersection count — denominators stay exact. Union sizes are
+      computed before the cap, so jaccard never over-counts.
+    """
+    sh = shingle_set(documents, id_col, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_docs_per_shingle is not None:
+        w = Window.partitionBy("shingle").orderBy("doc_id")
+        sh = (
+            sh.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_docs_per_shingle)
+            .drop("_rn")
+        )
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return _jaccard_from_intersections(inter, sizes, threshold)
+
+
+def jaccard_verify_pairs(
+    documents: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard restricted to given candidate ``pairs``
+    (doc_a, doc_b) — the scale-safe form of the exact kernel.
+
+    Cost is Σ_pairs |shingles(doc_a)| join rows (shuffle keyed by doc id,
+    then (doc_b, shingle)) — linear in candidate volume and document
+    length, never corpus-quadratic. Candidate pairs sharing no shingle
+    simply drop out (their Jaccard is 0 < any positive threshold).
+    """
+    sh = shingle_set(documents, id_col, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    p = pairs.select("doc_a", "doc_b")
+    inter = (
+        p.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return _jaccard_from_intersections(inter, sizes, threshold)
 
 
 def repeated_ngrams(
@@ -258,6 +315,39 @@ def minhash_lsh_pairs(
         )
     )
     return est.filter(F.col("est_jaccard") >= threshold)
+
+
+def neardup_lsh_verified(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The corpus-scale near-dup pipeline: MinHash-LSH candidate
+    generation → exact n-gram Jaccard verification (the composition the
+    module docstring promises, registered as ``q_dedup_lsh_verified``).
+
+    (doc_a, doc_b, est_jaccard, jaccard): every banded-collision candidate
+    whose EXACT Jaccard clears ``threshold``, with the MinHash estimate
+    kept alongside. Unlike the standalone exact kernel this never goes
+    corpus-quadratic — candidates are an equi-join on (band, band_key)
+    (shuffle ∝ |docs|·bands) and verification is linear in candidate
+    volume (``jaccard_verify_pairs``). Unlike LSH alone it returns no
+    false positives: the estimate only selects candidates, the exact
+    Jaccard decides.
+    """
+    cand = minhash_lsh_pairs(
+        documents, id_col, text_col, num_hashes, bands, shingle_n, threshold=0.0
+    )
+    verified = jaccard_verify_pairs(
+        documents, cand, id_col, text_col, shingle_n, threshold
+    )
+    return verified.join(cand, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "est_jaccard", "jaccard"
+    )
 
 
 # --- SimHash -----------------------------------------------------------------

@@ -498,6 +498,59 @@ register(
         """
     ),
 )
+# The corpus-scale composition (VERDICT r1 item 3): LSH candidates -> exact
+# verify. Same coef/sig/band CTEs as q_dedup_minhash_lsh (no est threshold),
+# then the exact-Jaccard kernel restricted to candidate pairs.
+register(
+    "q_dedup_lsh_verified",
+    lambda s, d: dedup.neardup_lsh_verified(
+        _docs(s, d), num_hashes=32, bands=8, shingle_n=3, threshold=0.5
+    ),
+    _q_docs(
+        f"""
+        , coef(seed, a, b) AS (VALUES {_MINHASH_COEF_VALUES}),
+        base AS (
+          SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+          FROM sh),
+        sig AS (
+          SELECT doc_id, seed, MIN((a * h + b) % {dedup.MINHASH_PRIME}) AS mh
+          FROM base CROSS JOIN coef
+          GROUP BY doc_id, seed),
+        bands AS (
+          SELECT doc_id, seed // 4 AS band,
+                 string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS band_key
+          FROM sig GROUP BY doc_id, seed // 4),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        est AS (
+          SELECT c.doc_a, c.doc_b,
+                 ROUND(AVG(CASE WHEN sa.mh = sb.mh THEN 1.0 ELSE 0.0 END), 6) AS est_jaccard
+          FROM cand c
+          JOIN sig sa ON sa.doc_id = c.doc_a
+          JOIN sig sb ON sb.doc_id = c.doc_b AND sb.seed = sa.seed
+          GROUP BY 1, 2),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.doc_a
+          JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+          GROUP BY 1, 2),
+        verified AS (
+          SELECT doc_a, doc_b, jaccard FROM (
+            SELECT doc_a, doc_b,
+                   ROUND(CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b)
+          WHERE jaccard >= 0.5)
+        SELECT v.doc_a, v.doc_b, e.est_jaccard, v.jaccard
+        FROM verified v JOIN est e ON e.doc_a = v.doc_a AND e.doc_b = v.doc_b
+        """
+    ),
+)
 register(
     "q_dedup_simhash",
     lambda s, d: dedup.simhash_signatures(_docs(s, d)),

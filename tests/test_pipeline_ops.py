@@ -56,6 +56,71 @@ def test_ngram_jaccard_finds_near_dup(spark, docs_with_dups):
     assert (1, 5) not in pairs  # unrelated doc
 
 
+def test_lsh_verified_composition(spark, docs_with_dups):
+    """neardup_lsh_verified = exact Jaccard restricted to LSH candidates:
+    every returned pair carries the TRUE jaccard (no LSH false positives),
+    and at threshold 0.5 the obvious dup pairs survive."""
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["est_jaccard"], r["jaccard"])
+        for r in dedup.neardup_lsh_verified(docs_with_dups, threshold=0.5).collect()
+    }
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs_with_dups, threshold=0.5).collect()
+    }
+    # verified results are a subset of the exact kernel's, with equal values
+    for pair, (_, jac) in got.items():
+        assert exact[pair] == jac
+    assert got[(1, 2)][1] == 1.0  # identical docs always collide + verify
+
+
+def test_jaccard_verify_pairs_matches_exact_kernel(spark, docs_with_dups):
+    """Restricted verify over ALL pairs == the standalone exact kernel."""
+    ids = [r["doc_id"] for r in docs_with_dups.select("doc_id").collect()]
+    all_pairs = spark.createDataFrame(
+        [(a, b) for a in ids for b in ids if a < b], "doc_a LONG, doc_b LONG"
+    )
+    restricted = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.jaccard_verify_pairs(
+            docs_with_dups, all_pairs, threshold=0.1
+        ).collect()
+    }
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs_with_dups, threshold=0.1).collect()
+    }
+    assert restricted == exact
+
+
+def test_ngram_jaccard_doc_frequency_cap(spark, docs_with_dups):
+    """max_docs_per_shingle: deterministic, never raises jaccard, and a
+    non-binding cap reproduces the exact result."""
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs_with_dups, threshold=0.0).collect()
+    }
+    loose = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            docs_with_dups, threshold=0.0, max_docs_per_shingle=100
+        ).collect()
+    }
+    assert loose == exact  # cap above every doc-frequency: no-op
+    capped_runs = [
+        {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard_pairs(
+                docs_with_dups, threshold=0.0, max_docs_per_shingle=2
+            ).collect()
+        }
+        for _ in range(2)
+    ]
+    assert capped_runs[0] == capped_runs[1]  # deterministic under the cap
+    for pair, jac in capped_runs[0].items():
+        assert jac <= exact[pair] + 1e-9  # capping only loses intersections
+
+
 def test_repeated_ngrams_counts_cross_doc_spans(spark):
     """8-token spans shared across docs surface with doc + occurrence
     counts; spans unique to one doc don't."""
