@@ -487,20 +487,31 @@ def embedding_neardup_lsh(
     Deterministic planes (seeded LCG) keep the operator oracle-checkable.
     """
     from ..functions import vector as V
+    from ..plans import materialize
     from .simsearch import hyperplanes, multi_bucket_ids
 
-    dim = len(embeddings.select(vec_col).first()[0])
+    first = embeddings.select(vec_col).first()
+    if first is None:  # empty input: no pairs, don't probe dim
+        return embeddings.sparkSession.createDataFrame(
+            [], f"id_a {embeddings.schema[id_col].dataType.simpleString()},"
+            f" id_b {embeddings.schema[id_col].dataType.simpleString()},"
+            " similarity double"
+        )
+    dim = len(first[0])
     planes = hyperplanes(num_planes * num_tables, dim, seed)
     mb = multi_bucket_ids(embeddings, planes, num_tables, id_col, vec_col)
-    mb.cache().count()
+    mb.cache()
     a = mb.select(F.col("id").alias("id_a"), "table", "bucket")
     b = mb.select(F.col("id").alias("id_b"), "table", "bucket")
-    cand = (
+    # materialize the candidate list so the bucket cache can be dropped
+    # right away instead of leaking for the session
+    cand = materialize(
         a.join(b, ["table", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
+    mb.unpersist(blocking=False)
     vecs = embeddings.select(
         F.col(id_col).alias("_vid"), V.l2_normalize(V.as_double(F.col(vec_col))).alias("_v")
     )
@@ -583,10 +594,29 @@ def neardup_components(
             .groupBy(F.col("b").alias("doc_id"))
             .agg(F.min("group_id").alias("neigh_min"))
         )
+        stepped = labels.join(neigh, "doc_id", "left").select(
+            "doc_id",
+            F.least(F.col("group_id"), F.coalesce("neigh_min", F.col("group_id"))).alias(
+                "group_id"
+            ),
+        )
+        # pointer jump: group_id := label(group_id). Every group_id is some
+        # node's doc_id, so a self-join compresses label chains — combined
+        # with the neighbor-min step, convergence is O(log diameter)
+        # shuffles instead of O(diameter), so a path-shaped component no
+        # longer exhausts max_iter and returns unconverged labels.
         new_labels = materialize(
-            labels.join(neigh, "doc_id", "left").select(
+            stepped.alias("x")
+            .join(
+                stepped.select(
+                    F.col("doc_id").alias("group_id"), F.col("group_id").alias("_gg")
+                ),
+                "group_id",
+                "left",
+            )
+            .select(
                 "doc_id",
-                F.least(F.col("group_id"), F.coalesce("neigh_min", F.col("group_id"))).alias(
+                F.least(F.col("group_id"), F.coalesce("_gg", F.col("group_id"))).alias(
                     "group_id"
                 ),
             )
@@ -601,6 +631,15 @@ def neardup_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        import warnings
+
+        warnings.warn(
+            f"neardup_components: min-label propagation still changing after "
+            f"{max_iter} iterations — returned group labels may be unconverged "
+            f"(component diameter exceeds the sweep budget)",
+            stacklevel=2,
+        )
     und.unpersist(blocking=False)
     return labels
 

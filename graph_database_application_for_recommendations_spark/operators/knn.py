@@ -119,7 +119,11 @@ def knn_exact_local(
         rr, cc = np.nonzero(sims >= cutoff - 1e-6)
         if rr.size == 0:
             continue
-        vals = np.round(sims[rr, cc], 6)
+        # HALF_UP like Spark's F.round (BigDecimal), not np.round's
+        # half-to-even — a half-way boundary value must not flip cutoff
+        # membership or a top-k tie between the local and distributed paths
+        raw = sims[rr, cc]
+        vals = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
         ok = vals >= cutoff
         rr, cc, vals = rr[ok], cc[ok], vals[ok]
         for row in np.unique(rr):

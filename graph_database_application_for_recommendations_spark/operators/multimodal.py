@@ -163,12 +163,14 @@ RESIZE_SCHEMA = StructType(
 
 
 def sample_frames(assets: DataFrame, every_n_bytes: int = 1024, max_frames: int = 8) -> DataFrame:
-    """(asset_id, frame_idx, frame_bytes): frame sampling over video
-    payloads — a 1→N `mapInPandas` expansion (each input row yields up to
-    ``max_frames`` output rows), the Spark shape real frame extraction
-    needs. A real decoder (pyav/ffmpeg — not in this container) would
-    replace ``_fake_frames``; the deterministic stub slices the payload at
-    fixed strides so tests pin the distributed plumbing end-to-end.
+    """(asset_id, frame_idx, frame_bytes): frame sampling over temporal
+    media — video frames and audio chunks (both ``kind`` values expand;
+    image/other rows are dropped) — a 1→N `mapInPandas` expansion (each
+    input row yields up to ``max_frames`` output rows), the Spark shape
+    real frame extraction needs. A real decoder (pyav/ffmpeg — not in this
+    container) would replace ``_fake_frames``; the deterministic stub
+    slices the payload at fixed strides so tests pin the distributed
+    plumbing end-to-end.
     """
 
     def _fake_frames(payload: bytes) -> list[bytes]:

@@ -40,17 +40,31 @@ def normalize_event_ts(raw: DataFrame) -> DataFrame:
       timezone, and the driver's session timezone is unknown.
 
     Both branches yield byte-identical epoch micros, matching what DuckDB
-    hands the oracle.
+    hands the oracle. A plain TIMESTAMP (UTC-adjusted MICROS — a third
+    encoding a future generation could ship) passes through unchanged: it
+    is already session-timezone-proof under ``unix_micros``, and running it
+    through the NTZ ``timestampdiff`` branch would silently shift every
+    event by the session zone offset. Any other type raises so a fourth
+    encoding fails loudly instead of corrupting event times.
     """
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
-    if isinstance(raw.schema["ts"].dataType, LongType):
+    ts_type = raw.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return raw.withColumn(
-        "ts",
-        F.timestamp_micros(
-            F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)")
-        ),
+    if isinstance(ts_type, TimestampNTZType):
+        return raw.withColumn(
+            "ts",
+            F.timestamp_micros(
+                F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)")
+            ),
+        )
+    if isinstance(ts_type, TimestampType):
+        return raw
+    raise TypeError(
+        f"events.ts arrived as {ts_type.simpleString()}; expected raw nanos "
+        "(long), TIMESTAMP_NTZ, or TIMESTAMP — add an explicit branch for "
+        "the new encoding (see docstring)"
     )
 
 

@@ -172,6 +172,32 @@ def test_neardup_components_local_and_distributed(spark):
         assert comp == {10: 10, 20: 10, 30: 10, 40: 40, 50: 40}
 
 
+def test_neardup_components_chain_converges_with_pointer_jumping(spark):
+    """A 40-edge path graph under a sweep budget far below its diameter:
+    the pointer-jump step makes the distributed loop converge in
+    O(log diameter) rounds, so labels still reach the fixpoint (they
+    silently didn't before — ADVICE r1)."""
+    n = 41
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "doc_a LONG, doc_b LONG"
+    )
+    comp = {
+        r["doc_id"]: r["group_id"]
+        for r in dedup.neardup_components(
+            pairs, local_max_edges=0, max_iter=10
+        ).collect()
+    }
+    assert comp == {i: 1 for i in range(1, n + 1)}
+
+
+def test_embedding_neardup_lsh_empty_input(spark):
+    """Empty embeddings: empty result, not a TypeError (ADVICE r1)."""
+    empty = spark.createDataFrame([], "vec_id LONG, embedding ARRAY<FLOAT>")
+    out = dedup.embedding_neardup_lsh(empty)
+    assert out.count() == 0
+    assert out.columns == ["id_a", "id_b", "similarity"]
+
+
 def test_corpus_dedup_groups_marks_representatives(spark, docs_with_dups):
     rows = {r["doc_id"]: (r["group_id"], r["keep"])
             for r in dedup.corpus_dedup_groups(docs_with_dups, threshold=0.5).collect()}
@@ -269,6 +295,7 @@ def test_multimodal_frame_sampling_and_resize(spark):
         (1, "video", b"a" * 3000, "s", "en"),
         (2, "image", b"xyz", "s", "en"),
         (3, "text", b"plain", "s", "en"),
+        (4, "audio", b"b" * 2500, "s", "en"),
     ]
     assets = spark.createDataFrame(
         rows, "asset_id LONG, kind STRING, payload BINARY, meta_source STRING, meta_lang STRING"
@@ -277,9 +304,11 @@ def test_multimodal_frame_sampling_and_resize(spark):
     by_asset = {}
     for r in frames:
         by_asset.setdefault(r["asset_id"], []).append(r)
-    assert set(by_asset) == {1}  # only the video row expands
+    assert set(by_asset) == {1, 4}  # temporal media expand: video frames AND audio chunks
     assert [r["frame_idx"] for r in sorted(by_asset[1], key=lambda r: r["frame_idx"])] == [0, 1, 2]
     assert bytes(by_asset[1][0]["frame_bytes"]) == b"a" * 1024
+    assert [r["frame_idx"] for r in sorted(by_asset[4], key=lambda r: r["frame_idx"])] == [0, 1, 2]
+    assert bytes(by_asset[4][2]["frame_bytes"]) == b"b" * 452  # 2500 - 2*1024 tail chunk
 
     resized = multimodal.resize_images(assets, width=4, height=4).collect()
     assert [r["asset_id"] for r in resized] == [2]
