@@ -160,14 +160,21 @@ def knn_hyperplane(
 
     ``num_planes`` defaults to log2(n / target_bucket_occupancy), keeping
     expected bucket occupancy — and therefore the candidate-join fanout —
-    roughly constant as the corpus grows.
+    roughly constant as the corpus grows. ``n`` comes from the catalog
+    size estimate (no pre-scan job — at 100 TB a sizing count() is a full
+    extra pass); since num_planes is log-scaled, the estimate's
+    small-constant-factor error moves it by at most ±2 planes. Only
+    statless plans (in-memory test frames) fall back to a count.
     """
     import math
 
+    from ..plans import estimated_row_count
     from .simsearch import topk_hyperplane_lsh
 
     if num_planes is None:
-        n = embeddings.count()
+        n = estimated_row_count(embeddings)
+        if n is None:
+            n = embeddings.count()
         num_planes = max(4, math.ceil(math.log2(max(n / target_bucket_occupancy, 2))))
     pairs = topk_hyperplane_lsh(
         embeddings,

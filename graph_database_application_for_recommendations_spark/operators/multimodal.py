@@ -95,15 +95,16 @@ def extract_features(
     ``mapInPandas`` keeps the whole batch in one Python call (no per-row
     overhead). The input is repartitioned first so the Python workers fan
     out across the cluster even when the source is a single file — but the
-    fan-out is sized to the data (``rows_per_task``), capped at the
+    fan-out is sized to the data via the catalog size estimate
+    (``plans.fanout_partitions`` — no pre-scan job), capped at the
     cluster's parallelism: spawning a Python worker per core for a few
     thousand rows pays seconds of interpreter startup for milliseconds of
-    work, while at 100 TB the count pushes the partition count to the
-    cluster-wide cap. The count itself is one cheap metadata-ish job.
+    work, while at 100 TB the estimate pushes the partition count to the
+    cluster-wide cap.
     """
-    par = assets.sparkSession.sparkContext.defaultParallelism
-    n = assets.count()
-    assets = assets.repartition(max(1, min(par, -(-n // rows_per_task))))
+    from ..plans import fanout_partitions
+
+    assets = assets.repartition(fanout_partitions(assets))
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -179,9 +180,9 @@ def sample_frames(assets: DataFrame, every_n_bytes: int = 1024, max_frames: int 
             for off in range(0, min(len(payload), every_n_bytes * max_frames), every_n_bytes)
         ]
 
-    par = assets.sparkSession.sparkContext.defaultParallelism
-    n = assets.count()
-    src = assets.repartition(max(1, min(par, -(-n // 2048))))
+    from ..plans import fanout_partitions
+
+    src = assets.repartition(fanout_partitions(assets))
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -228,8 +229,8 @@ def resize_images(assets: DataFrame, width: int = 64, height: int = 64) -> DataF
             if out:
                 yield pd.DataFrame(out)
 
-    par = assets.sparkSession.sparkContext.defaultParallelism
-    n = assets.count()
-    return assets.repartition(max(1, min(par, -(-n // 2048)))).mapInPandas(
+    from ..plans import fanout_partitions
+
+    return assets.repartition(fanout_partitions(assets)).mapInPandas(
         _resize, RESIZE_SCHEMA
     )

@@ -76,3 +76,53 @@ def cache_wide(df: DataFrame, min_partitions: int, *partition_cols: str) -> Data
     wide.count()
     cached.unpersist(blocking=False)
     return wide
+
+
+def estimated_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's logical-plan size estimate in bytes — catalog/file
+    statistics propagated through the plan, NO job. ``None`` when the plan
+    has no usable estimate (LogicalRDD/localCheckpoint report the
+    conf-default sentinel, effectively +inf)."""
+    try:
+        # py4j maps the scala BigInt to a Python int; str() also covers a
+        # JavaObject passthrough if that mapping ever changes
+        size = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    except Exception:  # py4j surface changed or non-SQL plan
+        return None
+    if size <= 0 or size >= (1 << 60):
+        return None
+    return size
+
+
+_FIXED_WIDTH = {"boolean": 1, "tinyint": 1, "smallint": 2, "int": 4, "float": 4,
+                "date": 4, "bigint": 8, "double": 8, "timestamp": 8,
+                "timestamp_ntz": 8}
+
+
+def estimated_row_count(df: DataFrame, var_field_bytes: int = 256) -> int | None:
+    """Order-of-magnitude row estimate from the size estimate and a
+    schema-derived row width (variable-width fields — string/array/binary —
+    assumed ``var_field_bytes``). Meant for log-scaled sizing decisions
+    (e.g. LSH plane counts), where a small-constant-factor error is
+    harmless; not for cardinality-sensitive logic."""
+    size = estimated_size_bytes(df)
+    if size is None:
+        return None
+    width = sum(
+        _FIXED_WIDTH.get(f.dataType.simpleString(), var_field_bytes)
+        for f in df.schema.fields
+    )
+    return max(1, size // max(width, 1))
+
+
+def fanout_partitions(df: DataFrame, target_bytes: int = 1 << 20) -> int:
+    """Partition count for a CPU-bound Arrow fan-out (mapInPandas kernels),
+    from the catalog size estimate — replaces the pre-scan ``count()``
+    sizing (VERDICT r1 item 7: at 100 TB that count is a full extra pass
+    over the data before the real job). Statless plans fall back to
+    defaultParallelism — never to a counting job."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    size = estimated_size_bytes(df)
+    if size is None:
+        return par
+    return max(1, min(par, -(-size // target_bytes)))
