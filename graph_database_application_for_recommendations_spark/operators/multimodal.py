@@ -19,6 +19,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -43,32 +45,162 @@ FEATURE_SCHEMA = StructType(
         StructField("crc32", LongType()),
         StructField("first_byte", LongType()),
         StructField("last_byte", LongType()),
+        # real-decoder fields: null when the payload isn't a format the
+        # stdlib decoders handle (decoded=false -> byte features only)
+        StructField("decoded", BooleanType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("channels", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("mean_value", DoubleType()),
     ]
 )
 
+# fixed asset geometry: constant headers make the JVM-side payload
+# construction a literal concat and the n_bytes oracle a CASE constant
+PPM_W = PPM_H = 8
+_PPM_RASTER = PPM_W * PPM_H * 3  # 192 bytes, 24-bit RGB
+_PPM_HEADER = f"P6\n{PPM_W} {PPM_H}\n255\n".encode()
+WAV_SAMPLE_RATE = 8000
+WAV_DATA_BYTES = 256  # 8-bit mono PCM samples
+_WAV_HEADER = (
+    b"RIFF" + (36 + WAV_DATA_BYTES).to_bytes(4, "little") + b"WAVE"
+    + b"fmt " + (16).to_bytes(4, "little")
+    + (1).to_bytes(2, "little")  # PCM
+    + (1).to_bytes(2, "little")  # mono
+    + WAV_SAMPLE_RATE.to_bytes(4, "little")
+    + WAV_SAMPLE_RATE.to_bytes(4, "little")  # byte rate (8-bit mono)
+    + (1).to_bytes(2, "little")  # block align
+    + (8).to_bytes(2, "little")  # bits per sample
+    + b"data" + WAV_DATA_BYTES.to_bytes(4, "little")
+)
+
+
+def _fixed_bytes(src, n: int):
+    """Truncate/zero-pad a binary column to exactly n bytes — JVM-side
+    (binary substring/rpad), no Python in the loop."""
+    return F.expr(f"rpad(substring({src}, 1, {n}), {n}, x'00')")
+
 
 def assets_from_documents(documents: DataFrame) -> DataFrame:
-    """Deterministic multimodal asset table from the documents fixture:
-    payload = utf-8 bytes of the text, kind round-robins text/image/audio."""
+    """Deterministic multimodal asset table from the documents fixture;
+    kind round-robins text/image/audio. Image and audio payloads are REAL
+    container formats built from the text bytes — a binary PPM (P6,
+    8×8 RGB) and a PCM WAV (8-bit mono 8 kHz) with fixed-size rasters —
+    so ``extract_features`` exercises the real decoder branch end-to-end,
+    not the byte-feature fallback. Construction is a constant-header
+    concat over JVM binary functions (no UDF)."""
+    text_bytes = "encode(text, 'UTF-8')"
     return documents.select(
         F.col("doc_id").alias("asset_id"),
         F.when(F.col("doc_id") % 3 == 0, F.lit("text"))
         .when(F.col("doc_id") % 3 == 1, F.lit("image"))
         .otherwise(F.lit("audio"))
         .alias("kind"),
-        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.when(
+            F.col("doc_id") % 3 == 0, F.encode(F.col("text"), "UTF-8")
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit(_PPM_HEADER), _fixed_bytes(text_bytes, _PPM_RASTER)),
+        )
+        .otherwise(
+            F.concat(F.lit(_WAV_HEADER), _fixed_bytes(text_bytes, WAV_DATA_BYTES))
+        )
+        .alias("payload"),
         F.col("source").alias("meta_source"),
         F.col("lang").alias("meta_lang"),
     )
 
 
 def _decode_image(payload: bytes) -> dict:
-    """Real image decode would go here (PIL/opencv not in this container)."""
-    raise NotImplementedError("image decoding requires an image library; stubbed")
+    """Pure-stdlib image decode for the formats that need no imaging lib:
+    binary PPM (P6) and uncompressed 24/32-bit BMP. Compressed formats
+    (PNG: zlib inflate + scanline filters; JPEG: DCT) raise
+    NotImplementedError and route to byte-level features — honestly
+    environment-limited, as before."""
+    if payload[:2] == b"P6":
+        vals: list[int] = []
+        i = 2
+        while len(vals) < 3:
+            while i < len(payload) and payload[i : i + 1].isspace():
+                i += 1
+            if payload[i : i + 1] == b"#":  # comment line
+                while i < len(payload) and payload[i] != 0x0A:
+                    i += 1
+                continue
+            j = i
+            while j < len(payload) and not payload[j : j + 1].isspace():
+                j += 1
+            vals.append(int(payload[i:j]))
+            i = j
+        i += 1  # exactly one whitespace byte separates maxval from raster
+        w, h, _maxval = vals
+        raster = payload[i : i + w * h * 3]
+        if len(raster) < w * h * 3:
+            raise ValueError(f"truncated PPM raster: {len(raster)} < {w * h * 3}")
+        return {
+            "width": w,
+            "height": h,
+            "channels": 3,
+            "mean_value": round(sum(raster) / len(raster), 6) if raster else 0.0,
+        }
+    if payload[:2] == b"BM":
+        import struct
+
+        (data_off,) = struct.unpack_from("<I", payload, 10)
+        w, h = struct.unpack_from("<ii", payload, 18)
+        (bpp,) = struct.unpack_from("<H", payload, 28)
+        (compression,) = struct.unpack_from("<I", payload, 30)
+        if compression != 0 or bpp not in (24, 32):
+            raise NotImplementedError("only uncompressed 24/32-bit BMP decodable")
+        raster = payload[data_off:]
+        return {
+            "width": w,
+            "height": abs(h),  # negative height = top-down rows
+            "channels": bpp // 8,
+            "mean_value": round(sum(raster) / len(raster), 6) if raster else 0.0,
+        }
+    raise NotImplementedError(
+        "only PPM(P6)/uncompressed BMP decode without an imaging library"
+    )
 
 
 def _decode_audio(payload: bytes) -> dict:
-    raise NotImplementedError("audio decoding requires an audio library; stubbed")
+    """Pure-stdlib PCM WAV decode (RIFF chunk walk + struct). Compressed
+    codecs raise NotImplementedError -> byte-level features."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError("only RIFF/WAVE audio decodable without an audio lib")
+    off = 12
+    fmt = None
+    data = None
+    while off + 8 <= len(payload):
+        cid = payload[off : off + 4]
+        (csize,) = struct.unpack_from("<I", payload, off + 4)
+        body = payload[off + 8 : off + 8 + csize]
+        if cid == b"fmt ":
+            audio_fmt, channels = struct.unpack_from("<HH", body, 0)
+            (sample_rate,) = struct.unpack_from("<I", body, 4)
+            (bits,) = struct.unpack_from("<H", body, 14)
+            if audio_fmt != 1:
+                raise NotImplementedError("only PCM WAV decodable")
+            fmt = (channels, sample_rate, bits)
+        elif cid == b"data":
+            data = body
+        off += 8 + csize + (csize & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    channels, sample_rate, bits = fmt
+    n_samples = len(data) // max(1, (bits // 8) * channels)
+    return {
+        "channels": channels,
+        "sample_rate": sample_rate,
+        "n_samples": n_samples,
+        "mean_value": round(sum(data) / len(data), 6) if data else 0.0,
+    }
 
 
 def _byte_features(payload: bytes) -> dict:
@@ -82,7 +214,7 @@ def _byte_features(payload: bytes) -> dict:
     }
 
 
-# kind -> decoder; unknown/stubbed kinds fall back to deterministic
+# kind -> decoder; undecodable payloads fall back to deterministic
 # byte-level features so the pipeline stays runnable end-to-end.
 DECODERS = {"image": _decode_image, "audio": _decode_audio}
 
@@ -111,27 +243,41 @@ def extract_features(
             out = []
             for asset_id, kind, payload in zip(pdf["asset_id"], pdf["kind"], pdf["payload"]):
                 payload = bytes(payload) if payload is not None else b""
+                feats = _byte_features(payload)
+                decoded = None
                 decoder = DECODERS.get(kind)
                 if decoder is not None:
                     try:
-                        feats = decoder(payload)
-                    except NotImplementedError:
-                        feats = _byte_features(payload)
-                else:
-                    feats = _byte_features(payload)
-                out.append(
-                    {
-                        "asset_id": asset_id,
-                        "kind": kind,
-                        "n_bytes": feats["n_bytes"],
-                        "crc32": feats["crc32"],
-                        "first_byte": feats["first_byte"],
-                        "last_byte": feats["last_byte"],
-                    }
-                )
+                        decoded = decoder(payload)
+                    except (NotImplementedError, ValueError, IndexError):
+                        decoded = None  # undecodable -> byte features only
+                row = {
+                    "asset_id": asset_id,
+                    "kind": kind,
+                    "n_bytes": feats["n_bytes"],
+                    "crc32": feats["crc32"],
+                    "first_byte": feats["first_byte"],
+                    "last_byte": feats["last_byte"],
+                    "decoded": decoded is not None,
+                    "width": None,
+                    "height": None,
+                    "channels": None,
+                    "sample_rate": None,
+                    "n_samples": None,
+                    "mean_value": None,
+                }
+                if decoded is not None:
+                    row.update(decoded)
+                out.append(row)
             # bound output batch size to keep Arrow buffers small
             for i in range(0, len(out), batch_size):
-                yield pd.DataFrame(out[i : i + batch_size])
+                batch = pd.DataFrame(out[i : i + batch_size])
+                # nullable decode fields: pandas would degrade int+None to
+                # float64/object — pin Int64 so Arrow hands Spark proper
+                # nullable longs
+                for c in ("width", "height", "channels", "sample_rate", "n_samples"):
+                    batch[c] = pd.array(batch[c], dtype="Int64")
+                yield batch
 
     return assets.mapInPandas(_extract, FEATURE_SCHEMA)
 

@@ -895,12 +895,18 @@ register(
 register(
     "q_multimodal_meta",
     lambda s, d: multimodal.asset_meta(multimodal.assets_from_documents(_docs(s, d))),
+    # image/audio payloads are real fixed-geometry containers
+    # (operators/multimodal.py: 8x8 P6 PPM = 11B header + 192B raster;
+    # 8-bit mono WAV = 44B header + 256B data), so their n_bytes are the
+    # format constants; text stays the raw utf-8 length
     """
     SELECT doc_id AS asset_id,
            CASE WHEN doc_id % 3 = 0 THEN 'text'
                 WHEN doc_id % 3 = 1 THEN 'image'
                 ELSE 'audio' END AS kind,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+           CAST(CASE WHEN doc_id % 3 = 0 THEN octet_length(encode(text))
+                     WHEN doc_id % 3 = 1 THEN 203
+                     ELSE 300 END AS BIGINT) AS n_bytes
     FROM documents
     """,
 )

@@ -281,11 +281,55 @@ def test_multimodal_feature_extraction_plumbing(spark, docs_with_dups):
     texts = {r["doc_id"]: r["text"] for r in docs.collect()}
     assert set(feats) == set(texts)
     for doc_id, text in texts.items():
-        payload = text.encode("utf-8")
-        assert feats[doc_id]["n_bytes"] == len(payload)
-        assert feats[doc_id]["crc32"] == zlib.crc32(payload)
-        assert feats[doc_id]["first_byte"] == payload[0]
-        assert feats[doc_id]["last_byte"] == payload[-1]
+        raw = text.encode("utf-8")
+        r = feats[doc_id]
+        if doc_id % 3 == 0:  # text asset: payload IS the utf-8 bytes
+            assert not r["decoded"] and r["n_bytes"] == len(raw)
+            assert r["crc32"] == zlib.crc32(raw)
+            assert r["first_byte"] == raw[0] and r["last_byte"] == raw[-1]
+        elif doc_id % 3 == 1:  # real 8x8 P6 PPM built from the text bytes
+            assert r["decoded"] and r["n_bytes"] == 203
+            assert (r["width"], r["height"], r["channels"]) == (8, 8, 3)
+            raster = raw[:192].ljust(192, b"\0")
+            assert r["mean_value"] == pytest.approx(sum(raster) / 192, abs=1e-6)
+        else:  # real 8-bit mono PCM WAV
+            assert r["decoded"] and r["n_bytes"] == 300
+            assert (r["channels"], r["sample_rate"], r["n_samples"]) == (1, 8000, 256)
+            data = raw[:256].ljust(256, b"\0")
+            assert r["mean_value"] == pytest.approx(sum(data) / 256, abs=1e-6)
+
+
+def test_multimodal_stdlib_decoders():
+    """Direct decode of hand-built PPM / BMP / WAV fixtures."""
+    import struct
+
+    ppm = b"P6\n# a comment\n2 2\n255\n" + bytes(range(12))
+    img = multimodal._decode_image(ppm)
+    assert (img["width"], img["height"], img["channels"]) == (2, 2, 3)
+    assert img["mean_value"] == pytest.approx(sum(range(12)) / 12, abs=1e-6)
+
+    raster = bytes([10, 20, 30] * 4)
+    bmp = (
+        b"BM" + struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(raster), 0, 0, 0, 0)
+        + raster
+    )
+    img = multimodal._decode_image(bmp)
+    assert (img["width"], img["height"], img["channels"]) == (2, 2, 3)
+    assert img["mean_value"] == pytest.approx(20.0, abs=1e-6)
+
+    data = bytes(range(100))
+    wav = (
+        b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + struct.pack("<HHIIHH", 1, 2, 16000, 64000, 4, 16)
+        + b"data" + len(data).to_bytes(4, "little") + data
+    )
+    aud = multimodal._decode_audio(wav)
+    assert (aud["channels"], aud["sample_rate"]) == (2, 16000)
+    assert aud["n_samples"] == len(data) // 4  # 16-bit stereo
+    with pytest.raises(NotImplementedError):
+        multimodal._decode_audio(b"fLaC....")
 
 
 def test_multimodal_frame_sampling_and_resize(spark):
