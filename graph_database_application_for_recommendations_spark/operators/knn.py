@@ -126,13 +126,21 @@ def knn_exact_local(
         vals = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
         ok = vals >= cutoff
         rr, cc, vals = rr[ok], cc[ok], vals[ok]
-        for row in np.unique(rr):
-            sel = np.flatnonzero(rr == row)
-            if sel.size > top_k:
+        # np.nonzero emits row-major order, so rr is non-decreasing:
+        # group boundaries come from one unique pass (O(|survivors|)
+        # total) instead of a flatnonzero scan per row (O(rows x
+        # survivors) — dominated the kernel at low cutoffs, where
+        # survivors are plentiful)
+        rows_u, starts = np.unique(rr, return_index=True)
+        ends = np.append(starts[1:], rr.size)
+        for row, lo_i, hi_i in zip(rows_u, starts, ends):
+            if hi_i - lo_i > top_k:
                 # ids are pre-sorted ascending and cc is emitted in
                 # ascending order, so stable argsort on -val gives the
                 # dst-ascending tie-break for free
-                sel = sel[np.argsort(-vals[sel], kind="stable")[:top_k]]
+                sel = lo_i + np.argsort(-vals[lo_i:hi_i], kind="stable")[:top_k]
+            else:
+                sel = np.arange(lo_i, hi_i)
             out_src.extend([ids[lo + row]] * sel.size)
             out_dst.extend(ids[cc[sel]])
             out_sim.extend(vals[sel])

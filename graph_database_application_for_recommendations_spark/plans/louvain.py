@@ -195,9 +195,17 @@ def _louvain_sequential(
         # slots after each node) — avoids a per-node np.unique sort, which
         # dominates the sweep at avg degree in the hundreds
         buf = np.zeros(n)
+        # pruned sweeps (Ozaki et al. 2016, standard Louvain speedup):
+        # sweep 1 visits every node; later sweeps only nodes adjacent to a
+        # move — a node whose neighborhood didn't change almost always
+        # re-makes the same decision, and the active set shrinks
+        # geometrically. Processing order stays node-ascending among the
+        # active set, so the result remains deterministic.
+        active = np.ones(n, dtype=bool)
         for _sweep in range(max_sweeps):
             moved = 0
-            for i in range(n):
+            next_active = np.zeros(n, dtype=bool)
+            for i in np.flatnonzero(active):
                 lo, hi = indptr[i], indptr[i + 1]
                 if lo == hi:
                     continue
@@ -205,23 +213,27 @@ def _louvain_sequential(
                 ws = w_o[lo:hi]
                 np.add.at(buf, cs, ws)
                 ci = comm[i]
+                deg_i = deg[i]
                 # candidate list may repeat a community; duplicate entries
                 # carry identical gains, so argmax/tie-break are unaffected
-                gain = buf[cs] - deg[i] * (tot[cs] - (cs == ci) * deg[i]) / m2
+                gain = buf[cs] - deg_i * (tot[cs] - (cs == ci) * deg_i) / m2
                 # staying scores k_i→ci (0 if no edge into own community)
                 # with the own-degree correction applied
-                stay_gain = buf[ci] - deg[i] * (tot[ci] - deg[i]) / m2
+                stay_gain = buf[ci] - deg_i * (tot[ci] - deg_i) / m2
                 maxg = gain.max()
                 buf[cs] = 0.0
                 if maxg > stay_gain:
                     cb = int(cs[gain == maxg].min())  # ties -> smallest id
                     if cb != ci:
-                        tot[ci] -= deg[i]
-                        tot[cb] += deg[i]
+                        tot[ci] -= deg_i
+                        tot[cb] += deg_i
                         comm[i] = cb
                         moved += 1
+                        next_active[d_o[lo:hi]] = True
+                        next_active[i] = True
             if moved == 0:
                 break
+            active = next_active
 
         # modularity of this level's partition (on the coarse graph == on
         # the original graph, coarsening preserves Q)

@@ -112,7 +112,12 @@ def run_pipeline(
     exhaustive).
     """
     ref = load_ref_tables(spark, sf_dir)
-    ratings = ref.ratings
+    # one cache for the whole pipeline: the bipartite graph executes this
+    # plan 3x (users-distinct, books-distinct, edge list) and the community
+    # stage twice more (co-rating self-join sides) — without the cache each
+    # fill re-runs the ratings join. Plan-keyed, so serving queries built
+    # from the same load_ref_tables plan share it.
+    ratings = ref.ratings.cache()
 
     def _embeddings() -> DataFrame:
         # G2: FastRP on the undirected weighted bipartite graph (S9)
