@@ -51,6 +51,25 @@ def main() -> None:
         print(f"   graph rows: {len(graph)}")
         print(f"   recommendation round-trip: {time.time() - t0:.2f}s")
 
+        # graph visualization HTML, like streamlit_app.py:99-108
+        from graph_database_application_for_recommendations_spark.operators import recommend as _rec_ops
+        from graph_database_application_for_recommendations_spark.sources.views import load_ref_tables
+        from graph_database_application_for_recommendations_spark.viz import write_html
+
+        ref = load_ref_tables(spark, args.sf_dir)
+        if algo == "knn":
+            gdf = _rec_ops.graph_data_knn(pipe.similar_to, ref.ratings, ref.books, args.user)
+            nodes, edges = _rec_ops.viz_export_knn(gdf)
+        else:
+            gdf = _rec_ops.graph_data_community(
+                ref.users.join(pipe.communities, "user_id", "left"),
+                ref.ratings, ref.books, args.user,
+            )
+            nodes, edges = _rec_ops.viz_export(gdf)
+        out = write_html(nodes, edges, f"viz_{algo}_user{args.user}.html",
+                         title=f"{algo} recommendations for user {args.user}")
+        print(f"   graph HTML: {out}")
+
     spark.stop()
 
 

@@ -121,6 +121,39 @@ def test_viz_export_shapes(spark):
     }
 
 
+def test_viz_export_knn_and_html_render(spark, tmp_path):
+    """§2.9 KNN neighborhood viz: user-user similarity edges carry the P9
+    rescale 1+9*sim (recommender_knn.py:126); the HTML adapter emits a
+    self-contained vis-network page with valid embedded JSON."""
+    import json
+    import re
+
+    from graph_database_application_for_recommendations_spark.viz import write_html
+
+    gd = spark.createDataFrame(
+        [
+            (1, "i1", "t1", 9, 2, 0.5, "i2", "t2", 3),
+            (1, "i1", "t1", 9, 3, 0.9, None, None, None),  # bookless similar user
+        ],
+        "target_id LONG, t_isbn STRING, t_title STRING, t_rating INT,"
+        " sim_id LONG, similarity DOUBLE, s_isbn STRING, s_title STRING, s_rating INT",
+    )
+    nodes, edges = recommend.viz_export_knn(gd)
+    n = {r["id"]: r for r in nodes.collect()}
+    assert n["user_3"]["shape"] == "dot"  # present despite having no books
+    assert n["i1"]["color"] == "green" and n["i2"]["color"] == "red"
+    e = {(r["src"], r["dst"]): r["value"] for r in edges.collect()}
+    assert e[("user_1", "user_2")] == pytest.approx(1 + 0.5 * 9)
+    assert e[("user_1", "user_3")] == pytest.approx(1 + 0.9 * 9)
+    assert e[("user_1", "i1")] == 9.0 and e[("user_2", "i2")] == 3.0
+
+    path = write_html(nodes, edges, str(tmp_path / "g.html"), title="t")
+    html = open(path, encoding="utf-8").read()
+    assert "vis-network" in html
+    for blob in re.findall(r"vis\.DataSet\((.*?)\);", html):
+        assert isinstance(json.loads(blob), list)  # embedded JSON is valid
+
+
 def test_csv_etl_pipeline_end_to_end(spark, tmp_path):
     """EP2 (SURVEY §3): the reference's full ETL over Kaggle-shaped CSVs —
     filter implicit ratings, semi-join dims, FK-enforce edges — then serve
