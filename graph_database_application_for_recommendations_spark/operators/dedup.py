@@ -350,6 +350,43 @@ def neardup_lsh_verified(
     )
 
 
+def benchmark_contamination(
+    train_docs: DataFrame,
+    benchmark_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """(doc_id, n_overlap_ngrams, n_benchmark_docs): training documents
+    sharing at least one n-token span with a benchmark/eval document —
+    the decontamination check every pre-training pipeline runs (the
+    n-gram-overlap method of Lee et al., ACL 2022 / the GPT-3 appendix,
+    both public).
+
+    Plan shape: distinct n-grams per side, equi-join on the gram, one
+    count aggregate per train doc. The benchmark side is the small one by
+    construction (eval sets are thousands of docs against a 100 TB
+    corpus), so it broadcasts — the check is then a map-side join at scan
+    speed over the training corpus, no shuffle of the big side.
+    """
+    tg = shingle_set(train_docs, id_col, text_col, n)
+    bg = (
+        shingle_set(benchmark_docs, id_col, text_col, n)
+        .select(F.col("doc_id").alias("bench_doc"), "shingle")
+        .distinct()
+    )
+    # eval sets are broadcast-sized by nature; keep the hint unconditional
+    # so Catalyst never shuffles the corpus side on a bad size estimate
+    return (
+        tg.join(F.broadcast(bg), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_overlap_ngrams"),
+            F.countDistinct("bench_doc").alias("n_benchmark_docs"),
+        )
+    )
+
+
 # --- SimHash -----------------------------------------------------------------
 
 SIMHASH_BITS = 60  # 15 hex chars of md5 -> fits a signed int64

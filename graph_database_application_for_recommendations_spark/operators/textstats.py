@@ -144,3 +144,39 @@ def source_stats(documents: DataFrame) -> DataFrame:
             F.sum("n_tokens").alias("total_tokens"),
         )
     )
+
+
+# --- PII scrubbing -----------------------------------------------------------
+
+# Patterns kept to the Java/RE2 common subset so the Spark plan and the
+# DuckDB oracle compile the same automaton. Heuristics by design (public
+# pipeline practice, e.g. C4's cleanup passes): email, IPv4, then a
+# digit-run phone catch-all — order matters, the phone pattern would
+# otherwise eat IPv4 octets.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP_RE = r"\b(\d{1,3}\.){3}\d{1,3}\b"
+PII_PHONE_RE = r"\+?\d[\d() -]{6,}\d"
+
+
+def scrub_pii(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, clean_text, n_emails, n_ips, n_phones): PII redaction with
+    per-kind match counts — the standard pre-training privacy pass.
+
+    Pure ``regexp_replace``/``regexp_count`` column expressions: one
+    codegen'd projection, no shuffle, no UDF — at 100 TB this runs at scan
+    speed. Counts are measured on the ORIGINAL text; replacements are
+    applied email → IP → phone so earlier placeholders aren't re-matched.
+    """
+    t = F.col(text_col)
+    clean = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    clean = F.regexp_replace(clean, PII_IP_RE, "<IP>")
+    clean = F.regexp_replace(clean, PII_PHONE_RE, "<PHONE>")
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        clean.alias("clean_text"),
+        F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_IP_RE)).cast("long").alias("n_ips"),
+        F.regexp_count(t, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
+    )

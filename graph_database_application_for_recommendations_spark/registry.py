@@ -363,7 +363,7 @@ register(
 # --- multimodal / events) ---------------------------------------------------
 
 from .functions.text import STOPWORDS  # noqa: E402
-from .operators import dedup, events, multimodal, simsearch, textstats  # noqa: E402
+from .operators import dedup, events, multimodal, sampling, simsearch, textstats  # noqa: E402
 
 # Shared oracle CTEs over documents: normalized text, tokens, 3-gram shingles
 # — each mirrors functions/text.py expression-for-expression.
@@ -785,6 +785,83 @@ register(
         FROM dedup d JOIN documents doc ON doc.doc_id = d.doc_id
         """
     ),
+)
+
+# PII scrubbing: counts on the original text, redaction email -> IP ->
+# phone (same order both engines; DuckDB needs the 'g' flag Spark implies)
+register(
+    "q_text_pii",
+    lambda s, d: textstats.scrub_pii(_docs(s, d)),
+    f"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '{textstats.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{textstats.PII_IP_RE}', '<IP>', 'g'),
+               '{textstats.PII_PHONE_RE}', '<PHONE>', 'g') AS clean_text,
+           CAST(len(regexp_extract_all(text, '{textstats.PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{textstats.PII_IP_RE}')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(text, '{textstats.PII_PHONE_RE}')) AS BIGINT) AS n_phones
+    FROM documents
+    """,
+)
+
+# benchmark decontamination: pseudo-benchmark = every 97th doc, 8-gram
+# overlap (Lee et al. ACL 2022 / GPT-3 appendix method)
+register(
+    "q_decontam",
+    lambda s, d: dedup.benchmark_contamination(
+        _docs(s, d).filter(F.col("doc_id") % 97 != 0),
+        _docs(s, d).filter(F.col("doc_id") % 97 == 0),
+        n=8,
+    ),
+    _q_docs(
+        """
+        , g8 AS (
+          SELECT doc_id, unnest(s) AS shingle FROM (
+            SELECT doc_id,
+                   list_distinct([array_to_string(list_slice(t, i, i + 7), ' ')
+                                  for i in range(1, greatest(len(t) - 7, 1) + 1)]) AS s
+            FROM toks)),
+        train AS (SELECT doc_id, shingle FROM g8 WHERE doc_id % 97 <> 0),
+        bench AS (SELECT DISTINCT doc_id AS bench_doc, shingle FROM g8 WHERE doc_id % 97 = 0)
+        SELECT t.doc_id,
+               COUNT(DISTINCT t.shingle) AS n_overlap_ngrams,
+               COUNT(DISTINCT b.bench_doc) AS n_benchmark_docs
+        FROM train t JOIN bench b USING (shingle)
+        GROUP BY t.doc_id
+        """
+    ),
+)
+
+# deterministic sampling (membership = f(key, seed), engine/run/partition
+# independent — the md5 bucket is reproduced verbatim in the oracle)
+_SAMPLE_BUCKET = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#7'), 1, 8)) AS BIGINT) % 1000000"
+)
+
+register(
+    "q_corpus_sample",
+    lambda s, d: sampling.hash_sample(_docs(s, d), "doc_id", 0.1, seed=7).select(
+        "doc_id", "lang", "source"
+    ),
+    f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE {_SAMPLE_BUCKET} < 100000
+    """,
+)
+register(
+    "q_corpus_sample_stratified",
+    lambda s, d: sampling.stratified_sample(
+        _docs(s, d), "lang", "doc_id", 0.2, seed=7
+    ).select("doc_id", "lang"),
+    f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY {_SAMPLE_BUCKET}, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM documents)
+    WHERE rn <= CEIL(n * 0.2)
+    """,
 )
 
 

@@ -363,3 +363,68 @@ def test_multimodal_frame_sampling_and_resize(spark):
 def test_multimodal_decoder_stub_raises():
     with pytest.raises(NotImplementedError):
         multimodal._decode_image(b"\x89PNG")
+
+
+# --- round-2 training-pipeline extensions -----------------------------------
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    from graph_database_application_for_recommendations_spark.operators import textstats
+
+    rows = [
+        (1, "contact bob.smith+x@example.co.uk or 10.0.0.1 or +1 (555) 123-4567 now"),
+        (2, "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r["doc_id"]: r for r in textstats.scrub_pii(df).collect()}
+    assert got[1]["n_emails"] == 1 and got[1]["n_ips"] == 1 and got[1]["n_phones"] == 1
+    assert got[1]["clean_text"] == "contact <EMAIL> or <IP> or <PHONE> now"
+    assert got[2]["clean_text"] == "no pii here at all"
+    assert (got[2]["n_emails"], got[2]["n_ips"], got[2]["n_phones"]) == (0, 0, 0)
+
+
+def test_hash_sample_deterministic_and_stable(spark):
+    from graph_database_application_for_recommendations_spark.operators import sampling
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    s1 = {r["doc_id"] for r in sampling.hash_sample(df, "doc_id", 0.3, seed=7).collect()}
+    s2 = {r["doc_id"] for r in sampling.hash_sample(df, "doc_id", 0.3, seed=7).collect()}
+    assert s1 == s2  # run-to-run deterministic
+    assert 0.25 < len(s1) / 2000 < 0.35  # near the asked fraction
+    # membership is per-key: a smaller corpus keeps the same decisions
+    half = df.filter("doc_id < 1000")
+    sh = {r["doc_id"] for r in sampling.hash_sample(half, "doc_id", 0.3, seed=7).collect()}
+    assert sh == {k for k in s1 if k < 1000}
+    # nested fractions: a 10% sample is a subset of the 30% sample
+    s10 = {r["doc_id"] for r in sampling.hash_sample(df, "doc_id", 0.1, seed=7).collect()}
+    assert s10 <= s1
+
+
+def test_stratified_sample_exact_per_stratum(spark):
+    from graph_database_application_for_recommendations_spark.operators import sampling
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 4).cast("string").alias("lang")
+    )
+    out = sampling.stratified_sample(df, "lang", "doc_id", 0.2, seed=7)
+    sizes = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert sizes == {"0": 50, "1": 50, "2": 50, "3": 50}  # ceil(250 * 0.2)
+    again = sampling.stratified_sample(df, "lang", "doc_id", 0.2, seed=7)
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_benchmark_contamination_flags_shared_spans(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # exactly 8 tokens
+    rows_train = [
+        (1, f"prefix words here {shared} suffix tail words"),
+        (2, "totally clean document with no overlap whatsoever in any span"),
+    ]
+    rows_bench = [(100, f"benchmark question containing {shared} inside it")]
+    train = spark.createDataFrame(rows_train, "doc_id LONG, text STRING")
+    bench = spark.createDataFrame(rows_bench, "doc_id LONG, text STRING")
+    got = {r["doc_id"]: r for r in dedup.benchmark_contamination(train, bench, n=8).collect()}
+    assert 1 in got and 2 not in got
+    assert got[1]["n_overlap_ngrams"] >= 1 and got[1]["n_benchmark_docs"] == 1
