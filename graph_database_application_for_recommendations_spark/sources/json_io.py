@@ -12,8 +12,32 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 
-def read_jsonl(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
-    return spark.read.schema(schema).json(path)
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    corrupt_col: str | None = None,
+) -> DataFrame:
+    """Schema-projected JSONL read.
+
+    ``corrupt_col``: web-scale corpora always contain malformed lines; pass
+    a column name to capture each bad line's raw text there (Spark's
+    PERMISSIVE mode) instead of silently nulling it — the caller can route
+    them to a quarantine sink and count them. Default (None) keeps the
+    plain permissive read (bad lines -> all-null rows)."""
+    if corrupt_col is None:
+        return spark.read.schema(schema).json(path)
+    from pyspark.sql.types import StringType, StructField
+
+    with_corrupt = StructType(
+        list(schema.fields) + [StructField(corrupt_col, StringType())]
+    )
+    return (
+        spark.read.schema(with_corrupt)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
 
 
 def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:

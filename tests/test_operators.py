@@ -281,3 +281,26 @@ def test_recommender_facade(spark):
         assert isinstance(graph, list)
     with pytest.raises(ValueError):
         get_recommender(spark, SF_SMALL, "nope", pipeline=pipe)
+
+def test_jsonl_corrupt_record_capture(spark, tmp_path):
+    """Malformed JSONL lines land in the corrupt column instead of turning
+    into silent all-null rows."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from graph_database_application_for_recommendations_spark.sources import json_io
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "good line"}\n'
+        "this is not json at all\n"
+        '{"doc_id": 3, "text": "another good one"}\n'
+    )
+    schema = StructType([StructField("doc_id", LongType()), StructField("text", StringType())])
+    df = json_io.read_jsonl(spark, str(p), schema, corrupt_col="_bad").cache()
+    good = df.filter("_bad IS NULL")
+    bad = df.filter("_bad IS NOT NULL")
+    assert {r["doc_id"] for r in good.collect()} == {1, 3}
+    assert [r["_bad"] for r in bad.collect()] == ["this is not json at all"]
+    # default read still works and nulls the bad line
+    plain = json_io.read_jsonl(spark, str(p), schema)
+    assert plain.count() == 3 and plain.filter("doc_id IS NULL").count() == 1
