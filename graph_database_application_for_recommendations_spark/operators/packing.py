@@ -1,0 +1,121 @@
+"""Sequence packing and domain mixing for LLM training-data pipelines.
+
+``pack_chunks`` is GPT-style concatenate-and-chunk packing: documents are
+laid out in a deterministic global order (``id_col`` ascending), the
+concatenated token stream is cut into fixed ``ctx_len`` windows, and each
+document is mapped to its (pack, offset) coordinates. The global running
+token sum is the crux at scale — a naive ``Window.orderBy`` with no
+partition key collapses the whole corpus onto one task. Here it is a
+two-level distributed prefix sum:
+
+  1. per-block partial sums (``floor(id / block_size)``) — one map-side-
+     combinable aggregate producing ``n_docs / block_size`` rows;
+  2. an exclusive prefix over that tiny block dimension (single-partition
+     window over ~n/65k rows — at 10^11 docs and the default block size
+     that is ~1.5M rows; raise ``block_size`` to shrink it further);
+  3. broadcast the block offsets back and finish with a *per-block*
+     running sum (bounded-memory window partitioned by block).
+
+``mix_corpus`` is the data-mixture step: per-domain deterministic hash
+sampling toward target weights. Membership depends only on (key, seed) —
+the same md5 bucket primitive as ``operators/sampling.py`` — so a mixture
+is reproducible across runs, engines, and corpus versions, and the filter
+pushes to the scan (no shuffle, no state).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+from .sampling import HASH_BUCKETS, sample_bucket
+
+DEFAULT_BLOCK = 65_536
+
+
+def pack_chunks(
+    documents: DataFrame,
+    ctx_len: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_size: int = DEFAULT_BLOCK,
+) -> DataFrame:
+    """(doc_id, n_tokens, pack_id, pack_last, pack_offset): assign every
+    document its coordinates in the packed fixed-length training stream.
+
+    ``pack_id``/``pack_last`` are the first/last context windows the
+    document's tokens land in (documents spanning a boundary appear in
+    more than one pack — standard chunk-style packing, no padding waste
+    except the final window); ``pack_offset`` is the start position
+    within ``pack_id``.
+
+    Requires a numeric, roughly dense ``id_col`` (true for ingest-assigned
+    ids); sparse key spaces only make the block dimension smaller per
+    block, never incorrect, since empty blocks simply don't appear.
+    """
+    tok = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    ).withColumn("_blk", F.floor(F.col("doc_id") / block_size))
+
+    totals = tok.groupBy("_blk").agg(F.sum("n_tokens").alias("_bt"))
+    w_blk = Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_blk", F.coalesce(F.sum("_bt").over(w_blk), F.lit(0)).alias("_boff")
+    )
+
+    w_in = (
+        Window.partitionBy("_blk")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.col("_boff") + F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
+    out = tok.join(F.broadcast(offsets), "_blk").withColumn("_start", start)
+    last_tok = F.col("_start") + F.greatest(F.col("n_tokens") - 1, F.lit(0))
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(F.col("_start") / ctx_len).alias("pack_id"),
+        F.floor(last_tok / ctx_len).alias("pack_last"),
+        F.pmod(F.col("_start"), F.lit(ctx_len)).cast("long").alias("pack_offset"),
+    )
+
+
+def pack_stats(packed: DataFrame, ctx_len: int = 512) -> DataFrame:
+    """(n_docs, n_tokens, n_packs, boundary_docs): packing summary —
+    ``boundary_docs`` counts documents split across a window boundary."""
+    return packed.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        (F.ceil(F.sum("n_tokens") / F.lit(float(ctx_len)))).cast("long").alias("n_packs"),
+        F.sum((F.col("pack_last") > F.col("pack_id")).cast("long")).alias(
+            "boundary_docs"
+        ),
+    )
+
+
+def mix_corpus(
+    documents: DataFrame,
+    weights: dict[str, float],
+    domain_col: str = "source",
+    key_col: str = "doc_id",
+    default_fraction: float = 0.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic domain re-weighting: keep each row with its domain's
+    target fraction, decided by the row key's hash bucket.
+
+    The weight table is a codegen'd map literal (domains are few); the
+    whole operator is one scan-resident filter — the 100 TB cost is the
+    read, nothing else. Thresholds are precomputed integers so the Spark
+    plan and any SQL oracle compare identical values.
+    """
+    thresholds = {dom: int(frac * HASH_BUCKETS) for dom, frac in weights.items()}
+    mapping = F.create_map(
+        *[F.lit(x) for dom, thr in sorted(thresholds.items()) for x in (dom, thr)]
+    )
+    thr = F.coalesce(
+        mapping[F.col(domain_col)], F.lit(int(default_fraction * HASH_BUCKETS))
+    )
+    return documents.filter(sample_bucket(key_col, seed) < thr)

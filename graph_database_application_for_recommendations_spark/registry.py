@@ -363,7 +363,7 @@ register(
 # --- multimodal / events) ---------------------------------------------------
 
 from .functions.text import STOPWORDS  # noqa: E402
-from .operators import dedup, events, multimodal, sampling, simsearch, textstats  # noqa: E402
+from .operators import dedup, events, multimodal, packing, sampling, simsearch, textstats  # noqa: E402
 
 # Shared oracle CTEs over documents: normalized text, tokens, 3-gram shingles
 # — each mirrors functions/text.py expression-for-expression.
@@ -861,6 +861,77 @@ register(
              COUNT(*) OVER (PARTITION BY lang) AS n
       FROM documents)
     WHERE rn <= CEIL(n * 0.2)
+    """,
+)
+
+# sequence packing: GPT-style concatenate-and-chunk (two-level distributed
+# prefix sum in Spark; the oracle is the plain global window it must equal)
+_PACK_CTX = 512
+register(
+    "q_corpus_pack",
+    lambda s, d: packing.pack_chunks(_docs(s, d), ctx_len=_PACK_CTX),
+    _q_docs(
+        f"""
+        , tok AS (SELECT doc_id, CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens FROM norm),
+        cum AS (
+          SELECT doc_id, n_tokens,
+                 CAST(COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+          FROM tok)
+        SELECT doc_id, n_tokens,
+               s // {_PACK_CTX} AS pack_id,
+               (s + greatest(n_tokens - 1, 0)) // {_PACK_CTX} AS pack_last,
+               s % {_PACK_CTX} AS pack_offset
+        FROM cum
+        """
+    ),
+)
+register(
+    "q_corpus_pack_stats",
+    lambda s, d: packing.pack_stats(
+        packing.pack_chunks(_docs(s, d), ctx_len=_PACK_CTX), ctx_len=_PACK_CTX
+    ),
+    _q_docs(
+        f"""
+        , tok AS (SELECT doc_id, CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens FROM norm),
+        cum AS (
+          SELECT doc_id, n_tokens,
+                 CAST(COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+          FROM tok),
+        coords AS (
+          SELECT n_tokens, s // {_PACK_CTX} AS pack_id,
+                 (s + greatest(n_tokens - 1, 0)) // {_PACK_CTX} AS pack_last
+          FROM cum)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(CEIL(SUM(n_tokens) / {_PACK_CTX}.0) AS BIGINT) AS n_packs,
+               CAST(SUM(CASE WHEN pack_last > pack_id THEN 1 ELSE 0 END) AS BIGINT) AS boundary_docs
+        FROM coords
+        """
+    ),
+)
+
+# domain mixing: deterministic per-source keep fractions (thresholds are
+# integers on both sides so the comparison is exact)
+_MIX_WEIGHTS = {"src0": 0.5, "src1": 0.25, "src2": 0.1}
+_MIX_DEFAULT = 0.05
+_MIX_CASE = (
+    "CASE source "
+    + " ".join(
+        f"WHEN '{dom}' THEN {int(frac * sampling.HASH_BUCKETS)}"
+        for dom, frac in sorted(_MIX_WEIGHTS.items())
+    )
+    + f" ELSE {int(_MIX_DEFAULT * sampling.HASH_BUCKETS)} END"
+)
+register(
+    "q_corpus_mix",
+    lambda s, d: packing.mix_corpus(
+        _docs(s, d), _MIX_WEIGHTS, default_fraction=_MIX_DEFAULT, seed=7
+    ).select("doc_id", "source"),
+    f"""
+    SELECT doc_id, source FROM documents
+    WHERE {_SAMPLE_BUCKET} < {_MIX_CASE}
     """,
 )
 

@@ -428,3 +428,59 @@ def test_benchmark_contamination_flags_shared_spans(spark):
     got = {r["doc_id"]: r for r in dedup.benchmark_contamination(train, bench, n=8).collect()}
     assert 1 in got and 2 not in got
     assert got[1]["n_overlap_ngrams"] >= 1 and got[1]["n_benchmark_docs"] == 1
+
+
+def test_pack_chunks_two_level_prefix_sum_matches_single_block(spark):
+    """block_size=3 forces many blocks through the distributed prefix-sum
+    (block partials -> exclusive block offsets -> per-block window); the
+    coordinates must be identical to the single-block plan."""
+    from graph_database_application_for_recommendations_spark.operators import packing
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["tok"] * (5 + (i * 7) % 11))) for i in range(40)],
+        "doc_id LONG, text STRING",
+    )
+    multi = packing.pack_chunks(docs, ctx_len=16, block_size=3).collect()
+    single = packing.pack_chunks(docs, ctx_len=16, block_size=10_000).collect()
+    key = lambda r: (r["doc_id"], r["n_tokens"], r["pack_id"], r["pack_last"], r["pack_offset"])
+    assert sorted(map(key, multi)) == sorted(map(key, single))
+
+
+def test_pack_chunks_coordinates_are_a_gapless_token_stream(spark):
+    """Consecutive documents tile the stream: each doc starts exactly where
+    the previous one ended, offsets stay < ctx, and a doc spans extra packs
+    iff its token range crosses a ctx boundary."""
+    from graph_database_application_for_recommendations_spark.operators import packing
+
+    ctx = 8
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in enumerate([3, 8, 1, 13, 2, 8, 5])],
+        "doc_id LONG, text STRING",
+    )
+    rows = sorted(packing.pack_chunks(docs, ctx_len=ctx, block_size=2).collect(),
+                  key=lambda r: r["doc_id"])
+    start = 0
+    for r in rows:
+        assert r["pack_id"] == start // ctx
+        assert r["pack_offset"] == start % ctx
+        assert r["pack_last"] == (start + r["n_tokens"] - 1) // ctx
+        start += r["n_tokens"]
+
+
+def test_mix_corpus_deterministic_and_weighted(spark):
+    from graph_database_application_for_recommendations_spark.operators import packing
+
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 2).cast("string")).alias("source"),
+    )
+    out = packing.mix_corpus(df, {"src0": 0.5, "src1": 0.1}, seed=7)
+    sizes = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # hash sampling is approximate per-domain but must land near target
+    assert abs(sizes["src0"] - 1000) < 150 and abs(sizes["src1"] - 200) < 100
+    again = packing.mix_corpus(df, {"src0": 0.5, "src1": 0.1}, seed=7)
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(r["doc_id"] for r in again.collect())
+    # membership is per-key stable: dropping rows never flips survivors
+    half = packing.mix_corpus(df.filter(F.col("doc_id") < 2000), {"src0": 0.5, "src1": 0.1}, seed=7)
+    kept_full = {r["doc_id"] for r in out.collect() if r["doc_id"] < 2000}
+    assert {r["doc_id"] for r in half.collect()} == kept_full
