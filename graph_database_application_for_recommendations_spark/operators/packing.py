@@ -95,6 +95,32 @@ def pack_stats(packed: DataFrame, ctx_len: int = 512) -> DataFrame:
     )
 
 
+def shuffle_corpus(
+    documents: DataFrame,
+    n_shards: int = 32,
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """(doc_id, shard, pos): deterministic global training order.
+
+    Epoch shuffling at 100 TB can't be a global sort by ``rand()`` — it
+    would be a full-data shuffle with run-dependent output. Instead the
+    order is a pure function of (key, seed): shard = hash bucket, position
+    = rank of a second, independent hash within the shard. One window per
+    shard (the parallel unit — bounded by shard size, which the caller
+    scales with the corpus); a new seed is a new epoch permutation with
+    zero data movement beyond the per-shard rank.
+    """
+    col = F.col(key_col)
+    out = documents.select(
+        col.alias("doc_id"),
+        F.pmod(sample_bucket(key_col, seed), F.lit(n_shards)).cast("int").alias("shard"),
+        sample_bucket(key_col, seed + 1).alias("_ord"),
+    )
+    w = Window.partitionBy("shard").orderBy("_ord", "doc_id")
+    return out.withColumn("pos", (F.row_number().over(w) - 1).cast("long")).drop("_ord")
+
+
 def mix_corpus(
     documents: DataFrame,
     weights: dict[str, float],

@@ -924,6 +924,25 @@ _MIX_CASE = (
     )
     + f" ELSE {int(_MIX_DEFAULT * sampling.HASH_BUCKETS)} END"
 )
+# deterministic epoch shuffle: shard + in-shard position are pure functions
+# of (doc_id, seed) — reproducible training order, no rand(), no global sort
+_SHUFFLE_ORD = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#8'), 1, 8)) AS BIGINT) % 1000000"
+)
+register(
+    "q_corpus_shuffle",
+    lambda s, d: packing.shuffle_corpus(_docs(s, d), n_shards=32, seed=7),
+    f"""
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id) - 1 AS BIGINT) AS pos
+    FROM (
+      SELECT doc_id,
+             CAST(({_SAMPLE_BUCKET}) % 32 AS INTEGER) AS shard,
+             {_SHUFFLE_ORD} AS ord
+      FROM documents)
+    """,
+)
+
 register(
     "q_corpus_mix",
     lambda s, d: packing.mix_corpus(

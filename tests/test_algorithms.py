@@ -309,3 +309,28 @@ def test_fastrp_digest_stable_across_runs(spark):
     d2 = digest(run_pipeline(spark, SF_SMALL).embeddings)
     assert d1["n"] > 0
     assert (d1["n"], d1["digest"]) == (d2["n"], d2["digest"])
+
+
+def test_knn_exact_blas_matches_fold_bitwise(spark):
+    """The broadcast-BLAS candidate kernel accumulates in ascending
+    dimension order, reproducing the fold path's IEEE op sequence — the two
+    strategies must agree bit-for-bit, including 6dp-tie top-k boundaries
+    (duplicated vectors). Zero-norm vectors are out of contract for both:
+    the fold path throws DIVIDE_BY_ZERO under Spark 4's default ANSI mode
+    (the kernel's NaN-keep branch only fires on inputs fold rejects)."""
+    import random
+
+    random.seed(5)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(16)]) for i in range(300)]
+    rows += [(1000 + i, list(rows[i][1])) for i in range(20)]  # sim-1.0 ties
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+
+    def canon(recs):
+        return sorted((r["src"], r["dst"], r["similarity"]) for r in recs)
+
+    from graph_database_application_for_recommendations_spark.operators.knn import knn_exact
+
+    blas = canon(knn_exact(df, top_k=5, cutoff=0.3, strategy="blas").collect())
+    fold = canon(knn_exact(df, top_k=5, cutoff=0.3, strategy="fold").collect())
+    assert blas == fold
+    assert len(blas) > 0
