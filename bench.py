@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "q_simsearch_lsh",
     "q_simsearch_ivf",
     "q_louvain_communities",
+    "q_pagerank",
     "q_text_langid",
     "q_text_tfidf",
     "q_corpus_clean",

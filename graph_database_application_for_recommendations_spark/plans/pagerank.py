@@ -1,0 +1,80 @@
+"""Weighted PageRank over the projected co-rating graph.
+
+Not part of the reference's GDS surface (it runs FastRP / KNN / Louvain —
+algorithms/Alg_KNN_FastRP.py, Alg_Community_Detection.py), but the natural
+next centrality on the same projected graph, and a second consumer of the
+exchange-free iterative round infrastructure (plans/fastrp.py pattern):
+fold the transition probabilities into a dst-hash-partitioned edge cache
+once, then every round broadcasts the small (node, rank) table and
+aggregates contributions by dst WITHOUT a shuffle — O(iters) jobs, one
+setup shuffle, verified by plan assertion in tests/test_plans.py.
+
+Unlike FastRP/Louvain this one is fully SQL-expressible (a fixed iteration
+count unrolls into chained CTEs), so the registry checks it against a
+DuckDB oracle — the only oracle-checked *iterative* algorithm in the
+suite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import cache_wide, materialize
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iters: int = 10,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """(node_id, rank): weighted PageRank with uniform teleport.
+
+    ``edges`` must be symmetric (both directions present, as
+    ``corating_edges``/``undirected()`` produce), so dangling nodes cannot
+    arise (out-degree ≥ 1 everywhere) and the node set is exactly the
+    distinct src side.
+
+    Scale notes: the per-round rank table is 16 B/node — broadcasting is
+    fine to ~10⁷ nodes; past that, swap the broadcast for a shuffle join
+    against a src-co-partitioned rank table (the edge cache partitioning
+    already matches). The aggregate itself never shuffles: the broadcast
+    probe preserves the dst partitioning of the cached edges.
+    """
+    spark = edges.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(weight_col).cast("double").alias("w"),
+    )
+    wdeg = e.groupBy("src").agg(F.sum("w").alias("_wd"))
+    trans = e.join(wdeg, "src").select(
+        "src", "dst", (F.col("w") / F.col("_wd")).alias("p")
+    )
+    trans = cache_wide(trans, par, "dst")
+    nodes = trans.select(F.col("src").alias("node_id")).distinct()
+    n = nodes.count()
+    ranks = nodes.select("node_id", F.lit(1.0 / n).alias("rank"))
+    base = (1.0 - damping) / n
+    prev: DataFrame | None = None
+    for _ in range(iters):
+        contrib = (
+            trans.join(F.broadcast(ranks.withColumnRenamed("node_id", "src")), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("p")).alias("_s"))
+            .select(
+                F.col("dst").alias("node_id"),
+                (F.lit(base) + F.lit(damping) * F.col("_s")).alias("rank"),
+            )
+        )
+        # each round's table feeds the next round's broadcast AND (for the
+        # last) the caller — materialize keeps the chain O(iters), not a
+        # re-execute-everything lazy tower
+        ranks = materialize(contrib, supersedes=prev)
+        prev = ranks
+    trans.unpersist(blocking=False)
+    return ranks

@@ -1512,6 +1512,50 @@ FROM percomm
 register("q_modularity_nation", _modularity_nation, _MODULARITY_NATION_ORACLE)
 
 
+# PageRank: the one iterative algorithm whose fixed iteration count unrolls
+# into plain chained CTEs, so it gets a full value-hash oracle (G1/G2 make
+# do with invariant checks). 8dp rounding: cross-engine summation-order
+# noise is ~1e-15 absolute and a PageRank iteration is a contraction, so it
+# never amplifies into the 1e-8 quantum.
+_PR_DAMPING = 0.85
+_PR_ITERS = 10
+
+
+def _pagerank_q(s: SparkSession, d: str) -> DataFrame:
+    from .plans.pagerank import pagerank
+
+    pr = pagerank(_corating_double(s, d), damping=_PR_DAMPING, iters=_PR_ITERS)
+    return pr.select(
+        F.col("node_id").alias("user_id"), F.round("rank", 8).alias("rank")
+    )
+
+
+def _pagerank_oracle(iters: int, damping: float) -> str:
+    ctes = [
+        """edges AS (
+  SELECT a.user_id AS src, b.user_id AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM (SELECT user_id, isbn FROM ratings WHERE rating >= 6) a
+  JOIN (SELECT user_id, isbn FROM ratings WHERE rating >= 6) b USING (isbn)
+  WHERE a.user_id <> b.user_id
+  GROUP BY a.user_id, b.user_id)""",
+        "wdeg AS (SELECT src, SUM(w) AS wd FROM edges GROUP BY src)",
+        "trans AS (SELECT e.src, e.dst, e.w / d.wd AS p FROM edges e JOIN wdeg d USING (src))",
+        "nn AS (SELECT COUNT(DISTINCT src) AS c FROM edges)",
+        "pr0 AS (SELECT DISTINCT src AS node_id, 1.0 / (SELECT c FROM nn) AS rank FROM edges)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"pr{i} AS (SELECT t.dst AS node_id, "
+            f"(1.0 - {damping}) / (SELECT c FROM nn) + {damping} * SUM(r.rank * t.p) AS rank "
+            f"FROM trans t JOIN pr{i - 1} r ON r.node_id = t.src GROUP BY t.dst)"
+        )
+    body = ",\n".join(ctes)
+    return _q(f", {body}\nSELECT node_id AS user_id, ROUND(rank, 8) AS rank FROM pr{iters}")
+
+
+register("q_pagerank", _pagerank_q, _pagerank_oracle(_PR_ITERS, _PR_DAMPING))
+
+
 def _pipeline_modularity(s: SparkSession, d: str) -> DataFrame:
     """Rounded Newman Q of the pipeline's LPA partition — deterministic
     given the deterministic LPA (sync updates, min-label ties), so this

@@ -334,3 +334,21 @@ def test_knn_exact_blas_matches_fold_bitwise(spark):
     fold = canon(knn_exact(df, top_k=5, cutoff=0.3, strategy="fold").collect())
     assert blas == fold
     assert len(blas) > 0
+
+
+def test_pagerank_invariants(spark):
+    """Ranks form a probability distribution (sum 1 within float noise),
+    are strictly positive, and the hub of a star graph dominates."""
+    from graph_database_application_for_recommendations_spark.plans.pagerank import pagerank
+
+    edges = []
+    for leaf in range(1, 9):  # star: hub 0 <-> leaves 1..8 (symmetric)
+        edges += [(0, leaf, 1.0), (leaf, 0, 1.0)]
+    edges += [(1, 2, 1.0), (2, 1, 1.0)]  # one leaf-leaf chord
+    df = spark.createDataFrame(edges, "src LONG, dst LONG, weight DOUBLE")
+    got = {r["node_id"]: r["rank"] for r in pagerank(df, iters=15).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert all(v > 0 for v in got.values())
+    assert got[0] == max(got.values())
+    again = {r["node_id"]: r["rank"] for r in pagerank(df, iters=15).collect()}
+    assert got == again

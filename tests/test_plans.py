@@ -218,3 +218,39 @@ def test_fanout_sizing_runs_no_job(spark):
         "knn-auto", lambda: knn.knn_hyperplane(emb, id_col="vec_id", vec_col="embedding")
     )
     assert auto == explicit
+
+
+def test_pagerank_round_is_exchange_free(spark):
+    """A PageRank round (trans ⋈ broadcast ranks → groupBy dst) must run
+    with NO shuffle above the dst-partitioned transition cache — the same
+    one-setup-shuffle-for-N-rounds contract as the FastRP round."""
+    from pyspark.sql import functions as F
+
+    from graph_database_application_for_recommendations_spark.plans import cache_wide
+    from graph_database_application_for_recommendations_spark.operators.corating import (
+        corating_edges,
+    )
+
+    ratings = load_ref_tables(spark, SF_SMALL).ratings
+    e = corating_edges(ratings).select(
+        F.col("u1").alias("src"), F.col("u2").alias("dst"),
+        F.col("weight").cast("double").alias("w"),
+    )
+    wdeg = e.groupBy("src").agg(F.sum("w").alias("_wd"))
+    trans = e.join(wdeg, "src").select("src", "dst", (F.col("w") / F.col("_wd")).alias("p"))
+    trans = cache_wide(trans, 8, "dst")
+    ranks = trans.select(F.col("src").alias("node_id")).distinct().select(
+        "node_id", F.lit(0.1).alias("rank")
+    )
+    round_plan = (
+        trans.join(F.broadcast(ranks.withColumnRenamed("node_id", "src")), "src")
+        .groupBy("dst")
+        .agg(F.sum(F.col("rank") * F.col("p")).alias("_s"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .treeString()
+    )
+    above_cache = round_plan.split("InMemoryRelation", 1)[0]
+    assert "HashAggregate" in above_cache and "BroadcastHashJoin" in above_cache
+    assert "Exchange hashpartitioning" not in above_cache
+    trans.unpersist(blocking=False)
