@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "q_simsearch_topk",
     "q_simsearch_lsh",
     "q_simsearch_ivf",
+    "q_simsearch_pq",
     "q_louvain_communities",
     "q_pagerank",
     "q_text_langid",

@@ -1,0 +1,212 @@
+"""Product-quantization (PQ) approximate nearest-neighbor search.
+
+Third ANN scale path next to hyperplane LSH (operators/simsearch.py) and
+IVF (operators/ivf.py), after Jégou et al., "Product Quantization for
+Nearest Neighbor Search" (TPAMI 2011 — public paper): split the D dims
+into M subspaces, k-means a K-entry codebook per subspace, store each
+vector as M small codes. A query then scores the whole corpus through an
+M×K lookup table (ADC) instead of D-dim arithmetic.
+
+Why it matters at 100 TB: the scan side. IVF/LSH reduce *candidates*;
+PQ reduces *bytes* — M=8, K=16 turns a 256 B float32[64] into 8 codes,
+a 32× smaller scan for the first-pass ranking, and the exact re-rank
+touches only the top-C survivors' full vectors.
+
+Division of labor, all deterministic:
+- codebook training is driver-side numpy k-means over an md5-rank-sampled
+  subset (bounded driver data by construction — training on a sample is
+  the standard PQ recipe, the codebook is M·K·D/M doubles ≈ KB);
+- encoding is a broadcast + Arrow ``mapInPandas`` argmin over the corpus
+  (embarrassingly parallel, scales with the scan);
+- ADC scoring joins the tiny query-LUT table to the codes table and sums
+  M lookups per (query, vector) — native expressions over M elements;
+- the exact re-rank of the top-C ADC candidates reuses the rounded-cosine
+  contract every other similarity operator follows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import vector as V
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    sample: int = 4096,
+    iters: int = 8,
+):
+    """numpy array (m, k, d/m): per-subspace codebooks from Lloyd k-means.
+
+    Deterministic end to end: the training subset is the ``sample``
+    smallest md5-ranked ids (no RNG, stable across runs/partitionings),
+    init is the first k subset rows in that order, and empty clusters
+    keep their previous centroid.
+    """
+    import numpy as np
+
+    sub = (
+        corpus.select(
+            F.col(id_col).alias("_id"),
+            V.l2_normalize(V.as_double(F.col(vec_col))).alias("_v"),
+        )
+        .withColumn("_rk", F.md5(F.col("_id").cast("string")))
+        .orderBy("_rk", "_id")
+        .limit(sample)
+    )
+    pdf = sub.select("_v").toPandas()
+    mat = np.asarray(pdf["_v"].tolist(), dtype=np.float64)
+    n, d = mat.shape
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    dsub = d // m
+    books = np.zeros((m, k, dsub))
+    for mi in range(m):
+        x = mat[:, mi * dsub : (mi + 1) * dsub]
+        cents = x[: min(k, n)].copy()
+        if len(cents) < k:  # degenerate tiny corpus: pad by repetition
+            cents = np.resize(cents, (k, dsub))
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for ci in range(k):
+                mask = assign == ci
+                if mask.any():
+                    cents[ci] = x[mask].mean(axis=0)
+        books[mi] = cents
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, codes ARRAY<INT> length m, _v): PQ codes per vector.
+
+    Broadcast the KB-sized codebooks, argmin per subspace in one Arrow
+    batch kernel — a pure scan-side map, no shuffle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(codebooks)
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    prep = corpus.select(
+        F.col(id_col).alias("_id"),
+        V.l2_normalize(V.as_double(F.col(vec_col))).alias("_v"),
+    )
+
+    def gen(batches):
+        books = bc.value
+        m, k, dsub = books.shape
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.asarray(pdf["_v"].tolist(), dtype=np.float64)
+            codes = np.zeros((len(mat), m), dtype=np.int32)
+            for mi in range(m):
+                x = mat[:, mi * dsub : (mi + 1) * dsub]
+                d2 = ((x[:, None, :] - books[mi][None, :, :]) ** 2).sum(axis=2)
+                codes[:, mi] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["_id"].to_numpy(),
+                    "codes": list(codes.tolist()),
+                    "_v": pdf["_v"],
+                }
+            )
+
+    return prep.mapInPandas(
+        gen, schema=f"vec_id {id_type}, codes array<int>, _v array<double>"
+    )
+
+
+def topk_pq(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    m: int = 8,
+    num_centroids: int = 16,
+    rerank: int = 4,
+    sample: int = 4096,
+) -> DataFrame:
+    """PQ-ADC approximate top-k: (query_id, neighbor_id, similarity).
+
+    First pass ranks the whole corpus by the ADC inner-product estimate
+    (M lookups per pair against the broadcast query LUTs); the top
+    ``rerank``·k survivors per query are re-scored with the exact rounded
+    cosine, and the final top-k follows the shared determinism contract
+    (6dp rounding, neighbor-id tie-break).
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    books = train_pq_codebooks(
+        corpus, id_col, vec_col, m=m, k=num_centroids, sample=sample
+    )
+    coded = pq_encode(corpus, books, id_col, vec_col).withColumnRenamed(
+        "vec_id", "neighbor_id"
+    )
+
+    q_pdf = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            V.l2_normalize(V.as_double(F.col(vec_col))).alias("_qv"),
+        )
+        .toPandas()
+        .sort_values("query_id", ignore_index=True)
+    )
+    qmat = np.asarray(q_pdf["_qv"].tolist(), dtype=np.float64)
+    mm, kk, dsub = books.shape
+    # LUT[q] = flattened m*k inner products <q_sub, centroid>
+    luts = np.einsum("qmd,mkd->qmk", qmat.reshape(len(qmat), mm, dsub), books)
+    lut_rows = [
+        (
+            int(q_pdf["query_id"][i]),
+            [float(x) for x in q_pdf["_qv"][i]],
+            [float(x) for x in luts[i].ravel()],
+        )
+        for i in range(len(q_pdf))
+    ]
+    lut_df = spark.createDataFrame(
+        lut_rows, "query_id long, _qv array<double>, _lut array<double>"
+    )
+
+    # ADC score: sum over subspaces of LUT[m*k + code[m]] — M array lookups
+    # per pair, no vector math on the corpus side
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(mm - 1)),
+        F.lit(0.0),
+        lambda acc, mi: acc
+        + F.element_at(
+            F.col("_lut"), (mi * kk + F.element_at(F.col("codes"), mi + 1) + 1).cast("int")
+        ),
+    )
+    pairs = (
+        coded.crossJoin(F.broadcast(lut_df))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "_qv", "_v", adc.alias("_adc"))
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("_adc"), F.asc("neighbor_id"))
+    cands = (
+        pairs.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= rerank * k)
+        .drop("_rn", "_adc")
+    )
+    rer = cands.select(
+        "query_id",
+        "neighbor_id",
+        F.round(V.dot(F.col("_qv"), F.col("_v")), V.SIM_SCALE).alias("similarity"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("similarity"), F.asc("neighbor_id"))
+    return rer.withColumn("_rn", F.row_number().over(w2)).filter(F.col("_rn") <= k).drop("_rn")

@@ -484,3 +484,42 @@ def test_mix_corpus_deterministic_and_weighted(spark):
     half = packing.mix_corpus(df.filter(F.col("doc_id") < 2000), {"src0": 0.5, "src1": 0.1}, seed=7)
     kept_full = {r["doc_id"] for r in out.collect() if r["doc_id"] < 2000}
     assert {r["doc_id"] for r in half.collect()} == kept_full
+
+
+def test_simsearch_pq_recall_against_bruteforce(spark):
+    """PQ-ADC first pass + exact re-rank: high recall on the re-ranked
+    top-k, and every reported similarity is the exact rounded cosine."""
+    from graph_database_application_for_recommendations_spark.operators.pq import topk_pq
+
+    emb = load_ref_tables(spark, SF_SMALL).embeddings
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = simsearch.topk_bruteforce(queries, emb, k=5)
+    approx_rows = topk_pq(queries, emb, k=5, m=16, rerank=10).collect()
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx_rows}
+    assert len(exact_pairs & approx_pairs) / len(exact_pairs) > 0.6
+    exact_all = {
+        (r["query_id"], r["neighbor_id"]): r["similarity"]
+        for r in simsearch.topk_bruteforce(queries, emb, k=len(emb.collect())).collect()
+    }
+    for r in approx_rows:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_all:
+            assert r["similarity"] == pytest.approx(exact_all[key], abs=1e-9)
+
+
+def test_pq_encode_roundtrip_determinism(spark):
+    """Codes are a pure function of (corpus, params): re-encoding yields
+    identical codes, and each code indexes a real centroid."""
+    from graph_database_application_for_recommendations_spark.operators.pq import (
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    emb = load_ref_tables(spark, SF_SMALL).embeddings
+    books = train_pq_codebooks(emb, m=8, k=16)
+    assert books.shape == (8, 16, 8)
+    a = {r["vec_id"]: r["codes"] for r in pq_encode(emb, books).collect()}
+    b = {r["vec_id"]: r["codes"] for r in pq_encode(emb, books).collect()}
+    assert a == b
+    assert all(len(c) == 8 and all(0 <= x < 16 for x in c) for c in a.values())
