@@ -201,6 +201,84 @@ def repeated_ngrams(
     )
 
 
+def remove_repeated_spans(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """(doc_id, clean_text, n_removed_tokens): the *removal* half of exact-
+    substring dedup (Lee et al., ACL 2022) — every token covered by an
+    n-token span that appears in ≥ ``min_docs`` documents is dropped, and
+    the surviving tokens are rejoined in order.
+
+    Policy note: this removes ALL occurrences of a cross-document repeated
+    span (aggressive cleaning — boilerplate, licenses, navigation chrome);
+    ``repeated_ngrams`` remains the statistics primitive for subtler
+    keep-one policies. ``clean_text`` is over normalized text (the same
+    canonical form every dedup operator tokenizes).
+
+    Scale shape: everything is |tokens|-proportional — posexplode token
+    positions, gram-start hashes equi-joined (semi) against the repeated-
+    span table, covered positions via a bounded n-wide explode, anti-join,
+    and a per-document ordered reassembly (collect bounded by document
+    length). No pairwise joins anywhere.
+    """
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    base = documents.repartition(par).select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_t")
+    )
+    tokp = base.select("doc_id", F.posexplode("_t").alias("pos", "tok"))
+    # same gram set as repeated_ngrams (greatest(len-n+1, 1) starts, slice
+    # truncation on short docs) so the two operators agree on what a span is
+    starts = F.sequence(F.lit(1), F.greatest(F.size("_t") - (n - 1), F.lit(1)))
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.struct(
+                    (i - 1).alias("start"),
+                    F.md5(F.concat_ws(" ", F.slice(F.col("_t"), i, n))).alias("h"),
+                ),
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.start").alias("start"), F.col("g.h").alias("h"))
+    bad = repeated_ngrams(documents, id_col, text_col, n=n, min_docs=min_docs).select(
+        F.col("ngram_hash").alias("h")
+    )
+    covered = (
+        grams.join(bad, "h", "left_semi")
+        .select("doc_id", F.explode(F.sequence(F.col("start"), F.col("start") + (n - 1))).alias("pos"))
+        .distinct()
+    )
+    kept = tokp.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda s: s["tok"]
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("_kept"),
+    )
+    return (
+        documents.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(tokens(F.col(text_col))).cast("long").alias("_n"),
+        )
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            (F.col("_n") - F.coalesce("_kept", F.lit(0))).cast("long").alias(
+                "n_removed_tokens"
+            ),
+        )
+    )
+
+
 # --- MinHash + LSH -----------------------------------------------------------
 
 

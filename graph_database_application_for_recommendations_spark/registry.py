@@ -441,6 +441,40 @@ register(
     ),
 )
 register(
+    "q_dedup_span_removal",
+    lambda s, d: dedup.remove_repeated_spans(_docs(s, d), n=8, min_docs=2),
+    _q_docs(
+        """
+        , tokp AS (
+          SELECT doc_id, u['pos'] AS pos, u['tok'] AS tok
+          FROM (SELECT doc_id,
+                       unnest([{'pos': i - 1, 'tok': t[i]}
+                               for i in range(1, len(t) + 1)]) AS u
+                FROM toks)),
+        gr AS (
+          SELECT doc_id, u['start'] AS start, u['h'] AS h
+          FROM (SELECT doc_id,
+                       unnest([{'start': i - 1,
+                                'h': md5(array_to_string(list_slice(t, i, i + 7), ' '))}
+                               for i in range(1, greatest(len(t) - 7, 1) + 1)]) AS u
+                FROM toks)),
+        bad AS (SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS nd
+                               FROM gr GROUP BY h) WHERE nd >= 2),
+        cov AS (SELECT DISTINCT g.doc_id, g.start + r.i AS pos
+                FROM gr g JOIN bad USING (h), range(0, 8) r(i)),
+        kept AS (SELECT t.doc_id, t.pos, t.tok
+                 FROM tokp t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
+                 WHERE c.doc_id IS NULL),
+        reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+                       COUNT(*) AS n_kept FROM kept GROUP BY doc_id)
+        SELECT nm.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+               CAST(len(string_split(nm.norm, ' ')) - COALESCE(r.n_kept, 0) AS BIGINT)
+                 AS n_removed_tokens
+        FROM norm nm LEFT JOIN reb r USING (doc_id)
+        """
+    ),
+)
+register(
     "q_dedup_ngram_jaccard",
     lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d), n=3, threshold=0.5),
     _q_docs(

@@ -523,3 +523,24 @@ def test_pq_encode_roundtrip_determinism(spark):
     b = {r["vec_id"]: r["codes"] for r in pq_encode(emb, books).collect()}
     assert a == b
     assert all(len(c) == 8 and all(0 <= x < 16 for x in c) for c in a.values())
+
+
+def test_remove_repeated_spans(spark):
+    """Tokens covered by a cross-document 4-gram are dropped; unique text
+    survives; the reassembly preserves original token order."""
+    boiler = "all rights reserved by publisher"  # 5 tokens, shared
+    rows = [
+        (1, f"intro words here {boiler} and unique tail one"),
+        (2, f"different document opening {boiler} closing remarks two"),
+        (3, "completely original text with no shared spans at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r["doc_id"]: r for r in dedup.remove_repeated_spans(df, n=4, min_docs=2).collect()}
+    assert got[3]["clean_text"] == rows[2][1]
+    assert got[3]["n_removed_tokens"] == 0
+    for d in (1, 2):
+        assert boiler not in got[d]["clean_text"]
+        assert got[d]["n_removed_tokens"] >= 5
+    # order preserved around the removed span
+    assert got[1]["clean_text"].startswith("intro words here")
+    assert got[1]["clean_text"].endswith("one")
