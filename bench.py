@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "q_text_langid",
     "q_text_tfidf",
     "q_corpus_clean",
+    "q_corpus_train_ready",
+    "q_corpus_pack",
     "q_text_quality",
     "q_multimodal_features",
     "q_events_tumbling",

@@ -898,6 +898,78 @@ register(
     """,
 )
 
+def _corpus_train_ready(s: SparkSession, d: str) -> DataFrame:
+    """The full corpus build, composed from individually-oracle-checked
+    stages: quality filter → canonical-fingerprint dedup (keep smallest id)
+    → PII scrub → sequence packing of the scrubbed survivors. One verified
+    result for the whole training-data flow."""
+    docs = _docs(s, d)
+    q = textstats.quality_scores(docs)
+    keep = q.filter(
+        (F.col("n_tokens") >= 10)
+        & (F.col("n_tokens") <= 500)
+        & (F.col("stopword_ratio") >= 0.01)
+    ).select("doc_id")
+    survivors = docs.join(keep, "doc_id", "left_semi")
+    kept_ids = dedup.dedup_fingerprint(survivors).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    corpus = survivors.join(kept_ids, "doc_id", "left_semi")
+    scr = textstats.scrub_pii(corpus).select(
+        "doc_id",
+        "clean_text",
+        (F.col("n_emails") + F.col("n_ips") + F.col("n_phones")).alias("n_pii"),
+    )
+    packed = packing.pack_chunks(scr, ctx_len=512, text_col="clean_text")
+    return packed.join(scr.select("doc_id", "n_pii"), "doc_id")
+
+
+_TRAIN_READY_ORACLE = _q_docs(
+    f"""
+    , tokq AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS token FROM norm),
+    q AS (
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             AVG(CASE WHEN token IN ('the','and','of','to','a','in','is','it','for','on')
+                      THEN 1.0 ELSE 0.0 END) AS stopword_ratio
+      FROM tokq GROUP BY doc_id),
+    keep AS (SELECT doc_id FROM q
+             WHERE n_tokens BETWEEN 10 AND 500 AND stopword_ratio >= 0.01),
+    fp AS (
+      SELECT n.doc_id,
+             md5(array_to_string(list_sort(list_distinct(string_split(n.norm, ' '))), ' ')) AS fingerprint
+      FROM norm n JOIN keep USING (doc_id)),
+    kept AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY fingerprint),
+    scrub AS (
+      SELECT d.doc_id,
+             regexp_replace(regexp_replace(regexp_replace(d.text,
+                 '{textstats.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{textstats.PII_IP_RE}', '<IP>', 'g'),
+                 '{textstats.PII_PHONE_RE}', '<PHONE>', 'g') AS ct,
+             CAST(len(regexp_extract_all(d.text, '{textstats.PII_EMAIL_RE}'))
+                  + len(regexp_extract_all(d.text, '{textstats.PII_IP_RE}'))
+                  + len(regexp_extract_all(d.text, '{textstats.PII_PHONE_RE}')) AS BIGINT) AS n_pii
+      FROM documents d JOIN kept USING (doc_id)),
+    stok AS (
+      SELECT doc_id, n_pii,
+             CAST(len(string_split(trim(regexp_replace(lower(ct), '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
+      FROM scrub),
+    cum AS (
+      SELECT doc_id, n_tokens, n_pii,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+      FROM stok)
+    SELECT doc_id, n_tokens,
+           s // 512 AS pack_id,
+           (s + greatest(n_tokens - 1, 0)) // 512 AS pack_last,
+           s % 512 AS pack_offset,
+           n_pii
+    FROM cum
+    """
+)
+
+register("q_corpus_train_ready", _corpus_train_ready, _TRAIN_READY_ORACLE)
+
+
 # sequence packing: GPT-style concatenate-and-chunk (two-level distributed
 # prefix sum in Spark; the oracle is the plain global window it must equal)
 _PACK_CTX = 512
