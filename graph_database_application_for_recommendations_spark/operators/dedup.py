@@ -557,29 +557,49 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    strategy: str = "auto",
 ) -> DataFrame:
     """(id_a, id_b, similarity): embedding pairs with cosine >= threshold,
-    id_a < id_b. Exact O(n²) kernel — at scale, run it on LSH buckets
-    (operators/knn.py::knn_lsh) instead of the full cross join."""
-    from ..functions import vector as V
+    id_a < id_b. Exact O(n²) kernel — at scale, run ``embedding_neardup_lsh``
+    (bucketed candidates) instead of the full pair enumeration.
 
-    par = embeddings.sparkSession.sparkContext.defaultParallelism
-    a = embeddings.select(
-        F.col(id_col).alias("id_a"), V.l2_normalize(V.as_double(F.col(vec_col))).alias("_va")
-    ).repartition(par)
-    b = embeddings.select(
-        F.col(id_col).alias("id_b"), V.l2_normalize(V.as_double(F.col(vec_col))).alias("_vb")
-    )
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(V.dot(F.col("_va"), F.col("_vb")), V.SIM_SCALE).alias("similarity"),
+    Same two bit-identical physical strategies as ``knn_exact``: a
+    broadcast-BLAS Arrow kernel (ascending-dimension accumulation — the
+    fold's exact IEEE op sequence; see functions/blas.py) under the
+    catalog-size gate, the zip_with/aggregate crossJoin beyond it; the
+    round → threshold finish stays in Spark either way.
+    """
+    from ..functions import vector as V
+    from ..functions.blas import BLAS_BUILD_MAX_BYTES, cosine_candidates
+
+    if strategy == "auto":
+        from ..plans import estimated_size_bytes
+
+        size = estimated_size_bytes(embeddings)
+        strategy = "blas" if size is not None and size <= BLAS_BUILD_MAX_BYTES else "fold"
+    if strategy == "blas":
+        pairs = cosine_candidates(
+            embeddings, id_col, vec_col, threshold, pair_mode="lt",
+            out_a="id_a", out_b="id_b",
         )
-        .filter(F.col("similarity") >= threshold)
-    )
+    elif strategy == "fold":
+        par = embeddings.sparkSession.sparkContext.defaultParallelism
+        a = embeddings.select(
+            F.col(id_col).alias("id_a"), V.l2_normalize(V.as_double(F.col(vec_col))).alias("_va")
+        ).repartition(par)
+        b = embeddings.select(
+            F.col(id_col).alias("id_b"), V.l2_normalize(V.as_double(F.col(vec_col))).alias("_vb")
+        )
+        pairs = (
+            a.crossJoin(b)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", V.dot(F.col("_va"), F.col("_vb")).alias("_raw"))
+        )
+    else:
+        raise ValueError(f"unknown embedding_neardup_pairs strategy: {strategy!r}")
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("_raw"), V.SIM_SCALE).alias("similarity")
+    ).filter(F.col("similarity") >= threshold)
 
 
 def embedding_neardup_lsh(

@@ -23,18 +23,13 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import vector as V
+from ..functions.blas import BLAS_BUILD_MAX_BYTES
 
 
 def _prep(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     return embeddings.select(
         F.col(id_col).alias("_id"), V.l2_normalize(V.as_double(F.col(vec_col))).alias("_v")
     )
-
-
-# build sides whose Catalyst size estimate is under this collect+broadcast
-# cleanly (the normalized matrix is n·d doubles — 256 MB of source bytes is
-# well under typical 2-4 GB driver/executor headroom)
-BLAS_BUILD_MAX_BYTES = 256 << 20
 
 
 def knn_exact(
@@ -85,7 +80,11 @@ def knn_exact(
     spark = embeddings.sparkSession
     par = spark.sparkContext.defaultParallelism
     if strategy == "blas":
-        pairs = _exact_candidates_blas(embeddings, id_col, vec_col, top_k, cutoff)
+        from ..functions.blas import cosine_candidates
+
+        pairs = cosine_candidates(
+            embeddings, id_col, vec_col, cutoff, top_k=top_k, pair_mode="ne"
+        )
     elif strategy == "fold":
         a = (
             _prep(embeddings, id_col, vec_col)
@@ -110,103 +109,6 @@ def knn_exact(
         sim.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= top_k)
         .drop("_rn")
-    )
-
-
-def _normalize_rows_seq(mat):
-    """L2-normalize rows with the exact IEEE op sequence of the column path
-    (``sqrt(fold_k(acc + x_k²))`` then elementwise divide) — bit-identical
-    to ``V.l2_normalize`` including the NaN/Inf behavior on zero norms."""
-    import numpy as np
-
-    acc = np.zeros(mat.shape[0])
-    for k in range(mat.shape[1]):
-        acc = acc + mat[:, k] * mat[:, k]
-    with np.errstate(divide="ignore", invalid="ignore"):
-        return mat / np.sqrt(acc)[:, None]
-
-
-def _exact_candidates_blas(
-    embeddings: DataFrame, id_col: str, vec_col: str, top_k: int, cutoff: float
-) -> DataFrame:
-    """Candidate superset for exact KNN: every pair that could survive the
-    Spark-side round(6dp) → cutoff → top-k finish, with the UNROUNDED
-    similarity (rounding stays in Spark so its BigDecimal HALF_UP semantics
-    are never re-implemented).
-
-    Margin reasoning: 6dp rounding moves a value by < 5e-7, so a pair can
-    only displace a top-k member if its raw similarity is within 1e-6 of
-    the k-th largest raw value — the kernel keeps everything above
-    ``kth - 1e-6`` (and above ``cutoff - 1e-6``), which bounds output to
-    ~top_k+ties per probe row instead of n.
-
-    Zero-norm vectors are out of contract (the fold path throws
-    DIVIDE_BY_ZERO under Spark 4's default ANSI mode); if one reaches this
-    kernel anyway, its NaN similarities are kept and ranked greatest,
-    mirroring Spark SQL's NaN ordering rather than silently dropping rows.
-    """
-    import numpy as np
-    import pandas as pd
-
-    spark = embeddings.sparkSession
-    par = spark.sparkContext.defaultParallelism
-    slack = 10.0 ** (-V.SIM_SCALE)
-    prep = embeddings.select(
-        F.col(id_col).alias("_id"), V.as_double(F.col(vec_col)).alias("_v")
-    )
-    pdf_b = prep.toPandas()
-    ids_b_np = pdf_b["_id"].to_numpy()
-    mat_b = _normalize_rows_seq(np.asarray(pdf_b["_v"].tolist(), dtype=np.float64))
-    bc = spark.sparkContext.broadcast((ids_b_np, mat_b))
-    id_type = embeddings.schema[id_col].dataType.simpleString()
-
-    def gen(batches):
-        ids_b, B = bc.value
-        n = B.shape[0]
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            ids_a = pdf["_id"].to_numpy()
-            A = _normalize_rows_seq(np.asarray(pdf["_v"].tolist(), dtype=np.float64))
-            blk = max(16, 4_000_000 // max(n, 1))
-            for lo in range(0, len(ids_a), blk):
-                hi = min(lo + blk, len(ids_a))
-                sims = np.zeros((hi - lo, n))
-                Ab = A[lo:hi]
-                # ascending-k accumulation == the zip_with/aggregate fold's
-                # IEEE op order, entry by entry
-                for k in range(B.shape[1]):
-                    sims += np.multiply.outer(Ab[:, k], B[:, k])
-                sims[ids_a[lo:hi, None] == ids_b[None, :]] = -np.inf  # self-pairs
-                # NaN -> +inf so candidate selection and kth-largest agree
-                # with Spark's NaN-is-greatest ordering; restored at emit
-                nan_mask = np.isnan(sims)
-                if nan_mask.any():
-                    sims[nan_mask] = np.inf
-                rr, cc = np.nonzero(sims >= cutoff - slack)
-                if rr.size == 0:
-                    continue
-                vals = sims[rr, cc]
-                rows_u, starts = np.unique(rr, return_index=True)
-                ends = np.append(starts[1:], rr.size)
-                keep = []
-                for lo_i, hi_i in zip(starts, ends):
-                    cnt = hi_i - lo_i
-                    if cnt > top_k:
-                        v = vals[lo_i:hi_i]
-                        kth = np.partition(v, cnt - top_k)[cnt - top_k]
-                        keep.append(lo_i + np.flatnonzero(v >= kth - slack))
-                    else:
-                        keep.append(np.arange(lo_i, hi_i))
-                sel = np.concatenate(keep)
-                out = vals[sel]
-                out = np.where(np.isposinf(out), np.nan, out)
-                yield pd.DataFrame(
-                    {"src": ids_a[lo + rr[sel]], "dst": ids_b[cc[sel]], "_raw": out}
-                )
-
-    return prep.repartition(par).mapInPandas(
-        gen, schema=f"src {id_type}, dst {id_type}, _raw double"
     )
 
 
