@@ -145,6 +145,12 @@ def main() -> None:
                 queries[name](spark, warm_dir).count()
             except Exception:
                 pass  # warmup must never fail the bench
+        # drop the warmup pass's cached tables and settle the heap: the
+        # measured queries build their own caches, and starting them under
+        # a half-full old generation turns the GC into the dominant noise
+        # source on the 10s-scale queries
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     # one warm session for the whole mix, like the reference's own flow

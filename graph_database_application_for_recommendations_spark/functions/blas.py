@@ -46,6 +46,60 @@ def normalize_rows_seq(mat):
         return mat / np.sqrt(acc)[:, None]
 
 
+def cosine_pairs(
+    pairs: DataFrame,
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """(id_a, id_b, _raw): exact cosine for an explicit candidate pair list
+    (the verify half of a bucketed LSH plan), via one broadcast id→row
+    matrix and an Arrow gather kernel — replaces a double vector join plus
+    per-pair interpreted fold. Pairs whose ids are absent from ``vectors``
+    drop out (inner-join semantics). Same ascending-dimension accumulation
+    as ``cosine_candidates`` — bit-identical to the column-expression path.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = vectors.sparkSession
+    prep = vectors.select(
+        F.col(id_col).alias("_id"), V.as_double(F.col(vec_col)).alias("_v")
+    )
+    pdf_v = prep.toPandas()
+    ids = pdf_v["_id"].to_numpy()
+    mat = normalize_rows_seq(np.asarray(pdf_v["_v"].tolist(), dtype=np.float64))
+    bc = spark.sparkContext.broadcast((ids, mat))
+    id_type = vectors.schema[id_col].dataType.simpleString()
+
+    def gen(batches):
+        ids_v, M = bc.value
+        idx = pd.Index(ids_v)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ia = idx.get_indexer(pdf[id_a].to_numpy())
+            ib = idx.get_indexer(pdf[id_b].to_numpy())
+            ok = (ia >= 0) & (ib >= 0)
+            ia, ib = ia[ok], ib[ok]
+            acc = np.zeros(len(ia))
+            for k in range(M.shape[1]):
+                acc = acc + M[ia, k] * M[ib, k]
+            yield pd.DataFrame(
+                {
+                    id_a: pdf[id_a].to_numpy()[ok],
+                    id_b: pdf[id_b].to_numpy()[ok],
+                    "_raw": acc,
+                }
+            )
+
+    return pairs.select(id_a, id_b).mapInPandas(
+        gen, schema=f"{id_a} {id_type}, {id_b} {id_type}, _raw double"
+    )
+
+
 def cosine_candidates(
     embeddings: DataFrame,
     id_col: str,

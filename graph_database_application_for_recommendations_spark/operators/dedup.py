@@ -647,23 +647,30 @@ def embedding_neardup_lsh(
         .distinct()
     )
     mb.unpersist(blocking=False)
-    vecs = embeddings.select(
-        F.col(id_col).alias("_vid"), V.l2_normalize(V.as_double(F.col(vec_col))).alias("_v")
-    )
-    if vecs.count() * (dim * 8 + 24) < 256 * 1024 * 1024:
-        vecs = F.broadcast(vecs)
-    va = vecs.select(F.col("_vid").alias("id_a"), F.col("_v").alias("_va"))
-    vb = vecs.select(F.col("_vid").alias("id_b"), F.col("_v").alias("_vb"))
-    return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(V.dot(F.col("_va"), F.col("_vb")), V.SIM_SCALE).alias("similarity"),
+    from ..functions.blas import BLAS_BUILD_MAX_BYTES, cosine_pairs
+    from ..plans import estimated_size_bytes
+
+    size = estimated_size_bytes(embeddings)
+    if size is not None and size <= BLAS_BUILD_MAX_BYTES:
+        # broadcast-matrix gather verify (bit-identical accumulation order;
+        # see functions/blas.py) — one Arrow pass over the candidate list
+        # instead of two vector joins + a per-pair interpreted fold
+        verified = cosine_pairs(cand, embeddings, id_col, vec_col)
+    else:
+        vecs = embeddings.select(
+            F.col(id_col).alias("_vid"),
+            V.l2_normalize(V.as_double(F.col(vec_col))).alias("_v"),
         )
-        .filter(F.col("similarity") >= threshold)
-    )
+        va = vecs.select(F.col("_vid").alias("id_a"), F.col("_v").alias("_va"))
+        vb = vecs.select(F.col("_vid").alias("id_b"), F.col("_v").alias("_vb"))
+        verified = (
+            cand.join(va, "id_a")
+            .join(vb, "id_b")
+            .select("id_a", "id_b", V.dot(F.col("_va"), F.col("_vb")).alias("_raw"))
+        )
+    return verified.select(
+        "id_a", "id_b", F.round(F.col("_raw"), V.SIM_SCALE).alias("similarity")
+    ).filter(F.col("similarity") >= threshold)
 
 
 # --- near-dup group collapse (connected components) --------------------------
