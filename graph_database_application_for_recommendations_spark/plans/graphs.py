@@ -43,6 +43,71 @@ def connected_components(
     )
 
 
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(node_id, triangles): per-node triangle counts of an undirected edge
+    list (either or both directions may be present; self-loops ignored).
+
+    Degree-ordered orientation (the standard distributed formulation —
+    e.g. Suri & Vassilvitskii, WWW 2011, public paper): direct each edge
+    from its lower (degree, id) endpoint to the higher one, so every
+    wedge join fans out by *oriented out-degree*, which is O(√|E|)-bounded
+    even on power-law graphs — the naive neighbor self-join explodes on
+    hub nodes, this never does. Triangles are wedges (a→b, a→c with
+    b <ord c) closed by an oriented edge (b→c); each triangle is produced
+    exactly once, then credited to all three corners.
+
+    Three shuffles total (degree aggregate, wedge join, closing join) —
+    the plan a 1000-executor cluster wants.
+    """
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("a").alias("n"))
+        .unionAll(canon.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
+    keyed = canon.join(da, "a").join(db, "b")
+    lower_first = F.struct(F.col("da"), F.col("a")) < F.struct(F.col("db"), F.col("b"))
+    o = keyed.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(
+            lower_first, F.struct(F.col("db").alias("d"), F.col("b").alias("n"))
+        )
+        .otherwise(F.struct(F.col("da").alias("d"), F.col("a").alias("n")))
+        .alias("v"),
+    )
+    e1 = o.select(F.col("u"), F.col("v").alias("v1"))
+    e2 = o.select(F.col("u"), F.col("v").alias("v2"))
+    wedges = e1.join(e2, "u").filter(F.col("v1") < F.col("v2"))
+    closing = o.select(F.col("u").alias("_cu"), F.col("v").alias("_cv"))
+    tri = wedges.join(
+        closing,
+        (F.col("v1").getField("n") == F.col("_cu")) & (F.col("v2") == F.col("_cv")),
+        "left_semi",
+    ).select(
+        F.col("u").alias("c1"),
+        F.col("v1").getField("n").alias("c2"),
+        F.col("v2").getField("n").alias("c3"),
+    )
+    corners = (
+        tri.select(F.col("c1").alias("node_id"))
+        .unionAll(tri.select(F.col("c2").alias("node_id")))
+        .unionAll(tri.select(F.col("c3").alias("node_id")))
+    )
+    return corners.groupBy("node_id").agg(F.count(F.lit(1)).alias("triangles"))
+
+
 def bipartite_rating_graph(ratings: DataFrame) -> tuple[DataFrame, DataFrame]:
     """S9 — the undirected weighted User–Book graph FastRP runs on
     (reference Alg_KNN_FastRP.py:28-50).

@@ -1582,6 +1582,41 @@ SELECT node AS user_id, MIN(label) AS component FROM reach GROUP BY node
 register("q_graph_components", _graph_components, _COMPONENTS_ORACLE)
 
 
+def _graph_triangles(s: SparkSession, d: str) -> DataFrame:
+    from .plans.graphs import triangle_counts
+
+    strong = _corating_double(s, d).filter(F.col("weight") >= COMPONENTS_MIN_WEIGHT)
+    return triangle_counts(strong).select(
+        F.col("node_id").alias("user_id"), "triangles"
+    )
+
+
+# Oracle enumerates each triangle once as a < b < c; the Spark plan's
+# degree-ordered orientation must produce the identical per-node counts.
+_TRIANGLES_ORACLE = f"""{ORACLE_PRELUDE},
+pos AS (SELECT user_id, isbn FROM ratings WHERE rating >= 6),
+und AS (
+  SELECT src AS a, dst AS b FROM (
+    SELECT a.user_id AS src, b.user_id AS dst, COUNT(*) AS w
+    FROM pos a JOIN pos b USING (isbn)
+    WHERE a.user_id < b.user_id
+    GROUP BY a.user_id, b.user_id)
+  WHERE w >= {COMPONENTS_MIN_WEIGHT}),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+corners AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri)
+SELECT node AS user_id, COUNT(*) AS triangles FROM corners GROUP BY node
+"""
+
+register("q_graph_triangles", _graph_triangles, _TRIANGLES_ORACLE)
+
+
 def _modularity_nation(s: SparkSession, d: str) -> DataFrame:
     from .plans.modularity import modularity
 

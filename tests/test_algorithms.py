@@ -352,3 +352,25 @@ def test_pagerank_invariants(spark):
     assert got[0] == max(got.values())
     again = {r["node_id"]: r["rank"] for r in pagerank(df, iters=15).collect()}
     assert got == again
+
+
+def test_triangle_counts_known_graphs(spark):
+    """K4 (4 triangles, 3 per node), a triangle-free path, and a hub-heavy
+    wheel where the degree orientation must still count each triangle once."""
+    from graph_database_application_for_recommendations_spark.plans.graphs import (
+        triangle_counts,
+    )
+
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a != b], "src LONG, dst LONG"
+    )
+    assert sorted(map(tuple, triangle_counts(k4).collect())) == [(i, 3) for i in range(4)]
+    path = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src LONG, dst LONG")
+    assert triangle_counts(path).count() == 0
+    # wheel: hub 0 + cycle 1..6 — six triangles, hub in all of them
+    rim = [(i, i % 6 + 1) for i in range(1, 7)]
+    wheel = spark.createDataFrame(
+        [(0, i) for i in range(1, 7)] + rim, "src LONG, dst LONG"
+    )
+    got = dict(map(tuple, triangle_counts(wheel).collect()))
+    assert got[0] == 6 and all(got[i] == 2 for i in range(1, 7))
