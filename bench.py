@@ -28,6 +28,7 @@ from graph_database_application_for_recommendations_spark.session import get_spa
 
 BENCH_QUERIES = [
     "q_corating_projection",
+    "q_node_similarity",
     "q_knn_topk",
     "q_knn_recommend",
     "q_comm_recommend",

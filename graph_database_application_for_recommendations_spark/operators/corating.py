@@ -87,3 +87,46 @@ def corating_edges(
         .groupBy("u1", "u2")
         .agg(F.count(F.lit(1)).alias("weight"))
     )
+
+
+def node_similarity_jaccard(
+    ratings: DataFrame,
+    min_rating: int = 6,
+    cutoff: float = 0.1,
+    top_k: int | None = 10,
+) -> DataFrame:
+    """(u1, u2, similarity): GDS-style ``nodeSimilarity`` — Jaccard overlap
+    of two users' positively-rated book sets, both directions, ties broken
+    by u2 ascending when ``top_k`` limits each user's list.
+
+    Derived entirely from the co-rating machinery: the intersection is the
+    (skew-guarded) co-rating weight, the union is |books(u1)| + |books(u2)|
+    − intersection — one extra degree aggregate joined onto
+    `corating_edges`, so every scale control there (fan-out cap, salting,
+    AQE skew split) applies here unchanged. The degree dimension is left
+    to Catalyst/AQE to broadcast (it is |users| rows — small relative to
+    the pair table but not unconditionally broadcastable at 100 TB).
+    """
+    pos = positive_ratings(ratings, min_rating).select("user_id", "isbn")
+    deg = pos.groupBy("user_id").agg(F.count(F.lit(1)).alias("_deg"))
+    inter = corating_edges(ratings, min_rating=min_rating)
+    d1 = deg.select(F.col("user_id").alias("u1"), F.col("_deg").alias("_d1"))
+    d2 = deg.select(F.col("user_id").alias("u2"), F.col("_deg").alias("_d2"))
+    sim = (
+        inter.join(d1, "u1")
+        .join(d2, "u2")
+        .select(
+            "u1",
+            "u2",
+            F.round(
+                F.col("weight") / (F.col("_d1") + F.col("_d2") - F.col("weight")), 6
+            ).alias("similarity"),
+        )
+        .filter(F.col("similarity") >= cutoff)
+    )
+    if top_k is None:
+        return sim
+    w = Window.partitionBy("u1").orderBy(F.desc("similarity"), F.asc("u2"))
+    return sim.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= top_k
+    ).drop("_rn")

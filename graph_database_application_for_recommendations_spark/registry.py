@@ -1582,6 +1582,35 @@ SELECT node AS user_id, MIN(label) AS component FROM reach GROUP BY node
 register("q_graph_components", _graph_components, _COMPONENTS_ORACLE)
 
 
+register(
+    "q_node_similarity",
+    lambda s, d: corating.node_similarity_jaccard(
+        _ref(s, d).ratings, cutoff=0.1, top_k=10
+    ),
+    _q(
+        """
+        , pos AS (SELECT user_id, isbn FROM ratings WHERE rating >= 6),
+        deg AS (SELECT user_id, COUNT(*) AS dg FROM pos GROUP BY user_id),
+        inter AS (
+          SELECT a.user_id AS u1, b.user_id AS u2, COUNT(*) AS w
+          FROM pos a JOIN pos b USING (isbn)
+          WHERE a.user_id <> b.user_id
+          GROUP BY a.user_id, b.user_id),
+        sim AS (
+          SELECT u1, u2, ROUND(w / (da.dg + db.dg - w), 6) AS similarity
+          FROM inter
+          JOIN deg da ON da.user_id = u1
+          JOIN deg db ON db.user_id = u2)
+        SELECT u1, u2, similarity FROM (
+          SELECT u1, u2, similarity,
+                 ROW_NUMBER() OVER (PARTITION BY u1 ORDER BY similarity DESC, u2) AS rn
+          FROM sim WHERE similarity >= 0.1)
+        WHERE rn <= 10
+        """
+    ),
+)
+
+
 def _graph_triangles(s: SparkSession, d: str) -> DataFrame:
     from .plans.graphs import triangle_counts
 
