@@ -417,8 +417,17 @@ def neardup_lsh_verified(
     false positives: the estimate only selects candidates, the exact
     Jaccard decides.
     """
-    cand = minhash_lsh_pairs(
-        documents, id_col, text_col, num_hashes, bands, shingle_n, threshold=0.0
+    from ..plans import materialize
+
+    # pin the candidate list: it has two consumers (the verify fan-out and
+    # the estimate join-back), and without pinning each executes the whole
+    # minhash+banding pipeline again — worse, AQE then plans the verify
+    # joins from pre-execution estimates instead of the actual (small)
+    # candidate count, which intermittently picked a degenerate strategy
+    cand = materialize(
+        minhash_lsh_pairs(
+            documents, id_col, text_col, num_hashes, bands, shingle_n, threshold=0.0
+        )
     )
     verified = jaccard_verify_pairs(
         documents, cand, id_col, text_col, shingle_n, threshold

@@ -37,6 +37,12 @@ def get_spark(app_name: str = "gdar-spark", shuffle_partitions: int | None = Non
         # cached/checkpointed blocks in the one driver JVM — 8g thrashes
         # storage eviction once a few iterative algorithms have run
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        # static conf, default 100: the full query mix compiles several
+        # hundred generated classes, so the default cache thrashes — every
+        # eviction recompiles a class that then restarts JIT-cold, which
+        # showed up as a 3-8x lottery on individual bench queries. Classes
+        # are small; 10k entries is a few hundred MB ceiling at worst.
+        .config("spark.sql.codegen.cache.maxEntries", "10000")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
