@@ -131,6 +131,28 @@ def value_percentiles(events: DataFrame) -> DataFrame:
     )
 
 
+def approx_value_percentiles(events: DataFrame, accuracy: int = 10_000) -> DataFrame:
+    """(event_type, quantile, value): sketch-based percentiles — the
+    100 TB path next to the exact ``value_percentiles``. ``percentile_approx``
+    builds one bounded-memory rank sketch per group (map-side combinable,
+    never a per-group sort of all values); rank error ≤ 1/accuracy.
+    Rows-only checked (the sketch picks an actual data value near the true
+    quantile — accuracy-dependent, not SQL-stable); pytest pins each
+    approximation between tight exact quantile brackets.
+    """
+    qs = [0.5, 0.9, 0.99]
+    agg = events.groupBy("event_type").agg(
+        F.percentile_approx("value", [float(q) for q in qs], accuracy).alias("_p")
+    )
+    return agg.select("event_type", F.posexplode("_p").alias("_qi", "_v")).select(
+        "event_type",
+        F.element_at(F.array(*[F.lit(float(q)) for q in qs]), F.col("_qi") + 1).alias(
+            "quantile"
+        ),
+        F.round(F.col("_v"), 6).alias("value"),
+    )
+
+
 def daily_rollup(events: DataFrame) -> DataFrame:
     """Hypertable-style rollup: counts and value sums at (day, event_type),
     (day), and grand-total grain in one pass (``ROLLUP`` grouping sets).

@@ -1191,6 +1191,15 @@ register(
     None,
 )
 register(
+    "q_multimodal_resize",
+    # rows-only: fixed-size payload contract is unit-pinned; binary
+    # payloads aren't SQL-comparable
+    lambda s, d: multimodal.resize_images(
+        multimodal.assets_from_documents(_docs(s, d)), width=16, height=16
+    ),
+    None,
+)
+register(
     "q_multimodal_frames",
     # rows-only: binary frame payloads aren't SQL-comparable; the 1->N
     # mapInPandas expansion contract is unit-pinned instead
@@ -1329,6 +1338,14 @@ register(
            ROUND(quantile_cont(value, 0.99), 6) AS p99
     FROM events GROUP BY event_type
     """,
+)
+register(
+    "q_events_approx_percentiles",
+    # rows-only: the sketch returns an actual data value near each true
+    # quantile (accuracy-dependent); pytest brackets it between exact
+    # quantiles instead of a SQL twin
+    lambda s, d: events.approx_value_percentiles(_ref(s, d).events),
+    None,
 )
 register(
     "q_events_rollup",

@@ -544,3 +544,29 @@ def test_remove_repeated_spans(spark):
     # order preserved around the removed span
     assert got[1]["clean_text"].startswith("intro words here")
     assert got[1]["clean_text"].endswith("one")
+
+
+def test_approx_percentiles_bracketed_by_exact(spark):
+    """Each sketch quantile must land between the exact quantiles at
+    q ± 0.02 — the rank-error contract of percentile_approx."""
+    from graph_database_application_for_recommendations_spark.operators.events import (
+        approx_value_percentiles,
+    )
+    from graph_database_application_for_recommendations_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_SMALL, "events")
+    approx = {
+        (r["event_type"], r["quantile"]): r["value"]
+        for r in approx_value_percentiles(ev).collect()
+    }
+    assert approx
+    for (etype, q), v in approx.items():
+        lo, hi = (
+            ev.filter(F.col("event_type") == etype)
+            .select(
+                F.expr(f"percentile(value, {max(q - 0.02, 0.0)})"),
+                F.expr(f"percentile(value, {min(q + 0.02, 1.0)})"),
+            )
+            .first()
+        )
+        assert lo - 1e-6 <= v <= hi + 1e-6, (etype, q, v, lo, hi)

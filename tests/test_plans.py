@@ -254,3 +254,29 @@ def test_pagerank_round_is_exchange_free(spark):
     assert "HashAggregate" in above_cache and "BroadcastHashJoin" in above_cache
     assert "Exchange hashpartitioning" not in above_cache
     trans.unpersist(blocking=False)
+
+
+def test_pack_chunks_global_window_only_over_block_dimension(spark):
+    """The sequence-packing prefix sum must never run a single-partition
+    window over the full token table: the only unpartitioned Window sits
+    above the per-block Aggregate (the n/block_size-row offset dimension);
+    the document-level running sum is partitioned by block."""
+    from graph_database_application_for_recommendations_spark.operators.packing import (
+        pack_chunks,
+    )
+    from graph_database_application_for_recommendations_spark.sources.views import (
+        load_ref_tables,
+    )
+
+    docs = load_ref_tables(spark, SF_SMALL).documents
+    plan = pack_chunks(docs)._jdf.queryExecution().optimizedPlan().treeString()
+    windows = [ln for ln in plan.splitlines() if ln.lstrip().startswith("+- Window") or ln.lstrip().startswith("Window")]
+    assert len(windows) == 2, plan
+    # a partitioned Window prints partition AND order lists ("], [" twice);
+    # the global one prints only the order list
+    partitioned = [w for w in windows if w.count("], [") == 2]
+    unpartitioned = [w for w in windows if w.count("], [") == 1]
+    assert len(unpartitioned) == 1 and len(partitioned) == 1, windows
+    # the global window's input is the block aggregate, not the raw docs:
+    # its frame sums _bt (the per-block partial), never n_tokens directly
+    assert "_bt" in unpartitioned[0]
