@@ -1285,6 +1285,46 @@ def _events_asof(s: SparkSession, d: str) -> DataFrame:
     )
 
 
+def _events_asof_forward(s: SparkSession, d: str) -> DataFrame:
+    """Forward as-of: each 'purchase' picks up the user's NEXT 'view' at-
+    or-after it. Oracle is DuckDB's native ASOF JOIN with a <= condition —
+    an independent implementation, not the same merged-window trick."""
+    from .operators.asof import asof_join
+
+    ev = _ref(s, d).events
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_event_id"), "value"
+    )
+    out = asof_join(
+        left, right, key="user_id", right_cols=["view_event_id", "value"],
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("r_view_event_id").alias("view_event_id"),
+        F.round(F.col("r_value"), 6).alias("view_value"),
+    )
+
+
+register(
+    "q_events_asof_forward",
+    _events_asof_forward,
+    """
+    WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    r AS (SELECT user_id, ts, event_id AS view_event_id, value
+          FROM events WHERE event_type = 'view')
+    SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+           r.view_event_id, ROUND(r.value, 6) AS view_value
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.user_id AND l.ts <= r.ts
+    """,
+)
+
 register(
     "q_events_asof",
     _events_asof,

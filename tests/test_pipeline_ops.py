@@ -570,3 +570,42 @@ def test_approx_percentiles_bracketed_by_exact(spark):
             .first()
         )
         assert lo - 1e-6 <= v <= hi + 1e-6, (etype, q, v, lo, hi)
+
+
+def test_asof_directions_tolerance_and_row_atomicity(spark):
+    from graph_database_application_for_recommendations_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, 1000000), (2, 100, 5000000), (3, 200, 1000000)],
+        "lid LONG, user_id LONG, ts_us LONG",
+    ).select("lid", "user_id", F.timestamp_micros("ts_us").alias("ts"))
+    right = spark.createDataFrame(
+        [
+            (10, 100, 1000000, 1.0),   # tie with lid=1
+            (11, 100, 3000000, None),  # NULL value field: must carry atomically
+            (12, 100, 6500000, 3.0),
+        ],
+        "rid LONG, user_id LONG, ts_us LONG, value DOUBLE",
+    ).select("rid", "user_id", F.timestamp_micros("ts_us").alias("ts"), "value")
+
+    def run(**kw):
+        return {
+            r["lid"]: (r["r_rid"], r["r_value"])
+            for r in asof_join(left, right, right_cols=["rid", "value"], **kw).collect()
+        }
+
+    back = run(direction="backward")
+    assert back[1] == (10, 1.0)          # tie matches at-or-before
+    assert back[2] == (11, None)         # atomic: rid 11 with ITS null value,
+    assert back[3] == (None, None)       #   not rid 11 + value from rid 10
+    fwd = run(direction="forward")
+    assert fwd[1] == (10, 1.0)           # tie matches at-or-after too
+    assert fwd[2] == (12, 3.0)
+    assert fwd[3] == (None, None)
+    near = run(direction="nearest")
+    assert near[1] == (10, 1.0)
+    assert near[2] == (12, 3.0)          # 5s: back 2s away, fwd 1.5s away
+    tol = run(direction="nearest", tolerance_us=1_000_000)
+    assert tol[2] == (None, None)        # both sides outside 1s tolerance
+    tol2 = run(direction="backward", tolerance_us=2_500_000)
+    assert tol2[2] == (11, None)         # 2s back within 2.5s tolerance
