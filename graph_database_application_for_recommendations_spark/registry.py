@@ -1285,6 +1285,37 @@ def _events_asof(s: SparkSession, d: str) -> DataFrame:
     )
 
 
+def _events_range_join(s: SparkSession, d: str) -> DataFrame:
+    """Keyless time-window join: every (purchase, click) pair corpus-wide
+    within ±300 s, via the binned range join (equi-join on a manufactured
+    time bin — never the broadcast nested loop Spark would plan for the
+    raw theta predicate)."""
+    from .operators.rangejoin import interval_bin_join
+
+    ev = _ref(s, d).events
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "ts"
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "ts"
+    )
+    out = interval_bin_join(left, right, window_us=300_000_000)
+    return out.select("purchase_id", "click_id", "dt_us")
+
+
+register(
+    "q_events_range_join",
+    _events_range_join,
+    """
+    SELECT l.event_id AS purchase_id, r.event_id AS click_id,
+           epoch_us(r.ts) - epoch_us(l.ts) AS dt_us
+    FROM (SELECT event_id, ts FROM events WHERE event_type = 'purchase') l,
+         (SELECT event_id, ts FROM events WHERE event_type = 'click') r
+    WHERE abs(epoch_us(r.ts) - epoch_us(l.ts)) <= 300000000
+    """,
+)
+
+
 def _events_asof_forward(s: SparkSession, d: str) -> DataFrame:
     """Forward as-of: each 'purchase' picks up the user's NEXT 'view' at-
     or-after it. Oracle is DuckDB's native ASOF JOIN with a <= condition —

@@ -609,3 +609,36 @@ def test_asof_directions_tolerance_and_row_atomicity(spark):
     assert tol[2] == (None, None)        # both sides outside 1s tolerance
     tol2 = run(direction="backward", tolerance_us=2_500_000)
     assert tol2[2] == (11, None)         # 2s back within 2.5s tolerance
+
+
+def test_interval_bin_join_exact_and_duplicate_free(spark):
+    """Brute-force equivalence on a dense fixture (every pair exactly once
+    — a right row meets a left row only in the right row's own bin), and
+    the physical join must be a hash equi-join on the bin, never the
+    BroadcastNestedLoopJoin Spark plans for a raw theta predicate."""
+    import itertools
+
+    from graph_database_application_for_recommendations_spark.operators.rangejoin import (
+        interval_bin_join,
+    )
+
+    lt = [(i, i * 700_000) for i in range(50)]
+    rt = [(100 + i, 150_000 + i * 530_000) for i in range(60)]
+    left = spark.createDataFrame(lt, "lid LONG, us LONG").select(
+        "lid", F.timestamp_micros("us").alias("ts")
+    )
+    right = spark.createDataFrame(rt, "rid LONG, us LONG").select(
+        "rid", F.timestamp_micros("us").alias("ts")
+    )
+    W = 1_000_000
+    out = interval_bin_join(left, right, window_us=W)
+    got = sorted((r["lid"], r["rid"], r["dt_us"]) for r in out.collect())
+    want = sorted(
+        (lid, rid, rus - lus)
+        for (lid, lus), (rid, rus) in itertools.product(lt, rt)
+        if abs(rus - lus) <= W
+    )
+    assert got == want and len(got) == len(set((a, b) for a, b, _ in got))
+    plan = out._jdf.queryExecution().executedPlan().treeString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan
