@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "q_events_sliding",
     "q_events_sessionize",
     "q_events_asof",
+    "q_events_asof_forward",
+    "q_events_range_join",
     "q_events_conversions",
     "q_events_percentiles",
     "q_events_rollup",

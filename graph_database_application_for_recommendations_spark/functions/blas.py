@@ -69,6 +69,11 @@ def cosine_pairs(
         F.col(id_col).alias("_id"), V.as_double(F.col(vec_col)).alias("_v")
     )
     pdf_v = prep.toPandas()
+    id_type_empty = vectors.schema[id_col].dataType.simpleString()
+    if not len(pdf_v):  # empty vector table: no pair can score
+        return spark.createDataFrame(
+            [], f"{id_a} {id_type_empty}, {id_b} {id_type_empty}, _raw double"
+        )
     ids = pdf_v["_id"].to_numpy()
     mat = normalize_rows_seq(np.asarray(pdf_v["_v"].tolist(), dtype=np.float64))
     bc = spark.sparkContext.broadcast((ids, mat))
@@ -132,10 +137,14 @@ def cosine_candidates(
         F.col(id_col).alias("_id"), V.as_double(F.col(vec_col)).alias("_v")
     )
     pdf_b = prep.toPandas()
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+    if not len(pdf_b):  # empty corpus: no candidates (and no kernel crash)
+        return spark.createDataFrame(
+            [], f"{out_a} {id_type}, {out_b} {id_type}, _raw double"
+        )
     ids_b_np = pdf_b["_id"].to_numpy()
     mat_b = normalize_rows_seq(np.asarray(pdf_b["_v"].tolist(), dtype=np.float64))
     bc = spark.sparkContext.broadcast((ids_b_np, mat_b))
-    id_type = embeddings.schema[id_col].dataType.simpleString()
 
     def gen(batches):
         ids_b, B = bc.value

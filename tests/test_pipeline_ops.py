@@ -642,3 +642,20 @@ def test_interval_bin_join_exact_and_duplicate_free(spark):
     plan = out._jdf.queryExecution().executedPlan().treeString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashJoin" in plan
+
+
+def test_blas_kernels_empty_inputs(spark):
+    """Empty vector tables: empty results with the right schema, no
+    kernel crash (mirrors the embedding_neardup_lsh empty guard)."""
+    from graph_database_application_for_recommendations_spark.operators.knn import knn_exact
+
+    empty = spark.createDataFrame([], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    assert knn_exact(empty, strategy="blas").count() == 0
+    assert dedup.embedding_neardup_pairs(empty, strategy="blas").count() == 0
+    from graph_database_application_for_recommendations_spark.functions.blas import (
+        cosine_pairs,
+    )
+
+    pairs = spark.createDataFrame([], "id_a LONG, id_b LONG")
+    out = cosine_pairs(pairs, empty, "vec_id", "embedding")
+    assert out.count() == 0 and out.columns == ["id_a", "id_b", "_raw"]
