@@ -264,10 +264,7 @@ def remove_repeated_spans(
         F.count(F.lit(1)).alias("_kept"),
     )
     return (
-        documents.select(
-            F.col(id_col).alias("doc_id"),
-            F.size(tokens(F.col(text_col))).cast("long").alias("_n"),
-        )
+        base.select("doc_id", F.size("_t").cast("long").alias("_n"))
         .join(rebuilt, "doc_id", "left")
         .select(
             "doc_id",

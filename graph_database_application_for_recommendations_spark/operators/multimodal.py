@@ -12,6 +12,7 @@ one-function change (see ``DECODERS``).
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -220,7 +221,7 @@ DECODERS = {"image": _decode_image, "audio": _decode_audio}
 
 
 def extract_features(
-    assets: DataFrame, batch_size: int = 256, rows_per_task: int = 2048
+    assets: DataFrame, batch_size: int = 256
 ) -> DataFrame:
     """Arrow-batched feature extraction over the binary payload column.
 
@@ -249,8 +250,10 @@ def extract_features(
                 if decoder is not None:
                     try:
                         decoded = decoder(payload)
-                    except (NotImplementedError, ValueError, IndexError):
-                        decoded = None  # undecodable -> byte features only
+                    except (NotImplementedError, ValueError, IndexError, struct.error):
+                        # undecodable (including truncated headers, which
+                        # surface as struct.error) -> byte features only
+                        decoded = None
                 row = {
                     "asset_id": asset_id,
                     "kind": kind,

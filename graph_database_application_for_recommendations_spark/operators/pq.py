@@ -88,7 +88,9 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(vec_id, codes ARRAY<INT> length m, _v): PQ codes per vector.
+    """(vec_id, codes ARRAY<INT> length m): PQ codes per vector — the
+    compressed representation and nothing else, so downstream scans move
+    m small codes per row instead of the d·8-byte vector.
 
     Broadcast the KB-sized codebooks, argmin per subspace in one Arrow
     batch kernel — a pure scan-side map, no shuffle.
@@ -117,16 +119,10 @@ def pq_encode(
                 d2 = ((x[:, None, :] - books[mi][None, :, :]) ** 2).sum(axis=2)
                 codes[:, mi] = d2.argmin(axis=1)
             yield pd.DataFrame(
-                {
-                    "vec_id": pdf["_id"].to_numpy(),
-                    "codes": list(codes.tolist()),
-                    "_v": pdf["_v"],
-                }
+                {"vec_id": pdf["_id"].to_numpy(), "codes": list(codes.tolist())}
             )
 
-    return prep.mapInPandas(
-        gen, schema=f"vec_id {id_type}, codes array<int>, _v array<double>"
-    )
+    return prep.mapInPandas(gen, schema=f"vec_id {id_type}, codes array<int>")
 
 
 def topk_pq(
@@ -142,11 +138,13 @@ def topk_pq(
 ) -> DataFrame:
     """PQ-ADC approximate top-k: (query_id, neighbor_id, similarity).
 
-    First pass ranks the whole corpus by the ADC inner-product estimate
-    (M lookups per pair against the broadcast query LUTs); the top
-    ``rerank``·k survivors per query are re-scored with the exact rounded
-    cosine, and the final top-k follows the shared determinism contract
-    (6dp rounding, neighbor-id tie-break).
+    First pass ranks the whole corpus by the ADC inner-product estimate —
+    over ``(neighbor_id, codes)`` ONLY, so the scan and the per-query
+    top-C shuffle move m code bytes per row, never the d·8-byte vectors
+    (that is the entire point of PQ); full vectors are joined back for
+    just the ``rerank``·k survivors per query, which are re-scored with
+    the exact rounded cosine. The final top-k follows the shared
+    determinism contract (6dp rounding, neighbor-id tie-break).
     """
     import numpy as np
 
@@ -170,20 +168,23 @@ def topk_pq(
     mm, kk, dsub = books.shape
     # LUT[q] = flattened m*k inner products <q_sub, centroid>
     luts = np.einsum("qmd,mkd->qmk", qmat.reshape(len(qmat), mm, dsub), books)
-    lut_rows = [
-        (
-            int(q_pdf["query_id"][i]),
-            [float(x) for x in q_pdf["_qv"][i]],
-            [float(x) for x in luts[i].ravel()],
-        )
-        for i in range(len(q_pdf))
-    ]
     lut_df = spark.createDataFrame(
-        lut_rows, "query_id long, _qv array<double>, _lut array<double>"
+        [
+            (int(q_pdf["query_id"][i]), [float(x) for x in luts[i].ravel()])
+            for i in range(len(q_pdf))
+        ],
+        "query_id long, _lut array<double>",
+    )
+    qv_df = spark.createDataFrame(
+        [
+            (int(q_pdf["query_id"][i]), [float(x) for x in q_pdf["_qv"][i]])
+            for i in range(len(q_pdf))
+        ],
+        "query_id long, _qv array<double>",
     )
 
     # ADC score: sum over subspaces of LUT[m*k + code[m]] — M array lookups
-    # per pair, no vector math on the corpus side
+    # per pair, no vector math and no vector payload on the corpus side
     adc = F.aggregate(
         F.sequence(F.lit(0), F.lit(mm - 1)),
         F.lit(0.0),
@@ -195,18 +196,29 @@ def topk_pq(
     pairs = (
         coded.crossJoin(F.broadcast(lut_df))
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "_qv", "_v", adc.alias("_adc"))
+        .select("query_id", "neighbor_id", adc.alias("_adc"))
     )
     w1 = Window.partitionBy("query_id").orderBy(F.desc("_adc"), F.asc("neighbor_id"))
     cands = (
         pairs.withColumn("_rn", F.row_number().over(w1))
         .filter(F.col("_rn") <= rerank * k)
-        .drop("_rn", "_adc")
+        .select("query_id", "neighbor_id")
     )
-    rer = cands.select(
-        "query_id",
-        "neighbor_id",
-        F.round(V.dot(F.col("_qv"), F.col("_v")), V.SIM_SCALE).alias("similarity"),
+    # survivors are Q·rerank·k rows — broadcast them against the corpus
+    # scan (no shuffle of the vectors) and attach both sides' vectors
+    corpus_v = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        V.l2_normalize(V.as_double(F.col(vec_col))).alias("_cv"),
+    )
+    rer = (
+        corpus_v.join(
+            F.broadcast(cands.join(F.broadcast(qv_df), "query_id")), "neighbor_id"
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(V.dot(F.col("_qv"), F.col("_cv")), V.SIM_SCALE).alias("similarity"),
+        )
     )
     w2 = Window.partitionBy("query_id").orderBy(F.desc("similarity"), F.asc("neighbor_id"))
     return rer.withColumn("_rn", F.row_number().over(w2)).filter(F.col("_rn") <= k).drop("_rn")

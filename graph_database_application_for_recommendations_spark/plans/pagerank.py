@@ -58,6 +58,10 @@ def pagerank(
     trans = cache_wide(trans, par, "dst")
     nodes = trans.select(F.col("src").alias("node_id")).distinct()
     n = nodes.count()
+    if n == 0:  # empty graph: empty ranks, not a ZeroDivisionError
+        trans.unpersist(blocking=False)
+        id_type = edges.schema[src_col].dataType.simpleString()
+        return spark.createDataFrame([], f"node_id {id_type}, rank double")
     ranks = nodes.select("node_id", F.lit(1.0 / n).alias("rank"))
     base = (1.0 - damping) / n
     prev: DataFrame | None = None

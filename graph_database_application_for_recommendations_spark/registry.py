@@ -915,10 +915,17 @@ def _corpus_train_ready(s: SparkSession, d: str) -> DataFrame:
         F.col("keep_id").alias("doc_id")
     )
     corpus = survivors.join(kept_ids, "doc_id", "left_semi")
-    scr = textstats.scrub_pii(corpus).select(
-        "doc_id",
-        "clean_text",
-        (F.col("n_emails") + F.col("n_ips") + F.col("n_phones")).alias("n_pii"),
+    # pin the scrubbed survivors: pack_chunks consumes this plan twice
+    # (block totals + per-block window) and the n_pii join a third time —
+    # unpinned, the whole filter→dedup→scrub subtree would execute 3×
+    from .plans import materialize
+
+    scr = materialize(
+        textstats.scrub_pii(corpus).select(
+            "doc_id",
+            "clean_text",
+            (F.col("n_emails") + F.col("n_ips") + F.col("n_phones")).alias("n_pii"),
+        )
     )
     packed = packing.pack_chunks(scr, ctx_len=512, text_col="clean_text")
     return packed.join(scr.select("doc_id", "n_pii"), "doc_id")

@@ -24,7 +24,14 @@ def read_jsonl(
     a column name to capture each bad line's raw text there (Spark's
     PERMISSIVE mode) instead of silently nulling it — the caller can route
     them to a quarantine sink and count them. Default (None) keeps the
-    plain permissive read (bad lines -> all-null rows)."""
+    plain permissive read (bad lines -> all-null rows).
+
+    Spark restriction: a query that references ONLY the corrupt-record
+    column fails with AnalysisException on an uncached read (Spark refuses
+    to pay the full parse just for the raw line); ``df.cache()`` the
+    returned frame — or select at least one data column alongside — before
+    filtering on ``corrupt_col`` alone. The quarantine test demonstrates
+    the cache-first pattern."""
     if corrupt_col is None:
         return spark.read.schema(schema).json(path)
     from pyspark.sql.types import StringType, StructField

@@ -17,9 +17,22 @@ reference vendors (vis-9.1.2); the page is otherwise self-contained.
 
 from __future__ import annotations
 
+import html as _html
 import json
 
 from pyspark.sql import DataFrame
+
+
+def _script_json(obj) -> str:
+    """JSON safe to inline inside a <script> element: '</' is escaped so
+    data-controlled text (book titles) can never terminate the script tag
+    and inject markup; U+2028/29 break JS string literals pre-ES2019."""
+    return (
+        json.dumps(obj)
+        .replace("</", "<\\/")
+        .replace(" ", "\\u2028")
+        .replace(" ", "\\u2029")
+    )
 
 _VIS_CDN = "https://unpkg.com/vis-network@9.1.2/standalone/umd/vis-network.min.js"
 
@@ -76,11 +89,11 @@ def render_html(
         for r in edges.collect()
     ]
     return _TEMPLATE.format(
-        title=title,
-        height=height,
+        title=_html.escape(title),
+        height=_html.escape(height),
         cdn=_VIS_CDN,
-        nodes_json=json.dumps(vis_nodes),
-        edges_json=json.dumps(vis_edges),
+        nodes_json=_script_json(vis_nodes),
+        edges_json=_script_json(vis_edges),
     )
 
 
