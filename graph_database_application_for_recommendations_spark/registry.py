@@ -867,6 +867,60 @@ register(
     ),
 )
 
+# shingle-frequency skew diagnostic: the profiling input for the dedup
+# fan-out decisions (max_docs_per_shingle, band sizing) — the dedup-side
+# twin of q_diag_corating_skew. A stop-shingle shared by 10^5 docs is the
+# 10^10-row join the exact kernel's cap exists to prevent.
+def _diag_shingle_skew(s: SparkSession, d: str) -> DataFrame:
+    from .operators.diagnostics import skew_report
+
+    return skew_report(
+        dedup.shingle_set(_docs(s, d), "doc_id", "text", 3), ["shingle"], top_n=10
+    )
+
+
+register(
+    "q_diag_shingle_skew",
+    _diag_shingle_skew,
+    _q_docs(
+        """
+        SELECT shingle, n, share FROM (
+          SELECT shingle, COUNT(*) AS n,
+                 ROUND(COUNT(*) / CAST((SELECT COUNT(*) FROM sh) AS DOUBLE), 6) AS share
+          FROM sh GROUP BY shingle)
+        ORDER BY n DESC, shingle LIMIT 10
+        """
+    ),
+)
+
+# corpus length histogram: fixed token-count bins (powers of two) — the
+# length-distribution profile behind the quality filter's bounds
+register(
+    "q_corpus_length_hist",
+    # floor(log2(n)) via integer bit length (length of the binary string),
+    # never float log2 — log(x)/log(2) can land a hair under an exact
+    # power of two in one engine and not the other
+    lambda s, d: (
+        textstats.token_counts(_docs(s, d))
+        .select(
+            F.least(
+                F.length(F.conv(F.greatest(F.col("n_tokens"), F.lit(1)).cast("string"), 10, 2)) - 1,
+                F.lit(12),
+            ).cast("long").alias("log2_bucket")
+        )
+        .groupBy("log2_bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    ),
+    _q_docs(
+        """
+        SELECT CAST(LEAST(length(bin(GREATEST(len(string_split(norm, ' ')), 1))) - 1, 12) AS BIGINT)
+                 AS log2_bucket,
+               COUNT(*) AS n_docs
+        FROM norm GROUP BY 1
+        """
+    ),
+)
+
 # deterministic sampling (membership = f(key, seed), engine/run/partition
 # independent — the md5 bucket is reproduced verbatim in the oracle)
 _SAMPLE_BUCKET = (
