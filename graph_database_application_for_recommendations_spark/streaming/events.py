@@ -234,6 +234,48 @@ def dedup_documents_stream(docs: DataFrame) -> DataFrame:
     return docs.withColumn("fingerprint", fp).dropDuplicates(["fingerprint"])
 
 
+def clean_corpus_stream(docs: DataFrame) -> DataFrame:
+    """The ingest-time corpus build as ONE streaming pipeline: quality
+    filter (token bounds + stopword floor) → PII scrub → first-writer-wins
+    fingerprint dedup. Stateless stages are the same column expressions as
+    the batch operators (textstats.quality_scores/scrub_pii predicates);
+    the only state is the dedup fingerprint set. Emits
+    (doc_id, clean_text, n_tokens, fingerprint) for the sink —
+    append-mode-safe, so it composes with the foreachBatch upsert
+    write-back (run_writeback).
+
+    Note the deliberate semantic difference from the batch
+    ``q_corpus_clean``: batch keeps the SMALLEST doc id per fingerprint
+    group (a global min), streaming keeps the FIRST ARRIVAL — identical
+    sets when ids arrive in order (the replay case the test pins), the
+    standard ingest-time relaxation otherwise.
+    """
+    from ..functions.text import STOPWORDS, tokens
+    from ..operators.textstats import PII_EMAIL_RE, PII_IP_RE, PII_PHONE_RE
+
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS["en"])))
+    kept = docs.filter(
+        (n_tok >= 10)
+        & (n_tok <= 500)
+        & ((stop_hits.cast("double") / n_tok) >= 0.01)
+    )
+    clean = F.regexp_replace(F.col("text"), PII_EMAIL_RE, "<EMAIL>")
+    clean = F.regexp_replace(clean, PII_IP_RE, "<IP>")
+    clean = F.regexp_replace(clean, PII_PHONE_RE, "<PHONE>")
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
+    return (
+        kept.select(
+            "doc_id",
+            clean.alias("clean_text"),
+            n_tok.cast("long").alias("n_tokens"),
+            fp.alias("fingerprint"),
+        )
+        .dropDuplicates(["fingerprint"])
+    )
+
+
 USER_PROFILE_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),

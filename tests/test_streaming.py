@@ -206,3 +206,43 @@ def test_streaming_multi_batch_replay(spark, batch_events, tmp_path):
     )
     want = batch_ops.tumbling_counts(batch_events, minutes=60)
     assert _rows(got) == _rows(want)
+
+
+def test_streaming_corpus_clean_matches_batch(spark, tmp_path):
+    """Ingest-time corpus build: the streaming quality->scrub->dedup
+    pipeline admits exactly the batch pass's fingerprint groups, and the
+    scrubbed text matches the batch scrub for every surviving doc."""
+    from graph_database_application_for_recommendations_spark.operators import (
+        dedup as dd,
+        textstats,
+    )
+    from graph_database_application_for_recommendations_spark.sources.views import (
+        load_ref_tables,
+    )
+
+    docs_batch = load_ref_tables(spark, SF_SMALL).documents
+    got = stream_ops.run_to_memory(
+        stream_ops.clean_corpus_stream(stream_ops.read_documents_stream(spark, SF_SMALL)),
+        "t_corpus_clean",
+        "append",
+        str(tmp_path / "ck_corpus_clean"),
+    )
+    # batch twin: same quality predicate, then fingerprint groups
+    q = textstats.quality_scores(docs_batch)
+    keep = q.filter(
+        (F.col("n_tokens") >= 10)
+        & (F.col("n_tokens") <= 500)
+        & (F.col("stopword_ratio") >= 0.01)
+    ).select("doc_id")
+    survivors = docs_batch.join(keep, "doc_id", "left_semi")
+    want_fps = {r["fingerprint"] for r in dd.dedup_fingerprint(survivors).collect()}
+    got_rows = got.collect()
+    assert {r["fingerprint"] for r in got_rows} == want_fps
+    assert len(got_rows) == len(want_fps)  # exactly one survivor per group
+    # scrubbed text parity for the admitted ids
+    batch_scrub = {
+        r["doc_id"]: r["clean_text"]
+        for r in textstats.scrub_pii(survivors).collect()
+    }
+    for r in got_rows:
+        assert r["clean_text"] == batch_scrub[r["doc_id"]]
