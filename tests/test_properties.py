@@ -158,3 +158,59 @@ def test_event_conversions_matches_bruteforce(spark, evs):
         if ty1 == "click" and ty2 == "purchase" and u1 == u2 and 0 < s2 - s1 <= width_s
     }
     assert got == want
+
+
+@given(
+    lengths=st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=30),
+    block=st.integers(min_value=1, max_value=8),
+    ctx=st.sampled_from([4, 16, 64]),
+)
+@SLOW
+def test_pack_chunks_tiling_invariant(spark, lengths, block, ctx):
+    """For ANY token lengths, block size and context: documents tile the
+    stream gaplessly (each starts where the previous ended), offsets stay
+    in [0, ctx), and pack_last reflects the doc's true end — the two-level
+    prefix sum can never disagree with the sequential definition."""
+    from graph_database_application_for_recommendations_spark.operators import packing
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in enumerate(lengths)],
+        "doc_id LONG, text STRING",
+    )
+    rows = sorted(
+        packing.pack_chunks(docs, ctx_len=ctx, block_size=block).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    start = 0
+    for r, n in zip(rows, lengths):
+        assert r["n_tokens"] == n
+        assert r["pack_id"] == start // ctx
+        assert r["pack_offset"] == start % ctx
+        assert r["pack_last"] == (start + n - 1) // ctx
+        start += n
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),
+            st.integers(min_value=0, max_value=8),
+        ).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=20,
+    )
+)
+@SLOW
+def test_pagerank_is_probability_distribution(spark, edges):
+    """On any symmetric graph: ranks are positive, sum to 1 within float
+    noise, and every node appearing in the edge list gets a rank."""
+    from graph_database_application_for_recommendations_spark.plans.pagerank import pagerank
+
+    sym = list({(a, b) for a, b in edges} | {(b, a) for a, b in edges})
+    df = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in sym], "src LONG, dst LONG, weight DOUBLE"
+    )
+    got = {r["node_id"]: r["rank"] for r in pagerank(df, iters=5).collect()}
+    assert set(got) == {n for e in sym for n in e}
+    assert all(v > 0 for v in got.values())
+    assert abs(sum(got.values()) - 1.0) < 1e-9
