@@ -4,17 +4,17 @@ Reference: Neo4j GDS ``gds.knn.write`` over the ``embedding`` property,
 ``topK=20``, ``similarityCutoff=0.8``, writing ``SIMILAR_TO {similarity}``
 edges (``algorithms/Alg_KNN_FastRP.py:99-116,158``).
 
-Two physical strategies, same logical contract ``(src, dst, similarity)``:
+Physical strategies, same logical contract ``(src, dst, similarity)``:
 
-- ``knn_exact``: block-nested self-join + native-function cosine + per-src
-  window top-k. The cosine kernel stays in whole-stage codegen (no UDF).
-  O(n^2) pairs — correct at any scale but only *fast* up to ~10^4..10^5
-  vectors per join side; this is the oracle-checked variant.
-- ``knn_lsh``: MLlib ``BucketedRandomProjectionLSH`` over L2-normalized
-  vectors (cosine similarity == 1 - ||a_n - b_n||^2 / 2 for unit vectors),
-  pruning candidate pairs before the exact re-rank. This is the 100 TB path:
-  candidate generation is a bucket-equi-join (shuffle on bucket id), not a
-  cross join.
+- ``knn_exact``: the oracle-checked exact variant, itself two bit-identical
+  strategies (broadcast-BLAS Arrow kernel under a catalog-size gate — see
+  functions/blas.py — and the zip_with/aggregate fold crossJoin beyond
+  it). O(n²) pairs — correct at any scale but only *fast* up to
+  ~10^4..10^5 vectors per side.
+- ``knn_hyperplane`` / ``knn_ivf`` / ``knn_lsh``: the 100 TB paths —
+  candidate generation is an equi-join (sign bucket, k-means cell, or
+  MLlib random-projection bucket), never a cross join, with an exact
+  re-rank of candidates.
 """
 
 from __future__ import annotations
