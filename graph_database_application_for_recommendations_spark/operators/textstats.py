@@ -146,6 +146,42 @@ def source_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+def build_vocabulary(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_size: int | None = None,
+    min_count: int = 1,
+) -> DataFrame:
+    """(token_id, token, count, n_docs): the tokenizer-vocabulary table —
+    dense ids assigned by (count DESC, token ASC), so id 0 is the most
+    frequent token and the mapping is fully deterministic (a vocabulary
+    must be reproducible bit-for-bit across corpus rebuilds or every
+    downstream checkpoint breaks).
+
+    One explode + one hash aggregate (map-side combinable); the id
+    assignment is a single window over the aggregated vocabulary (|vocab|
+    rows — millions at most, not corpus-sized: the heavy data never passes
+    through the unpartitioned window).
+    """
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    counts = (
+        documents.repartition(par)
+        .select(F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("count"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("count") >= min_count)
+    )
+    w = Window.orderBy(F.desc("count"), F.asc("token"))
+    vocab = counts.withColumn("token_id", (F.row_number().over(w) - 1).cast("long"))
+    if max_size is not None:
+        vocab = vocab.filter(F.col("token_id") < max_size)
+    return vocab.select("token_id", "token", "count", "n_docs")
+
+
 # --- PII scrubbing -----------------------------------------------------------
 
 # Patterns kept to the Java/RE2 common subset so the Spark plan and the

@@ -867,6 +867,26 @@ register(
     ),
 )
 
+# tokenizer vocabulary: dense ids by (count desc, token asc) — must be
+# bit-reproducible across corpus rebuilds
+register(
+    "q_corpus_vocab",
+    lambda s, d: textstats.build_vocabulary(_docs(s, d), max_size=2000, min_count=2),
+    _q_docs(
+        """
+        , tokd AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS token FROM norm),
+        counts AS (
+          SELECT token, COUNT(*) AS count, COUNT(DISTINCT doc_id) AS n_docs
+          FROM tokd GROUP BY token HAVING COUNT(*) >= 2)
+        SELECT token_id, token, count, n_docs FROM (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY count DESC, token) - 1 AS BIGINT) AS token_id,
+                 token, count, n_docs
+          FROM counts)
+        WHERE token_id < 2000
+        """
+    ),
+)
+
 # shingle-frequency skew diagnostic: the profiling input for the dedup
 # fan-out decisions (max_docs_per_shingle, band sizing) — the dedup-side
 # twin of q_diag_corating_skew. A stop-shingle shared by 10^5 docs is the

@@ -40,3 +40,30 @@ def write_partitioned(
     (verified by `PartitionFilters` plan assertion in tests/test_plans.py).
     The at-scale layout for point-lookup-heavy serving tables."""
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_sized(
+    df: DataFrame,
+    path: str,
+    target_bytes: int = 128 << 20,
+    mode: str = "overwrite",
+) -> int:
+    """Write parquet with file count sized to the data — the small-files
+    guard for incremental pipelines: a corpus appended in thousands of tiny
+    batches otherwise accumulates thousands of KB-sized files, and every
+    later scan pays per-file open/footer costs that dwarf the reads.
+
+    File count comes from the catalog size estimate (no pre-scan job;
+    statless plans fall back to the current partitioning). Uses
+    ``coalesce`` when shrinking — no shuffle, the narrow dependency just
+    merges partitions at write time. Returns the file count used.
+    """
+    from ..plans import estimated_size_bytes
+
+    size = estimated_size_bytes(df)
+    if size is None:
+        df.write.mode(mode).parquet(path)
+        return df.rdd.getNumPartitions()
+    n_files = max(1, -(-size // target_bytes))
+    df.coalesce(n_files).write.mode(mode).parquet(path)
+    return n_files

@@ -659,3 +659,39 @@ def test_blas_kernels_empty_inputs(spark):
     pairs = spark.createDataFrame([], "id_a LONG, id_b LONG")
     out = cosine_pairs(pairs, empty, "vec_id", "embedding")
     assert out.count() == 0 and out.columns == ["id_a", "id_b", "_raw"]
+
+
+def test_vocabulary_deterministic_dense_ids(spark):
+    from graph_database_application_for_recommendations_spark.operators.textstats import (
+        build_vocabulary,
+    )
+
+    rows = [(1, "b b b a a c"), (2, "a a b d"), (3, "a")]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    v = {r["token"]: (r["token_id"], r["count"], r["n_docs"])
+         for r in build_vocabulary(df).collect()}
+    # a: 5 occurrences in 3 docs -> id 0; b: 4 in 2 -> id 1; then c/d tie
+    # on count 1, token-ascending
+    assert v["a"] == (0, 5, 3) and v["b"] == (1, 4, 2)
+    assert v["c"][0] == 2 and v["d"][0] == 3
+    again = {r["token"]: r["token_id"] for r in build_vocabulary(df).collect()}
+    assert again == {t: i for t, (i, _, _) in v.items()}
+    capped = build_vocabulary(df, max_size=2, min_count=2)
+    assert {r["token"] for r in capped.collect()} == {"a", "b"}
+
+
+def test_write_sized_bounds_file_count(spark, tmp_path):
+    from graph_database_application_for_recommendations_spark.sources.bucketing import (
+        write_sized,
+    )
+
+    src = str(tmp_path / "src")
+    spark.range(0, 50_000).repartition(32).write.parquet(src)  # many small files
+    df = spark.read.parquet(src)
+    out = str(tmp_path / "sized")
+    n = write_sized(df, out, target_bytes=1 << 20)
+    import glob
+
+    files = glob.glob(f"{out}/*.parquet")
+    assert len(files) == n and n < 32  # collapsed the 32-way fragmentation
+    assert spark.read.parquet(out).count() == 50_000
