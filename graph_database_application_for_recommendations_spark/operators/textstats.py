@@ -182,6 +182,36 @@ def build_vocabulary(
     return vocab.select("token_id", "token", "count", "n_docs")
 
 
+def encode_corpus(
+    documents: DataFrame,
+    vocabulary: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    oov_id: int = -1,
+) -> DataFrame:
+    """(doc_id, pos, token_id): the tokenized training corpus — each
+    document's token stream mapped through the vocabulary, out-of-
+    vocabulary tokens marked ``oov_id``. The long scalar shape feeds
+    sequence packing / shard writing directly and stays oracle-checkable.
+
+    The join is left to Catalyst: a tokenizer vocabulary is broadcast-
+    sized by construction (≤ a few hundred MB for millions of entries),
+    so the corpus side — the 100 TB side — never shuffles.
+    """
+    tokp = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "token"),
+    )
+    return (
+        tokp.join(vocabulary.select("token", "token_id"), "token", "left")
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.coalesce(F.col("token_id"), F.lit(oov_id)).cast("long").alias("token_id"),
+        )
+    )
+
+
 # --- PII scrubbing -----------------------------------------------------------
 
 # Patterns kept to the Java/RE2 common subset so the Spark plan and the

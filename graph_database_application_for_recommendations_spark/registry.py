@@ -887,6 +887,36 @@ register(
     ),
 )
 
+# tokenized training corpus: vocab-mapped (doc_id, pos, token_id) stream
+register(
+    "q_corpus_encode",
+    lambda s, d: textstats.encode_corpus(
+        _docs(s, d),
+        textstats.build_vocabulary(_docs(s, d), max_size=2000, min_count=2),
+    ),
+    _q_docs(
+        """
+        , tokd AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS token FROM norm),
+        counts AS (
+          SELECT token, COUNT(*) AS count FROM tokd GROUP BY token HAVING COUNT(*) >= 2),
+        vocab AS (
+          SELECT token, token_id FROM (
+            SELECT token, CAST(ROW_NUMBER() OVER (ORDER BY count DESC, token) - 1 AS BIGINT) AS token_id
+            FROM counts)
+          WHERE token_id < 2000),
+        tokp AS (
+          SELECT doc_id, u['pos'] AS pos, u['tok'] AS token
+          FROM (SELECT doc_id,
+                       unnest([{'pos': i - 1, 'tok': t[i]}
+                               for i in range(1, len(t) + 1)]) AS u
+                FROM toks))
+        SELECT p.doc_id, CAST(p.pos AS BIGINT) AS pos,
+               CAST(COALESCE(v.token_id, -1) AS BIGINT) AS token_id
+        FROM tokp p LEFT JOIN vocab v USING (token)
+        """
+    ),
+)
+
 # shingle-frequency skew diagnostic: the profiling input for the dedup
 # fan-out decisions (max_docs_per_shingle, band sizing) — the dedup-side
 # twin of q_diag_corating_skew. A stop-shingle shared by 10^5 docs is the
