@@ -59,6 +59,8 @@ BENCH_QUERIES = [
     "q_corpus_clean",
     "q_corpus_train_ready",
     "q_corpus_pack",
+    "q_corpus_vocab",
+    "q_corpus_encode",
     "q_text_quality",
     "q_multimodal_features",
     "q_events_tumbling",
