@@ -121,6 +121,31 @@ def shuffle_corpus(
     return out.withColumn("pos", (F.row_number().over(w) - 1).cast("long")).drop("_ord")
 
 
+def write_training_shards(
+    documents: DataFrame,
+    path: str,
+    n_shards: int = 32,
+    key_col: str = "doc_id",
+    seed: int = 0,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the epoch order as shard-partitioned parquet: directory
+    per shard, rows carrying their in-shard position — a trainer streams
+    ``shard=K`` files in ``pos`` order and reads exactly the deterministic
+    permutation ``shuffle_corpus`` defines. One write, partition-pruned
+    reads per data-parallel rank, rebuildable bit-for-bit from (corpus,
+    seed)."""
+    order = shuffle_corpus(documents, n_shards=n_shards, key_col=key_col, seed=seed)
+    out = documents.join(order.withColumnRenamed("doc_id", key_col), key_col)
+    (
+        out.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "pos")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
 def mix_corpus(
     documents: DataFrame,
     weights: dict[str, float],

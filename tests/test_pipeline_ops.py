@@ -695,3 +695,64 @@ def test_write_sized_bounds_file_count(spark, tmp_path):
     files = glob.glob(f"{out}/*.parquet")
     assert len(files) == n and n < 32  # collapsed the 32-way fragmentation
     assert spark.read.parquet(out).count() == 50_000
+
+
+def test_shuffle_corpus_is_a_permutation(spark):
+    """Shard positions are dense 0..count-1 per shard, every doc appears
+    exactly once, and a different seed yields a different order over the
+    same membership."""
+    from graph_database_application_for_recommendations_spark.operators import packing
+
+    docs = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+    a = packing.shuffle_corpus(docs, n_shards=8, seed=1).collect()
+    assert len(a) == 500 and len({r["doc_id"] for r in a}) == 500
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(len(ps)))
+    b = packing.shuffle_corpus(docs, n_shards=8, seed=2).collect()
+    assert {(r["doc_id"], r["shard"], r["pos"]) for r in a} != {
+        (r["doc_id"], r["shard"], r["pos"]) for r in b
+    }
+
+
+def test_write_training_shards_roundtrip(spark, tmp_path):
+    from graph_database_application_for_recommendations_spark.operators import packing
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(200)], "doc_id LONG, text STRING"
+    )
+    out = str(tmp_path / "shards")
+    packing.write_training_shards(docs, out, n_shards=4, seed=3)
+    back = spark.read.parquet(out)
+    assert back.count() == 200
+    assert set(back.columns) == {"doc_id", "text", "shard", "pos"}
+    # shard directories exist and partition pruning applies
+    one = back.filter(F.col("shard") == 2)
+    assert 0 < one.count() < 200
+    plan = one._jdf.queryExecution().executedPlan().treeString()
+    assert "PartitionFilters: [isnotnull(shard" in plan
+    # the materialized order IS shuffle_corpus's permutation
+    want = {
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in packing.shuffle_corpus(docs, n_shards=4, seed=3).collect()
+    }
+    got = {(r["doc_id"], r["shard"], r["pos"]) for r in back.collect()}
+    assert got == want
+
+
+def test_corpus_encode_vocab_join_broadcasts(spark):
+    """The corpus side of encode_corpus must never shuffle: the vocabulary
+    join plans as a BroadcastHashJoin."""
+    from graph_database_application_for_recommendations_spark.operators import textstats
+
+    docs = load_ref_tables(spark, SF_SMALL).documents
+    vocab = textstats.build_vocabulary(docs, max_size=1000, min_count=2)
+    plan = (
+        textstats.encode_corpus(docs, vocab)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .treeString()
+    )
+    assert "BroadcastHashJoin" in plan
