@@ -314,6 +314,67 @@ def running_user_profile_stream(events: DataFrame) -> DataFrame:
     )
 
 
+PACK_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("shard", LongType()),
+        StructField("n_tokens", LongType()),
+        StructField("pack_id", LongType()),
+        StructField("pack_offset", LongType()),
+    ]
+)
+
+
+def pack_stream(docs: DataFrame, ctx_len: int = 512, n_shards: int = 8) -> DataFrame:
+    """Streaming sharded sequence packing: documents are hashed to shards
+    and each shard maintains ONE piece of state — its running token offset
+    — assigning (pack_id, pack_offset) coordinates in arrival order.
+
+    This is the streaming relaxation of ``operators/packing.py``'s batch
+    concatenate-and-chunk: a global deterministic order is unavailable on
+    an unbounded stream, so the contract becomes per-shard arrival-order
+    tiling (gapless within a shard, pack ids scoped per shard). State is
+    a single LONG per shard; parallelism = shard count, the same unit a
+    trainer consumes.
+    """
+    from ..functions.text import tokens as _tokens
+
+    tagged = docs.select(
+        "doc_id",
+        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_shards)).alias("shard"),
+        F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (start,) = state.get() if state.exists else (0,)
+        for pdf in pdfs:
+            rows = []
+            for doc_id, n in zip(pdf["doc_id"], pdf["n_tokens"]):
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "shard": int(key[0]),
+                        "n_tokens": int(n),
+                        "pack_id": start // ctx_len,
+                        "pack_offset": start % ctx_len,
+                    }
+                )
+                start += int(n)
+            if rows:
+                yield pd.DataFrame(rows)
+        state.update((int(start),))
+
+    return tagged.groupBy("shard").applyInPandasWithState(
+        update,
+        outputStructType=PACK_SCHEMA,
+        stateStructType="start LONG",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 EMBEDDING_SCHEMA = StructType(
     [
         StructField("vec_id", LongType()),
