@@ -788,12 +788,57 @@ def _corpus_clean(s: SparkSession, d: str) -> DataFrame:
     )
 
 
+# Full oracle for the corpus-dedup decision table: the MinHash candidate
+# pairs are deterministic (md5 + fixed LCG coefficients), and the
+# connected-components collapse is a recursive-CTE transitive min-label
+# closure (same construction as q_graph_components). Upgrades what was a
+# rows-only check to a value-hash compare of every (doc, group, keep) row.
+_DEDUP_GROUPS_ORACLE = _q_docs(
+    f"""
+    , coef(seed, a, b) AS (VALUES {_MINHASH_COEF_VALUES}),
+    base AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+      FROM sh),
+    sig AS (
+      SELECT doc_id, seed, MIN((a * h + b) % {dedup.MINHASH_PRIME}) AS mh
+      FROM base CROSS JOIN coef
+      GROUP BY doc_id, seed),
+    bnd AS (
+      SELECT doc_id, seed // 4 AS band,
+             string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS band_key
+      FROM sig GROUP BY doc_id, seed // 4),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bnd a JOIN bnd b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    est AS (
+      SELECT c.doc_a, c.doc_b,
+             ROUND(AVG(CASE WHEN sa.mh = sb.mh THEN 1.0 ELSE 0.0 END), 6) AS ej
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.doc_a
+      JOIN sig sb ON sb.doc_id = c.doc_b AND sb.seed = sa.seed
+      GROUP BY 1, 2),
+    ed AS (
+      SELECT doc_a AS s, doc_b AS d FROM est WHERE ej >= 0.5
+      UNION ALL
+      SELECT doc_b, doc_a FROM est WHERE ej >= 0.5),
+    reach(node, label) AS (
+      SELECT s, s FROM ed
+      UNION
+      SELECT e.d, r.label FROM reach r JOIN ed e ON e.s = r.node
+      WHERE r.label < e.d),
+    comp AS (SELECT node AS doc_id, MIN(label) AS group_id FROM reach GROUP BY node)
+    SELECT doc.doc_id,
+           COALESCE(c.group_id, doc.doc_id) AS group_id,
+           doc.doc_id = COALESCE(c.group_id, doc.doc_id) AS keep
+    FROM documents doc LEFT JOIN comp c USING (doc_id)
+    """
+).replace("WITH ", "WITH RECURSIVE ", 1)
+
 register(
     "q_corpus_dedup_groups",
-    # rows-only: the connected-components collapse is iterative (min-label
-    # propagation / union-find), not single-statement SQL
     lambda s, d: dedup.corpus_dedup_groups(_docs(s, d), threshold=0.5),
-    None,
+    _DEDUP_GROUPS_ORACLE,
 )
 register(
     "q_corpus_clean",
