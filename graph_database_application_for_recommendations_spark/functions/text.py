@@ -46,6 +46,13 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+def canonical_fingerprint(text: Column) -> Column:
+    """md5 over the sorted distinct token set — THE canonical-fingerprint
+    expression; batch dedup and the streaming ingest twins must share one
+    definition or they silently diverge."""
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text)))))
+
+
 def md5_hash32(s: Column, seed: int = 0) -> Column:
     """Deterministic 32-bit hash via md5 (cross-engine reproducible).
 

@@ -45,7 +45,9 @@ def dedup_fingerprint(
 ) -> DataFrame:
     """Canonical-fingerprint dedup: md5 over the sorted distinct token set
     (catches word-order shuffles and duplicate whitespace)."""
-    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(F.col(text_col))))))
+    from ..functions.text import canonical_fingerprint
+
+    fp = canonical_fingerprint(F.col(text_col))
     return (
         documents.select(F.col(id_col), fp.alias("fingerprint"))
         .groupBy("fingerprint")

@@ -20,8 +20,13 @@ def skew_report(df: DataFrame, key_cols: list[str], top_n: int = 10) -> DataFram
     for determinism. A top key with share >> 1/partitions is the signal to
     salt or cap that key's join.
     """
-    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
-    total = df.count()
+    from ..plans import materialize
+
+    # one upstream execution: pin the per-key aggregate, then both the
+    # total (= sum of counts) and the top-N read the pinned table — the
+    # previous df.count() was a second full scan of the raw input
+    counts = materialize(df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n")))
+    total = counts.agg(F.sum("n")).first()[0] or 0
     return (
         counts.withColumn("share", F.round(F.col("n") / F.lit(float(total)), 6))
         .orderBy(F.desc("n"), *[F.asc(c) for c in key_cols])

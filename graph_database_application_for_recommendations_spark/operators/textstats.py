@@ -224,6 +224,33 @@ PII_IP_RE = r"\b(\d{1,3}\.){3}\d{1,3}\b"
 PII_PHONE_RE = r"\+?\d[\d() -]{6,}\d"
 
 
+def scrub_expr(text):
+    """The canonical email → IP → phone redaction chain (order matters:
+    the phone pattern would otherwise eat IPv4 octets) — one definition
+    shared by the batch operator and the streaming ingest twin."""
+    clean = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
+    clean = F.regexp_replace(clean, PII_IP_RE, "<IP>")
+    return F.regexp_replace(clean, PII_PHONE_RE, "<PHONE>")
+
+
+def quality_keep_expr(
+    text,
+    min_tokens: int = 10,
+    max_tokens: int = 500,
+    min_stopword_ratio: float = 0.01,
+):
+    """Boolean keep-predicate form of the quality filter (token bounds +
+    English-stopword floor) — shared by batch compositions and streaming."""
+    toks = tokens(text)
+    n_tok = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS["en"])))
+    return (
+        (n_tok >= min_tokens)
+        & (n_tok <= max_tokens)
+        & ((stop_hits.cast("double") / n_tok) >= min_stopword_ratio)
+    )
+
+
 def scrub_pii(
     documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -236,12 +263,9 @@ def scrub_pii(
     applied email → IP → phone so earlier placeholders aren't re-matched.
     """
     t = F.col(text_col)
-    clean = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
-    clean = F.regexp_replace(clean, PII_IP_RE, "<IP>")
-    clean = F.regexp_replace(clean, PII_PHONE_RE, "<PHONE>")
     return documents.select(
         F.col(id_col).alias("doc_id"),
-        clean.alias("clean_text"),
+        scrub_expr(t).alias("clean_text"),
         F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
         F.regexp_count(t, F.lit(PII_IP_RE)).cast("long").alias("n_ips"),
         F.regexp_count(t, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),

@@ -65,5 +65,10 @@ def write_sized(
         df.write.mode(mode).parquet(path)
         return df.rdd.getNumPartitions()
     n_files = max(1, -(-size // target_bytes))
-    df.coalesce(n_files).write.mode(mode).parquet(path)
+    current = df.rdd.getNumPartitions()
+    if n_files < current:
+        df = df.coalesce(n_files)  # shrink: narrow merge, no shuffle
+    elif n_files > current:
+        df = df.repartition(n_files)  # grow: coalesce is a no-op upward
+    df.write.mode(mode).parquet(path)
     return n_files

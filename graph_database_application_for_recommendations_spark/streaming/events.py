@@ -228,10 +228,11 @@ def dedup_documents_stream(docs: DataFrame) -> DataFrame:
     first document per canonical token-set fingerprint — the streaming twin
     of operators/dedup.py::dedup_fingerprint (ingestion-time dedup for a
     continuously-arriving training corpus)."""
-    from ..functions.text import tokens
+    from ..functions.text import canonical_fingerprint
 
-    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(F.col("text"))))))
-    return docs.withColumn("fingerprint", fp).dropDuplicates(["fingerprint"])
+    return docs.withColumn(
+        "fingerprint", canonical_fingerprint(F.col("text"))
+    ).dropDuplicates(["fingerprint"])
 
 
 def clean_corpus_stream(docs: DataFrame) -> DataFrame:
@@ -250,27 +251,17 @@ def clean_corpus_stream(docs: DataFrame) -> DataFrame:
     sets when ids arrive in order (the replay case the test pins), the
     standard ingest-time relaxation otherwise.
     """
-    from ..functions.text import STOPWORDS, tokens
-    from ..operators.textstats import PII_EMAIL_RE, PII_IP_RE, PII_PHONE_RE
+    from ..functions.text import canonical_fingerprint, tokens
+    from ..operators.textstats import quality_keep_expr, scrub_expr
 
-    toks = tokens(F.col("text"))
-    n_tok = F.size(toks)
-    stop_hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS["en"])))
-    kept = docs.filter(
-        (n_tok >= 10)
-        & (n_tok <= 500)
-        & ((stop_hits.cast("double") / n_tok) >= 0.01)
-    )
-    clean = F.regexp_replace(F.col("text"), PII_EMAIL_RE, "<EMAIL>")
-    clean = F.regexp_replace(clean, PII_IP_RE, "<IP>")
-    clean = F.regexp_replace(clean, PII_PHONE_RE, "<PHONE>")
-    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
+    t = F.col("text")
+    kept = docs.filter(quality_keep_expr(t))
     return (
         kept.select(
             "doc_id",
-            clean.alias("clean_text"),
-            n_tok.cast("long").alias("n_tokens"),
-            fp.alias("fingerprint"),
+            scrub_expr(t).alias("clean_text"),
+            F.size(tokens(t)).cast("long").alias("n_tokens"),
+            canonical_fingerprint(t).alias("fingerprint"),
         )
         .dropDuplicates(["fingerprint"])
     )
@@ -295,7 +286,10 @@ def running_user_profile_stream(events: DataFrame) -> DataFrame:
     def update(
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        n, total, last = state.get() if state.exists else (0, 0.0, 0)
+        # GroupState.get is a PROPERTY in PySpark 4 — calling it invokes
+        # the returned tuple and kills the query on the first batch that
+        # restores state (invisible to single-microbatch tests)
+        n, total, last = state.get if state.exists else (0, 0.0, 0)
         for pdf in pdfs:
             n += len(pdf)
             total += float(pdf["value"].sum())
@@ -348,7 +342,8 @@ def pack_stream(docs: DataFrame, ctx_len: int = 512, n_shards: int = 8) -> DataF
     def update(
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        (start,) = state.get() if state.exists else (0,)
+        # property, not method — see running_user_profile_stream
+        (start,) = state.get if state.exists else (0,)
         for pdf in pdfs:
             rows = []
             for doc_id, n in zip(pdf["doc_id"], pdf["n_tokens"]):

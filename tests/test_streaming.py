@@ -281,3 +281,67 @@ def test_streaming_sharded_packing_tiles_each_shard(spark, tmp_path):
         for r in rows:
             assert r["pack_id"] == start // 64 and r["pack_offset"] == start % 64
             start += r["n_tokens"]
+
+
+def test_streaming_pack_state_survives_multiple_microbatches(spark, tmp_path):
+    """Two files, maxFilesPerTrigger=1 => the second microbatch RESTORES
+    each shard's offset state (GroupState.get is a property in PySpark 4;
+    calling it killed the query — caught by review, pinned here). The
+    combined output must still tile every shard gaplessly."""
+    import pandas as pd
+
+    src = str(tmp_path / "docs_src")
+    df1 = spark.createDataFrame(
+        [(i, " ".join(["w"] * (3 + i % 5))) for i in range(20)], "doc_id LONG, text STRING"
+    )
+    df2 = spark.createDataFrame(
+        [(100 + i, " ".join(["w"] * (2 + i % 7))) for i in range(20)], "doc_id LONG, text STRING"
+    )
+    df1.coalesce(1).write.mode("overwrite").parquet(src)
+    df2.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("doc_id LONG, text STRING").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    got = stream_ops.run_to_memory(
+        stream_ops.pack_stream(stream, ctx_len=16, n_shards=2),
+        "t_pack_multibatch",
+        "append",
+        str(tmp_path / "ck_pack_mb"),
+    ).collect()
+    assert len(got) == 40
+    by_shard = {}
+    for r in got:
+        by_shard.setdefault(r["shard"], []).append(r)
+    total = 0
+    for shard, rows in by_shard.items():
+        start = 0
+        for r in rows:
+            assert r["pack_id"] == start // 16 and r["pack_offset"] == start % 16, rows
+            start += r["n_tokens"]
+        total += len(rows)
+    assert total == 40
+
+
+def test_streaming_profile_state_survives_multiple_microbatches(spark, tmp_path):
+    """Same property-vs-method pin for the stateful user profile."""
+    src = str(tmp_path / "ev_src")
+    rows1 = [(1, 100, "view", 1.0, 1_000_000)]
+    rows2 = [(2, 100, "view", 2.0, 2_000_000)]
+    for i, rows in enumerate([rows1, rows2]):
+        spark.createDataFrame(
+            rows, "event_id LONG, user_id LONG, event_type STRING, value DOUBLE, ts_us LONG"
+        ).selectExpr(
+            "event_id", "user_id", "event_type", "value", "timestamp_micros(ts_us) AS ts"
+        ).coalesce(1).write.mode("overwrite" if i == 0 else "append").parquet(src)
+    stream = spark.readStream.schema(
+        "event_id LONG, user_id LONG, event_type STRING, value DOUBLE, ts TIMESTAMP"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    got = stream_ops.run_to_memory(
+        stream_ops.running_user_profile_stream(stream),
+        "t_profile_multibatch",
+        "update",
+        str(tmp_path / "ck_prof_mb"),
+    ).collect()
+    # the LAST emitted row for user 100 must have accumulated both batches
+    final = max(got, key=lambda r: r["n_events"])
+    assert final["n_events"] == 2 and final["total_value"] == 3.0
