@@ -32,6 +32,22 @@ from . import vector as V
 # cleanly (the normalized matrix is n·d doubles)
 BLAS_BUILD_MAX_BYTES = 256 << 20
 
+# The catalog estimate is parquet-COMPRESSED bytes, but the build side is
+# materialized as a pandas frame + a float64 matrix + a broadcast copy —
+# several times the on-disk size (ADVICE r2). The gate divides its budget
+# by this factor so a near-threshold table leaves driver headroom.
+BLAS_DECOMPRESS_FACTOR = 4
+
+
+def blas_build_fits(df: DataFrame) -> bool:
+    """True when ``df``'s catalog size estimate says collect+broadcast of
+    the normalized matrix fits comfortably. Statless plans (None
+    estimate) return False — callers fall back to the distributed path."""
+    from ..plans import estimated_size_bytes
+
+    size = estimated_size_bytes(df)
+    return size is not None and size * BLAS_DECOMPRESS_FACTOR <= BLAS_BUILD_MAX_BYTES
+
 
 def normalize_rows_seq(mat):
     """L2-normalize rows with the exact IEEE op sequence of the column path

@@ -23,7 +23,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import vector as V
-from ..functions.blas import BLAS_BUILD_MAX_BYTES
 
 
 def _prep(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -73,10 +72,9 @@ def knn_exact(
     O(n²) work in one task.
     """
     if strategy == "auto":
-        from ..plans import estimated_size_bytes
+        from ..functions.blas import blas_build_fits
 
-        size = estimated_size_bytes(embeddings)
-        strategy = "blas" if size is not None and size <= BLAS_BUILD_MAX_BYTES else "fold"
+        strategy = "blas" if blas_build_fits(embeddings) else "fold"
     spark = embeddings.sparkSession
     par = spark.sparkContext.defaultParallelism
     if strategy == "blas":

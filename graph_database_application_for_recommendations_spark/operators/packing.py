@@ -57,7 +57,13 @@ def pack_chunks(
     tok = documents.select(
         F.col(id_col).alias("doc_id"),
         F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
-    ).withColumn("_blk", F.floor(F.col("doc_id") / block_size))
+    ).withColumn(
+        # integer `div`, not floor(double division): a / on longs goes
+        # through double and ids above 2^53 would land in wrong blocks
+        # (ADVICE r2)
+        "_blk",
+        F.expr(f"CAST(doc_id AS BIGINT) div {int(block_size)}"),
+    )
 
     totals = tok.groupBy("_blk").agg(F.sum("n_tokens").alias("_bt"))
     w_blk = Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)

@@ -168,19 +168,17 @@ def topk_pq(
     mm, kk, dsub = books.shape
     # LUT[q] = flattened m*k inner products <q_sub, centroid>
     luts = np.einsum("qmd,mkd->qmk", qmat.reshape(len(qmat), mm, dsub), books)
+    # id type propagated from the input (ADVICE r2): string/int ids work
+    # alike — .tolist() unboxes numpy scalars to plain Python values
+    id_type = queries.schema[id_col].dataType.simpleString()
+    ids = q_pdf["query_id"].tolist()
     lut_df = spark.createDataFrame(
-        [
-            (int(q_pdf["query_id"][i]), [float(x) for x in luts[i].ravel()])
-            for i in range(len(q_pdf))
-        ],
-        "query_id long, _lut array<double>",
+        [(ids[i], [float(x) for x in luts[i].ravel()]) for i in range(len(ids))],
+        f"query_id {id_type}, _lut array<double>",
     )
     qv_df = spark.createDataFrame(
-        [
-            (int(q_pdf["query_id"][i]), [float(x) for x in q_pdf["_qv"][i]])
-            for i in range(len(q_pdf))
-        ],
-        "query_id long, _qv array<double>",
+        [(ids[i], [float(x) for x in q_pdf["_qv"][i]]) for i in range(len(ids))],
+        f"query_id {id_type}, _qv array<double>",
     )
 
     # ADC score: sum over subspaces of LUT[m*k + code[m]] — M array lookups

@@ -476,7 +476,11 @@ register(
 )
 register(
     "q_dedup_ngram_jaccard",
-    lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d), n=3, threshold=0.5),
+    # cap=None: the oracle twin is the fully exact kernel (the scale
+    # default caps per-shingle doc frequency at 1000 — see dedup.py)
+    lambda s, d: dedup.ngram_jaccard_pairs(
+        _docs(s, d), n=3, threshold=0.5, max_docs_per_shingle=None
+    ),
     _q_docs(
         """
         , sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
@@ -1287,6 +1291,7 @@ register(
         num_planes=4,
         num_tables=4,
         seed=123,
+        dim=64,  # known testdata embedding width: no dim-probe job
     ),
     _q_vec(
         f"""

@@ -280,3 +280,93 @@ def test_pack_chunks_global_window_only_over_block_dimension(spark):
     # the global window's input is the block aggregate, not the raw docs:
     # its frame sums _bt (the per-block partial), never n_tokens directly
     assert "_bt" in unpartitioned[0]
+
+
+def test_pair_generators_leave_no_cached_tables(spark):
+    """VERDICT r2 item 3: the LSH pair generators must not leak session-
+    lifetime cached tables — after a one-shot query the SQL cache manager
+    is empty (materialize() pins via localCheckpoint, whose blocks are
+    reclaimed by the context cleaner, not via a forgotten df.cache())."""
+    import time
+
+    from graph_database_application_for_recommendations_spark.operators import (
+        dedup,
+        simsearch,
+    )
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    cm.clearCache()  # isolate from session-long write-back caches
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+
+    dedup.minhash_lsh_pairs(docs).collect()
+    dedup.simhash_near_pairs(docs, max_hamming=4).collect()
+    # self-KNN exercises the transient bucket cache + unpersist path
+    small = emb.filter(F.col("vec_id") < 50)
+    simsearch.topk_hyperplane_lsh(small, small, k=5, dim=64).collect()
+
+    for _ in range(50):  # unpersist(blocking=False) entries drop async
+        if cm.isEmpty():
+            break
+        time.sleep(0.1)
+    assert cm.isEmpty()
+
+
+def test_ngram_jaccard_caps_by_default(spark):
+    """VERDICT r2 item 4: the standalone exact-Jaccard kernel defaults to
+    a bounded per-shingle document frequency (the oracle twin passes
+    ``max_docs_per_shingle=None`` explicitly for the fully exact form)."""
+    import inspect
+
+    from graph_database_application_for_recommendations_spark.operators import dedup
+
+    default = inspect.signature(dedup.ngram_jaccard_pairs).parameters[
+        "max_docs_per_shingle"
+    ].default
+    assert default == 1000
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").limit(50)
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.0, max_docs_per_shingle=None
+        ).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.0, max_docs_per_shingle=2
+        ).collect()
+    }
+    # the cap only drops (shingle, doc) occurrences: intersections — and
+    # therefore jaccard — can only shrink, never grow or invent pairs
+    assert set(capped) <= set(exact)
+    assert all(capped[p] <= exact[p] + 1e-9 for p in capped)
+
+
+def test_hyperplane_lsh_sizing_runs_no_extra_jobs(spark):
+    """VERDICT r2 item 5: with ``dim`` supplied, topk_hyperplane_lsh runs
+    no dim-probe job and no broadcast-gating count() — construction cost
+    is exactly the candidate materialization, so passing dim must strictly
+    reduce the job count vs the probing convenience path."""
+    from graph_database_application_for_recommendations_spark.operators import simsearch
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    sc = spark.sparkContext
+
+    def jobs_for(group, fn):
+        sc.setJobGroup(group, group)
+        try:
+            fn()
+            return len(sc.statusTracker().getJobIdsForGroup(group))
+        finally:
+            sc.setJobGroup("", "")
+
+    with_dim = jobs_for(
+        "lsh-dim", lambda: simsearch.topk_hyperplane_lsh(queries, emb, k=5, dim=64)
+    )
+    probing = jobs_for(
+        "lsh-probe", lambda: simsearch.topk_hyperplane_lsh(queries, emb, k=5)
+    )
+    assert with_dim < probing
