@@ -2048,6 +2048,62 @@ def _simsearch_pq(s: SparkSession, d: str) -> DataFrame:
 register("q_simsearch_pq", _simsearch_pq, None)
 
 
+# streaming packing contract, driver-attestable (VERDICT r2 item 7): run
+# the actual applyInPandasWithState pack_stream to completion (availableNow
+# → memory sink) and hash-verify the per-shard totals. The per-row
+# (pack_id, pack_offset) coordinates depend on arrival order, but under the
+# gapless-tiling contract every shard's max(pack end) equals its token sum —
+# so packed_end is order-independent AND only comes out right if the
+# per-shard offset state survives across micro-batches. Shards ride the
+# md5 bucket (seed 7), reproducible in the SQL twin.
+_STREAM_PACK_CTX = 512
+_STREAM_PACK_SHARDS = 8
+
+
+def _stream_pack_totals(s: SparkSession, d: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from .streaming import events as stream_ops
+
+    packed = stream_ops.run_to_memory(
+        stream_ops.pack_stream(
+            stream_ops.read_documents_stream(s, d),
+            ctx_len=_STREAM_PACK_CTX,
+            n_shards=_STREAM_PACK_SHARDS,
+            seed=7,
+        ),
+        f"t_stream_pack_totals_{uuid.uuid4().hex[:8]}",
+        "append",
+        tempfile.mkdtemp(prefix="ck_stream_pack_totals_"),
+    )
+    return packed.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.max(
+            F.col("pack_id") * _STREAM_PACK_CTX
+            + F.col("pack_offset")
+            + F.col("n_tokens")
+        ).alias("packed_end"),
+    )
+
+
+register(
+    "q_stream_pack_totals",
+    _stream_pack_totals,
+    _q_docs(
+        f"""
+        , tok AS (SELECT doc_id, CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens FROM norm)
+        SELECT CAST(({_SAMPLE_BUCKET}) % {_STREAM_PACK_SHARDS} AS BIGINT) AS shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(n_tokens) AS BIGINT) AS packed_end
+        FROM tok GROUP BY 1
+        """
+    ),
+)
+
+
 # --- driver-window ordering -------------------------------------------------
 #
 # The verify driver hash-checks the FIRST 50 entries of ``oracle_sql()`` in

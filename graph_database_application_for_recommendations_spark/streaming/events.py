@@ -319,7 +319,9 @@ PACK_SCHEMA = StructType(
 )
 
 
-def pack_stream(docs: DataFrame, ctx_len: int = 512, n_shards: int = 8) -> DataFrame:
+def pack_stream(
+    docs: DataFrame, ctx_len: int = 512, n_shards: int = 8, seed: int = 7
+) -> DataFrame:
     """Streaming sharded sequence packing: documents are hashed to shards
     and each shard maintains ONE piece of state — its running token offset
     — assigning (pack_id, pack_offset) coordinates in arrival order.
@@ -330,12 +332,18 @@ def pack_stream(docs: DataFrame, ctx_len: int = 512, n_shards: int = 8) -> DataF
     tiling (gapless within a shard, pack ids scoped per shard). State is
     a single LONG per shard; parallelism = shard count, the same unit a
     trainer consumes.
+
+    Shard assignment rides the same md5 bucket as ``shuffle_corpus`` /
+    ``sample_corpus`` (not xxhash64): cross-engine reproducible, so the
+    per-shard totals invariant (``q_stream_pack_totals``) can be
+    hash-verified against a plain-SQL oracle.
     """
     from ..functions.text import tokens as _tokens
+    from ..operators.sampling import sample_bucket
 
     tagged = docs.select(
         "doc_id",
-        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_shards)).alias("shard"),
+        F.pmod(sample_bucket(F.col("doc_id"), seed), F.lit(n_shards)).alias("shard"),
         F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens"),
     )
 
