@@ -43,6 +43,9 @@ BENCH_QUERIES = [
     # per-shingle doc frequency) stays correctness-only in the registry.
     "q_dedup_lsh_verified",
     "q_dedup_repeated_ngrams",
+    # the removal half of the Lee-et-al exact-substring pipeline (VERDICT
+    # r2 item 8: give it a perf number alongside the stats half)
+    "q_dedup_span_removal",
     "q_dedup_simhash",
     "q_dedup_simhash_pairs",
     "q_dedup_embedding",

@@ -756,3 +756,75 @@ def test_corpus_encode_vocab_join_broadcasts(spark):
         .treeString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_multimodal_png_decoder():
+    """Pure-stdlib PNG decode: every filter type (None/Sub/Up/Average/
+    Paeth), gray / RGB / RGBA color types, dims + exact pixel mean checked
+    against the raw raster the encoder started from. Unsupported variants
+    (16-bit, palette, interlaced) raise NotImplementedError -> the
+    byte-feature fallback path."""
+    import struct
+    import zlib
+
+    def chunk(ctype, body):
+        return (
+            len(body).to_bytes(4, "big") + ctype + body
+            + zlib.crc32(ctype + body).to_bytes(4, "big")
+        )
+
+    def encode_png(width, height, channels, raster, filters):
+        color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+        stride = width * channels
+        out = bytearray()
+        prev = bytearray(stride)
+        for y in range(height):
+            line = raster[y * stride : (y + 1) * stride]
+            f = filters[y % len(filters)]
+            out.append(f)
+            enc = bytearray(line)
+            if f == 1:  # Sub
+                for i in range(stride - 1, channels - 1, -1):
+                    enc[i] = (enc[i] - line[i - channels]) & 0xFF
+            elif f == 2:  # Up
+                for i in range(stride):
+                    enc[i] = (enc[i] - prev[i]) & 0xFF
+            elif f == 3:  # Average
+                for i in range(stride):
+                    left = line[i - channels] if i >= channels else 0
+                    enc[i] = (enc[i] - ((left + prev[i]) >> 1)) & 0xFF
+            elif f == 4:  # Paeth
+                for i in range(stride):
+                    a = line[i - channels] if i >= channels else 0
+                    b = prev[i]
+                    c = prev[i - channels] if i >= channels else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    enc[i] = (enc[i] - pr) & 0xFF
+            out += enc
+            prev = bytearray(line)
+        ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(out)))
+            + chunk(b"IEND", b"")
+        )
+
+    for channels in (1, 2, 3, 4):
+        w, h = 5, 7
+        raster = bytes((i * 37 + channels * 11) % 256 for i in range(w * h * channels))
+        png = encode_png(w, h, channels, raster, filters=[0, 1, 2, 3, 4])
+        img = multimodal._decode_image(png)
+        assert (img["width"], img["height"], img["channels"]) == (w, h, channels)
+        assert img["mean_value"] == pytest.approx(sum(raster) / len(raster), abs=1e-6)
+
+    # 16-bit depth: honest NotImplementedError, not a wrong answer
+    bad_ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    bad = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", bad_ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 26)) + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError):
+        multimodal._decode_image(bad)
