@@ -253,3 +253,41 @@ def event_conversions(
         )
         .select("user_id", "first_event_id", "then_event_id", "first_us", "then_us")
     )
+
+
+def cohort_retention(events: DataFrame, max_day_offset: int = 35) -> DataFrame:
+    """Cohort retention matrix: users grouped by their first-activity day;
+    for each later day, how many came back.
+
+    (cohort_day_us, day_offset, n_active, n_cohort, retention) — epoch-
+    floor day boundaries (timezone-proof like every events output),
+    ``retention`` = n_active / n_cohort rounded to 6dp; day_offset 0 is
+    the cohort day itself (retention 1.0 by construction).
+
+    Plan shape: one (user, day) distinct, one per-user min, then a join
+    back on user_id — which arrives partitioned by user_id from the min
+    aggregate, so the join reuses that shuffle; everything after is
+    day-grain aggregates over at most |users|·days rows. No windows, no
+    self-joins: linear at 100 TB of events.
+    """
+    day_us = 86_400 * 1_000_000
+    day = (F.unix_micros("ts") - F.unix_micros("ts") % day_us).alias("day_us")
+    acts = events.select("user_id", day).distinct()
+    first = acts.groupBy("user_id").agg(F.min("day_us").alias("cohort_day_us"))
+    sizes = first.groupBy("cohort_day_us").agg(F.count(F.lit(1)).alias("n_cohort"))
+    ret = (
+        acts.join(first, "user_id")
+        .withColumn(
+            "day_offset", F.expr(f"(day_us - cohort_day_us) div {day_us}")
+        )
+        .filter(F.col("day_offset") <= max_day_offset)
+        .groupBy("cohort_day_us", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))  # (user, day) already distinct
+    )
+    return ret.join(sizes, "cohort_day_us").select(
+        "cohort_day_us",
+        "day_offset",
+        "n_active",
+        "n_cohort",
+        F.round(F.col("n_active") / F.col("n_cohort"), 6).alias("retention"),
+    )

@@ -66,6 +66,68 @@ def topk_bruteforce(
     return pairs.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")
 
 
+def range_search(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    radius: float = 0.4,
+) -> DataFrame:
+    """Radius search: every corpus vector within a cosine radius of each
+    query — (query_id, neighbor_id, similarity), similarity ≥ ``radius``
+    after the shared 6dp rounding, self-pairs excluded.
+
+    The top-k operators answer "the best k neighbours"; radius search
+    answers "everything at least this similar" (dedup sweeps, recall
+    audits, near-dup blocklists). Plan shape: the query block broadcasts
+    (|Q| is small by contract) and the corpus NEVER shuffles — one
+    BroadcastNestedLoopJoin pass at scan speed, filter applied inside the
+    join, so at 100 TB the cost is exactly one corpus scan. For corpus-×-
+    corpus radius sweeps use ``embedding_neardup_lsh``, which buckets
+    instead of broadcasting.
+    """
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    q = _normed(queries, id_col, vec_col, "query_id")
+    c = _normed(corpus, id_col, vec_col, "neighbor_id").repartition(par)
+    return (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(V.dot(F.col("_query_id_v"), F.col("_neighbor_id_v")), V.SIM_SCALE).alias(
+                "similarity"
+            ),
+        )
+        .filter(F.col("similarity") >= radius)
+    )
+
+
+def label_centroids(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label centroid in long form: (label, dim, centroid, n_vecs) —
+    the class-mean statistic a training pipeline derives per domain/
+    cluster (nearest-centroid routing, drift monitoring, IVF seeding).
+
+    Long form (one row per label×dimension) keeps the aggregate a plain
+    (label, dim) hash aggregate — map-side combinable, no array payload
+    through the shuffle, and directly SQL-comparable. Reassembling the
+    array is a cheap ``collect_list`` over the (label, dim)-sorted rows
+    when a consumer wants it.
+    """
+    flat = embeddings.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(V.as_double(F.col(vec_col))).alias("dim", "_x"),
+    )
+    return flat.groupBy("label", "dim").agg(
+        F.round(F.avg("_x"), 6).alias("centroid"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
+
+
 def bucket_ids(
     df: DataFrame,
     planes: list[list[float]],

@@ -31,6 +31,67 @@ def token_counts(documents: DataFrame, id_col: str = "doc_id", text_col: str = "
     )
 
 
+def repetition_scores(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style intra-document repetition signals (Rae et al. 2021,
+    "Scaling Language Models", Appendix A — public): (doc_id, n_tokens,
+    top_token_fraction, top_2gram_fraction, dup_2gram_fraction), each
+    rounded to 6dp.
+
+    - top_token_fraction: occurrences of the most frequent token / all
+      token occurrences (Gopher's "most common word" rule);
+    - top_2gram_fraction: occurrences of the most frequent 2-gram / all
+      2-gram positions;
+    - dup_2gram_fraction: 2-gram positions whose gram occurs more than
+      once / all 2-gram positions (Gopher's "duplicate n-grams" family).
+
+    Token-count proxies of Gopher's character-fraction definitions — rank
+    ordering is what the downstream threshold filter consumes. The
+    line-dedup members of the rule family need newline structure, which
+    this corpus doesn't carry; they'd follow the same two-aggregate
+    shape over ``split(text, '\\n')``.
+
+    Plan shape: two (doc_id, gram)-keyed count aggregates (map-side
+    combinable, key space ∝ corpus tokens — no skew hotspot since the
+    doc_id is in the key) feeding per-doc rollups; everything linear in
+    corpus size, no joins wider than doc_id. Single-token docs degrade
+    to a single degenerate "2-gram" (the token itself) on both engines.
+    """
+    t = tokens(F.col(text_col))
+    base = documents.select(F.col(id_col).alias("doc_id"), t.alias("_t"))
+    n = F.size(F.col("_t"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(F.col("_t"), i, 2)),
+    )
+    gc = (
+        base.select("doc_id", n.cast("long").alias("n_tokens"), F.explode(grams).alias("gram"))
+        .groupBy("doc_id", "n_tokens", "gram")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    gram_stats = gc.groupBy("doc_id", "n_tokens").agg(
+        F.max("_c").alias("_maxg"),
+        F.sum("_c").alias("_totg"),
+        F.sum(F.when(F.col("_c") > 1, F.col("_c")).otherwise(F.lit(0))).alias("_dupg"),
+    )
+    tc = (
+        base.select("doc_id", F.explode("_t").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    tok_stats = tc.groupBy("doc_id").agg(
+        F.max("_c").alias("_maxt"), F.sum("_c").alias("_tott")
+    )
+    return gram_stats.join(tok_stats, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("_maxt") / F.col("_tott"), 6).alias("top_token_fraction"),
+        F.round(F.col("_maxg") / F.col("_totg"), 6).alias("top_2gram_fraction"),
+        F.round(F.col("_dupg") / F.col("_totg"), 6).alias("dup_2gram_fraction"),
+    )
+
+
 def quality_scores(
     documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

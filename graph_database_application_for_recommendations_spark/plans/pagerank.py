@@ -30,8 +30,14 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     weight_col: str = "weight",
+    sources: list | None = None,
 ) -> DataFrame:
-    """(node_id, rank): weighted PageRank with uniform teleport.
+    """(node_id, rank): weighted PageRank with uniform teleport — or, when
+    ``sources`` is given, PERSONALIZED PageRank: the teleport mass lands
+    uniformly on the source set only (Page et al. 1999 §6 / the GDS
+    ``sourceNodes`` option), so ranks measure proximity to those seeds —
+    the "recommend around this user" centrality. Identical round shape
+    and exchange-free plan either way.
 
     ``edges`` must be symmetric (both directions present, as
     ``corating_edges``/``undirected()`` produce), so dangling nodes cannot
@@ -62,8 +68,16 @@ def pagerank(
         trans.unpersist(blocking=False)
         id_type = edges.schema[src_col].dataType.simpleString()
         return spark.createDataFrame([], f"node_id {id_type}, rank double")
-    ranks = nodes.select("node_id", F.lit(1.0 / n).alias("rank"))
-    base = (1.0 - damping) / n
+    if sources is None:
+        ranks = nodes.select("node_id", F.lit(1.0 / n).alias("rank"))
+        tele = F.lit((1.0 - damping) / n)
+    else:
+        in_s = F.col("node_id").isin(list(sources))
+        ranks = nodes.select(
+            "node_id",
+            F.when(in_s, F.lit(1.0 / len(sources))).otherwise(F.lit(0.0)).alias("rank"),
+        )
+        tele = F.when(in_s, F.lit((1.0 - damping) / len(sources))).otherwise(F.lit(0.0))
     prev: DataFrame | None = None
     for _ in range(iters):
         contrib = (
@@ -72,7 +86,7 @@ def pagerank(
             .agg(F.sum(F.col("rank") * F.col("p")).alias("_s"))
             .select(
                 F.col("dst").alias("node_id"),
-                (F.lit(base) + F.lit(damping) * F.col("_s")).alias("rank"),
+                (tele + F.lit(damping) * F.col("_s")).alias("rank"),
             )
         )
         # each round's table feeds the next round's broadcast AND (for the

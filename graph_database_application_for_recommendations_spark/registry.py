@@ -2104,6 +2104,175 @@ register(
 )
 
 
+# Gopher-style intra-document repetition signals (Rae et al. 2021) — the
+# rule family a corpus quality filter thresholds on
+register(
+    "q_text_repetition",
+    lambda s, d: textstats.repetition_scores(_docs(s, d)),
+    _q_docs(
+        """
+        , tok AS (SELECT doc_id, t, len(t) AS n FROM toks),
+        g AS (SELECT doc_id, n,
+                     unnest([array_to_string(list_slice(t, i, i + 1), ' ')
+                             for i in range(1, greatest(len(t) - 1, 1) + 1)]) AS gram
+              FROM tok),
+        gc AS (SELECT doc_id, n, gram, COUNT(*) AS c FROM g GROUP BY doc_id, n, gram),
+        gs AS (SELECT doc_id, n, MAX(c) AS maxg, SUM(c) AS totg,
+                      SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dupg
+               FROM gc GROUP BY doc_id, n),
+        tk AS (SELECT doc_id, unnest(t) AS token FROM toks),
+        tc AS (SELECT doc_id, token, COUNT(*) AS c FROM tk GROUP BY doc_id, token),
+        ts AS (SELECT doc_id, MAX(c) AS maxt, SUM(c) AS tott FROM tc GROUP BY doc_id)
+        SELECT gs.doc_id, CAST(gs.n AS BIGINT) AS n_tokens,
+               ROUND(CAST(ts.maxt AS DOUBLE) / ts.tott, 6) AS top_token_fraction,
+               ROUND(CAST(gs.maxg AS DOUBLE) / gs.totg, 6) AS top_2gram_fraction,
+               ROUND(CAST(gs.dupg AS DOUBLE) / gs.totg, 6) AS dup_2gram_fraction
+        FROM gs JOIN ts USING (doc_id)
+        """
+    ),
+)
+
+
+# radius similarity search: "everything at least this similar", the
+# complement of the top-k operators (corpus scan never shuffles)
+register(
+    "q_simsearch_range",
+    lambda s, d: simsearch.range_search(
+        _ref(s, d).embeddings.filter(F.col("vec_id") < 10),
+        _ref(s, d).embeddings,
+        radius=0.35,
+    ),
+    _q_vec(
+        f"""
+        SELECT query_id, neighbor_id, similarity FROM (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS} AS similarity
+          FROM vec a, vec b, range(1, 65) t(i)
+          WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+          GROUP BY 1, 2)
+        WHERE similarity >= 0.35
+        """
+    ),
+)
+
+
+# Adamic-Adar node similarity: the rarity-weighted companion of
+# q_node_similarity (GDS link-prediction scorer over the same projection)
+register(
+    "q_node_similarity_aa",
+    lambda s, d: corating.node_similarity_adamic_adar(_ref(s, d).ratings, top_k=10),
+    _q(
+        """
+        , pos AS (SELECT user_id, isbn FROM ratings WHERE rating >= 6),
+        ideg AS (SELECT isbn, COUNT(*) AS dg FROM pos GROUP BY isbn HAVING COUNT(*) >= 2),
+        sim AS (
+          SELECT a.user_id AS u1, b.user_id AS u2,
+                 ROUND(SUM(1.0 / ln(d.dg)), 6) AS score
+          FROM pos a
+          JOIN ideg d USING (isbn)
+          JOIN pos b USING (isbn)
+          WHERE a.user_id <> b.user_id
+          GROUP BY a.user_id, b.user_id)
+        SELECT u1, u2, score FROM (
+          SELECT u1, u2, score,
+                 ROW_NUMBER() OVER (PARTITION BY u1 ORDER BY score DESC, u2) AS rn
+          FROM sim)
+        WHERE rn <= 10
+        """
+    ),
+)
+
+
+# cohort retention matrix over events (first-activity-day cohorts)
+register(
+    "q_events_retention",
+    lambda s, d: events.cohort_retention(_ref(s, d).events, max_day_offset=35),
+    """
+    WITH acts AS (
+      SELECT DISTINCT user_id,
+             (epoch_us(ts) - epoch_us(ts) % 86400000000) AS day_us
+      FROM events),
+    first AS (
+      SELECT user_id, MIN(day_us) AS cohort_day_us FROM acts GROUP BY user_id),
+    sizes AS (
+      SELECT cohort_day_us, CAST(COUNT(*) AS BIGINT) AS n_cohort
+      FROM first GROUP BY cohort_day_us),
+    ret AS (
+      SELECT f.cohort_day_us,
+             (a.day_us - f.cohort_day_us) // 86400000000 AS day_offset,
+             CAST(COUNT(*) AS BIGINT) AS n_active
+      FROM acts a JOIN first f USING (user_id)
+      WHERE (a.day_us - f.cohort_day_us) // 86400000000 <= 35
+      GROUP BY 1, 2)
+    SELECT r.cohort_day_us, r.day_offset, r.n_active, s.n_cohort,
+           ROUND(CAST(r.n_active AS DOUBLE) / s.n_cohort, 6) AS retention
+    FROM ret r JOIN sizes s USING (cohort_day_us)
+    """,
+)
+
+
+# personalized PageRank: teleport mass on a seed user set — proximity-to-
+# seeds centrality (the "recommend around these users" variant). Same
+# exchange-free round as q_pagerank; unrolled-CTE oracle likewise.
+_PPR_SOURCES = [1, 2, 3]
+
+
+def _ppr_q(s: SparkSession, d: str) -> DataFrame:
+    from .plans.pagerank import pagerank
+
+    pr = pagerank(
+        _corating_double(s, d),
+        damping=_PR_DAMPING,
+        iters=_PR_ITERS,
+        sources=_PPR_SOURCES,
+    )
+    return pr.select(
+        F.col("node_id").alias("user_id"), F.round("rank", 8).alias("rank")
+    )
+
+
+def _ppr_oracle(iters: int, damping: float, sources: list[int]) -> str:
+    src_list = ", ".join(str(x) for x in sources)
+    k = len(sources)
+    ctes = [
+        """edges AS (
+  SELECT a.user_id AS src, b.user_id AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM (SELECT user_id, isbn FROM ratings WHERE rating >= 6) a
+  JOIN (SELECT user_id, isbn FROM ratings WHERE rating >= 6) b USING (isbn)
+  WHERE a.user_id <> b.user_id
+  GROUP BY a.user_id, b.user_id)""",
+        "wdeg AS (SELECT src, SUM(w) AS wd FROM edges GROUP BY src)",
+        "trans AS (SELECT e.src, e.dst, e.w / d.wd AS p FROM edges e JOIN wdeg d USING (src))",
+        f"pr0 AS (SELECT DISTINCT src AS node_id, CASE WHEN src IN ({src_list})"
+        f" THEN 1.0 / {k} ELSE 0.0 END AS rank FROM edges)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"pr{i} AS (SELECT t.dst AS node_id, "
+            f"CASE WHEN t.dst IN ({src_list}) THEN (1.0 - {damping}) / {k} ELSE 0.0 END"
+            f" + {damping} * SUM(r.rank * t.p) AS rank "
+            f"FROM trans t JOIN pr{i - 1} r ON r.node_id = t.src GROUP BY t.dst)"
+        )
+    body = ",\n".join(ctes)
+    return _q(f", {body}\nSELECT node_id AS user_id, ROUND(rank, 8) AS rank FROM pr{iters}")
+
+
+register("q_ppr", _ppr_q, _ppr_oracle(_PR_ITERS, _PR_DAMPING, _PPR_SOURCES))
+
+
+# per-label embedding centroids (class means in long form)
+register(
+    "q_emb_centroids",
+    lambda s, d: simsearch.label_centroids(_ref(s, d).embeddings),
+    """
+    SELECT label, CAST(t.i - 1 AS INT) AS dim,
+           ROUND(AVG(CAST(embedding[t.i] AS DOUBLE)), 6) AS centroid,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs
+    FROM embeddings, range(1, 65) t(i)
+    GROUP BY label, t.i
+    """,
+)
+
+
 # --- driver-window ordering -------------------------------------------------
 #
 # The verify driver hash-checks the FIRST 50 entries of ``oracle_sql()`` in

@@ -304,3 +304,44 @@ def test_jsonl_corrupt_record_capture(spark, tmp_path):
     # default read still works and nulls the bad line
     plain = json_io.read_jsonl(spark, str(p), schema)
     assert plain.count() == 3 and plain.filter("doc_id IS NULL").count() == 1
+
+
+def test_adamic_adar_hand_example(spark):
+    """AA on a 3-user toy graph: shared rare book counts more than a
+    shared popular one."""
+    import math
+
+    from graph_database_application_for_recommendations_spark.operators import corating
+
+    # book P rated by everyone (deg 3), book R by users 1,2 only (deg 2)
+    rows = [(1, "P", 8), (2, "P", 9), (3, "P", 7), (1, "R", 8), (2, "R", 10)]
+    ratings = spark.createDataFrame(rows, "user_id LONG, isbn STRING, rating INT")
+    got = {
+        (r["u1"], r["u2"]): r["score"]
+        for r in corating.node_similarity_adamic_adar(ratings, top_k=None).collect()
+    }
+    aa_p = 1.0 / math.log(3)
+    aa_r = 1.0 / math.log(2)
+    assert got[(1, 2)] == round(aa_p + aa_r, 6)
+    assert got[(1, 3)] == round(aa_p, 6)
+    assert got[(1, 2)] > got[(1, 3)]  # rare co-interest outranks popular
+
+
+def test_personalized_pagerank_concentrates_on_seeds(spark):
+    """PPR mass: ranks sum to ~1, and seed-set users outrank the global-
+    teleport ranking's tail reshuffle (seeds get direct teleport mass)."""
+    from graph_database_application_for_recommendations_spark.operators import corating
+    from graph_database_application_for_recommendations_spark.plans.pagerank import pagerank
+    from graph_database_application_for_recommendations_spark.sources.views import load_ref_tables
+
+    from .conftest import SF_SMALL
+
+    edges = (
+        corating.corating_edges(load_ref_tables(spark, SF_SMALL).ratings)
+        .withColumnRenamed("u1", "src")
+        .withColumnRenamed("u2", "dst")
+    )
+    ppr = {r["node_id"]: r["rank"] for r in pagerank(edges, iters=8, sources=[1]).collect()}
+    total = sum(ppr.values())
+    assert abs(total - 1.0) < 1e-6  # symmetric graph, no dangling loss
+    assert ppr[1] == max(ppr.values())  # the seed dominates its own walk

@@ -828,3 +828,61 @@ def test_multimodal_png_decoder():
     )
     with pytest.raises(NotImplementedError):
         multimodal._decode_image(bad)
+
+
+def test_repetition_scores_on_crafted_docs(spark):
+    """Hand-checkable Gopher repetition signals."""
+    from graph_database_application_for_recommendations_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # one token repeated: everything is dup
+            (2, "w x y z"),          # all distinct: no duplicate 2-grams
+            (3, "a b a b a b"),      # period-2: 'a b' dominates
+        ],
+        "doc_id LONG, text STRING",
+    )
+    r = {x["doc_id"]: x for x in textstats.repetition_scores(docs).collect()}
+    assert r[1]["top_token_fraction"] == 1.0
+    assert r[1]["top_2gram_fraction"] == 1.0  # 'a a' x3 of 3 gram slots
+    assert r[1]["dup_2gram_fraction"] == 1.0
+    assert r[2]["top_token_fraction"] == 0.25
+    assert r[2]["dup_2gram_fraction"] == 0.0
+    # 'a b a b a b': grams = ab, ba, ab, ba, ab -> top 'a b' 3/5, all dup
+    assert r[3]["top_2gram_fraction"] == 0.6
+    assert r[3]["dup_2gram_fraction"] == 1.0
+
+
+def test_range_search_semantics(spark):
+    """Radius search returns exactly the >= radius pairs the brute-force
+    top-k (k=inf) would, self-pairs excluded."""
+    from graph_database_application_for_recommendations_spark.operators import simsearch
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = {
+        (r["query_id"], r["neighbor_id"]): r["similarity"]
+        for r in simsearch.range_search(queries, emb, radius=0.3).collect()
+    }
+    want = {
+        (r["query_id"], r["neighbor_id"]): r["similarity"]
+        for r in simsearch.topk_bruteforce(queries, emb, k=10**9).collect()
+        if r["similarity"] >= 0.3
+    }
+    assert got == want
+    assert all(qid != nid for qid, nid in got)
+
+
+def test_label_centroids_roundtrip(spark):
+    """Centroid of a label equals the numpy mean of its vectors."""
+    import numpy as np
+
+    from graph_database_application_for_recommendations_spark.operators import simsearch
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    got = simsearch.label_centroids(emb).filter(F.col("label") == 0).collect()
+    pdf = emb.filter(F.col("label") == 0).toPandas()
+    mat = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+    for r in got:
+        assert r["n_vecs"] == len(mat)
+        assert abs(r["centroid"] - round(float(mat[:, r["dim"]].mean()), 6)) <= 1e-6
