@@ -132,6 +132,45 @@ def node_similarity_jaccard(
     ).drop("_rn")
 
 
+def node_similarity_overlap(
+    ratings: DataFrame,
+    min_rating: int = 6,
+    cutoff: float = 0.1,
+    top_k: int | None = 10,
+) -> DataFrame:
+    """(u1, u2, similarity): overlap coefficient |A∩B| / min(|A|, |B|) —
+    GDS ``nodeSimilarity`` with ``similarityMetric: OVERLAP``. Detects
+    subset relationships Jaccard dilutes (a niche reader whose whole shelf
+    sits inside a power-user's). Identical plan shape and scale controls
+    as ``node_similarity_jaccard``; only the denominator differs.
+    """
+    pos = positive_ratings(ratings, min_rating).select("user_id", "isbn")
+    deg = pos.groupBy("user_id").agg(F.count(F.lit(1)).alias("_deg"))
+    inter = corating_edges(ratings, min_rating=min_rating)
+    d1 = deg.select(F.col("user_id").alias("u1"), F.col("_deg").alias("_d1"))
+    d2 = deg.select(F.col("user_id").alias("u2"), F.col("_deg").alias("_d2"))
+    sim = (
+        inter.join(d1, "u1")
+        .join(d2, "u2")
+        .select(
+            "u1",
+            "u2",
+            F.round(
+                F.col("weight") / F.least(F.col("_d1"), F.col("_d2")), 6
+            ).alias("similarity"),
+        )
+        .filter(F.col("similarity") >= cutoff)
+    )
+    if top_k is None:
+        return sim
+    w = Window.partitionBy("u1").orderBy(F.desc("similarity"), F.asc("u2"))
+    return (
+        sim.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= top_k)
+        .drop("_rn")
+    )
+
+
 def node_similarity_adamic_adar(
     ratings: DataFrame,
     min_rating: int = 6,

@@ -2273,6 +2273,83 @@ register(
 )
 
 
+# overlap-coefficient node similarity (GDS similarityMetric: OVERLAP)
+register(
+    "q_node_similarity_overlap",
+    lambda s, d: corating.node_similarity_overlap(
+        _ref(s, d).ratings, cutoff=0.1, top_k=10
+    ),
+    _q(
+        """
+        , pos AS (SELECT user_id, isbn FROM ratings WHERE rating >= 6),
+        deg AS (SELECT user_id, COUNT(*) AS dg FROM pos GROUP BY user_id),
+        inter AS (
+          SELECT a.user_id AS u1, b.user_id AS u2, COUNT(*) AS w
+          FROM pos a JOIN pos b USING (isbn)
+          WHERE a.user_id <> b.user_id
+          GROUP BY a.user_id, b.user_id),
+        sim AS (
+          SELECT u1, u2, ROUND(CAST(w AS DOUBLE) / least(da.dg, db.dg), 6) AS similarity
+          FROM inter
+          JOIN deg da ON da.user_id = u1
+          JOIN deg db ON db.user_id = u2)
+        SELECT u1, u2, similarity FROM (
+          SELECT u1, u2, similarity,
+                 ROW_NUMBER() OVER (PARTITION BY u1 ORDER BY similarity DESC, u2) AS rn
+          FROM sim WHERE similarity >= 0.1)
+        WHERE rn <= 10
+        """
+    ),
+)
+
+
+# eigenvector centrality (GDS gds.eigenvector): power iteration with L2
+# normalization, unrolled-CTE oracle — the third hash-verified iterative
+# algorithm (after weighted PageRank and personalized PageRank)
+_EV_ITERS = 10
+
+
+def _eigenvector_q(s: SparkSession, d: str) -> DataFrame:
+    from .plans.eigenvector import eigenvector_centrality
+
+    ev = eigenvector_centrality(_corating_double(s, d), iters=_EV_ITERS)
+    return ev.select(
+        F.col("node_id").alias("user_id"), F.round("score", 8).alias("score")
+    )
+
+
+def _eigenvector_oracle(iters: int) -> str:
+    ctes = [
+        """edges AS (
+  SELECT a.user_id AS src, b.user_id AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM (SELECT user_id, isbn FROM ratings WHERE rating >= 6) a
+  JOIN (SELECT user_id, isbn FROM ratings WHERE rating >= 6) b USING (isbn)
+  WHERE a.user_id <> b.user_id
+  GROUP BY a.user_id, b.user_id)""",
+        "nn AS (SELECT COUNT(DISTINCT src) AS c FROM edges)",
+        "x0 AS (SELECT DISTINCT src AS node_id, 1.0 / sqrt((SELECT c FROM nn)) AS score FROM edges)",
+    ]
+    for i in range(1, iters + 1):
+        # y{i} MUST be MATERIALIZED: x{i} references it twice (directly and
+        # through the norm scalar), and inlining would re-expand the whole
+        # chain 2^iters times — the query never finishes without it
+        ctes.append(
+            f"y{i} AS MATERIALIZED (SELECT e.dst AS node_id, SUM(e.w * x.score) AS y "
+            f"FROM edges e JOIN x{i - 1} x ON x.node_id = e.src GROUP BY e.dst)"
+        )
+        ctes.append(f"n{i} AS (SELECT sqrt(SUM(y * y)) AS nrm FROM y{i})")
+        ctes.append(
+            f"x{i} AS (SELECT node_id, y / (SELECT nrm FROM n{i}) AS score FROM y{i})"
+        )
+    body = ",\n".join(ctes)
+    return _q(
+        f", {body}\nSELECT node_id AS user_id, ROUND(score, 8) AS score FROM x{iters}"
+    )
+
+
+register("q_eigenvector", _eigenvector_q, _eigenvector_oracle(_EV_ITERS))
+
+
 # --- driver-window ordering -------------------------------------------------
 #
 # The verify driver hash-checks the FIRST 50 entries of ``oracle_sql()`` in

@@ -345,3 +345,47 @@ def test_personalized_pagerank_concentrates_on_seeds(spark):
     total = sum(ppr.values())
     assert abs(total - 1.0) < 1e-6  # symmetric graph, no dangling loss
     assert ppr[1] == max(ppr.values())  # the seed dominates its own walk
+
+
+def test_overlap_similarity_detects_subsets(spark):
+    """Overlap coefficient = 1.0 when one user's shelf is a subset of
+    another's, where Jaccard dilutes."""
+    from graph_database_application_for_recommendations_spark.operators import corating
+
+    rows = [(1, b, 8) for b in ["A", "B", "C", "D"]] + [(2, "A", 9), (2, "B", 9)]
+    ratings = spark.createDataFrame(rows, "user_id LONG, isbn STRING, rating INT")
+    ov = {
+        (r["u1"], r["u2"]): r["similarity"]
+        for r in corating.node_similarity_overlap(ratings, top_k=None, cutoff=0.0).collect()
+    }
+    jc = {
+        (r["u1"], r["u2"]): r["similarity"]
+        for r in corating.node_similarity_jaccard(ratings, top_k=None, cutoff=0.0).collect()
+    }
+    assert ov[(1, 2)] == 1.0  # subset: 2/min(4,2)
+    assert jc[(1, 2)] == 0.5  # diluted: 2/(4+2-2)
+
+
+def test_eigenvector_centrality_invariants(spark):
+    """Unit L2 norm, strictly positive scores (connected positive-weight
+    graph), and the hub of a star graph dominates."""
+    import math
+
+    from graph_database_application_for_recommendations_spark.plans.eigenvector import (
+        eigenvector_centrality,
+    )
+
+    # hub 0 over leaves 1..5 plus a (1,2) edge — the odd cycle makes the
+    # graph non-bipartite, so undamped power iteration converges (a pure
+    # star oscillates between hub/leaf mass forever)
+    und = [(0, i) for i in range(1, 6)] + [(1, 2)]
+    rows = [(a, b, 1) for a, b in und] + [(b, a, 1) for a, b in und]
+    edges = spark.createDataFrame(rows, "src LONG, dst LONG, weight LONG")
+    x = {r["node_id"]: r["score"] for r in eigenvector_centrality(edges, iters=30).collect()}
+    assert abs(math.sqrt(sum(v * v for v in x.values())) - 1.0) < 1e-9
+    assert all(v > 0 for v in x.values())
+    assert x[0] == max(x.values()) and x[0] > x[1] + 1e-6
+    # untouched leaves are symmetric: equal scores
+    leaves = [x[i] for i in range(3, 6)]
+    assert max(leaves) - min(leaves) < 1e-9
+    assert x[1] > x[3]  # the extra edge raises 1 and 2 above plain leaves
