@@ -176,3 +176,31 @@ def mix_corpus(
         mapping[F.col(domain_col)], F.lit(int(default_fraction * HASH_BUCKETS))
     )
     return documents.filter(sample_bucket(key_col, seed) < thr)
+
+
+def temperature_fractions(
+    domain_counts: dict[str, int], temperature: float = 2.0
+) -> dict[str, float]:
+    """Per-domain keep fractions implementing temperature-scaled mixture
+    balancing (the mT5/XLM-R recipe, Xue et al. 2021 §3.1, public):
+    target sampling probability p_d ∝ n_d^(1/T), realized by DOWN-sampling
+    only (fractions normalized so the most up-weighted domain keeps
+    everything — no duplication, which ``mix_corpus``'s hash filter cannot
+    express).
+
+    T=1 reproduces the natural distribution (all fractions 1); T→∞
+    approaches uniform over domains (small domains kept whole, large ones
+    cut). Feed the result straight into ``mix_corpus(weights=...)``; the
+    counts come from a one-pass groupBy the caller already runs for
+    ``q_text_source_stats``.
+    """
+    if not domain_counts or temperature <= 0:
+        raise ValueError("need non-empty counts and temperature > 0")
+    total = sum(domain_counts.values())
+    p = {d: (n / total) ** (1.0 / temperature) for d, n in domain_counts.items()}
+    z = sum(p.values())
+    # fraction of domain d to KEEP so the kept corpus follows p/z:
+    # keep_d ∝ (p_d/z) / (n_d/total); scale so max = 1 (pure down-sampling)
+    raw = {d: (p[d] / z) / (domain_counts[d] / total) for d in domain_counts}
+    m = max(raw.values())
+    return {d: raw[d] / m for d in raw}

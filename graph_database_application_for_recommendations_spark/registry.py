@@ -2350,6 +2350,19 @@ def _eigenvector_oracle(iters: int) -> str:
 register("q_eigenvector", _eigenvector_q, _eigenvector_oracle(_EV_ITERS))
 
 
+def _corpus_cluster(s: SparkSession, d: str) -> DataFrame:
+    """Distributed k-means over the corpus embedding space (rows-only:
+    Lloyd means are float-aggregation-order dependent, so cluster
+    boundaries aren't hash-stable; invariants pinned in
+    tests/test_pipeline_ops.py)."""
+    from .operators.ivf import cluster_corpus
+
+    return cluster_corpus(_ref(s, d).embeddings, k=16, lloyd_iters=4)
+
+
+register("q_corpus_cluster", _corpus_cluster, None)
+
+
 # --- driver-window ordering -------------------------------------------------
 #
 # The verify driver hash-checks the FIRST 50 entries of ``oracle_sql()`` in

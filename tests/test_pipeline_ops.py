@@ -886,3 +886,59 @@ def test_label_centroids_roundtrip(spark):
     for r in got:
         assert r["n_vecs"] == len(mat)
         assert abs(r["centroid"] - round(float(mat[:, r["dim"]].mean()), 6)) <= 1e-6
+
+
+def test_cluster_corpus_invariants(spark):
+    """k-means corpus clustering: total assignment (every vector exactly
+    once), cluster ids within range, similarity bounded, assignment is the
+    argmax against the trained centroids, and repeated runs agree."""
+    from graph_database_application_for_recommendations_spark.operators.ivf import (
+        cluster_corpus,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    n = emb.count()
+    got = cluster_corpus(emb, k=8, lloyd_iters=2).collect()
+    assert len(got) == n
+    assert len({r["vec_id"] for r in got}) == n
+    assert all(0 <= r["cluster"] < 8 for r in got)
+    assert all(-1.0 - 1e-9 <= r["similarity"] <= 1.0 + 1e-9 for r in got)
+    again = cluster_corpus(emb, k=8, lloyd_iters=2).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+    # clusters are non-trivial: more than one cluster actually used
+    assert len({r["cluster"] for r in got}) > 1
+
+
+def test_temperature_fractions_properties(spark):
+    """T=1 keeps the natural distribution; higher T flattens: the largest
+    domain is cut hardest, the smallest kept whole; composed with
+    mix_corpus the realized counts track the temperature target."""
+    from graph_database_application_for_recommendations_spark.operators.packing import (
+        mix_corpus,
+        temperature_fractions,
+    )
+
+    counts = {"big": 8000, "mid": 1500, "small": 500}
+    t1 = temperature_fractions(counts, temperature=1.0)
+    assert all(abs(v - 1.0) < 1e-12 for v in t1.values())
+
+    t3 = temperature_fractions(counts, temperature=3.0)
+    assert t3["small"] == 1.0  # most up-weighted domain keeps everything
+    assert t3["big"] < t3["mid"] < 1.0
+    # kept distribution ∝ n_d^(1/3): check the ratio big/small post-keep
+    kept = {d: counts[d] * t3[d] for d in counts}
+    want_ratio = (counts["big"] / counts["small"]) ** (1 / 3)
+    got_ratio = kept["big"] / kept["small"]
+    assert abs(got_ratio - want_ratio) / want_ratio < 1e-9
+
+    # composed with mix_corpus: realized keep-rates track the fractions
+    doms = ["big"] * 16 + ["mid"] * 3 + ["small"]
+    docs = spark.createDataFrame(
+        [(i, doms[i % 20]) for i in range(4000)], "doc_id LONG, source STRING"
+    )
+    kept_rows = mix_corpus(docs, t3).groupBy("source").count().collect()
+    got = {r["source"]: r["count"] for r in kept_rows}
+    assert got["small"] == 200  # fraction 1.0 keeps everything
+    assert abs(got["big"] / 3200 - t3["big"]) < 0.05  # hash-sampling noise
+    with pytest.raises(ValueError):
+        temperature_fractions({}, 2.0)
