@@ -29,6 +29,10 @@ from graph_database_application_for_recommendations_spark.session import get_spa
 BENCH_QUERIES = [
     "q_corating_projection",
     "q_node_similarity",
+    "q_node_similarity_aa",
+    "q_node_similarity_overlap",
+    "q_eigenvector",
+    "q_ppr",
     "q_knn_topk",
     "q_knn_recommend",
     "q_comm_recommend",
@@ -55,10 +59,14 @@ BENCH_QUERIES = [
     "q_simsearch_lsh",
     "q_simsearch_ivf",
     "q_simsearch_pq",
+    "q_simsearch_range",
+    "q_emb_centroids",
+    "q_corpus_cluster",
     "q_louvain_communities",
     "q_pagerank",
     "q_text_langid",
     "q_text_tfidf",
+    "q_text_repetition",
     "q_corpus_clean",
     "q_corpus_train_ready",
     "q_corpus_pack",
@@ -76,6 +84,7 @@ BENCH_QUERIES = [
     "q_events_percentiles",
     "q_events_rollup",
     "q_events_json",
+    "q_events_retention",
 ]
 
 # the iterative pipeline (FastRP -> KNN -> LPA) is measured as one unit,
