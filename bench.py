@@ -64,9 +64,12 @@ BENCH_QUERIES = [
     "q_corpus_cluster",
     "q_louvain_communities",
     "q_pagerank",
+    "q_graph_kcore",
     "q_text_langid",
     "q_text_tfidf",
     "q_text_repetition",
+    "q_text_lm_score",
+    "q_text_length_filter",
     "q_corpus_clean",
     "q_corpus_train_ready",
     "q_corpus_pack",
@@ -85,6 +88,8 @@ BENCH_QUERIES = [
     "q_events_rollup",
     "q_events_json",
     "q_events_retention",
+    "q_events_funnel",
+    "q_events_anomaly",
 ]
 
 # the iterative pipeline (FastRP -> KNN -> LPA) is measured as one unit,

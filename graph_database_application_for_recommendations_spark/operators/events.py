@@ -291,3 +291,74 @@ def cohort_retention(events: DataFrame, max_day_offset: int = 35) -> DataFrame:
         "n_cohort",
         F.round(F.col("n_active") / F.col("n_cohort"), 6).alias("retention"),
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Ordered multi-step funnel: for each user, the earliest time they
+    completed each step *strictly after* completing the previous one.
+
+    (user_id, step1_us, step2_us, ..., reached) — one row per user who
+    performed step 1 at all; ``stepN_us`` is NULL once the chain breaks;
+    ``reached`` counts completed steps. The per-user "earliest qualifying
+    event" semantics make the result insensitive to duplicate events.
+
+    Plan shape: one filtered min-aggregate per step, each joined to the
+    previous step's per-user timestamp. Every aggregate is map-side
+    combinable on user_id, every join is user_id-equi (the aggregates
+    leave the data hash-partitioned on user_id, so AQE reuses the
+    exchange); no windows, no self-join of the raw stream. Cost is
+    O(len(steps)) passes over a filtered scan — at 100 TB the
+    event_type filter is pushed into the parquet scan per step.
+    """
+    us = F.unix_micros("ts")
+    prev: DataFrame | None = None
+    for i, step in enumerate(steps, start=1):
+        ev = events.filter(F.col("event_type") == step).select(
+            "user_id", us.alias("_us")
+        )
+        if prev is None:
+            prev = ev.groupBy("user_id").agg(F.min("_us").alias(f"step{i}_us"))
+        else:
+            nxt = (
+                ev.join(prev.select("user_id", f"step{i - 1}_us"), "user_id")
+                .filter(F.col("_us") > F.col(f"step{i - 1}_us"))
+                .groupBy("user_id")
+                .agg(F.min("_us").alias(f"step{i}_us"))
+            )
+            prev = prev.join(nxt, "user_id", "left")
+    reached = sum(
+        (F.col(f"step{i}_us").isNotNull().cast("int") for i in range(1, len(steps) + 1)),
+        F.lit(0),
+    )
+    return prev.withColumn("reached", reached)
+
+
+def value_anomalies(events: DataFrame, z: float = 3.0) -> DataFrame:
+    """Per-event-type z-score outliers: events whose ``value`` deviates
+    from the type mean by more than ``z`` sample standard deviations.
+
+    (event_id, event_type, value, zscore) with zscore rounded to 6dp.
+
+    Plan shape: one tiny per-type aggregate (|event_type| rows) broadcast
+    back onto the scan, so the detection pass is scan-resident — the
+    canonical two-pass streaming-friendly outlier shape. At 100 TB the
+    stats side is a handful of rows regardless of data volume.
+    """
+    stats = events.groupBy("event_type").agg(
+        F.avg("value").alias("_mean"), F.stddev_samp("value").alias("_std")
+    )
+    zscore = (F.col("value") - F.col("_mean")) / F.col("_std")
+    return (
+        events.select("event_id", "event_type", "value")
+        .join(F.broadcast(stats), "event_type")
+        .filter(F.abs(zscore) > z)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(zscore, 6).alias("zscore"),
+        )
+    )

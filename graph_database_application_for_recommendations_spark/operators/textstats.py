@@ -331,3 +331,102 @@ def scrub_pii(
         F.regexp_count(t, F.lit(PII_IP_RE)).cast("long").alias("n_ips"),
         F.regexp_count(t, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
     )
+
+
+def lm_bigram_scores(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Character-bigram language-model typicality score — the cheap proxy
+    for CCNet-style LM-perplexity quality filtering (Wenzek et al. 2020,
+    public): score(doc) = mean over the doc's character-bigram positions
+    of log2 P(c2 | c1), with P estimated from the whole corpus.
+
+    (doc_id, n_bigrams, lm_score) with lm_score rounded to 6dp; docs
+    whose normalized text is shorter than 2 characters are excluded
+    (they have no bigram positions). Low scores mark texts whose
+    character transitions are atypical for the corpus — boilerplate,
+    encoding noise, non-linguistic content.
+
+    Plan shape: one |chars|-proportional bigram explode feeding two
+    map-side-combinable count aggregates (bigram totals and first-char
+    totals — the conditional's numerator and denominator); the resulting
+    model table is at most |charset|² rows, so it broadcasts back onto
+    the per-doc bigram stream regardless of corpus size. Per-doc mean is
+    a doc_id-keyed aggregate. No UDFs, no windows; linear at 100 TB.
+    """
+    from ..functions.text import normalize
+
+    norm = normalize(F.col(text_col))
+    base = documents.select(F.col(id_col).alias("doc_id"), norm.alias("_n")).filter(
+        F.char_length("_n") >= 2
+    )
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.char_length("_n") - 1),
+                lambda i: F.substring(F.col("_n"), i, 2),
+            )
+        ).alias("bigram"),
+    )
+    big = grams.groupBy("bigram").agg(F.count(F.lit(1)).alias("_cnt"))
+    pre = (
+        big.groupBy(F.substring("bigram", 1, 1).alias("_c1"))
+        .agg(F.sum("_cnt").alias("_tot"))
+    )
+    model = big.join(
+        F.broadcast(pre), F.substring(big["bigram"], 1, 1) == pre["_c1"]
+    ).select("bigram", (F.log2(F.col("_cnt") / F.col("_tot"))).alias("_lp"))
+    return (
+        grams.join(F.broadcast(model), "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("_lp"), 6).alias("lm_score"),
+        )
+    )
+
+
+def length_quantile_keep(
+    documents: DataFrame,
+    q: float = 0.25,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distribution-derived length filter: drop the shortest ``q``
+    fraction of documents by token count, with the threshold computed as
+    an *exact* quantile over a value histogram (no interpolation, no
+    global sort of the corpus).
+
+    (doc_id, n_tokens) for every kept doc. The threshold t is the
+    smallest token count whose cumulative histogram mass reaches
+    ``ceil(q·n)``; docs with n_tokens ≥ t are kept — so ties at the
+    threshold are resolved identically on any engine (integer compares
+    only, unlike percentile_cont's float interpolation).
+
+    Plan shape: per-doc token count (scan-resident), histogram aggregate
+    (map-side combinable, |distinct lengths| rows), ONE window over the
+    histogram — not the corpus — to get cumulative mass, then a 1-row
+    threshold broadcast back as a filter. The only unpartitioned window
+    input is bounded by the longest document, not the corpus size.
+    """
+    from ..functions.text import tokens
+
+    tc = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    hist = tc.groupBy("n_tokens").agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.orderBy("n_tokens").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "n_tokens",
+        F.sum("_c").over(w).alias("_cum"),
+        F.sum("_c").over(Window.partitionBy()).alias("_n"),
+    )
+    thresh = (
+        cum.filter(F.col("_cum") >= F.ceil(F.lit(q) * F.col("_n")))
+        .agg(F.min("n_tokens").alias("_t"))
+    )
+    return tc.join(F.broadcast(thresh)).filter(
+        F.col("n_tokens") >= F.col("_t")
+    ).select("doc_id", "n_tokens")

@@ -124,3 +124,51 @@ def bipartite_rating_graph(ratings: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.col("rating").cast("double").alias("weight"),
     )
     return nodes, undirected(directed)
+
+
+def k_core(edges: DataFrame, k: int, src: str = "src", dst: str = "dst") -> DataFrame:
+    """(node_id, core_degree): the k-core of an undirected edge list — the
+    maximal subgraph in which every node has degree ≥ k — with each
+    surviving node's degree *within the core*. GDS exposes this as
+    ``gds.kcore``; computed by the standard peeling fixpoint: repeatedly
+    drop nodes whose degree in the remaining subgraph is < k.
+
+    The edge list is expected in doubled (undirected) form, as produced
+    by :func:`undirected`; degrees are out-degrees of the doubled list.
+    Because the k-core is unique (independent of peel order), the result
+    is fully determined by the graph and hash-comparable against an
+    unrolled SQL twin.
+
+    Plan shape: each peel round is one semi-join of the cached edge list
+    against the surviving-node set (hash-partitioned on node id, so the
+    degree aggregate reuses the exchange) plus a scalar count for the
+    fixpoint test. Rounds are O(peel depth), typically single digits on
+    real graphs — the same per-round cost envelope as connected
+    components. The edge cache is src-hash-partitioned once and reused
+    across all rounds; survivors shrink monotonically, so AQE sizes the
+    semi-join broadcast from real counts after round one.
+    """
+    from . import materialize
+
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    cur = (
+        e.groupBy(F.col("_s").alias("node_id"))
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .filter(F.col("core_degree") >= k)
+    )
+    prev: DataFrame | None = None
+    prev_n: int | None = None
+    while True:
+        cur = materialize(cur, supersedes=prev)
+        n = cur.count()
+        if n == 0 or (prev_n is not None and n == prev_n):
+            return cur
+        prev, prev_n = cur, n
+        nodes = cur.select("node_id")
+        cur = (
+            e.join(nodes.withColumnRenamed("node_id", "_s"), "_s", "leftsemi")
+            .join(nodes.withColumnRenamed("node_id", "_d"), "_d", "leftsemi")
+            .groupBy(F.col("_s").alias("node_id"))
+            .agg(F.count(F.lit(1)).alias("core_degree"))
+            .filter(F.col("core_degree") >= k)
+        )

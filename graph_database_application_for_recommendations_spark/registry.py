@@ -2363,6 +2363,142 @@ def _corpus_cluster(s: SparkSession, d: str) -> DataFrame:
 register("q_corpus_cluster", _corpus_cluster, None)
 
 
+# ordered 3-step funnel (view -> click -> purchase): per-user earliest
+# qualifying chain; the multi-step companion of q_events_conversions'
+# 2-step interval join
+register(
+    "q_events_funnel",
+    lambda s, d: events.funnel(_ref(s, d).events, steps=("view", "click", "purchase")),
+    """
+    WITH s1 AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS step1_us
+      FROM events WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS step2_us
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.step1_us
+      GROUP BY e.user_id),
+    s3 AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS step3_us
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.step2_us
+      GROUP BY e.user_id)
+    SELECT s1.user_id, s1.step1_us, s2.step2_us, s3.step3_us,
+           1 + CAST(s2.step2_us IS NOT NULL AS INT)
+             + CAST(s3.step3_us IS NOT NULL AS INT) AS reached
+    FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+    """,
+)
+
+
+# per-type z-score outliers over event values (two-pass: tiny stats
+# aggregate broadcast back onto the scan)
+register(
+    "q_events_anomaly",
+    lambda s, d: events.value_anomalies(_ref(s, d).events, z=3.0),
+    """
+    WITH st AS (
+      SELECT event_type, AVG(value) AS m, STDDEV_SAMP(value) AS sd
+      FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type, e.value,
+           ROUND((e.value - st.m) / st.sd, 6) AS zscore
+    FROM events e JOIN st USING (event_type)
+    WHERE ABS((e.value - st.m) / st.sd) > 3.0
+    """,
+)
+
+
+# character-bigram LM typicality scoring (CCNet-style quality proxy)
+register(
+    "q_text_lm_score",
+    lambda s, d: textstats.lm_bigram_scores(_docs(s, d)),
+    _q_docs(
+        """
+        , base AS (SELECT doc_id, norm FROM norm WHERE length(norm) >= 2),
+        grams AS (
+          SELECT doc_id, unnest([substr(norm, i, 2) for i in range(1, length(norm))]) AS bigram
+          FROM base),
+        big AS (SELECT bigram, COUNT(*) AS cnt FROM grams GROUP BY bigram),
+        pre AS (SELECT substr(bigram, 1, 1) AS c1, SUM(cnt) AS tot FROM big GROUP BY 1),
+        model AS (
+          SELECT bigram, log2(CAST(cnt AS DOUBLE) / tot) AS lp
+          FROM big JOIN pre ON substr(big.bigram, 1, 1) = pre.c1)
+        SELECT doc_id, COUNT(*) AS n_bigrams, ROUND(AVG(lp), 6) AS lm_score
+        FROM grams JOIN model USING (bigram)
+        GROUP BY doc_id
+        """
+    ),
+)
+
+
+# exact histogram-quantile length filter: drop the shortest quartile by
+# token count — integer threshold, no percentile interpolation
+register(
+    "q_text_length_filter",
+    lambda s, d: textstats.length_quantile_keep(_docs(s, d), q=0.25),
+    _q_docs(
+        """
+        , tc AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks),
+        hist AS (SELECT n_tokens, COUNT(*) AS c FROM tc GROUP BY n_tokens),
+        cum AS (
+          SELECT n_tokens,
+                 SUM(c) OVER (ORDER BY n_tokens ROWS UNBOUNDED PRECEDING) AS cum,
+                 SUM(c) OVER () AS n
+          FROM hist),
+        th AS (SELECT MIN(n_tokens) AS t FROM cum WHERE cum >= CEILING(0.25 * n))
+        SELECT doc_id, n_tokens FROM tc, th WHERE n_tokens >= th.t
+        """
+    ),
+)
+
+
+# k-core decomposition of the co-rating graph (k=60: nonempty, multi-round
+# peel at both test scales — 142 survivors @sf0.001, 1474 @sf0.01). The
+# oracle unrolls 8 peel rounds (fixpoint observed at <=4); every cur{i}
+# MUST be MATERIALIZED — each round references the previous one twice
+# (src IN + dst IN), so inlining would blow up 2^rounds like the
+# eigenvector oracle did.
+_KCORE_K = 60
+_KCORE_ROUNDS = 8
+
+
+def _kcore_q(s: SparkSession, d: str) -> DataFrame:
+    from .plans.graphs import k_core
+
+    return k_core(_corating_double(s, d), k=_KCORE_K).select(
+        F.col("node_id").alias("user_id"), "core_degree"
+    )
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    ctes = [
+        """edges AS MATERIALIZED (
+  SELECT a.user_id AS src, b.user_id AS dst
+  FROM (SELECT user_id, isbn FROM ratings WHERE rating >= 6) a
+  JOIN (SELECT user_id, isbn FROM ratings WHERE rating >= 6) b USING (isbn)
+  WHERE a.user_id <> b.user_id
+  GROUP BY 1, 2)""",
+        f"cur0 AS MATERIALIZED (SELECT src AS node FROM edges GROUP BY src HAVING COUNT(*) >= {k})",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"cur{i} AS MATERIALIZED (SELECT src AS node FROM edges "
+            f"WHERE src IN (SELECT node FROM cur{i - 1}) AND dst IN (SELECT node FROM cur{i - 1}) "
+            f"GROUP BY src HAVING COUNT(*) >= {k})"
+        )
+    body = ",\n".join(ctes)
+    return _q(
+        f""", {body}
+SELECT src AS user_id, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM edges
+WHERE src IN (SELECT node FROM cur{rounds}) AND dst IN (SELECT node FROM cur{rounds})
+GROUP BY src"""
+    )
+
+
+register("q_graph_kcore", _kcore_q, _kcore_oracle(_KCORE_K, _KCORE_ROUNDS))
+
+
 # --- driver-window ordering -------------------------------------------------
 #
 # The verify driver hash-checks the FIRST 50 entries of ``oracle_sql()`` in

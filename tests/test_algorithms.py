@@ -374,3 +374,95 @@ def test_triangle_counts_known_graphs(spark):
     )
     got = dict(map(tuple, triangle_counts(wheel).collect()))
     assert got[0] == 6 and all(got[i] == 2 for i in range(1, 7))
+
+
+def test_k_core_known_graphs(spark):
+    """A K4 with a pendant path: the 3-core is exactly the K4 (peeling the
+    pendant chain takes two rounds — exercises the fixpoint loop); the
+    4-core is empty; k=1 keeps everything."""
+    from graph_database_application_for_recommendations_spark.plans.graphs import (
+        k_core,
+        undirected,
+    )
+
+    # K4 on {0,1,2,3} + path 3-4-5 (pendant chain)
+    e = [(a, b) for a in range(4) for b in range(4) if a < b] + [(3, 4), (4, 5)]
+    edges = undirected(spark.createDataFrame(e, "src LONG, dst LONG"))
+    core3 = dict(map(tuple, k_core(edges, 3).collect()))
+    assert core3 == {0: 3, 1: 3, 2: 3, 3: 3}
+    assert k_core(edges, 4).count() == 0
+    core1 = dict(map(tuple, k_core(edges, 1).collect()))
+    assert set(core1) == {0, 1, 2, 3, 4, 5} and core1[4] == 2 and core1[5] == 1
+
+
+def test_funnel_ordering_semantics(spark):
+    """Step N counts only when strictly after the user's earliest step N-1:
+    a purchase *before* the first click must not complete the funnel, and
+    duplicate events collapse to the earliest qualifying one."""
+    from graph_database_application_for_recommendations_spark.operators.events import (
+        funnel,
+    )
+
+    rows = [
+        # u1: clean v->c->p chain with duplicates
+        (1, "view", 100), (2, "view", 50), (3, "click", 200), (4, "click", 150),
+        (5, "purchase", 300),
+        # u2: purchase BEFORE any click -> reached 2 only
+        (6, "view", 10), (7, "purchase", 20), (8, "click", 30),
+        # u3: view only
+        (9, "view", 40),
+        # u4: click/purchase but never viewed -> absent from funnel
+        (10, "click", 5), (11, "purchase", 6),
+    ]
+    uid = {i: u for u, ids in {1: range(1, 6), 2: range(6, 9), 3: range(9, 10), 4: range(10, 12)}.items() for i in ids}
+    from datetime import datetime
+
+    ev = spark.createDataFrame(
+        [(e, uid[e], ty, datetime(2024, 1, 1, 0, 0, 0, us)) for e, ty, us in rows],
+        "event_id LONG, user_id LONG, event_type STRING, ts TIMESTAMP",
+    )
+    got = {r["user_id"]: r for r in funnel(ev).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["reached"] == 3 and got[1]["step2_us"] > got[1]["step1_us"] > 0
+    assert got[2]["reached"] == 2 and got[2]["step3_us"] is None
+    assert got[3]["reached"] == 1 and got[3]["step2_us"] is None
+
+
+def test_length_quantile_keep_threshold(spark):
+    """Exact histogram quantile: with q=0.25 over 100 docs of lengths
+    1..100, ceil(25) = 25 -> threshold 25, keep lengths >= 25 (76 docs);
+    ties at the threshold all stay."""
+    from graph_database_application_for_recommendations_spark.operators.textstats import (
+        length_quantile_keep,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * i)) for i in range(1, 101)], "doc_id LONG, text STRING"
+    )
+    kept = length_quantile_keep(docs, q=0.25)
+    lens = sorted(r["n_tokens"] for r in kept.collect())
+    assert lens[0] == 25 and len(lens) == 76
+    # all-equal lengths: threshold == the single value, nothing dropped
+    flat = spark.createDataFrame(
+        [(i, "a b c") for i in range(10)], "doc_id LONG, text STRING"
+    )
+    assert length_quantile_keep(flat, q=0.5).count() == 10
+
+
+def test_lm_bigram_scores_semantics(spark):
+    """A doc made of corpus-typical bigrams outscores one with unique
+    transitions; n_bigrams = len(norm)-1; sub-2-char docs excluded."""
+    from graph_database_application_for_recommendations_spark.operators.textstats import (
+        lm_bigram_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "ababab"), (2, "ababab"), (3, "xq"), (4, "z")],
+        "doc_id LONG, text STRING",
+    )
+    got = {r["doc_id"]: r for r in lm_bigram_scores(docs).collect()}
+    assert set(got) == {1, 2, 3}  # doc 4 has no bigrams
+    assert got[1]["n_bigrams"] == 5 and got[1]["lm_score"] == got[2]["lm_score"]
+    # 'xq' occurs once among x-prefixed bigrams (only one) -> log2(1.0)=0;
+    # 'ab' has P(b|a)=1.0 as well here, so compare against a mixed doc
+    assert got[3]["lm_score"] == 0.0
