@@ -21,7 +21,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from . import cache_wide, materialize
+from . import cache_wide
 
 
 def eigenvector_centrality(
@@ -62,8 +62,16 @@ def eigenvector_centrality(
             .groupBy("dst")
             .agg(F.sum(F.col("w") * F.col("score")).alias("_y"))
         )
-        y = materialize(y, supersedes=prev)
-        (norm_sq,) = y.agg(F.sum(F.col("_y") * F.col("_y"))).first()
+        # inlined materialize() with the norm aggregate as the cache-fill
+        # action: the scalar Σ_y² pass both fills the transient cache and
+        # yields the normalizer, so each round is 2 jobs (agg + checkpoint)
+        # instead of materialize's count + checkpoint + a separate agg.
+        tmp = y.cache()
+        (norm_sq,) = tmp.agg(F.sum(F.col("_y") * F.col("_y"))).first()
+        y = tmp.localCheckpoint()
+        tmp.unpersist(blocking=False)
+        if prev is not None:
+            prev.unpersist(blocking=False)
         norm = math.sqrt(norm_sq)
         x = y.select(
             F.col("dst").alias("node_id"), (F.col("_y") / F.lit(norm)).alias("score")
