@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "q_louvain_communities",
     "q_pagerank",
     "q_graph_kcore",
+    "q_hits",
     "q_text_langid",
     "q_text_tfidf",
     "q_text_repetition",
@@ -72,6 +73,7 @@ BENCH_QUERIES = [
     "q_text_length_filter",
     "q_corpus_clean",
     "q_corpus_train_ready",
+    "q_corpus_sample_weighted",
     "q_corpus_pack",
     "q_corpus_vocab",
     "q_corpus_encode",

@@ -65,3 +65,45 @@ def stratified_sample(
         .filter(F.col("_rn") <= F.ceil(F.col("_n") * fraction))
         .drop("_rn", "_n")
     )
+
+
+def weighted_sample_topk(
+    documents: DataFrame,
+    k: int = 100,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    seed: int = 7,
+) -> DataFrame:
+    """Weighted sampling without replacement via the Efraimidis–Spirakis
+    A-ES one-pass scheme (IPL 2006, public): each row draws key
+    ``-ln(u)/w`` with u ~ U(0,1]; the k smallest keys are an exact
+    weighted sample without replacement.
+
+    ``u`` comes from the same deterministic md5 hash as the rest of the
+    sampling suite (``u = (md5_60bit(id, seed)+1) / 2^60``), so the
+    sample is a pure function of (id, seed) — engine/run/partition
+    independent, and the whole operator hash-compares against a SQL
+    twin. (doc_id, weight, es_key) with es_key rounded to 6dp; selection
+    orders by the raw key with doc_id as tie-break.
+
+    Plan shape: scan-resident key computation + ORDER BY LIMIT k, which
+    Spark executes as TakeOrdered — per-partition top-k then a k-row
+    driver merge. No shuffle of the corpus at any scale; the reservoir
+    semantics of the classic streaming formulation fall out for free.
+    """
+    from ..functions.text import md5_hash60
+
+    u = (md5_hash60(F.col(id_col).cast("string"), seed) + F.lit(1)).cast(
+        "double"
+    ) / F.lit(float(1 << 60))
+    key = -F.log(u) / F.col(weight_col).cast("double")
+    return (
+        documents.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(weight_col).alias("weight"),
+            key.alias("es_key"),
+        )
+        .orderBy("es_key", "doc_id")
+        .limit(k)
+        .select("doc_id", "weight", F.round("es_key", 6).alias("es_key"))
+    )

@@ -1,0 +1,94 @@
+"""HITS hubs & authorities over the bipartite positive-rating graph.
+
+Kleinberg's HITS (JACM 1999, public) on user→book edges: users are hubs,
+books are authorities — a natural recommendation signal the symmetric
+co-rating projection cannot express (on a symmetric graph HITS collapses
+to eigenvector centrality, which ``plans/eigenvector.py`` already covers;
+the bipartite form is the one GDS ships as ``gds.alpha.hits``).
+
+Round shape: the edge list is cached TWICE, hash-partitioned on user_id
+and on isbn — the classic space-for-shuffle trade — so BOTH half-round
+aggregates (authority = Σ over in-edges of hub scores, grouped by isbn;
+hub = Σ of authority scores, grouped by user_id) consume a broadcast
+score vector and group on their cache's own partitioning key:
+zero per-round shuffles, mirroring the pagerank/eigenvector contract.
+Each half-round L2-normalizes with a scalar aggregate that doubles as
+the cache-fill action (the eigenvector fold).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import cache_wide
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 8,
+    hub_col: str = "user_id",
+    auth_col: str = "isbn",
+) -> DataFrame:
+    """(kind, id, score): 'hub' rows keyed by ``hub_col`` and 'authority'
+    rows keyed by ``auth_col`` after ``iters`` rounds of
+    a ← normalize(Eᵀh); h ← normalize(E a), from the uniform unit hub
+    vector. Ids are cast to string so both sides share one schema; scores
+    rounded to 6dp (sum-order differences are far below the rounding
+    grain, so the result is engine-reproducible — oracle-checked).
+    """
+    spark = edges.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    e = edges.select(F.col(hub_col).alias("_h"), F.col(auth_col).alias("_a")).distinct()
+    e_by_hub = cache_wide(e, par, "_h")
+    e_by_auth = cache_wide(e, par, "_a")
+    hubs = e_by_hub.select("_h").distinct()
+    n_hubs = hubs.count()
+    if n_hubs == 0:
+        e_by_hub.unpersist(blocking=False)
+        e_by_auth.unpersist(blocking=False)
+        return spark.createDataFrame([], "kind string, id string, score double")
+    h = hubs.select("_h", F.lit(1.0 / math.sqrt(n_hubs)).alias("_s"))
+    a = None
+    prev_h = prev_a = None
+
+    def _half(edge_cache: DataFrame, vec: DataFrame, join_key: str, group_key: str, prev):
+        """One half-round: Σ of broadcast vec over the co-partitioned edge
+        cache, normalized; the norm aggregate fills the transient cache."""
+        raw = (
+            edge_cache.join(F.broadcast(vec), join_key)
+            .groupBy(group_key)
+            .agg(F.sum("_s").alias("_s"))
+        )
+        tmp = raw.cache()
+        (norm_sq,) = tmp.agg(F.sum(F.col("_s") * F.col("_s"))).first()
+        out = tmp.localCheckpoint()
+        tmp.unpersist(blocking=False)
+        if prev is not None:
+            prev.unpersist(blocking=False)
+        norm = math.sqrt(norm_sq)
+        return out.select(group_key, (F.col("_s") / F.lit(norm)).alias("_s"))
+
+    for _ in range(iters):
+        a = _half(e_by_auth, h, "_h", "_a", prev_a)
+        prev_a = a
+        h = _half(e_by_hub, a, "_a", "_h", prev_h)
+        prev_h = h
+    e_by_hub.unpersist(blocking=False)
+    e_by_auth.unpersist(blocking=False)
+    return (
+        h.select(
+            F.lit("hub").alias("kind"),
+            F.col("_h").cast("string").alias("id"),
+            F.round("_s", 6).alias("score"),
+        )
+        .unionByName(
+            a.select(
+                F.lit("authority").alias("kind"),
+                F.col("_a").cast("string").alias("id"),
+                F.round("_s", 6).alias("score"),
+            )
+        )
+    )

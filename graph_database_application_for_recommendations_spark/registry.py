@@ -2499,6 +2499,78 @@ GROUP BY src"""
 register("q_graph_kcore", _kcore_q, _kcore_oracle(_KCORE_K, _KCORE_ROUNDS))
 
 
+# HITS hubs & authorities on the bipartite positive-rating graph
+# (users=hubs, books=authorities — the form gds.alpha.hits ships; on the
+# symmetric co-rating projection HITS would collapse to q_eigenvector).
+# Oracle: unrolled half-rounds; every raw CTE is MATERIALIZED because the
+# norm scalar subquery references it a second time.
+_HITS_ITERS = 8
+
+
+def _hits_q(s: SparkSession, d: str) -> DataFrame:
+    from .plans.hits import hits
+
+    pos = (
+        _ref(s, d)
+        .ratings.filter(F.col("rating") >= 6)
+        .select("user_id", "isbn")
+    )
+    return hits(pos, iters=_HITS_ITERS)
+
+
+def _hits_oracle(iters: int) -> str:
+    ctes = [
+        "e AS MATERIALIZED (SELECT DISTINCT user_id, isbn FROM ratings WHERE rating >= 6)",
+        "h0 AS (SELECT user_id, 1.0 / sqrt((SELECT COUNT(DISTINCT user_id) FROM e)) AS s"
+        " FROM (SELECT DISTINCT user_id FROM e))",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"ar{i} AS MATERIALIZED (SELECT isbn, SUM(h.s) AS s"
+            f" FROM e JOIN h{i - 1} h USING (user_id) GROUP BY isbn)"
+        )
+        ctes.append(
+            f"a{i} AS MATERIALIZED (SELECT isbn,"
+            f" s / (SELECT sqrt(SUM(s * s)) FROM ar{i}) AS s FROM ar{i})"
+        )
+        ctes.append(
+            f"hr{i} AS MATERIALIZED (SELECT user_id, SUM(a.s) AS s"
+            f" FROM e JOIN a{i} a USING (isbn) GROUP BY user_id)"
+        )
+        ctes.append(
+            f"h{i} AS MATERIALIZED (SELECT user_id,"
+            f" s / (SELECT sqrt(SUM(s * s)) FROM hr{i}) AS s FROM hr{i})"
+        )
+    body = ",\n".join(ctes)
+    return _q(
+        f""", {body}
+SELECT 'hub' AS kind, CAST(user_id AS VARCHAR) AS id, ROUND(s, 6) AS score FROM h{iters}
+UNION ALL
+SELECT 'authority' AS kind, isbn AS id, ROUND(s, 6) AS score FROM a{iters}"""
+    )
+
+
+register("q_hits", _hits_q, _hits_oracle(_HITS_ITERS))
+
+
+# Efraimidis-Spirakis weighted sampling without replacement (keys from the
+# deterministic md5 hash, so the sample is a pure function of (id, seed))
+register(
+    "q_corpus_sample_weighted",
+    lambda s, d: sampling.weighted_sample_topk(
+        _docs(s, d), k=100, weight_col="n_chars", seed=7
+    ),
+    """
+    SELECT doc_id, weight, ROUND(es_key, 6) AS es_key FROM (
+      SELECT doc_id, n_chars AS weight,
+             -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#7'), 1, 15)) AS BIGINT) + 1)
+                 / 1152921504606846976.0) / n_chars AS es_key
+      FROM documents)
+    ORDER BY es_key, doc_id LIMIT 100
+    """,
+)
+
+
 # --- driver-window ordering -------------------------------------------------
 #
 # The verify driver hash-checks the FIRST 50 entries of ``oracle_sql()`` in

@@ -466,3 +466,51 @@ def test_lm_bigram_scores_semantics(spark):
     # 'xq' occurs once among x-prefixed bigrams (only one) -> log2(1.0)=0;
     # 'ab' has P(b|a)=1.0 as well here, so compare against a mixed doc
     assert got[3]["lm_score"] == 0.0
+
+
+def test_hits_bipartite_semantics(spark):
+    """One book rated by every user plus singleton books: the universal
+    book dominates authority mass; all-symmetric users share one hub
+    score; scores are L2-normalized per side."""
+    from graph_database_application_for_recommendations_spark.plans.hits import hits
+
+    rows = [(u, "B0") for u in range(1, 5)] + [(1, "B1"), (2, "B2")]
+    e = spark.createDataFrame(rows, "user_id LONG, isbn STRING")
+    got = hits(e, iters=12).collect()
+    auth = {r["id"]: r["score"] for r in got if r["kind"] == "authority"}
+    hub = {r["id"]: r["score"] for r in got if r["kind"] == "hub"}
+    assert auth["B0"] == max(auth.values()) and auth["B0"] > 2 * auth["B1"]
+    # scores are rounded to 6dp on output, so the L2 invariant holds to
+    # ~n*1e-6
+    assert abs(sum(v * v for v in auth.values()) - 1.0) < 1e-4
+    assert abs(sum(v * v for v in hub.values()) - 1.0) < 1e-4
+    # users 1 and 2 are exchange-symmetric (B0 + one singleton each)
+    assert hub["1"] == hub["2"] and hub["3"] == hub["4"] and hub["1"] > hub["3"]
+
+
+def test_weighted_sample_topk_properties(spark):
+    """Deterministic across runs; k-bounded; and heavier rows win under
+    equal hash luck (two ids with identical u would order by weight —
+    checked via the closed form instead: key decreases in weight for
+    fixed u)."""
+    import math
+
+    from graph_database_application_for_recommendations_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "x", (i % 10 + 1) * 100) for i in range(1, 501)],
+        "doc_id LONG, text STRING, n_chars LONG",
+    )
+    s1 = weighted_sample_topk(docs, k=50).collect()
+    s2 = weighted_sample_topk(docs, k=50).collect()
+    assert [tuple(r) for r in s1] == [tuple(r) for r in s2] and len(s1) == 50
+    # sample skews heavy: mean weight of the sample beats the population mean
+    pop_mean = 550.0  # weights 100..1000 uniform
+    assert sum(r["weight"] for r in s1) / 50 > pop_mean
+    # different seed -> different sample
+    s3 = weighted_sample_topk(docs, k=50, seed=11).collect()
+    assert {r["doc_id"] for r in s3} != {r["doc_id"] for r in s1}
+    # closed form sanity: key = -ln(u)/w strictly decreasing in w
+    assert -math.log(0.3) / 200 < -math.log(0.3) / 100

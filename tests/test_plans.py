@@ -370,3 +370,34 @@ def test_hyperplane_lsh_sizing_runs_no_extra_jobs(spark):
         "lsh-probe", lambda: simsearch.topk_hyperplane_lsh(queries, emb, k=5)
     )
     assert with_dim < probing
+
+
+def test_hits_half_round_is_exchange_free(spark):
+    """A HITS half-round (edge cache ⋈ broadcast score vector → groupBy
+    the cache's partitioning key) must run with NO shuffle above the
+    co-partitioned edge cache — both directions, since the operator keeps
+    one cache per side."""
+    from pyspark.sql import functions as F
+
+    from graph_database_application_for_recommendations_spark.plans import cache_wide
+
+    ratings = load_ref_tables(spark, SF_SMALL).ratings
+    e = ratings.filter(F.col("rating") >= 6).select("user_id", "isbn").distinct()
+    for part_key, group_key, join_key in [("isbn", "isbn", "user_id"), ("user_id", "user_id", "isbn")]:
+        cached = cache_wide(e, 8, part_key)
+        vec = (
+            cached.select(F.col(join_key).alias("_k")).distinct()
+            .select(F.col("_k").alias(join_key), F.lit(0.5).alias("_s"))
+        )
+        plan = (
+            cached.join(F.broadcast(vec), join_key)
+            .groupBy(group_key)
+            .agg(F.sum("_s").alias("_s"))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .treeString()
+        )
+        above_cache = plan.split("InMemoryRelation", 1)[0]
+        assert "HashAggregate" in above_cache and "BroadcastHashJoin" in above_cache
+        assert "Exchange hashpartitioning" not in above_cache, part_key
+        cached.unpersist(blocking=False)
