@@ -172,3 +172,57 @@ def k_core(edges: DataFrame, k: int, src: str = "src", dst: str = "dst") -> Data
             .agg(F.count(F.lit(1)).alias("core_degree"))
             .filter(F.col("core_degree") >= k)
         )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    source,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 64,
+) -> DataFrame:
+    """(node_id, dist): unweighted single-source shortest-path hop
+    distances over an undirected (doubled) edge list — the GDS
+    ``gds.bfs``/``gds.allShortestPaths`` single-source primitive.
+    Unreachable nodes are absent. Distances are unique per node, so the
+    result is fully graph-determined and hash-comparable against a
+    bounded recursive-CTE oracle.
+
+    Plan shape: classic frontier iteration — each level is one equi-join
+    of the (small) frontier against the once-cached edge list, a
+    distinct, and an anti-join against the union of previously pinned
+    frontiers. Only the per-level frontier is pinned (cache-fill count +
+    localCheckpoint, 2 jobs/round — the count doubles as the emptiness
+    test); the accumulated distance table is a lazy union of those pinned
+    levels, so it is never re-materialized and lineage stays O(1) at the
+    leaves. O(diameter) rounds; the frontier broadcast-joins once it is
+    small (AQE decides from real sizes).
+    """
+    from . import cache_wide
+
+    spark = edges.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    e = cache_wide(e, par, "_s")
+    id_type = edges.schema[src].dataType.simpleString()
+    dist = spark.createDataFrame([(source, 0)], f"node_id {id_type}, dist int")
+    frontier = dist.select("node_id")
+    for level in range(1, max_iter + 1):
+        nxt = (
+            e.join(frontier.withColumnRenamed("node_id", "_s"), "_s")
+            .select(F.col("_d").alias("node_id"))
+            .distinct()
+            .join(dist.select("node_id"), "node_id", "left_anti")
+            .select("node_id", F.lit(level).alias("dist"))
+        )
+        tmp = nxt.cache()
+        n_new = tmp.count()
+        if n_new == 0:
+            tmp.unpersist(blocking=False)
+            break
+        pinned = tmp.localCheckpoint()
+        tmp.unpersist(blocking=False)
+        dist = dist.unionByName(pinned)
+        frontier = pinned.select("node_id")
+    e.unpersist(blocking=False)
+    return dist

@@ -2571,6 +2571,63 @@ register(
 )
 
 
+# single-source BFS hop distances on the strong co-rating graph (the
+# shortest-path primitive: gds.bfs / single-source allShortestPaths).
+# Oracle: bounded recursive CTE over (node, dist) pairs — UNION dedups
+# pairs and the dist < bound guard terminates cycles; MIN(dist) per node
+# is the BFS distance. Bound 24 > the observed 15-hop eccentricity of
+# user 1 at sf0.01 (probed; sf0.001 is 4).
+_BFS_BOUND = 24
+
+
+def _bfs_q(s: SparkSession, d: str) -> DataFrame:
+    from .plans.graphs import bfs_distances
+
+    strong = _corating_double(s, d).filter(F.col("weight") >= COMPONENTS_MIN_WEIGHT)
+    return bfs_distances(strong, UID).select(
+        F.col("node_id").alias("user_id"), "dist"
+    )
+
+
+_BFS_ORACLE = (
+    f"""{ORACLE_PRELUDE},
+pos AS (SELECT user_id, isbn FROM ratings WHERE rating >= 6),
+uedges AS (
+  SELECT src, dst FROM (
+    SELECT a.user_id AS src, b.user_id AS dst, COUNT(*) AS w
+    FROM pos a JOIN pos b USING (isbn)
+    WHERE a.user_id <> b.user_id
+    GROUP BY a.user_id, b.user_id)
+  WHERE w >= {COMPONENTS_MIN_WEIGHT}),
+walk(node, d) AS (
+  SELECT {UID}, 0
+  UNION
+  SELECT e.dst, w.d + 1
+  FROM walk w JOIN uedges e ON e.src = w.node
+  WHERE w.d < {_BFS_BOUND})
+SELECT node AS user_id, CAST(MIN(d) AS INT) AS dist FROM walk GROUP BY node
+""".replace("WITH ", "WITH RECURSIVE ", 1)
+)
+
+register("q_graph_bfs", _bfs_q, _BFS_ORACLE)
+
+
+def _betweenness_q(s: SparkSession, d: str) -> DataFrame:
+    """Sampled-Brandes betweenness on the strong co-rating graph
+    (rows-only: the estimate is exact only at num_sources >= n, which the
+    unit tests pin on known graphs; the sampled estimate is nevertheless
+    a deterministic function of (graph, seed))."""
+    from .plans.betweenness import betweenness_approx
+
+    strong = _corating_double(s, d).filter(F.col("weight") >= COMPONENTS_MIN_WEIGHT)
+    return betweenness_approx(strong, num_sources=16, seed=7).select(
+        F.col("node_id").alias("user_id"), "betweenness"
+    )
+
+
+register("q_graph_betweenness", _betweenness_q, None)
+
+
 # --- driver-window ordering -------------------------------------------------
 #
 # The verify driver hash-checks the FIRST 50 entries of ``oracle_sql()`` in

@@ -514,3 +514,75 @@ def test_weighted_sample_topk_properties(spark):
     assert {r["doc_id"] for r in s3} != {r["doc_id"] for r in s1}
     # closed form sanity: key = -ln(u)/w strictly decreasing in w
     assert -math.log(0.3) / 200 < -math.log(0.3) / 100
+
+
+def test_bfs_distances_known_graph(spark):
+    """Path 0-1-2-3 plus a branch 1-4: exact hop distances; node 9 in a
+    separate component is absent from the result."""
+    from graph_database_application_for_recommendations_spark.plans.graphs import (
+        bfs_distances,
+        undirected,
+    )
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (1, 4), (9, 10)], "src LONG, dst LONG"
+    )
+    got = dict(map(tuple, bfs_distances(undirected(e), 0).collect()))
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 2}
+    # from the far end
+    got3 = dict(map(tuple, bfs_distances(undirected(e), 3).collect()))
+    assert got3 == {3: 0, 2: 1, 1: 2, 0: 3, 4: 3}
+
+
+def test_betweenness_exact_known_graphs(spark):
+    """With num_sources >= n the sampled estimator IS exact Brandes
+    (scale 1). Path 0-1-2-3-4: ordered-pair dependencies are 6/8/6 for
+    the interior nodes, 0 at the endpoints. Star: hub carries all
+    (n-1)(n-2) ordered leaf pairs."""
+    from graph_database_application_for_recommendations_spark.plans.betweenness import (
+        betweenness_approx,
+    )
+    from graph_database_application_for_recommendations_spark.plans.graphs import (
+        undirected,
+    )
+
+    path = undirected(
+        spark.createDataFrame([(0, 1), (1, 2), (2, 3), (3, 4)], "src LONG, dst LONG")
+    )
+    got = dict(map(tuple, betweenness_approx(path, num_sources=10).collect()))
+    assert got == {1: 6.0, 2: 8.0, 3: 6.0}  # endpoints have delta 0 -> absent or 0
+    star = undirected(
+        spark.createDataFrame([(0, i) for i in range(1, 6)], "src LONG, dst LONG")
+    )
+    got = dict(map(tuple, betweenness_approx(star, num_sources=10).collect()))
+    assert got == {0: 20.0}  # 5*4 ordered leaf pairs
+
+
+def test_betweenness_sampled_deterministic_and_scaled(spark):
+    """k < n: deterministic given the seed, and the n/k scaling keeps the
+    estimate in the right ballpark on a graph whose exact values are
+    known (the path's middle node dominates under any source sample that
+    hits both sides)."""
+    from graph_database_application_for_recommendations_spark.plans.betweenness import (
+        betweenness_approx,
+    )
+    from graph_database_application_for_recommendations_spark.plans.graphs import (
+        undirected,
+    )
+
+    e = undirected(
+        spark.createDataFrame(
+            [(i, i + 1) for i in range(9)], "src LONG, dst LONG"
+        )
+    )
+    a = sorted(map(tuple, betweenness_approx(e, num_sources=4, seed=3).collect()))
+    b = sorted(map(tuple, betweenness_approx(e, num_sources=4, seed=3).collect()))
+    assert a == b and len(a) > 0
+    exact = dict(map(tuple, betweenness_approx(e, num_sources=10, seed=3).collect()))
+    est = dict(a)
+    # middle of the 10-path: exact ordered-pair betweenness = 2*5*4 = 40
+    assert exact[4] == 40.0 and exact[5] == 40.0
+    # the sampled estimate ranks the center above the ends
+    center = max(est.get(4, 0), est.get(5, 0))
+    edge_nodes = max(est.get(0, 0), est.get(9, 0))
+    assert center > edge_nodes
