@@ -14,6 +14,12 @@ score vector and group on their cache's own partitioning key:
 zero per-round shuffles, mirroring the pagerank/eigenvector contract.
 Each half-round L2-normalizes with a scalar aggregate that doubles as
 the cache-fill action (the eigenvector fold).
+
+Like pagerank, the broadcast-vector round assumes the score vector fits
+the broadcast threshold (fine to ~10⁷ nodes per side); past that, drop
+the ``F.broadcast`` hint and the same code becomes a shuffle join on the
+cache's partitioning key, which the co-partitioned caches still serve
+without re-exchanging the edge side.
 """
 
 from __future__ import annotations

@@ -476,3 +476,73 @@ def run_to_memory(
     )
     query.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+ANOMALY_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("zscore", DoubleType()),
+    ]
+)
+
+_ANOMALY_STATE_SCHEMA = "n LONG, mean DOUBLE, m2 DOUBLE"
+
+
+def anomaly_stream(
+    events: DataFrame, z: float = 3.0, min_samples: int = 30
+) -> DataFrame:
+    """Streaming twin of ``operators/events.py::value_anomalies`` with
+    *online* statistics: per-event-type running (n, mean, M2) via
+    Welford's algorithm (Technometrics 1962, public) in
+    ``applyInPandasWithState``; each event is scored against the stats of
+    all PREVIOUS events (state across microbatches, ts/event_id order
+    within one), and flagged when |z| > ``z`` once at least
+    ``min_samples`` points have been seen.
+
+    Unlike the batch operator — which scores against the global two-pass
+    stats — the streaming contract is prefix-causal: an event can only be
+    judged by its past. The test suite pins the flagged set against a
+    pandas replay of the identical rule. One (n, mean, M2) triple of
+    state per event_type: bounded state regardless of stream length.
+    """
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import math
+
+        n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ev_id, v in zip(pdf["event_id"], pdf["value"]):
+                v = float(v)
+                if n >= min_samples:
+                    std = math.sqrt(m2 / (n - 1))
+                    if std > 0.0:
+                        zs = (v - mean) / std
+                        if abs(zs) > z:
+                            out.append(
+                                {
+                                    "event_id": int(ev_id),
+                                    "event_type": key[0],
+                                    "value": v,
+                                    "zscore": round(zs, 6),
+                                }
+                            )
+                n += 1
+                d = v - mean
+                mean += d / n
+                m2 += d * (v - mean)
+        state.update((n, mean, m2))
+        yield pd.DataFrame(out, columns=["event_id", "event_type", "value", "zscore"])
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=ANOMALY_SCHEMA,
+        stateStructType=_ANOMALY_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

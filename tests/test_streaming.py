@@ -345,3 +345,37 @@ def test_streaming_profile_state_survives_multiple_microbatches(spark, tmp_path)
     # the LAST emitted row for user 100 must have accumulated both batches
     final = max(got, key=lambda r: r["n_events"])
     assert final["n_events"] == 2 and final["total_value"] == 3.0
+
+
+def test_streaming_anomaly_matches_online_replay(spark, event_stream, batch_events, tmp_path):
+    """The streaming Welford z-score detector's flagged set must equal a
+    pandas replay of the identical prefix-causal rule (each event judged
+    only by its past, ts/event_id order within each type)."""
+    import math
+
+    got = stream_ops.run_to_memory(
+        stream_ops.anomaly_stream(event_stream, z=2.5, min_samples=30),
+        "t_anomaly",
+        "update",
+        str(tmp_path / "ck_anom"),
+    )
+    pdf = (
+        batch_events.select("event_id", "event_type", "value", "ts")
+        .toPandas()
+        .sort_values(["event_type", "ts", "event_id"])
+    )
+    want = []
+    for etype, grp in pdf.groupby("event_type"):
+        n, mean, m2 = 0, 0.0, 0.0
+        for ev_id, v in zip(grp["event_id"], grp["value"]):
+            v = float(v)
+            if n >= 30:
+                std = math.sqrt(m2 / (n - 1))
+                if std > 0 and abs((v - mean) / std) > 2.5:
+                    want.append((int(ev_id), etype, v, round((v - mean) / std, 6)))
+            n += 1
+            d = v - mean
+            mean += d / n
+            m2 += d * (v - mean)
+    assert _rows(got) == sorted(want)
+    assert len(want) > 0  # the fixture actually exercises the rule
