@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "q_simsearch_pq",
     "q_simsearch_range",
     "q_emb_centroids",
+    "q_emb_pca",
     "q_corpus_cluster",
     "q_louvain_communities",
     "q_pagerank",
@@ -70,6 +71,8 @@ BENCH_QUERIES = [
     "q_text_tfidf",
     "q_text_repetition",
     "q_text_lm_score",
+    "q_text_bm25",
+    "q_text_chunks",
     "q_text_length_filter",
     "q_corpus_clean",
     "q_corpus_train_ready",

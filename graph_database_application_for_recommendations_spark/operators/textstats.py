@@ -430,3 +430,106 @@ def length_quantile_keep(
     return tc.join(F.broadcast(thresh)).filter(
         F.col("n_tokens") >= F.col("_t")
     ).select("doc_id", "n_tokens")
+
+
+def bm25_scores(
+    documents: DataFrame,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 relevance of every document against a fixed term set
+    (Robertson & Zaragoza 2009, public; Lucene's non-negative idf
+    variant ``ln(1 + (N - df + 0.5)/(df + 0.5))``).
+
+    (doc_id, n_hits, score) for the ``top_n`` highest-scoring docs,
+    score rounded to 6dp, ordered/tie-broken by (score desc, doc_id);
+    only documents containing at least one query term are candidates.
+
+    Plan shape: the corpus explodes to (doc, token) once; tf/df
+    aggregates run over the term-filtered subset (the filter sits
+    directly on the exploded stream, so the aggregate input is
+    |term hits|, not |tokens|); N and avgdl ride one scalar-aggregate
+    row that cross-joins (1-row broadcast) into the scoring expression.
+    Final selection is TakeOrdered. At 100 TB nothing shuffles wider
+    than the per-(doc, term) hit counts.
+    """
+    t = tokens(F.col(text_col))
+    toks = documents.select(
+        F.col(id_col).alias("doc_id"), F.explode(t).alias("token")
+    )
+    dl = documents.select(
+        F.col(id_col).alias("doc_id"), F.size(t).cast("double").alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    hits = toks.filter(F.col("token").isin(terms))
+    tf = hits.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    contrib = idf * (F.col("tf") * (k1 + 1.0)) / denom
+    return (
+        tf.join(F.broadcast(df_t), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.round(F.sum(contrib), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(top_n)
+    )
+
+
+def chunk_documents(
+    documents: DataFrame,
+    size: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window document chunking (the RAG-ingestion primitive):
+    token windows of ``size`` starting every ``stride`` tokens, so
+    consecutive chunks overlap by ``size - stride``.
+
+    (doc_id, chunk_id, start_pos, n_tokens, chunk_text) — chunk_id is the
+    0-based window index, start_pos its 0-based token offset; a document
+    with n ≤ size tokens yields exactly one chunk. Number of chunks is
+    ``1 + ceil((n - size)/stride)`` for n > size — the last window may be
+    shorter than ``size`` but never empty, and every token is covered.
+
+    Plan shape: pure per-row explode (sequence → transform → posexplode
+    of array slices); |chunks|-proportional output, no joins, no windows
+    — embarrassingly parallel at any scale.
+    """
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    n_chunks = F.when(n <= size, F.lit(1)).otherwise(
+        F.lit(1) + F.ceil((n - F.lit(size)) / F.lit(stride)).cast("int")
+    )
+    base = documents.select(F.col(id_col).alias("doc_id"), t.alias("_t"), n_chunks.alias("_nc"))
+    return base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("_nc") - 1),
+                lambda i: F.slice(F.col("_t"), i * stride + 1, size),
+            )
+        ).alias("chunk_id", "_chunk"),
+    ).select(
+        "doc_id",
+        "chunk_id",
+        (F.col("chunk_id") * stride).alias("start_pos"),
+        F.size("_chunk").cast("long").alias("n_tokens"),
+        F.array_join("_chunk", " ").alias("chunk_text"),
+    )

@@ -2628,6 +2628,94 @@ def _betweenness_q(s: SparkSession, d: str) -> DataFrame:
 register("q_graph_betweenness", _betweenness_q, None)
 
 
+# BM25 retrieval scoring against a fixed term set (Lucene's non-negative
+# idf variant); constants interpolated from the same Python floats on
+# both sides so the arithmetic is bit-identical before rounding
+_BM25_TERMS = ["hash", "join", "window"]
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _bm25_oracle(terms: list[str], k1: float, b: float) -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return _q_docs(
+        f"""
+        , tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+        dl AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM toks),
+        st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+               WHERE token IN ({tlist}) GROUP BY 1, 2),
+        dft AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1)
+        SELECT doc_id, n_hits, score FROM (
+          SELECT tf.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+                 ROUND(SUM(
+                   ln(1.0 + (st.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                   * (tf.tf * ({k1!r} + 1.0))
+                   / (tf.tf + {k1!r} * (1.0 - {b!r} + {b!r} * dl.dl / st.avgdl))
+                 ), 6) AS score
+          FROM tf JOIN dft USING (token) JOIN dl USING (doc_id) CROSS JOIN st
+          GROUP BY tf.doc_id)
+        ORDER BY score DESC, doc_id LIMIT 100
+        """
+    )
+
+
+register(
+    "q_text_bm25",
+    lambda s, d: textstats.bm25_scores(
+        _docs(s, d), terms=_BM25_TERMS, k1=_BM25_K1, b=_BM25_B, top_n=100
+    ),
+    _bm25_oracle(_BM25_TERMS, _BM25_K1, _BM25_B),
+)
+
+
+# sliding-window document chunking (RAG ingestion): 64-token windows
+# every 48 tokens (16-token overlap)
+_CHUNK_SIZE, _CHUNK_STRIDE = 64, 48
+
+register(
+    "q_text_chunks",
+    lambda s, d: textstats.chunk_documents(
+        _docs(s, d), size=_CHUNK_SIZE, stride=_CHUNK_STRIDE
+    ),
+    _q_docs(
+        f"""
+        , tc AS (SELECT doc_id, t, len(t) AS n FROM toks),
+        nc AS (SELECT doc_id, t,
+                      CASE WHEN n <= {_CHUNK_SIZE} THEN 1
+                           ELSE 1 + CAST(ceiling((n - {_CHUNK_SIZE}) / {_CHUNK_STRIDE}.0) AS INT)
+                      END AS n_chunks
+               FROM tc),
+        ch AS (SELECT doc_id, CAST(g.i - 1 AS INT) AS chunk_id, t
+               FROM nc, LATERAL unnest(generate_series(1, n_chunks)) AS g(i))
+        SELECT doc_id, chunk_id,
+               chunk_id * {_CHUNK_STRIDE} AS start_pos,
+               CAST(len(list_slice(t, chunk_id * {_CHUNK_STRIDE} + 1,
+                                   chunk_id * {_CHUNK_STRIDE} + {_CHUNK_SIZE})) AS BIGINT) AS n_tokens,
+               array_to_string(list_slice(t, chunk_id * {_CHUNK_STRIDE} + 1,
+                                          chunk_id * {_CHUNK_STRIDE} + {_CHUNK_SIZE}), ' ') AS chunk_text
+        FROM ch
+        """
+    ),
+)
+
+
+def _pca_q(s: SparkSession, d: str) -> DataFrame:
+    """Top-16 PCA projection of the embedding table in posexploded scalar
+    shape — (vec_id, dim, value) — because the driver's pandas
+    canonicalization can't sort array columns (rows-only: float-sum
+    partials make exact values partition-order dependent; parity with
+    numpy PCA and all spectral invariants pinned in
+    tests/test_pipeline_ops.py::test_pca_matches_numpy_and_invariants)."""
+    from .operators.pca import pca_project
+
+    return pca_project(_ref(s, d).embeddings, k=16).select(
+        "vec_id", F.posexplode("proj").alias("dim", "value")
+    ).select("vec_id", "dim", F.round("value", 6).alias("value"))
+
+
+register("q_emb_pca", _pca_q, None)
+
+
 # --- driver-window ordering -------------------------------------------------
 #
 # The verify driver hash-checks the FIRST 50 entries of ``oracle_sql()`` in

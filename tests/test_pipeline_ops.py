@@ -942,3 +942,47 @@ def test_temperature_fractions_properties(spark):
     assert abs(got["big"] / 3200 - t3["big"]) < 0.05  # hash-sampling noise
     with pytest.raises(ValueError):
         temperature_fractions({}, 2.0)
+
+
+def test_pca_matches_numpy_and_invariants(spark):
+    """pca_fit parity with a straight numpy PCA on the collected table:
+    same eigenvalues, same (sign-canonicalized) components, orthonormal,
+    variance-ordered; projection = centered matmul."""
+    import numpy as np
+
+    from graph_database_application_for_recommendations_spark.operators.pca import (
+        pca_fit,
+        pca_project,
+    )
+    from graph_database_application_for_recommendations_spark.sources.views import (
+        load_ref_tables,
+    )
+
+    from .conftest import SF_SMALL
+
+    emb = load_ref_tables(spark, SF_SMALL).embeddings
+    mean, comps, ev = pca_fit(emb, k=8)
+    X = np.asarray(
+        [r["embedding"] for r in emb.select("embedding").collect()], dtype=np.float64
+    )
+    ref_mean = X.mean(axis=0)
+    ref_cov = np.cov(X, rowvar=False)
+    ref_evals, ref_evecs = np.linalg.eigh(ref_cov)
+    ref_top = np.sort(ref_evals)[::-1][:8]
+    assert np.allclose(mean, ref_mean, atol=1e-9)
+    assert np.allclose(ev, ref_top, atol=1e-9)
+    # orthonormal rows, decreasing variance
+    assert np.allclose(comps @ comps.T, np.eye(8), atol=1e-9)
+    assert all(ev[i] >= ev[i + 1] - 1e-12 for i in range(7))
+    # sign canonicalization: the largest-|entry| coordinate is positive
+    for row in comps:
+        assert row[int(np.argmax(np.abs(row)))] > 0
+    # projection parity on a few rows
+    got = {r["vec_id"]: np.asarray(r["proj"]) for r in pca_project(emb, k=8).collect()}
+    ids = emb.select("vec_id", "embedding").collect()
+    for r in ids[:10]:
+        want = (np.asarray(r["embedding"]) - mean) @ comps.T
+        assert np.allclose(got[r["vec_id"]], want, atol=1e-9)
+    # projected variance along component 0 equals the top eigenvalue
+    P = np.asarray([got[r["vec_id"]] for r in ids])
+    assert np.isclose(P[:, 0].var(ddof=1), ev[0], rtol=1e-6)
