@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "q_events_retention",
     "q_events_funnel",
     "q_events_anomaly",
+    "q_events_gapfill",
 ]
 
 # the iterative pipeline (FastRP -> KNN -> LPA) is measured as one unit,

@@ -362,3 +362,57 @@ def value_anomalies(events: DataFrame, z: float = 3.0) -> DataFrame:
             F.round(zscore, 6).alias("zscore"),
         )
     )
+
+
+def resample_forward_fill(events: DataFrame, minutes: int = 60) -> DataFrame:
+    """Gap-filled regular resampling with forward fill — the hypertable
+    ``time_bucket_gapfill`` + ``locf`` analog: per event_type, an
+    unbroken ``minutes``-grain grid from the stream's first to last
+    bucket, carrying the last observed mean ``value`` across empty
+    buckets.
+
+    (event_type, bucket_us, value, is_gap): ``value`` is the bucket's
+    mean (6dp) or the previous bucket's carried value; ``is_gap`` marks
+    carried rows. A type's leading buckets before its first observation
+    stay NULL (nothing to carry).
+
+    Plan shape: one (type, bucket) aggregate over the scan, a 1-row
+    global-bounds broadcast, a per-type grid explode (grid size is
+    span/step — a property of TIME, not data volume), and ONE window
+    partitioned by event_type over that grid. At 100 TB the only
+    unbounded-data operator is the initial aggregate; everything after
+    runs on the time-bounded grid.
+    """
+    from pyspark.sql import Window
+
+    width = minutes * US_PER_MIN
+    bucket = (F.unix_micros("ts") - F.unix_micros("ts") % width).alias("bucket_us")
+    obs = events.select("event_type", bucket, "value").groupBy(
+        "event_type", "bucket_us"
+    ).agg(F.round(F.avg("value"), 6).alias("_obs"))
+    bounds = obs.agg(
+        F.min("bucket_us").alias("_lo"), F.max("bucket_us").alias("_hi")
+    )
+    grid = (
+        obs.select("event_type")
+        .distinct()
+        .join(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("_lo"), F.col("_hi"), F.lit(width))
+            ).alias("bucket_us"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_us")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    joined = grid.join(obs, ["event_type", "bucket_us"], "left")
+    return joined.select(
+        "event_type",
+        "bucket_us",
+        F.last("_obs", ignorenulls=True).over(w).alias("value"),
+        F.col("_obs").isNull().alias("is_gap"),
+    )

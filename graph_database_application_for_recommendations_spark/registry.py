@@ -2716,6 +2716,32 @@ def _pca_q(s: SparkSession, d: str) -> DataFrame:
 register("q_emb_pca", _pca_q, None)
 
 
+# gap-filled regular resampling with forward fill (the hypertable
+# time_bucket_gapfill + locf analog)
+register(
+    "q_events_gapfill",
+    lambda s, d: events.resample_forward_fill(_ref(s, d).events, minutes=60),
+    """
+    WITH obs AS (
+      SELECT event_type,
+             (epoch_us(ts) - epoch_us(ts) % 3600000000) AS bucket_us,
+             ROUND(AVG(value), 6) AS obs
+      FROM events GROUP BY 1, 2),
+    bounds AS (SELECT MIN(bucket_us) AS lo, MAX(bucket_us) AS hi FROM obs),
+    grid AS (
+      SELECT t.event_type, g.b AS bucket_us
+      FROM (SELECT DISTINCT event_type FROM obs) t, bounds,
+           LATERAL unnest(generate_series(bounds.lo, bounds.hi, 3600000000)) AS g(b))
+    SELECT g.event_type, g.bucket_us,
+           last_value(o.obs IGNORE NULLS) OVER (
+             PARTITION BY g.event_type ORDER BY g.bucket_us
+             ROWS UNBOUNDED PRECEDING) AS value,
+           o.obs IS NULL AS is_gap
+    FROM grid g LEFT JOIN obs o USING (event_type, bucket_us)
+    """,
+)
+
+
 # --- driver-window ordering -------------------------------------------------
 #
 # The verify driver hash-checks the FIRST 50 entries of ``oracle_sql()`` in

@@ -389,3 +389,39 @@ def test_eigenvector_centrality_invariants(spark):
     leaves = [x[i] for i in range(3, 6)]
     assert max(leaves) - min(leaves) < 1e-9
     assert x[1] > x[3]  # the extra edge raises 1 and 2 above plain leaves
+
+
+def test_resample_forward_fill_semantics(spark):
+    """Carried values across gaps, is_gap flags, and per-type leading
+    NULLs before the type's first observation."""
+    from datetime import datetime
+
+    from graph_database_application_for_recommendations_spark.operators.events import (
+        resample_forward_fill,
+    )
+
+    h = 3_600_000_000
+    rows = [
+        # type a: hours 0 and 3 observed -> 1,2 carried
+        (1, "a", 10.0, 0), (2, "a", 30.0, 3),
+        # type b: first observation at hour 2 -> hours 0,1 leading NULL
+        (3, "b", 5.0, 2), (4, "b", 7.0, 3),
+    ]
+    ev = spark.createDataFrame(
+        [(i, t, v, datetime(2024, 1, 1, hh)) for i, t, v, hh in rows],
+        "event_id LONG, event_type STRING, value DOUBLE, ts TIMESTAMP",
+    )
+    got = {
+        (r["event_type"], r["bucket_us"]): (r["value"], r["is_gap"])
+        for r in resample_forward_fill(ev, minutes=60).collect()
+    }
+    base = min(b for (_, b) in got)
+    assert len(got) == 8  # 2 types x 4 hour grid
+    assert got[("a", base)] == (10.0, False)
+    assert got[("a", base + h)] == (10.0, True)
+    assert got[("a", base + 2 * h)] == (10.0, True)
+    assert got[("a", base + 3 * h)] == (30.0, False)
+    assert got[("b", base)] == (None, True)
+    assert got[("b", base + h)] == (None, True)
+    assert got[("b", base + 2 * h)] == (5.0, False)
+    assert got[("b", base + 3 * h)] == (7.0, False)
