@@ -31,6 +31,7 @@ BENCH_QUERIES = [
     "q_node_similarity",
     "q_node_similarity_aa",
     "q_node_similarity_overlap",
+    "q_item_similarity",
     "q_eigenvector",
     "q_ppr",
     "q_knn_topk",

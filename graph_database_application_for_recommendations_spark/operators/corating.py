@@ -227,3 +227,66 @@ def node_similarity_adamic_adar(
         .filter(F.col("_rn") <= top_k)
         .drop("_rn")
     )
+
+
+def item_similarity_jaccard(
+    ratings: DataFrame,
+    min_rating: int = 6,
+    cutoff: float = 0.1,
+    top_k: int | None = 10,
+    max_books_per_user: int | None = None,
+) -> DataFrame:
+    """(i1, i2, similarity): item-item Jaccard — the transpose of
+    :func:`node_similarity_jaccard`; two books are similar when the sets
+    of users who positively rated them overlap. The classic item-based
+    CF scorer (Sarwar et al., WWW 2001, public) the reference's
+    user-based recommenders don't cover.
+
+    Same shape as the user-user form with the roles swapped: the
+    intersection is a user-keyed self-join of positive ratings (each
+    user fans out by their positive-rating count — ``max_books_per_user``
+    is the skew cap mirroring ``corating_edges(max_raters_per_book=...)``,
+    off by default for the exact result), the union comes from one
+    per-book degree aggregate, ties broken by i2 ascending under top-k.
+    """
+    pos = positive_ratings(ratings, min_rating).select("user_id", "isbn")
+    if max_books_per_user is not None:
+        per_user = pos.groupBy("user_id").agg(F.count(F.lit(1)).alias("_n"))
+        pos = pos.join(
+            per_user.filter(F.col("_n") <= max_books_per_user).select("user_id"),
+            "user_id",
+            "leftsemi",
+        )
+    a = pos.select("user_id", F.col("isbn").alias("i1"))
+    b = pos.select("user_id", F.col("isbn").alias("i2"))
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("i1") != F.col("i2"))
+        .groupBy("i1", "i2")
+        .agg(F.count(F.lit(1)).alias("_w"))
+    )
+    deg = pos.groupBy("isbn").agg(F.count(F.lit(1)).alias("_deg"))
+    d1 = deg.select(F.col("isbn").alias("i1"), F.col("_deg").alias("_d1"))
+    d2 = deg.select(F.col("isbn").alias("i2"), F.col("_deg").alias("_d2"))
+    sim = (
+        inter.join(d1, "i1")
+        .join(d2, "i2")
+        .select(
+            "i1",
+            "i2",
+            F.round(
+                F.col("_w") / (F.col("_d1") + F.col("_d2") - F.col("_w")), 6
+            ).alias("similarity"),
+        )
+        .filter(F.col("similarity") >= cutoff)
+    )
+    if top_k is None:
+        return sim
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("i1").orderBy(F.desc("similarity"), F.asc("i2"))
+    return (
+        sim.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= top_k)
+        .drop("_rn")
+    )

@@ -2742,6 +2742,38 @@ register(
 )
 
 
+# item-item Jaccard similarity (Sarwar et al. item-based CF — the
+# transpose of q_node_similarity)
+register(
+    "q_item_similarity",
+    lambda s, d: corating.item_similarity_jaccard(
+        _ref(s, d).ratings, cutoff=0.1, top_k=10
+    ),
+    _q(
+        """
+        , pos AS (SELECT user_id, isbn FROM ratings WHERE rating >= 6),
+        ideg AS (SELECT isbn, COUNT(*) AS dg FROM pos GROUP BY isbn),
+        inter AS (
+          SELECT a.isbn AS i1, b.isbn AS i2, COUNT(*) AS w
+          FROM pos a JOIN pos b USING (user_id)
+          WHERE a.isbn <> b.isbn
+          GROUP BY 1, 2),
+        sim AS (
+          SELECT i1, i2,
+                 ROUND(CAST(w AS DOUBLE) / (d1.dg + d2.dg - w), 6) AS similarity
+          FROM inter
+          JOIN ideg d1 ON d1.isbn = inter.i1
+          JOIN ideg d2 ON d2.isbn = inter.i2)
+        SELECT i1, i2, similarity FROM (
+          SELECT i1, i2, similarity,
+                 ROW_NUMBER() OVER (PARTITION BY i1 ORDER BY similarity DESC, i2) AS rn
+          FROM sim WHERE similarity >= 0.1)
+        WHERE rn <= 10
+        """
+    ),
+)
+
+
 # --- driver-window ordering -------------------------------------------------
 #
 # The verify driver hash-checks the FIRST 50 entries of ``oracle_sql()`` in
