@@ -546,3 +546,64 @@ def anomaly_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def funnel_stream(
+    events: DataFrame,
+    steps: tuple[str, str, str] = ("view", "click", "purchase"),
+    within_minutes: int = 30,
+    watermark_minutes: int = 120,
+) -> DataFrame:
+    """CASCADED stream-stream interval joins: every (step1, step2, step3)
+    event triple by one user where each step falls within
+    ``within_minutes`` after the previous one — the streaming 3-step
+    funnel. One level up from ``conversions_stream``: the first join's
+    append-mode output is itself a watermarked stream the second join
+    consumes, which is the composition contract that makes multi-step
+    funnels expressible at ingest time.
+
+    (user_id, e1, e2, e3, t1_us, t2_us, t3_us) — ALL qualifying triples
+    (the bounded-interval contract; the batch ``funnel()`` operator's
+    per-user-earliest semantics need unbounded state, which is exactly
+    what a watermarked stream must not hold). Both joins bound event
+    time on both ends so Spark can expire join state at each level.
+    """
+
+    def side(step: str, n: int) -> DataFrame:
+        return (
+            events.filter(F.col("event_type") == step)
+            .select(
+                F.col("user_id").alias(f"u{n}"),
+                F.col("event_id").alias(f"e{n}"),
+                F.col("ts").alias(f"t{n}"),
+            )
+            .withWatermark(f"t{n}", f"{watermark_minutes} minutes")
+        )
+
+    s1, s2, s3 = (side(s, i + 1) for i, s in enumerate(steps))
+    # After the first join, t1 is demoted to a plain long: Spark allows at
+    # most ONE event-time column per stream, so each cascade level keeps
+    # only the column its own join state expires on (t2, then t3).
+    j12 = s1.join(
+        s2,
+        F.expr(
+            f"""u1 = u2 AND t2 > t1
+            AND t2 <= t1 + INTERVAL {within_minutes} MINUTES"""
+        ),
+    ).select("u1", "e1", "e2", F.unix_micros("t1").alias("t1_us"), "t2")
+    j123 = j12.join(
+        s3,
+        F.expr(
+            f"""u1 = u3 AND t3 > t2
+            AND t3 <= t2 + INTERVAL {within_minutes} MINUTES"""
+        ),
+    )
+    return j123.select(
+        F.col("u1").alias("user_id"),
+        "e1",
+        "e2",
+        "e3",
+        "t1_us",
+        F.unix_micros("t2").alias("t2_us"),
+        F.unix_micros("t3").alias("t3_us"),
+    )

@@ -379,3 +379,36 @@ def test_streaming_anomaly_matches_online_replay(spark, event_stream, batch_even
             m2 += d * (v - mean)
     assert _rows(got) == sorted(want)
     assert len(want) > 0  # the fixture actually exercises the rule
+
+
+def test_streaming_funnel_matches_batch_triples(spark, event_stream, batch_events, tmp_path):
+    """The cascaded stream-stream funnel must produce exactly the batch
+    set of bounded-interval (view, click, purchase) triples."""
+    # 480-minute steps: the sparse sf0.001 stream has 3 qualifying
+    # triples at that width (0 below 240) — probed, not guessed
+    got = stream_ops.run_to_memory(
+        stream_ops.funnel_stream(event_stream, within_minutes=480),
+        "t_funnel3",
+        "append",
+        str(tmp_path / "ck_fun3"),
+    )
+    us = F.unix_micros
+    w = 480 * 60 * 1_000_000
+    e = batch_events
+    s1 = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("e1"), us("ts").alias("t1")
+    )
+    s2 = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("e2"), us("ts").alias("t2")
+    )
+    s3 = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("e3"), us("ts").alias("t3")
+    )
+    want = (
+        s1.join(s2, "u").filter((F.col("t2") > F.col("t1")) & (F.col("t2") <= F.col("t1") + w))
+        .join(s3, "u").filter((F.col("t3") > F.col("t2")) & (F.col("t3") <= F.col("t2") + w))
+        .select(F.col("u").alias("user_id"), "e1", "e2", "e3",
+                F.col("t1").alias("t1_us"), F.col("t2").alias("t2_us"), F.col("t3").alias("t3_us"))
+    )
+    assert _rows(got) == _rows(want)
+    assert want.count() > 0  # fixture exercises the cascade
