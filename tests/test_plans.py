@@ -401,3 +401,27 @@ def test_hits_half_round_is_exchange_free(spark):
         assert "HashAggregate" in above_cache and "BroadcastHashJoin" in above_cache
         assert "Exchange hashpartitioning" not in above_cache, part_key
         cached.unpersist(blocking=False)
+
+
+def test_kcore_round_uses_cached_edges_and_semi_joins(spark):
+    """A k-core peel round (edge list semi-joined on both endpoints →
+    degree aggregate) must build from semi-joins, not inner joins that
+    would duplicate edges per surviving-node match."""
+    from pyspark.sql import functions as F
+
+    e = spark.createDataFrame(
+        [(a, b) for a in range(6) for b in range(6) if a != b],
+        "src LONG, dst LONG",
+    )
+    nodes = e.select(F.col("src").alias("node_id")).distinct().limit(4)
+    plan = (
+        e.join(nodes.withColumnRenamed("node_id", "src"), "src", "leftsemi")
+        .join(nodes.withColumnRenamed("node_id", "dst"), "dst", "leftsemi")
+        .groupBy(F.col("src").alias("node_id"))
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .treeString()
+    )
+    assert plan.count("LeftSemi") == 2
+    assert "HashAggregate" in plan
