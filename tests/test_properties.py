@@ -214,3 +214,32 @@ def test_pagerank_is_probability_distribution(spark, edges):
     assert set(got) == {n for e in sym for n in e}
     assert all(v > 0 for v in got.values())
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+@given(
+    lengths=st.lists(st.integers(min_value=1, max_value=50), min_size=1, max_size=40),
+    q=st.sampled_from([0.1, 0.25, 0.5, 0.9]),
+)
+@settings(max_examples=8, deadline=None)
+def test_length_quantile_keep_properties(spark, lengths, q):
+    """Histogram-quantile filter invariants: every kept doc is at least as
+    long as every dropped doc; the kept fraction is >= 1 - q; and ties at
+    the threshold are all kept (no arbitrary tie splitting)."""
+    import math
+
+    from graph_database_application_for_recommendations_spark.operators.textstats import (
+        length_quantile_keep,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in enumerate(lengths)],
+        "doc_id LONG, text STRING",
+    )
+    kept = {r["doc_id"]: r["n_tokens"] for r in length_quantile_keep(docs, q=q).collect()}
+    dropped = {i: n for i, n in enumerate(lengths) if i not in kept}
+    assert len(kept) + len(dropped) == len(lengths)
+    if kept and dropped:
+        assert min(kept.values()) >= max(dropped.values())
+    assert len(kept) >= len(lengths) - math.ceil(q * len(lengths)) - 0
+    # tie consistency: any length present among kept docs is never dropped
+    assert not (set(kept.values()) & set(dropped.values()))
