@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "q_text_length_filter",
     "q_corpus_clean",
     "q_corpus_train_ready",
+    "q_corpus_profile",
     "q_corpus_sample_weighted",
     "q_corpus_pack",
     "q_corpus_vocab",

@@ -533,3 +533,61 @@ def chunk_documents(
         F.size("_chunk").cast("long").alias("n_tokens"),
         F.array_join("_chunk", " ").alias("chunk_text"),
     )
+
+
+def corpus_profile(documents: DataFrame) -> DataFrame:
+    """ONE summary row profiling the whole corpus — the daily inspection
+    query a data engineer runs before/after every pipeline stage:
+    (n_docs, total_tokens, distinct_fingerprints, dup_fraction, n_langs,
+    n_sources, mean_tokens, p50_chars).
+
+    - dup_fraction: 1 − distinct canonical fingerprints / docs (the
+      exact-dedup signal at zero extra cost);
+    - p50_chars: exact integer median via the same value-histogram
+      technique as :func:`length_quantile_keep` — no interpolation.
+
+    Plan shape: one scan feeding map-side-combinable aggregates; the
+    only window sits over the distinct-n_chars histogram. Single-row
+    output: the cheapest possible driver round-trip at any corpus size.
+    """
+    from ..functions.text import canonical_fingerprint
+
+    base = documents.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        canonical_fingerprint(F.col("text")).alias("_fp"),
+    )
+    hist = base.groupBy("n_chars").agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
+    med = (
+        hist.select(
+            "n_chars",
+            F.sum("_c").over(w).alias("_cum"),
+            F.sum("_c").over(Window.partitionBy()).alias("_n"),
+        )
+        .filter(F.col("_cum") >= F.ceil(F.col("_n") / 2))
+        .agg(F.min("n_chars").alias("p50_chars"))
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.countDistinct("_fp").alias("distinct_fingerprints"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.round(F.avg("n_tokens"), 6).alias("mean_tokens"),
+    )
+    return stats.crossJoin(F.broadcast(med)).select(
+        "n_docs",
+        "total_tokens",
+        "distinct_fingerprints",
+        F.round(
+            F.lit(1.0) - F.col("distinct_fingerprints") / F.col("n_docs"), 6
+        ).alias("dup_fraction"),
+        "n_langs",
+        "n_sources",
+        "mean_tokens",
+        "p50_chars",
+    )

@@ -2774,6 +2774,42 @@ register(
 )
 
 
+# one-row corpus profile (the daily inspection query)
+register(
+    "q_corpus_profile",
+    lambda s, d: textstats.corpus_profile(_docs(s, d)),
+    _q_docs(
+        """
+        , fp AS (
+          SELECT doc_id, lang, source, n_chars,
+                 len(string_split(n2.norm, ' ')) AS n_tokens,
+                 md5(array_to_string(list_sort(list_distinct(string_split(n2.norm, ' '))), ' ')) AS f
+          FROM documents d JOIN norm n2 USING (doc_id)),
+        hist AS (SELECT n_chars, COUNT(*) AS c FROM fp GROUP BY n_chars),
+        med AS (
+          SELECT MIN(n_chars) AS p50_chars FROM (
+            SELECT n_chars,
+                   SUM(c) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS cum,
+                   SUM(c) OVER () AS n
+            FROM hist)
+          WHERE cum >= CEILING(n / 2.0)),
+        st AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                 CAST(COUNT(DISTINCT f) AS BIGINT) AS distinct_fingerprints,
+                 CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+                 CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+                 ROUND(AVG(n_tokens), 6) AS mean_tokens
+          FROM fp)
+        SELECT n_docs, total_tokens, distinct_fingerprints,
+               ROUND(1.0 - CAST(distinct_fingerprints AS DOUBLE) / n_docs, 6) AS dup_fraction,
+               n_langs, n_sources, mean_tokens, p50_chars
+        FROM st CROSS JOIN med
+        """
+    ),
+)
+
+
 # --- driver-window ordering -------------------------------------------------
 #
 # The verify driver hash-checks the FIRST 50 entries of ``oracle_sql()`` in
