@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "q_simsearch_lsh",
     "q_simsearch_ivf",
     "q_simsearch_pq",
+    "q_simsearch_opq",
     "q_simsearch_range",
     "q_emb_centroids",
     "q_emb_pca",

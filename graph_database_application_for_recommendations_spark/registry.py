@@ -2810,6 +2810,22 @@ register(
 )
 
 
+def _opq_q(s: SparkSession, d: str) -> DataFrame:
+    """OPQ-ADC top-k (rows-only like the other approximate ANN variants;
+    rotation orthonormality, dot-product preservation, and the 5x
+    distortion win over plain PQ on unbalanced-energy data are pinned in
+    tests/test_pipeline_ops.py::test_opq_rotation_invariants_and_recall)."""
+    from .operators.pq import topk_opq
+
+    emb = _ref(s, d).embeddings
+    return topk_opq(
+        emb.filter(F.col("vec_id") < 10), emb, k=10, m=8, rerank=4
+    )
+
+
+register("q_simsearch_opq", _opq_q, None)
+
+
 # --- driver-window ordering -------------------------------------------------
 #
 # The verify driver hash-checks the FIRST 50 entries of ``oracle_sql()`` in

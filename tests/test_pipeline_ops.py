@@ -986,3 +986,73 @@ def test_pca_matches_numpy_and_invariants(spark):
     # projected variance along component 0 equals the top eigenvalue
     P = np.asarray([got[r["vec_id"]] for r in ids])
     assert np.isclose(P[:, 0].var(ddof=1), ev[0], rtol=1e-6)
+
+
+def test_opq_rotation_invariants_and_recall(spark):
+    """OPQ (parametric, eigenvalue allocation): the rotation is
+    orthonormal and preserves dot products; on unbalanced-energy data the
+    rotated layout strictly lowers PQ quantization distortion (the OPQ
+    objective), and recall at a fixed budget does not regress beyond
+    sampling noise."""
+    import numpy as np
+
+    from graph_database_application_for_recommendations_spark.operators.pq import (
+        opq_rotation,
+        pq_encode,
+        rotate_vectors,
+        topk_opq,
+        topk_pq,
+        train_pq_codebooks,
+    )
+
+    rng = np.random.default_rng(11)
+    d, n = 32, 600
+    # skewed spectrum in NATURAL dim order: plain PQ's first subspace
+    # holds nearly all the energy — the unbalanced case eigenvalue
+    # allocation exists to fix
+    spectrum = np.exp(-np.arange(d) / 3.0)
+    X = rng.normal(size=(n, d)) * np.sqrt(spectrum)
+    emb = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(X)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    R = opq_rotation(emb, m=8)
+    assert np.allclose(R @ R.T, np.eye(d), atol=1e-8)
+    rot_df = rotate_vectors(emb, R)
+    rot = {r["vec_id"]: np.asarray(r["embedding"]) for r in rot_df.collect()}
+    for i in [0, 1, 2]:
+        for j in [3, 4]:
+            assert np.isclose(rot[i] @ rot[j], X[i] @ X[j], atol=1e-8)
+
+    # distortion: reconstruction MSE of the (normalized) corpus under
+    # each layout's trained codebooks — the quantity OPQ optimizes
+    def mse(df, mat):
+        cb = train_pq_codebooks(df, m=8, k=16, sample=600)
+        codes = {r["vec_id"]: r["codes"] for r in pq_encode(df, cb).collect()}
+        sub = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        errs = []
+        for vid, c in codes.items():
+            recon = np.concatenate([cb[j, c[j]] for j in range(8)])
+            errs.append(float(((sub[vid] - recon) ** 2).sum()))
+        return float(np.mean(errs))
+
+    Xrot = np.asarray([rot[i] for i in range(n)])
+    mse_pq, mse_opq = mse(emb, X), mse(rot_df, Xrot)
+    assert mse_opq < mse_pq, (mse_opq, mse_pq)
+
+    # recall non-regression at a fixed budget (soft: sampling noise)
+    queries = emb.filter(F.col("vec_id") < 15)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in simsearch.topk_bruteforce(queries, emb, k=5).collect()
+    }
+    kw = dict(k=5, m=8, num_centroids=16, rerank=3, sample=600)
+    pq_pairs = {
+        (r["query_id"], r["neighbor_id"]) for r in topk_pq(queries, emb, **kw).collect()
+    }
+    opq_pairs = {
+        (r["query_id"], r["neighbor_id"]) for r in topk_opq(queries, emb, **kw).collect()
+    }
+    r_pq = len(exact & pq_pairs) / len(exact)
+    r_opq = len(exact & opq_pairs) / len(exact)
+    assert r_opq >= r_pq - 0.08, (r_opq, r_pq)
