@@ -2835,16 +2835,48 @@ register("q_simsearch_opq", _opq_q, None)
 # tail forever, so both ``queries()`` and ``oracle_sql()`` are returned
 # sorted by (driver attestation count, registration index): queries the
 # driver has never hash-checked come first, then once-checked, then the
-# twice-green ones.  ``_DRIVER_ATTESTATIONS`` is the per-round maintenance
-# point — after each round, bump the counts from CORRECTNESS_r{N}.json
-# (queries absent from the dict — i.e. newly registered — count as 0 and
-# therefore land at the front of the next window).
+# twice-green ones.
 #
-# ``q_events_asof`` is pinned to 0 despite a green r1 row: the operator was
-# rewritten after that row (directions/tolerance), so the old attestation no
-# longer covers the current code.
+# Attestation counts are read AUTOMATICALLY from the driver's own
+# CORRECTNESS_r*.json artifacts in the repo root (a green hash row = one
+# attestation), so no per-round maintenance is needed: newly registered
+# queries have no rows and land at the front of the next window.
+# ``_ATTESTATIONS_STALE_BEFORE`` handles operator rewrites: rows from
+# rounds before the given number no longer cover the current code
+# (q_events_asof was rewritten in round 2 after its green r1 row).
+# ``_DRIVER_ATTESTATIONS_FALLBACK`` is used only if no artifacts can be
+# read (e.g. the package imported outside the repo).
 
-_DRIVER_ATTESTATIONS: dict[str, int] = {
+_ATTESTATIONS_STALE_BEFORE: dict[str, int] = {"q_events_asof": 2}
+
+
+def _count_attestations() -> dict[str, int] | None:
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    counts: dict[str, int] = {}
+    files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    if not files:
+        return None
+    try:
+        for path in files:
+            m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+            rnd = int(m.group(1)) if m else 0
+            with open(path) as fh:
+                rows = json.load(fh)
+            for name, row in rows.items():
+                if rnd < _ATTESTATIONS_STALE_BEFORE.get(name, 0):
+                    continue
+                if isinstance(row, dict) and row.get("hash_match") and not row.get("err"):
+                    counts[name] = counts.get(name, 0) + 1
+    except (OSError, ValueError, KeyError):
+        return None
+    return counts
+
+_DRIVER_ATTESTATIONS_FALLBACK: dict[str, int] = {
     "q_etl_filter_ratings": 2,
     "q_etl_semijoin_users": 2,
     "q_etl_semijoin_books": 2,
@@ -2907,6 +2939,11 @@ _DRIVER_ATTESTATIONS: dict[str, int] = {
     "q_events_distinct_users": 1,
     "q_events_json": 1,
 }
+
+
+_DRIVER_ATTESTATIONS: dict[str, int] = (
+    _count_attestations() or _DRIVER_ATTESTATIONS_FALLBACK
+)
 
 
 def _window_order() -> list[str]:
