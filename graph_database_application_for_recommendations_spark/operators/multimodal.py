@@ -193,14 +193,122 @@ def _decode_png(payload: bytes) -> dict:
     }
 
 
+def _lzw_decode(min_code_size: int, data: bytes, max_out: int) -> bytes:
+    """GIF-variant LZW (variable-width codes, LSB-first bit packing,
+    clear/end codes, 12-bit cap) — pure stdlib."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(clear)}
+    next_code = end + 1
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos = 0
+    total_bits = len(data) * 8
+    while bitpos + code_size <= total_bits and len(out) < max_out:
+        byte_i, bit_o = divmod(bitpos, 8)
+        window = int.from_bytes(data[byte_i : byte_i + 4], "little")
+        code = (window >> bit_o) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            table = {i: bytes([i]) for i in range(clear)}
+            next_code = end + 1
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+            if next_code < 4096:
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+        elif code == next_code:
+            entry = prev + prev[:1]
+            table[next_code] = entry
+            next_code += 1
+        else:
+            raise ValueError("corrupt LZW code stream")
+        if next_code == (1 << code_size) and code_size < 12:
+            code_size += 1
+        out += entry
+        prev = entry
+    return bytes(out[:max_out])
+
+
+def _decode_gif(payload: bytes) -> dict:
+    """Pure-stdlib GIF87a/89a decode: logical screen descriptor, color
+    tables, extension-block skip, first image frame through full LZW
+    (variable-width codes, clear/end, 12-bit dictionary cap). Interlaced
+    frames need NO special casing here: interlace only permutes row
+    order, and every extracted feature (dimensions, mean over pixel
+    values) is row-order invariant."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = b""
+    if flags & 0x80:
+        n = 3 * (2 << (flags & 0x07))
+        gct = payload[pos : pos + n]
+        pos += n
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:  # extension: label + sub-block chain
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            _l, _t, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
+            pos += 10
+            table = gct
+            if iflags & 0x80:
+                n = 3 * (2 << (iflags & 0x07))
+                table = payload[pos : pos + n]
+                pos += n
+            mcs = payload[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(payload) and payload[pos] != 0:
+                n = payload[pos]
+                data += payload[pos + 1 : pos + 1 + n]
+                pos += 1 + n
+            idx = _lzw_decode(mcs, bytes(data), w * h)
+            if len(idx) < w * h:
+                raise ValueError(f"truncated GIF raster: {len(idx)} < {w * h}")
+            if not table:
+                raise ValueError("GIF frame without a color table")
+            rgb_sum = sum(
+                table[3 * i] + table[3 * i + 1] + table[3 * i + 2] for i in idx
+            )
+            return {
+                "width": w,
+                "height": h,
+                "channels": 3,
+                "mean_value": round(rgb_sum / (3 * w * h), 6),
+            }
+        elif block == 0x3B:  # trailer before any image frame
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF contains no image frame")
+
+
 def _decode_image(payload: bytes) -> dict:
     """Pure-stdlib image decode for the formats that need no imaging lib:
-    binary PPM (P6), uncompressed 24/32-bit BMP, and 8-bit non-interlaced
-    PNG (zlib inflate + scanline defilter — stdlib zlib, no imaging lib).
+    binary PPM (P6), uncompressed 24/32-bit BMP, 8-bit non-interlaced
+    PNG (zlib inflate + scanline defilter), and GIF87a/89a (full LZW).
     JPEG (DCT) raises NotImplementedError and routes to byte-level
     features — honestly environment-limited, as before."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(payload)
     if payload[:2] == b"P6":
         vals: list[int] = []
         i = 2
@@ -244,7 +352,7 @@ def _decode_image(payload: bytes) -> dict:
             "mean_value": round(sum(raster) / len(raster), 6) if raster else 0.0,
         }
     raise NotImplementedError(
-        "only PPM(P6)/uncompressed BMP decode without an imaging library"
+        "only PPM(P6)/uncompressed BMP/PNG/GIF decode without an imaging library"
     )
 
 

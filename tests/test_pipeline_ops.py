@@ -1056,3 +1056,90 @@ def test_opq_rotation_invariants_and_recall(spark):
     r_pq = len(exact & pq_pairs) / len(exact)
     r_opq = len(exact & opq_pairs) / len(exact)
     assert r_opq >= r_pq - 0.08, (r_opq, r_pq)
+
+
+def _lzw_encode(min_code_size, indices):
+    """Reference GIF-LZW encoder (test-side only): standard greedy
+    longest-match with dictionary growth and 12-bit reset."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    out_codes = [clear]
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    code_size = min_code_size + 1
+    sizes = []
+    buf = b""
+    for ix in indices:
+        cand = buf + bytes([ix])
+        if cand in table:
+            buf = cand
+            continue
+        sizes.append((table[buf], code_size))
+        table[cand] = next_code
+        next_code += 1
+        # the decoder adds NO entry for the first code after a clear, so
+        # its table lags the encoder's by one — the encoder must widen one
+        # code later (strictly-greater, not ==) to stay in sync
+        if next_code > (1 << code_size) and code_size < 12:
+            code_size += 1
+        buf = bytes([ix])
+    sizes.append((table[buf], code_size))
+    sizes.append((end, code_size))
+    # prepend the initial clear at the initial width
+    bits = []
+    allc = [(clear, min_code_size + 1)] + sizes
+    acc, nacc = 0, 0
+    data = bytearray()
+    for code, cs in allc:
+        acc |= code << nacc
+        nacc += cs
+        while nacc >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+    if nacc:
+        data.append(acc & 0xFF)
+    return bytes(data)
+
+
+def _make_gif(w, h, indices, interlaced=False):
+    import struct
+
+    # 4-entry global color table (2-bit), mcs=2
+    hdr = b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | 0x01, 0, 0)
+    gct = bytes([0, 0, 0, 255, 0, 0, 0, 255, 0, 255, 255, 255])
+    desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlaced else 0)
+    lzw = _lzw_encode(2, indices)
+    blocks = b""
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    return hdr + gct + desc + b"\x02" + blocks + b"\x00" + b"\x3b"
+
+
+def test_gif_decoder_lzw_and_features(spark):
+    """Real LZW round-trip: dictionary growth, clear/end codes,
+    sub-block reassembly; mean over the color-table-mapped pixels; the
+    interlace flag changes nothing (features are row-order invariant)."""
+    from graph_database_application_for_recommendations_spark.operators import multimodal
+
+    # 8x8 with a repetitive pattern (forces dictionary growth)
+    idx = [(i // 3) % 4 for i in range(64)]
+    gif = _make_gif(8, 8, idx)
+    img = multimodal._decode_image(gif)
+    assert (img["width"], img["height"], img["channels"]) == (8, 8, 3)
+    table = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (255, 255, 255)]
+    want = sum(sum(table[i]) for i in idx) / (3 * 64)
+    assert img["mean_value"] == round(want, 6)
+    # interlaced flag: same features
+    assert multimodal._decode_image(_make_gif(8, 8, idx, interlaced=True)) == img
+    # extension blocks (e.g. GCE) are skipped
+    import struct
+
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    with_ext = gif[:13 + 12] + gce + gif[13 + 12:]
+    assert multimodal._decode_image(with_ext) == img
+    # truncated raster raises (routes to byte-feature fallback upstream)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        multimodal._decode_image(_make_gif(8, 8, idx[:10]))
