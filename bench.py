@@ -99,6 +99,11 @@ BENCH_QUERIES = [
     "q_events_funnel",
     "q_events_anomaly",
     "q_events_gapfill",
+    "q_events_cube",
+    "q_text_collocations",
+    "q_emb_hard_negatives",
+    "q_graph_walks",
+    "q_corpus_bpe",
 ]
 
 # the iterative pipeline (FastRP -> KNN -> LPA) is measured as one unit,

@@ -1,0 +1,146 @@
+"""Distributed BPE merge training (Sennrich et al. 2016, "Neural Machine
+Translation of Rare Words with Subword Units" — public literature).
+
+``build_vocabulary``/``encode_corpus`` (textstats.py) cover the frozen-
+vocabulary half of the tokenizer surface; this module covers the *training*
+half: learning the merge table itself from the corpus. The algorithm is the
+standard word-level BPE:
+
+1. aggregate the corpus to (word, count) once — everything after this step
+   is vocabulary-sized, not corpus-sized;
+2. split each word into characters plus an end-of-word marker;
+3. repeatedly (a) count adjacent symbol pairs weighted by word count,
+   (b) take the most frequent pair (ties by pair lexicographically —
+   the determinism contract), (c) merge its non-overlapping, leftmost-first
+   occurrences in every word.
+
+Scale shape: the corpus is touched exactly once (the word-count aggregate,
+map-side combinable). Each merge round then runs over the (word, symbols)
+table — bounded by |vocabulary|, shuffle keyed by the pair — and the round's
+argmax is a TakeOrdered(1). The merge *application* is a pure Catalyst
+higher-order ``aggregate`` over each word's symbol array (JVM codegen, zero
+UDFs): a left fold carrying (rebuilt-array, just-merged-flag), which yields
+exactly the leftmost-first non-overlapping semantics of the reference
+algorithm ("aaa" + merge(a,a) -> ["aa", "a"]).
+
+Pair counting counts *all* adjacent positions (overlapping included), like
+the classic implementation. The output merge table is a pure function of
+the corpus, so it is deterministic across engines and across runs; the
+cross-checked twin is a pure-Python reference implementation in
+tests/test_pipeline_ops.py (SQL cannot express the data-dependent merge
+recursion, so this is one of the documented rows-only operators).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+END_OF_WORD = "▁"  # sentencepiece-style marker; never appears in tokens
+
+
+def _adjacent_pairs(sym):
+    """All adjacent (left, right) symbol pairs of an array column."""
+    n = F.size(sym)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at(sym, i).alias("left"),
+                F.element_at(sym, i + 1).alias("right"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<left:string,right:string>>"))
+
+
+def _apply_merge(sym, left: str, right: str):
+    """Replace leftmost-first non-overlapping (left, right) runs in ``sym``
+    with the concatenated symbol — a single Catalyst fold, no UDF.
+
+    State: (out, m) where ``m`` marks "the last element of ``out`` was
+    produced by a merge this round" — the guard that makes "aaa" merge to
+    ["aa", "a"] instead of chain-merging overlaps.
+    """
+    merged = left + right
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"), F.lit(False).alias("m")
+    )
+
+    def step(s, x):
+        can = (
+            (~s["m"])
+            & (F.size(s["out"]) >= 1)
+            & (F.element_at(s["out"], -1) == F.lit(left))
+            & (x == F.lit(right))
+        )
+        took = F.struct(
+            F.concat(
+                F.slice(s["out"], 1, F.size(s["out"]) - 1), F.array(F.lit(merged))
+            ).alias("out"),
+            F.lit(True).alias("m"),
+        )
+        kept = F.struct(
+            F.concat(s["out"], F.array(x)).alias("out"), F.lit(False).alias("m")
+        )
+        return F.when(can, took).otherwise(kept)
+
+    return F.aggregate(sym, init, step, lambda s: s["out"])
+
+
+def bpe_merges(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_merges: int = 8,
+) -> DataFrame:
+    """Learn the first ``num_merges`` BPE merges from the corpus:
+    (rank, left, right, pair_count), rank starting at 1 in merge order.
+
+    Ties on pair frequency break by (left, right) ascending, making the
+    whole table a deterministic function of the corpus. Each round costs
+    one pair-count aggregate over the vocabulary-sized symbol table plus a
+    1-row TakeOrdered collect; the symbol table is re-pinned per round
+    (``materialize``), so plans stay flat and no session-lifetime cache
+    survives the call.
+    """
+    from ..plans import materialize
+
+    spark = documents.sparkSession
+    words = (
+        documents.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    # split(limit=-1) keeps the trailing empty string Java's split drops —
+    # filter it so symbols are exactly the word's characters + the marker
+    sym = F.concat(
+        F.filter(F.split(F.col("word"), "(?!^)"), lambda x: F.length(x) > 0),
+        F.array(F.lit(END_OF_WORD)),
+    )
+    cur = materialize(words.select("wc", sym.alias("sym")))
+    merges: list[tuple[int, str, str, int]] = []
+    prev: DataFrame | None = None
+    for rank in range(1, num_merges + 1):
+        top = (
+            cur.select(F.explode(_adjacent_pairs(F.col("sym"))).alias("p"), "wc")
+            .groupBy("p.left", "p.right")
+            .agg(F.sum("wc").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), F.asc("left"), F.asc("right"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        row = top[0]
+        merges.append((rank, row["left"], row["right"], int(row["pair_count"])))
+        nxt = materialize(
+            cur.select("wc", _apply_merge(F.col("sym"), row["left"], row["right"]).alias("sym")),
+            supersedes=prev,
+        )
+        prev, cur = cur, nxt
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count long"
+    )

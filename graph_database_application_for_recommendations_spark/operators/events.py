@@ -169,6 +169,35 @@ def daily_rollup(events: DataFrame) -> DataFrame:
     )
 
 
+def cube_counts(events: DataFrame) -> DataFrame:
+    """Full CUBE over (day, event_type): all four grouping sets — (day,
+    type), (day), (type), () — in one pass, completing the grouping-sets
+    surface next to ``daily_rollup`` (which only descends the hierarchy).
+
+    (day_us, event_type, g_day, g_type, n, sum_value): ``g_*`` are the
+    standard ``GROUPING()`` flags (1 = the column is aggregated away at
+    this grain), so consumers can distinguish a rolled-up NULL from a
+    NULL data value without guessing. Day boundaries are epoch floors
+    (timezone-proof like the rest of this module).
+
+    Plan: one hash aggregate over an Expand of the four grouping sets —
+    map-side combinable per set, output bounded by |days|·|types|, so the
+    cube costs one scan at any corpus size.
+    """
+    day_us = 86_400 * 1_000_000
+    day = (F.unix_micros("ts") - F.unix_micros("ts") % day_us).alias("day_us")
+    return (
+        events.select(day, "event_type", "value")
+        .cube("day_us", "event_type")
+        .agg(
+            F.grouping("day_us").cast("int").alias("g_day"),
+            F.grouping("event_type").cast("int").alias("g_type"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
 def user_event_analytics(events: DataFrame, top_per_user: int = 3) -> DataFrame:
     """Analytic-window family over events: per user, the top-N events by
     value with their rank, the value delta to the user's previous event in

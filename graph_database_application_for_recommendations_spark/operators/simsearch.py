@@ -103,6 +103,51 @@ def range_search(
     )
 
 
+def hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lo: float = 0.05,
+    hi: float = 0.35,
+    k: int = 10,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: per query,
+    the top-``k`` corpus vectors whose cosine falls in the annulus
+    ``[lo, hi)`` — similar enough to be informative negatives, below the
+    near-duplicate band that would poison the loss (the "hard negative"
+    recipe of DPR / SimCSE-style pipelines, public literature).
+
+    (query_id, neighbor_id, similarity); the band test runs on the shared
+    6dp-rounded similarity so engines cannot disagree on boundary pairs,
+    and ties break by neighbor id.
+
+    Plan shape = ``range_search``: the query block broadcasts (|Q| small
+    by contract) and the corpus never shuffles — one BroadcastNestedLoop
+    pass with the band filter applied inside the join, then a per-query
+    top-k window over only the in-band survivors. For corpus-×-corpus
+    negative mining swap the candidate generator for the LSH bucketing of
+    ``embedding_neardup_lsh`` and keep the same band filter + window.
+    """
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    q = _normed(queries, id_col, vec_col, "query_id")
+    c = _normed(corpus, id_col, vec_col, "neighbor_id").repartition(par)
+    banded = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(V.dot(F.col("_query_id_v"), F.col("_neighbor_id_v")), V.SIM_SCALE).alias(
+                "similarity"
+            ),
+        )
+        .filter((F.col("similarity") >= lo) & (F.col("similarity") < hi))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("similarity"), F.asc("neighbor_id"))
+    return banded.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")
+
+
 def label_centroids(
     embeddings: DataFrame,
     label_col: str = "label",

@@ -190,6 +190,73 @@ def tfidf_top_terms(
     ).drop("_rn")
 
 
+def collocations_pmi(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Corpus-level collocation mining: the ``top_k`` adjacent token pairs
+    by pointwise mutual information (Church & Hanks 1990, public) among
+    pairs occurring at least ``min_count`` times.
+
+    (w1, w2, pair_count, pmi) with ``pmi = ln(p(w1,w2) / (p(w1)·p(w2)))``
+    where pair probability is over bigram positions and token probability
+    over token positions; 6dp-rounded, ties by (w1, w2).
+
+    Plan shape: one token explode and one bigram explode (each linear in
+    corpus tokens) feeding map-side-combinable hash aggregates keyed by
+    token / pair; the two corpus totals ride a single 1-row aggregate
+    each and broadcast back as literal-free 1-row build sides. The pair
+    table is ``min_count``-filtered *before* the unigram joins, so join
+    input is the (vocab²-bounded, in practice tiny) collocation candidate
+    set, never the corpus. Selection is a global TakeOrdered of
+    ``top_k`` rows — no full sort.
+    """
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    base = documents.repartition(par).select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_t")
+    )
+    n = F.size(F.col("_t"))
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("_t"), i).alias("w1"),
+                F.element_at(F.col("_t"), i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    tok = base.select(F.explode("_t").alias("token"))
+    uni = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c_tok"))
+    total_tok = uni.agg(F.sum("c_tok").alias("n_tok"))
+    bg = base.select(F.explode(bigrams).alias("b")).select("b.w1", "b.w2")
+    pair = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
+    total_pair = pair.agg(F.sum("pair_count").alias("n_pair"))
+    cand = pair.filter(F.col("pair_count") >= min_count)
+    scored = (
+        cand.join(uni.withColumnRenamed("token", "w1").withColumnRenamed("c_tok", "_c1"), "w1")
+        .join(uni.withColumnRenamed("token", "w2").withColumnRenamed("c_tok", "_c2"), "w2")
+        .crossJoin(F.broadcast(total_tok))
+        .crossJoin(F.broadcast(total_pair))
+        .select(
+            "w1",
+            "w2",
+            "pair_count",
+            F.round(
+                F.log(
+                    (F.col("pair_count") * F.col("n_tok").cast("double") * F.col("n_tok"))
+                    / (F.col("n_pair").cast("double") * F.col("_c1") * F.col("_c2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")).limit(top_k)
+
+
 def source_stats(documents: DataFrame) -> DataFrame:
     """(source, n_docs, avg_chars, total_tokens): corpus profile by source."""
     return (

@@ -226,3 +226,65 @@ def bfs_distances(
         frontier = pinned.select("node_id")
     e.unpersist(blocking=False)
     return dist
+
+
+def random_walks(
+    ratings: DataFrame, steps: int = 3, start_mod: int = 20, seed: int = 7
+) -> DataFrame:
+    """Deterministic hash-seeded random walks on the bipartite rating graph
+    — the DeepWalk/node2vec corpus-generation step (Perozzi et al. 2014,
+    Grover & Leskovec 2016, both public): (walk_id, step, node).
+
+    Nodes share one string key space (``u:<user_id>`` / ``b:<isbn>``, as in
+    :func:`bipartite_rating_graph`); one walk starts at every user with
+    ``user_id % start_mod == 0``. Each step moves to the neighbor
+    minimizing ``md5_60bit(walk_id|step|neighbor, seed)`` — a pure
+    function of (walk, step, neighbor), so the "random" choice is
+    uniform-in-distribution yet bit-reproducible in any engine: the whole
+    walk corpus hash-compares against an unrolled SQL twin. Two walks
+    meeting at the same node still branch independently (the walk id is
+    inside the hash), which is what gives the corpus its diversity.
+
+    Plan shape per step: one equi-join of the |walks|-row frontier
+    against the once-pinned, src-hash-partitioned doubled edge list, then
+    a per-walk argmin window keyed by walk_id — |walks|-proportional,
+    never |edges|. The edge list is pinned once (localCheckpoint, no
+    session-lifetime cache entry) and every step reuses its partitioning;
+    frontiers are pinned per step so the final union's plan stays
+    O(steps) deep instead of 2^steps. Bipartite alternation guarantees
+    progress — every rated book has a rater — so walks cannot die early.
+    """
+    from . import materialize
+    from pyspark.sql import Window
+    from ..functions.text import md5_hash60
+
+    u = F.concat(F.lit("u:"), F.col("user_id").cast("string"))
+    b = F.concat(F.lit("b:"), F.col("isbn"))
+    edges = materialize(
+        ratings.select(u.alias("src"), b.alias("dst"))
+        .unionByName(ratings.select(b.alias("src"), u.alias("dst")))
+        .repartition("src")
+    )
+    frontier = materialize(
+        ratings.filter(F.col("user_id") % start_mod == 0)
+        .select(u.alias("walk_id"))
+        .distinct()
+        .select("walk_id", F.col("walk_id").alias("node"))
+    )
+    out = frontier.select("walk_id", F.lit(0).alias("step"), "node")
+    for step in range(1, steps + 1):
+        h = md5_hash60(
+            F.concat(F.col("walk_id"), F.lit(f"|{step}|"), F.col("dst")), seed
+        )
+        w = Window.partitionBy("walk_id").orderBy(h.asc(), F.col("dst").asc())
+        frontier = materialize(
+            frontier.join(edges, frontier.node == edges.src)
+            .select("walk_id", "dst")
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("walk_id", F.col("dst").alias("node"))
+        )
+        out = out.unionByName(
+            frontier.select("walk_id", F.lit(step).alias("step"), "node")
+        )
+    return out

@@ -2826,6 +2826,152 @@ def _opq_q(s: SparkSession, d: str) -> DataFrame:
 register("q_simsearch_opq", _opq_q, None)
 
 
+# full CUBE grouping sets over events: completes the OLAP grouping surface
+# next to q_events_rollup (which only descends the (day, type) hierarchy);
+# GROUPING() flags distinguish rolled-up NULLs from NULL data values.
+register(
+    "q_events_cube",
+    lambda s, d: events.cube_counts(_ref(s, d).events),
+    """
+    SELECT day_us, event_type,
+           CAST(GROUPING(day_us) AS INT) AS g_day,
+           CAST(GROUPING(event_type) AS INT) AS g_type,
+           COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
+    FROM (SELECT (epoch_us(ts) - epoch_us(ts) % 86400000000) AS day_us,
+                 event_type, value
+          FROM events)
+    GROUP BY CUBE (day_us, event_type)
+    """,
+)
+
+
+# corpus-level collocation mining: top adjacent-pair PMI (Church & Hanks
+# 1990). Bigrams in the oracle ride DuckDB's positional multi-unnest of the
+# two shifted token slices; PMI arithmetic is written with the exact
+# left-to-right op order of the Spark expression so doubles agree pre-round.
+register(
+    "q_text_collocations",
+    lambda s, d: textstats.collocations_pmi(_docs(s, d), min_count=5, top_k=50),
+    _q_docs(
+        """
+        , bg AS (
+          SELECT unnest(t[1:len(t) - 1]) AS w1, unnest(t[2:len(t)]) AS w2
+          FROM toks WHERE len(t) >= 2),
+        pc AS (SELECT w1, w2, COUNT(*) AS pair_count FROM bg GROUP BY w1, w2),
+        tp AS (SELECT SUM(pair_count) AS n_pair FROM pc),
+        tk AS (SELECT unnest(t) AS token FROM toks),
+        uc AS (SELECT token, COUNT(*) AS c_tok FROM tk GROUP BY token),
+        tt AS (SELECT SUM(c_tok) AS n_tok FROM uc)
+        SELECT w1, w2, pair_count,
+               ROUND(LN((pair_count * CAST(n_tok AS DOUBLE) * n_tok)
+                        / (CAST(n_pair AS DOUBLE) * u1.c_tok * u2.c_tok)), 6) AS pmi
+        FROM pc
+        JOIN uc u1 ON pc.w1 = u1.token
+        JOIN uc u2 ON pc.w2 = u2.token
+        CROSS JOIN tt CROSS JOIN tp
+        WHERE pair_count >= 5
+        ORDER BY pmi DESC, w1, w2 LIMIT 50
+        """
+    ),
+)
+
+
+# hard-negative mining for contrastive training: per query, top-k corpus
+# vectors inside the similarity annulus [lo, hi) — the band test runs on
+# the shared 6dp-rounded cosine so engines agree on boundary pairs.
+_HN_LO, _HN_HI = 0.05, 0.35
+register(
+    "q_emb_hard_negatives",
+    lambda s, d: simsearch.hard_negatives(
+        _ref(s, d).embeddings.filter(F.col("vec_id") < 10),
+        _ref(s, d).embeddings,
+        lo=_HN_LO,
+        hi=_HN_HI,
+        k=10,
+    ),
+    _q_vec(
+        f"""
+        , pairs AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS} AS similarity
+          FROM vec a, vec b, range(1, 65) t(i)
+          WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+          GROUP BY 1, 2)
+        SELECT query_id, neighbor_id, similarity FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY similarity DESC, neighbor_id) AS rn
+          FROM pairs
+          WHERE similarity >= {_HN_LO} AND similarity < {_HN_HI}) WHERE rn <= 10
+        """
+    ),
+)
+
+
+# deterministic hash-seeded random walks (DeepWalk/node2vec corpus step):
+# the per-step choice is argmin over md5_60bit(walk|step|neighbor, seed),
+# so the full walk corpus is hash-comparable against this unrolled twin.
+_WALK_STEPS = 3
+_WALK_SEED = 7
+_WALK_MOD = 20
+
+
+def _walks_q(s: SparkSession, d: str) -> DataFrame:
+    from .plans.graphs import random_walks
+
+    return random_walks(
+        _ref(s, d).ratings, steps=_WALK_STEPS, start_mod=_WALK_MOD, seed=_WALK_SEED
+    )
+
+
+def _walks_step_cte(i: int, prev: str) -> str:
+    h = (
+        f"CAST(('0x' || substr(md5(w.walk_id || '|{i}|' || e.dst || '#{_WALK_SEED}'), 1, 15)) AS BIGINT)"
+    )
+    return f"""s{i} AS (SELECT walk_id, node FROM (
+  SELECT w.walk_id, e.dst AS node,
+         ROW_NUMBER() OVER (PARTITION BY w.walk_id ORDER BY {h}, e.dst) AS rn
+  FROM {prev} w JOIN e ON w.node = e.src) WHERE rn = 1)"""
+
+
+_WALKS_ORACLE = (
+    f"""{ORACLE_PRELUDE},
+e AS (
+  SELECT 'u:' || CAST(user_id AS VARCHAR) AS src, 'b:' || isbn AS dst FROM ratings
+  UNION ALL
+  SELECT 'b:' || isbn AS src, 'u:' || CAST(user_id AS VARCHAR) AS dst FROM ratings
+),
+w0 AS (
+  SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS walk_id,
+                  'u:' || CAST(user_id AS VARCHAR) AS node
+  FROM ratings WHERE user_id % {_WALK_MOD} = 0
+),
+"""
+    + ",\n".join(
+        _walks_step_cte(i, "w0" if i == 1 else f"s{i - 1}")
+        for i in range(1, _WALK_STEPS + 1)
+    )
+    + "\nSELECT walk_id, 0 AS step, node FROM w0"
+    + "".join(
+        f"\nUNION ALL SELECT walk_id, {i} AS step, node FROM s{i}"
+        for i in range(1, _WALK_STEPS + 1)
+    )
+)
+
+register("q_graph_walks", _walks_q, _WALKS_ORACLE)
+
+
+def _bpe_q(s: SparkSession, d: str) -> DataFrame:
+    """BPE merge training (rows-only: the data-dependent merge recursion is
+    not SQL-expressible — the driver records the rows-only check and the
+    exact merge table is cross-checked against a pure-Python reference BPE
+    in tests/test_pipeline_ops.py::test_bpe_merges_match_reference)."""
+    from .operators.bpe import bpe_merges
+
+    return bpe_merges(_docs(s, d), num_merges=8)
+
+
+register("q_corpus_bpe", _bpe_q, None)
+
+
 # --- driver-window ordering -------------------------------------------------
 #
 # The verify driver hash-checks the FIRST 50 entries of ``oracle_sql()`` in

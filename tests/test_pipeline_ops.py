@@ -1143,3 +1143,80 @@ def test_gif_decoder_lzw_and_features(spark):
 
     with _pytest.raises(ValueError):
         multimodal._decode_image(_make_gif(8, 8, idx[:10]))
+
+
+# --- BPE merge training ------------------------------------------------------
+
+
+def _py_bpe(texts: list[str], num_merges: int) -> list[tuple[int, str, str, int]]:
+    """Pure-Python reference BPE (Sennrich et al. 2016): the independent
+    twin for the distributed trainer. Tokenization mirrors
+    functions/text.py (ASCII-flag \\s+ collapse == Java/RE2 semantics on
+    this ASCII corpus); ties break by (count desc, pair asc)."""
+    import re
+    from collections import Counter
+
+    from graph_database_application_for_recommendations_spark.operators.bpe import END_OF_WORD
+
+    wc: Counter = Counter()
+    for t in texts:
+        norm = re.sub(r"\s+", " ", t.lower(), flags=re.ASCII).strip()
+        for w in norm.split(" "):
+            wc[w] += 1
+    syms = {w: list(w) + [END_OF_WORD] for w in wc}
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, num_merges + 1):
+        pc: Counter = Counter()
+        for w, c in wc.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        if not pc:
+            break
+        (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, a, b, n))
+        for w, s in syms.items():
+            out: list[str] = []
+            just = False
+            for x in s:
+                if not just and out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                    just = True
+                else:
+                    out.append(x)
+                    just = False
+            syms[w] = out
+    return merges
+
+
+def test_bpe_merges_match_reference(spark):
+    """The distributed trainer's merge table is bit-identical to the pure-
+    Python reference on the real corpus — merge order, tie-breaks, and
+    leftmost-first non-overlapping application included."""
+    from graph_database_application_for_recommendations_spark.operators.bpe import bpe_merges
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    got = [
+        (r["rank"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_merges(docs, num_merges=10).orderBy("rank").collect()
+    ]
+    texts = [r["text"] for r in docs.select("text").collect()]
+    want = _py_bpe(texts, 10)
+    assert got == want
+    assert len(got) == 10
+
+
+def test_bpe_merge_application_is_leftmost_nonoverlapping(spark):
+    """'aaaa b' + merge(a,a): adjacent-pair counting sees 3 (a,a) positions,
+    application collapses to [aa, aa] (leftmost-first, no chain merge)."""
+    from graph_database_application_for_recommendations_spark.operators.bpe import bpe_merges
+
+    docs = spark.createDataFrame([(1, "aaaa aaaa b")], "doc_id LONG, text STRING")
+    got = [
+        (r["rank"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_merges(docs, num_merges=2).orderBy("rank").collect()
+    ]
+    # round 1: (a,a) appears 3 times per 'aaaa' x 2 words = 6
+    assert got[0] == (1, "a", "a", 6)
+    # after merging: each 'aaaa' -> [aa, aa]; round 2's top pair is (aa, aa)
+    assert got[1] == (2, "aa", "aa", 2)
