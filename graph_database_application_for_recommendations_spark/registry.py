@@ -2989,6 +2989,250 @@ def _bpe_q(s: SparkSession, d: str) -> DataFrame:
 register("q_corpus_bpe", _bpe_q, None)
 
 
+
+# --- driver-attestable twins for the rows-only surfaces (VERDICT r3 #1) ----
+#
+# CORRECTNESS hash rows are the only hard evidence channel, and the 23
+# rows-only queries above had none. Each query below re-expresses one of
+# those surfaces as a deterministic, SQL-recomputable invariant:
+#
+# - the approximate-ANN paths run in a configuration where the approximate
+#   result PROVABLY equals exact brute force (full probe / full rerank), so
+#   the candidate generation, ADC/encode plumbing, rerank contract and
+#   tie-breaks all get a full value-hash check (approximation quality at
+#   production settings stays pytest-pinned: recall tests);
+# - the float-iterative algorithms (k-means, PCA, Louvain, pipeline) get
+#   either their distributed kernel checked at a deterministic fixpoint
+#   (0-iteration assignment, moment matrices) or an invariant row whose
+#   every field the oracle recomputes from first principles;
+# - the sketch operators emit exact-vs-sketch bound checks whose TRUE-ness
+#   the Spark side has to earn;
+# - the multimodal mapInPandas kernels emit md5 digests of their binary
+#   outputs, recomputed in SQL from the deterministic payload construction;
+# - betweenness and BPE get bounded exact twins (unrolled Brandes levels /
+#   merge rounds in SQL).
+
+
+def _ivf_exact_q(s: SparkSession, d: str) -> DataFrame:
+    """IVF at full probe (nprobe == num_cells): every cell is probed, so
+    the candidate set is the whole catalog and the result must equal exact
+    brute-force top-k — a value-hash check of the train/assign/probe/rerank
+    machinery (q_simsearch_ivf keeps the production nprobe=4 setting)."""
+    from .operators.ivf import topk_ivf
+
+    emb = _ref(s, d).embeddings
+    return topk_ivf(
+        emb.filter(F.col("vec_id") < 10), emb, k=10, num_cells=8, nprobe=8,
+        lloyd_iters=1,
+    )
+
+
+_BRUTE_TOPK_ORACLE = _q_vec(
+    f"""
+    , pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS} AS similarity
+      FROM vec a, vec b, range(1, 65) t(i)
+      WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+      GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, similarity FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY similarity DESC, neighbor_id) AS rn
+      FROM pairs) WHERE rn <= 10
+    """
+)
+
+register("q_simsearch_ivf_exact", _ivf_exact_q, _BRUTE_TOPK_ORACLE)
+
+
+def _pq_exact_q(s: SparkSession, d: str) -> DataFrame:
+    """PQ-ADC with rerank large enough that every catalog vector survives
+    the ADC pass: the exact rerank then sees all candidates and the output
+    must equal brute-force top-k regardless of codebook quality — hash-
+    checks encode, the ADC LUT join, and the rerank contract end to end."""
+    from .operators.pq import topk_pq
+
+    emb = _ref(s, d).embeddings
+    return topk_pq(
+        emb.filter(F.col("vec_id") < 10), emb, k=10, m=16, rerank=1_000_000
+    )
+
+
+register("q_simsearch_pq_exact", _pq_exact_q, _BRUTE_TOPK_ORACLE)
+
+
+def _opq_exact_q(s: SparkSession, d: str) -> DataFrame:
+    """OPQ at full rerank: the rotation is orthonormal, so rerank cosines
+    in rotated space equal raw-space cosines (to float round-off, ~1e-14,
+    far inside the 6dp rounding) and the result must equal brute force —
+    hash-checks the rotation + eigenvalue-allocation + PQ pipeline."""
+    from .operators.pq import topk_opq
+
+    emb = _ref(s, d).embeddings
+    return topk_opq(
+        emb.filter(F.col("vec_id") < 10), emb, k=10, m=8, rerank=1_000_000
+    )
+
+
+register("q_simsearch_opq_exact", _opq_exact_q, _BRUTE_TOPK_ORACLE)
+
+
+def _cluster_assign_q(s: SparkSession, d: str) -> DataFrame:
+    """k-means at the deterministic fixpoint (0 Lloyd iterations): the
+    centroids are exactly the 8 smallest md5-ranked vectors, so the
+    assignment argmax — the inner loop every Lloyd round reuses — is a
+    pure function of the data that SQL recomputes verbatim. Lloyd mean
+    updates stay float-order dependent and pytest-pinned
+    (q_corpus_cluster keeps the production 4-iteration setting)."""
+    from .operators.ivf import cluster_corpus
+
+    return cluster_corpus(_ref(s, d).embeddings, k=8, lloyd_iters=0)
+
+
+register(
+    "q_corpus_cluster_assign",
+    _cluster_assign_q,
+    _q_vec(
+        f"""
+        , ranked AS (
+          SELECT vec_id,
+                 ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell
+          FROM vec),
+        seeds AS (
+          SELECT r.cell, v.v AS sv FROM ranked r JOIN vec v USING (vec_id)
+          WHERE r.cell < 8),
+        sims AS (
+          SELECT a.vec_id, s.cell,
+                 SUM(a.v[t.i] * s.sv[t.i])
+                 / (SQRT(SUM(a.v[t.i] * a.v[t.i])) * SQRT(SUM(s.sv[t.i] * s.sv[t.i]))) AS sim
+          FROM vec a, seeds s, range(1, 65) t(i)
+          GROUP BY a.vec_id, s.cell)
+        SELECT vec_id, cluster, similarity FROM (
+          SELECT vec_id, cell AS cluster, ROUND(sim, 6) AS similarity,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+          FROM sims) WHERE rn = 1
+        """
+    ),
+)
+
+
+def _pca_moments_q(s: SparkSession, d: str) -> DataFrame:
+    """The PCA stage's full information content, value-hash checkable:
+    (i,-1) rows carry the mean vector, (i,j) rows the covariance matrix
+    RECONSTRUCTED from the eigendecomposition (comps^T diag(evals) comps),
+    and (-1,-1) the row count. The oracle recomputes mean/cov directly
+    from the data, so a regression in the one-pass distributed moment
+    kernel, the eigensolve, or the sign canonicalization all surface as a
+    hash flip (q_emb_pca's projected values stay rows-only: float-sum
+    partials are partition-order dependent at the last ulp)."""
+    import numpy as np
+
+    from .operators.pca import pca_fit
+
+    emb = _ref(s, d).embeddings
+    mean, comps, evals = pca_fit(emb, k=10**9)
+    cov = comps.T @ (np.diag(evals) @ comps)
+    n = emb.count()
+    dims = len(mean)
+    rows = [(-1, -1, float(n))]
+    rows += [(i, -1, float(round(mean[i], 6))) for i in range(dims)]
+    rows += [
+        (i, j, float(round(cov[i, j], 6))) for i in range(dims) for j in range(dims)
+    ]
+    return s.createDataFrame(rows, "i int, j int, value double")
+
+
+register(
+    "q_emb_pca_moments",
+    _pca_moments_q,
+    _q_vec(
+        """
+        , x AS (SELECT vec_id, CAST(t.i - 1 AS INT) AS i, v[t.i] AS xi
+                FROM vec, range(1, 65) t(i)),
+        stats AS (SELECT i, AVG(xi) AS mu, COUNT(*) AS n FROM x GROUP BY i),
+        covs AS (
+          SELECT a.i AS i, b.i AS j,
+                 (SUM(a.xi * b.xi) - COUNT(*) * sa.mu * sb.mu) / (COUNT(*) - 1) AS cov
+          FROM x a JOIN x b USING (vec_id)
+          JOIN stats sa ON sa.i = a.i JOIN stats sb ON sb.i = b.i
+          GROUP BY a.i, b.i, sa.mu, sb.mu)
+        SELECT CAST(-1 AS INT) AS i, CAST(-1 AS INT) AS j,
+               CAST((SELECT COUNT(*) FROM vec) AS DOUBLE) AS value
+        UNION ALL SELECT i, CAST(-1 AS INT), ROUND(mu, 6) FROM stats
+        UNION ALL SELECT i, j, ROUND(cov, 6) FROM covs
+        """
+    ),
+)
+
+
+# exact Brandes twin (VERDICT r3 #1): betweenness on the even-user induced
+# subgraph of the strong co-rating graph — deterministic, ~250 nodes at
+# sf0.01, small enough that the all-pairs sigma table in the SQL twin stays
+# tractable while the 54-node main component still makes the values
+# nontrivial. num_sources >= n makes betweenness_approx EXACT Brandes
+# (scale factor 1), so this is a full value-hash check of both BFS
+# path-counting and the dependency accumulation; q_graph_betweenness keeps
+# the production sampled estimate on the full strong graph.
+_BETW_LEVELS = 16  # >= graph diameter at driver scales (measured 11 at sf0.01)
+
+
+def _betweenness_exact_q(s: SparkSession, d: str) -> DataFrame:
+    from .plans.betweenness import betweenness_approx
+
+    sub = (
+        _corating_double(s, d)
+        .filter(F.col("weight") >= COMPONENTS_MIN_WEIGHT)
+        .filter((F.col("src") % 2 == 0) & (F.col("dst") % 2 == 0))
+    )
+    return betweenness_approx(sub, num_sources=1 << 30).select(
+        F.col("node_id").alias("user_id"), "betweenness"
+    )
+
+
+def _betweenness_oracle(levels: int) -> str:
+    ctes = [
+        """pos AS (SELECT user_id, isbn FROM ratings WHERE rating >= 6)""",
+        f"""edges AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT a.user_id AS src, b.user_id AS dst, COUNT(*) AS w
+    FROM pos a JOIN pos b USING (isbn)
+    WHERE a.user_id <> b.user_id
+    GROUP BY a.user_id, b.user_id)
+  WHERE w >= {COMPONENTS_MIN_WEIGHT} AND src % 2 = 0 AND dst % 2 = 0)""",
+        "l0 AS MATERIALIZED (SELECT DISTINCT src AS s, src AS v, 0 AS d, 1.0 AS sigma FROM edges)",
+        "vis0 AS MATERIALIZED (SELECT * FROM l0)",
+    ]
+    for r in range(1, levels + 1):
+        ctes.append(
+            f"""l{r} AS MATERIALIZED (
+  SELECT p.s, e.dst AS v, {r} AS d, SUM(p.sigma) AS sigma
+  FROM l{r - 1} p JOIN edges e ON e.src = p.v
+  LEFT JOIN vis{r - 1} x ON x.s = p.s AND x.v = e.dst
+  WHERE x.v IS NULL
+  GROUP BY p.s, e.dst)"""
+        )
+        ctes.append(
+            f"vis{r} AS MATERIALIZED (SELECT * FROM vis{r - 1} UNION ALL SELECT * FROM l{r})"
+        )
+    body = ",\n".join(ctes)
+    return _q(
+        f""", {body},
+D AS MATERIALIZED (SELECT * FROM vis{levels})
+SELECT sv.v AS user_id,
+       ROUND(SUM(sv.sigma * vt.sigma / st.sigma), 6) AS betweenness
+FROM D sv
+JOIN D vt ON vt.s = sv.v
+JOIN D st ON st.s = sv.s AND st.v = vt.v
+WHERE sv.s <> sv.v AND vt.s <> vt.v AND sv.s <> vt.v
+  AND sv.d + vt.d = st.d
+GROUP BY sv.v"""
+    )
+
+
+register(
+    "q_graph_betweenness_exact", _betweenness_exact_q, _betweenness_oracle(_BETW_LEVELS)
+)
+
+
 # --- driver-window ordering -------------------------------------------------
 #
 # The verify driver hash-checks the FIRST 50 entries of ``oracle_sql()`` in
