@@ -38,7 +38,11 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokens
 
-END_OF_WORD = "▁"  # sentencepiece-style marker; never appears in tokens
+# sentencepiece-style marker. Enforced, not assumed (ADVICE r3): words
+# containing the marker are dropped from the aggregate before training —
+# a corpus that used the merge separator inside a token would otherwise
+# silently corrupt symbol boundaries in every round.
+END_OF_WORD = "▁"
 
 
 def _adjacent_pairs(sym):
@@ -103,14 +107,19 @@ def bpe_merges(
     whole table a deterministic function of the corpus. Each round costs
     one pair-count aggregate over the vocabulary-sized symbol table plus a
     1-row TakeOrdered collect; the symbol table is re-pinned per round
-    (``materialize``), so plans stay flat and no session-lifetime cache
-    survives the call.
+    (``materialize``), so plans stay flat, each round's checkpoint blocks
+    are released when superseded, and the final rounds' blocks are
+    released before returning — no session-lifetime storage survives the
+    call (ADVICE r3: plain unpersist is a no-op on checkpointed frames).
+    Words containing the end-of-word marker are dropped (see
+    ``END_OF_WORD``); the SQL oracle twin applies the same filter.
     """
     from ..plans import materialize
 
     spark = documents.sparkSession
     words = (
         documents.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .filter(~F.col("word").contains(END_OF_WORD))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("wc"))
     )
@@ -141,6 +150,14 @@ def bpe_merges(
             supersedes=prev,
         )
         prev, cur = cur, nxt
+    # the returned merge table is driver data; the last two rounds' symbol
+    # tables are dead — drop their checkpoint blocks now instead of at GC
+    from ..plans import release_checkpoint
+
+    for stale in (prev, cur):
+        if stale is not None:
+            stale.unpersist(blocking=False)
+            release_checkpoint(stale)
     return spark.createDataFrame(
         merges, "rank int, left string, right string, pair_count long"
     )

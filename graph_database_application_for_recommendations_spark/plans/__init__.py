@@ -26,9 +26,17 @@ def materialize(df: DataFrame, *, supersedes: DataFrame | None = None) -> DataFr
     fill it, checkpoint *from* the cache (cheap re-read), then drop the
     transient cache. Measured 5.5s -> 2.9s per FastRP round at sf0.1.
 
-    ``supersedes``: the previous round's table, unpersisted (async) once
-    the new one is pinned — keeps at most two rounds of state in storage.
-    Safe no-op when the argument was never cached.
+    ``supersedes``: the previous round's table, released once the new one
+    is pinned — keeps at most two rounds of state in storage. Safe no-op
+    when the argument was never cached. When the superseded table is
+    itself a prior ``materialize`` output (a localCheckpointed frame),
+    plain ``unpersist`` is a no-op — it only clears CacheManager entries,
+    not the checkpoint's RDD blocks — so its block-storage copy is
+    dropped explicitly (``release_checkpoint``); without that, N-round
+    loops accumulate N rounds of dead blocks until driver GC (ADVICE r3).
+    The superseded frame must not be read again: its lineage is truncated,
+    so the data is unrecoverable once the blocks are gone — which is
+    exactly the ``supersedes`` contract every call site already follows.
     """
     tmp = df.cache()
     tmp.count()
@@ -36,7 +44,30 @@ def materialize(df: DataFrame, *, supersedes: DataFrame | None = None) -> DataFr
     tmp.unpersist(blocking=False)
     if supersedes is not None:
         supersedes.unpersist(blocking=False)
+        release_checkpoint(supersedes)
     return out
+
+
+def release_checkpoint(df: DataFrame) -> None:
+    """Free the block-storage copy behind a localCheckpointed DataFrame.
+
+    ``unpersist()`` on such a frame only touches the CacheManager (where a
+    checkpoint never registers), so the MEMORY_AND_DISK blocks the
+    checkpoint pinned survive until the wrapping RDD is garbage-collected
+    on the driver. The blocks live on the ``LogicalRDD`` the checkpoint
+    left as the frame's entire plan — unpersisting THAT rdd drops them
+    now. No-op for frames that aren't checkpoint outputs.
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getName().endswith(".LogicalRDD"):
+            rdd = plan.rdd()
+            lvl = rdd.getStorageLevel()
+            if lvl.useMemory() or lvl.useDisk():
+                rdd.unpersist(False)
+    except Exception:
+        # best-effort: block release is an optimization, never a failure
+        pass
 
 
 def cache_wide(df: DataFrame, min_partitions: int, *partition_cols: str) -> DataFrame:

@@ -253,6 +253,12 @@ def random_walks(
     frontiers are pinned per step so the final union's plan stays
     O(steps) deep instead of 2^steps. Bipartite alternation guarantees
     progress — every rated book has a rater — so walks cannot die early.
+
+    Storage note: each step's pinned frontier BACKS the returned union
+    (the result reads those checkpointed tables), so their blocks must
+    and do outlive the call; they are freed when the result DataFrame is
+    garbage-collected, not before — unlike the superseded intermediates
+    in the training loops, these are the result, not scratch.
     """
     from . import materialize
     from pyspark.sql import Window

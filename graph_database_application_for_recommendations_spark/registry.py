@@ -1324,8 +1324,10 @@ register(
     ),
 )
 
-# multimodal (metadata path is native + oracle-checked; feature extraction
-# exercises the mapInPandas plumbing with stubbed decoders — rows-only)
+# multimodal (metadata path is native + oracle-checked; the decoder,
+# resize and frame kernels additionally get value-hash digests via
+# q_multimodal_{features,resize,frames}_digest below — the raw binary
+# outputs here stay rows-only)
 register(
     "q_multimodal_meta",
     lambda s, d: multimodal.asset_meta(multimodal.assets_from_documents(_docs(s, d))),
@@ -1575,7 +1577,7 @@ register(
     "q_events_approx_percentiles",
     # rows-only: the sketch returns an actual data value near each true
     # quantile (accuracy-dependent); pytest brackets it between exact
-    # quantiles instead of a SQL twin
+    # quantiles; q_events_approx_bounds is the driver-attestable twin
     lambda s, d: events.approx_value_percentiles(_ref(s, d).events),
     None,
 )
@@ -1611,6 +1613,7 @@ register(
     """,
 )
 # HLL sketches are engine-specific — rows-only; accuracy pinned in pytest
+# and driver-attested via q_events_approx_users_bounds
 register(
     "q_events_approx_users",
     lambda s, d: events.approx_distinct_users(_ref(s, d).events),
@@ -1649,6 +1652,7 @@ def reset_caches() -> None:
     """
     _PIPELINE_CACHE.clear()
     _LOUVAIN_CACHE.clear()
+    _BPE_CACHE.clear()
 
 
 def _pipeline(spark: SparkSession, sf_dir: str):
@@ -2041,7 +2045,8 @@ register("q_pipeline_fastrp_digest", _fastrp_digest, None)
 
 def _simsearch_ivf(s: SparkSession, d: str) -> DataFrame:
     """IVF ANN (k-means cells + nprobe; rows-only: Lloyd means are float
-    aggregation-order dependent, so cell boundaries aren't hash-stable)."""
+    aggregation-order dependent, so cell boundaries aren't hash-stable; q_simsearch_ivf_exact is the
+    driver-attestable twin — full probe provably equals brute force)."""
     from .operators.ivf import topk_ivf
 
     emb = _ref(s, d).embeddings
@@ -2055,7 +2060,9 @@ def _simsearch_pq(s: SparkSession, d: str) -> DataFrame:
     """PQ-ADC ANN (rows-only: codebooks come from sampled k-means, not
     hash-stable across engines). m=16 subspaces × 16 centroids = 16×
     compression of the scan side; measured 0.97 recall@10 vs brute force
-    at rerank=10 on the driver's near-random embeddings."""
+    at rerank=10 on the driver's near-random embeddings.
+    q_simsearch_pq_exact is the driver-attestable twin (full rerank
+    provably equals brute force)."""
     from .operators.pq import topk_pq
 
     emb = _ref(s, d).embeddings
@@ -2371,7 +2378,8 @@ def _corpus_cluster(s: SparkSession, d: str) -> DataFrame:
     """Distributed k-means over the corpus embedding space (rows-only:
     Lloyd means are float-aggregation-order dependent, so cluster
     boundaries aren't hash-stable; invariants pinned in
-    tests/test_pipeline_ops.py)."""
+    tests/test_pipeline_ops.py; q_corpus_cluster_assign is the driver-
+    attestable twin of the assignment kernel)."""
     from .operators.ivf import cluster_corpus
 
     return cluster_corpus(_ref(s, d).embeddings, k=16, lloyd_iters=4)
@@ -2633,7 +2641,9 @@ def _betweenness_q(s: SparkSession, d: str) -> DataFrame:
     """Sampled-Brandes betweenness on the strong co-rating graph
     (rows-only: the estimate is exact only at num_sources >= n, which the
     unit tests pin on known graphs; the sampled estimate is nevertheless
-    a deterministic function of (graph, seed))."""
+    a deterministic function of (graph, seed)).
+    q_graph_betweenness_exact is the driver-attestable twin (exact
+    Brandes on a bounded subgraph vs unrolled-level SQL)."""
     from .plans.betweenness import betweenness_approx
 
     strong = _corating_double(s, d).filter(F.col("weight") >= COMPONENTS_MIN_WEIGHT)
@@ -2722,7 +2732,9 @@ def _pca_q(s: SparkSession, d: str) -> DataFrame:
     canonicalization can't sort array columns (rows-only: float-sum
     partials make exact values partition-order dependent; parity with
     numpy PCA and all spectral invariants pinned in
-    tests/test_pipeline_ops.py::test_pca_matches_numpy_and_invariants)."""
+    tests/test_pipeline_ops.py::test_pca_matches_numpy_and_invariants;
+    q_emb_pca_moments is the driver-attestable twin: the full mean/cov
+    information content value-hash checked against SQL moments)."""
     from .operators.pca import pca_project
 
     return pca_project(_ref(s, d).embeddings, k=16).select(
@@ -2831,7 +2843,8 @@ def _opq_q(s: SparkSession, d: str) -> DataFrame:
     """OPQ-ADC top-k (rows-only like the other approximate ANN variants;
     rotation orthonormality, dot-product preservation, and the 5x
     distortion win over plain PQ on unbalanced-energy data are pinned in
-    tests/test_pipeline_ops.py::test_opq_rotation_invariants_and_recall)."""
+    tests/test_pipeline_ops.py::test_opq_rotation_invariants_and_recall;
+    q_simsearch_opq_exact is the driver-attestable twin)."""
     from .operators.pq import topk_opq
 
     emb = _ref(s, d).embeddings
@@ -2976,14 +2989,33 @@ w0 AS (
 register("q_graph_walks", _walks_q, _WALKS_ORACLE)
 
 
+# BPE training is EAGER — bpe_merges runs its full driver-side merge loop
+# the moment the registry lambda is invoked (ADVICE r3) — so results are
+# memoized per (context, sf_dir, num_merges): schema-only sweeps and
+# repeated invocations pay the training cost once per session.
+_BPE_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+
+
+def _bpe_cached(s: SparkSession, d: str, num_merges: int) -> DataFrame:
+    from .operators.bpe import bpe_merges
+
+    key = (s.sparkContext.applicationId, d, num_merges)
+    res = _BPE_CACHE.get(key)
+    if res is None:
+        res = bpe_merges(_docs(s, d), num_merges=num_merges)
+        _BPE_CACHE[key] = res
+    return res
+
+
 def _bpe_q(s: SparkSession, d: str) -> DataFrame:
     """BPE merge training (rows-only: the data-dependent merge recursion is
     not SQL-expressible — the driver records the rows-only check and the
     exact merge table is cross-checked against a pure-Python reference BPE
-    in tests/test_pipeline_ops.py::test_bpe_merges_match_reference)."""
-    from .operators.bpe import bpe_merges
-
-    return bpe_merges(_docs(s, d), num_merges=8)
+    in tests/test_pipeline_ops.py::test_bpe_merges_match_reference;
+    q_corpus_bpe_merges is the driver-attestable twin: the first 4 merge
+    rounds vs a windowed SQL re-implementation). EAGER on first call,
+    memoized after (the result is a tiny driver-built table)."""
+    return _bpe_cached(s, d, 8)
 
 
 register("q_corpus_bpe", _bpe_q, None)
@@ -3230,6 +3262,397 @@ GROUP BY sv.v"""
 
 register(
     "q_graph_betweenness_exact", _betweenness_exact_q, _betweenness_oracle(_BETW_LEVELS)
+)
+
+
+
+
+def _bpe_merges_q(s: SparkSession, d: str) -> DataFrame:
+    """The first 4 BPE merge rounds, value-hash checked: pair counting,
+    the argmax tie-break (count desc, pair asc) and the leftmost-first
+    non-overlapping merge application are each re-expressed in the SQL
+    twin (windowed gaps-and-islands selection over exploded symbol
+    tables), so the training recursion's per-round semantics get a hard
+    driver check. q_corpus_bpe keeps the production 8-round run, cross-
+    checked against a pure-Python reference in pytest."""
+    return _bpe_cached(s, d, 4)
+
+
+def _bpe_oracle(rounds: int) -> str:
+    """SQL twin of ``bpe_merges``: each round counts adjacent symbol pairs
+    (weighted by word count), takes the argmax, and rebuilds the symbol
+    table by greedy leftmost non-overlapping substitution — selection =
+    odd-ranked positions within each consecutive run of matches (the
+    closed form of the left fold's merged-flag guard)."""
+    ctes = [
+        r"""words AS (SELECT word, COUNT(*) AS wc FROM (
+  SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+  FROM documents) WHERE word NOT LIKE '%▁%' GROUP BY word)""",
+        """syms1 AS MATERIALIZED (
+  SELECT word, CAST(g.i AS BIGINT) AS pos, substring(word, CAST(g.i AS INT), 1) AS sym
+  FROM words, LATERAL unnest(generate_series(1, length(word))) AS g(i)
+  UNION ALL SELECT word, length(word) + 1 AS pos, '▁' FROM words)""",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""p{r} AS (
+  SELECT a.sym AS l, b.sym AS r, SUM(w.wc) AS pc
+  FROM syms{r} a JOIN syms{r} b ON a.word = b.word AND b.pos = a.pos + 1
+  JOIN words w ON w.word = a.word
+  GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"m{r} AS MATERIALIZED (SELECT l, r, pc FROM p{r} ORDER BY pc DESC, l, r LIMIT 1)"
+        )
+        if r < rounds:
+            ctes.append(
+                f"""mk{r} AS (
+  SELECT a.word, a.pos FROM syms{r} a
+  JOIN syms{r} b ON a.word = b.word AND b.pos = a.pos + 1
+  CROSS JOIN m{r}
+  WHERE a.sym = m{r}.l AND b.sym = m{r}.r)"""
+            )
+            ctes.append(
+                f"""sel{r} AS MATERIALIZED (
+  SELECT word, pos FROM (
+    SELECT word, pos, ROW_NUMBER() OVER (PARTITION BY word, grp ORDER BY pos) AS rr
+    FROM (SELECT word, pos, pos - ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS grp
+          FROM mk{r}))
+  WHERE rr % 2 = 1)"""
+            )
+            ctes.append(
+                f"""syms{r + 1} AS MATERIALIZED (
+  SELECT word, ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos, sym FROM (
+    SELECT s.word, s.pos,
+           CASE WHEN sel.pos IS NOT NULL THEN m{r}.l || m{r}.r ELSE s.sym END AS sym
+    FROM syms{r} s
+    CROSS JOIN m{r}
+    LEFT JOIN sel{r} sel ON sel.word = s.word AND sel.pos = s.pos
+    LEFT JOIN sel{r} drp ON drp.word = s.word AND drp.pos = s.pos - 1
+    WHERE drp.pos IS NULL))"""
+            )
+    sel = "\nUNION ALL ".join(
+        f'SELECT CAST({r} AS INT) AS rank, l AS "left", r AS "right", '
+        f"CAST(pc AS BIGINT) AS pair_count FROM m{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + sel
+
+
+register("q_corpus_bpe_merges", _bpe_merges_q, _bpe_oracle(4))
+
+
+def _approx_pct_bounds_q(s: SparkSession, d: str) -> DataFrame:
+    """Sketch-percentile bound check the Spark side has to EARN: the
+    percentile_approx value must land between exact quantiles ±0.05 rank
+    slack (the sketch's rank error at accuracy=10000 is far tighter; the
+    slack keeps the check deterministic at driver scales). The oracle
+    recomputes the group counts and asserts TRUE — a wrong sketch flips
+    within_bounds to false and the value hash with it."""
+    ev = _ref(s, d).events
+    approx = events.approx_value_percentiles(ev)
+    br = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr(
+            "percentile(value, array(0.45D, 0.55D, 0.85D, 0.95D, 0.94D, 1.0D))"
+        ).alias("_b"),
+    )
+    lo = (
+        F.when(F.col("quantile") == 0.5, F.col("_b")[0])
+        .when(F.col("quantile") == 0.9, F.col("_b")[2])
+        .otherwise(F.col("_b")[4])
+    )
+    hi = (
+        F.when(F.col("quantile") == 0.5, F.col("_b")[1])
+        .when(F.col("quantile") == 0.9, F.col("_b")[3])
+        .otherwise(F.col("_b")[5])
+    )
+    return approx.join(br, "event_type").select(
+        "event_type",
+        "quantile",
+        "n",
+        ((F.col("value") >= lo - 1e-6) & (F.col("value") <= hi + 1e-6)).alias(
+            "within_bounds"
+        ),
+    )
+
+
+register(
+    "q_events_approx_bounds",
+    _approx_pct_bounds_q,
+    """
+    SELECT e.event_type, CAST(t.q AS DOUBLE) AS quantile,
+           CAST(COUNT(*) AS BIGINT) AS n, TRUE AS within_bounds
+    FROM events e CROSS JOIN (VALUES (0.5), (0.9), (0.99)) t(q)
+    GROUP BY 1, 2
+    """,
+)
+
+
+def _approx_users_bounds_q(s: SparkSession, d: str) -> DataFrame:
+    """HLL++ distinct-count bound check (|approx - exact| <= 15% = 3x the
+    configured rsd): the estimate is a deterministic function of the data
+    (hash-based sketch, no RNG), so the boolean is stable; the exact
+    per-group count rides along as a real SQL-recomputed value."""
+    ev = _ref(s, d).events
+    ap = events.approx_distinct_users(ev)
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_users")
+    )
+    return ex.join(ap, "event_type").select(
+        "event_type",
+        "n_users",
+        (
+            F.abs(F.col("n_users_approx") - F.col("n_users"))
+            <= 0.15 * F.col("n_users")
+        ).alias("within_rsd_bound"),
+    )
+
+
+register(
+    "q_events_approx_users_bounds",
+    _approx_users_bounds_q,
+    """
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           TRUE AS within_rsd_bound
+    FROM events GROUP BY 1
+    """,
+)
+
+
+# multimodal digests: the asset payloads are deterministic constructions
+# over the document text (operators/multimodal.py assets_from_documents:
+# image = 11B P6 header + first 192 utf-8 bytes zero-padded, audio = 44B
+# WAV header + first 256 bytes zero-padded, text = raw utf-8), and the
+# driver documents are pure ASCII — so the SQL twin can rebuild every
+# payload byte-for-byte as a hex string (rpad with '0' pairs = zero bytes)
+# and recompute the decoders' outputs and the kernels' binary digests.
+# Spark and DuckDB both emit uppercase hex and identical md5 hex strings.
+_PPM_HDR_HEX = multimodal._PPM_HEADER.hex().upper()
+_WAV_HDR_HEX = multimodal._WAV_HEADER.hex().upper()
+
+
+def _mm_features_digest_q(s: SparkSession, d: str) -> DataFrame:
+    """extract_features through the REAL stdlib decoders, value-hash
+    checked: every decoded field (geometry, sample rate, byte sums) is
+    recomputed by the oracle from the payload construction. mean_value is
+    exported as the integer byte sum (mean * raster size) — the decoder's
+    Python round() is banker's while SQL ROUND is half-up, and 25% of the
+    /256 means sit exactly on a 6dp half boundary; the integer sum is
+    rounding-mode-proof and carries the same information. crc32 stays
+    pytest-only (no SQL twin)."""
+    feats = multimodal.extract_features(multimodal.assets_from_documents(_docs(s, d)))
+    n_for_kind = F.when(F.col("kind") == "image", F.lit(192)).when(
+        F.col("kind") == "audio", F.lit(256)
+    )
+    return feats.select(
+        "asset_id",
+        "kind",
+        "n_bytes",
+        "first_byte",
+        "last_byte",
+        "decoded",
+        "width",
+        "height",
+        "channels",
+        "sample_rate",
+        "n_samples",
+        F.round(F.col("mean_value") * n_for_kind, 0).cast("long").alias("byte_sum"),
+    )
+
+
+register(
+    "q_multimodal_features_digest",
+    _mm_features_digest_q,
+    """
+    WITH sums AS (
+      SELECT d.doc_id,
+             SUM(CASE WHEN t.i <= 192 THEN unicode(substring(d.text, CAST(t.i AS INT), 1)) ELSE 0 END) AS s192,
+             SUM(unicode(substring(d.text, CAST(t.i AS INT), 1))) AS s256
+      FROM documents d,
+           LATERAL unnest(generate_series(1, least(length(d.text), 256))) t(i)
+      GROUP BY d.doc_id)
+    SELECT d.doc_id AS asset_id,
+           CASE CAST(d.doc_id % 3 AS INT) WHEN 0 THEN 'text' WHEN 1 THEN 'image' ELSE 'audio' END AS kind,
+           CAST(CASE CAST(d.doc_id % 3 AS INT) WHEN 0 THEN length(d.text) WHEN 1 THEN 203 ELSE 300 END AS BIGINT) AS n_bytes,
+           CAST(CASE CAST(d.doc_id % 3 AS INT) WHEN 0 THEN unicode(substring(d.text, 1, 1)) WHEN 1 THEN 80 ELSE 82 END AS BIGINT) AS first_byte,
+           CAST(CASE CAST(d.doc_id % 3 AS INT)
+                WHEN 0 THEN unicode(substring(d.text, length(d.text), 1))
+                WHEN 1 THEN CASE WHEN length(d.text) >= 192 THEN unicode(substring(d.text, 192, 1)) ELSE 0 END
+                ELSE CASE WHEN length(d.text) >= 256 THEN unicode(substring(d.text, 256, 1)) ELSE 0 END END AS BIGINT) AS last_byte,
+           (d.doc_id % 3 <> 0) AS decoded,
+           CAST(CASE WHEN d.doc_id % 3 = 1 THEN 8 END AS BIGINT) AS width,
+           CAST(CASE WHEN d.doc_id % 3 = 1 THEN 8 END AS BIGINT) AS height,
+           CAST(CASE WHEN d.doc_id % 3 = 1 THEN 3 WHEN d.doc_id % 3 = 2 THEN 1 END AS BIGINT) AS channels,
+           CAST(CASE WHEN d.doc_id % 3 = 2 THEN 8000 END AS BIGINT) AS sample_rate,
+           CAST(CASE WHEN d.doc_id % 3 = 2 THEN 256 END AS BIGINT) AS n_samples,
+           CAST(CASE WHEN d.doc_id % 3 = 1 THEN s.s192 WHEN d.doc_id % 3 = 2 THEN s.s256 END AS BIGINT) AS byte_sum
+    FROM documents d JOIN sums s ON s.doc_id = d.doc_id
+    """,
+)
+
+
+def _mm_resize_digest_q(s: SparkSession, d: str) -> DataFrame:
+    """resize_images (16x16 -> 256-byte payload contract) with an md5
+    digest of each output payload's hex form; the oracle rebuilds the
+    truncate-and-zero-pad result from the PPM construction and hashes the
+    same hex string."""
+    rs = multimodal.resize_images(
+        multimodal.assets_from_documents(_docs(s, d)), width=16, height=16
+    )
+    return rs.select(
+        "asset_id",
+        "kind",
+        "width",
+        "height",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.md5(F.hex("payload")).alias("payload_md5"),
+    )
+
+
+register(
+    "q_multimodal_resize_digest",
+    _mm_resize_digest_q,
+    f"""
+    SELECT doc_id AS asset_id, 'image' AS kind,
+           CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+           CAST(256 AS BIGINT) AS n_bytes,
+           md5(rpad(substring('{_PPM_HDR_HEX}' || rpad(hex(substring(text, 1, 192)), 384, '0'), 1, 512), 512, '0')) AS payload_md5
+    FROM documents WHERE doc_id % 3 = 1
+    """,
+)
+
+
+def _mm_frames_digest_q(s: SparkSession, d: str) -> DataFrame:
+    """sample_frames (256-byte strides over the temporal kinds) with md5
+    digests: the 300-byte WAV payloads yield exactly two frames (256 and
+    44 bytes), both rebuilt byte-for-byte by the oracle."""
+    fr = multimodal.sample_frames(
+        multimodal.assets_from_documents(_docs(s, d)), every_n_bytes=256, max_frames=4
+    )
+    return fr.select(
+        "asset_id",
+        "frame_idx",
+        F.length("frame_bytes").cast("long").alias("n_bytes"),
+        F.md5(F.hex("frame_bytes")).alias("frame_md5"),
+    )
+
+
+register(
+    "q_multimodal_frames_digest",
+    _mm_frames_digest_q,
+    f"""
+    WITH wav AS (
+      SELECT doc_id, '{_WAV_HDR_HEX}' || rpad(hex(substring(text, 1, 256)), 512, '0') AS ph
+      FROM documents WHERE doc_id % 3 = 2)
+    SELECT doc_id AS asset_id, CAST(0 AS BIGINT) AS frame_idx,
+           CAST(256 AS BIGINT) AS n_bytes, md5(substring(ph, 1, 512)) AS frame_md5
+    FROM wav
+    UNION ALL
+    SELECT doc_id, CAST(1 AS BIGINT), CAST(44 AS BIGINT), md5(substring(ph, 513, 88))
+    FROM wav
+    """,
+)
+
+
+def _louvain_invariants_q(s: SparkSession, d: str) -> DataFrame:
+    """Louvain partition invariants with SQL-recomputed anchors: the node
+    count is a hard value (distinct co-raters, recomputed by the oracle),
+    and the coverage/quality booleans only come out TRUE if every graph
+    node got exactly one label and the partition's modularity is strictly
+    positive (the trivial one-community partition has Q = 0, so a
+    collapsed Louvain flips the hash). The labels themselves stay
+    rows-only (community ids are value-unstable across tie orders)."""
+    comm, q = _louvain(s, d)
+    return comm.agg(
+        F.countDistinct("node_id").cast("long").alias("n_nodes"),
+        (F.count(F.lit(1)) == F.countDistinct("node_id")).alias("one_label_per_node"),
+    ).withColumn("q_positive", F.lit(bool(q > 0.0)))
+
+
+register(
+    "q_louvain_invariants",
+    _louvain_invariants_q,
+    _q(
+        """
+        , pos AS (SELECT user_id, isbn FROM ratings WHERE rating >= 6),
+        ce AS (SELECT a.user_id AS src FROM pos a JOIN pos b USING (isbn)
+               WHERE a.user_id <> b.user_id GROUP BY a.user_id, b.user_id)
+        SELECT CAST(COUNT(DISTINCT src) AS BIGINT) AS n_nodes,
+               TRUE AS one_label_per_node, TRUE AS q_positive
+        FROM ce
+        """
+    ),
+)
+
+
+def _pipeline_invariants_q(s: SparkSession, d: str) -> DataFrame:
+    """One invariant row over every pipeline stage (FastRP -> KNN ->
+    Louvain -> recommenders), each field SQL-anchored or earned:
+    embedding count and dims, KNN output contract (no self pairs, cutoff
+    and top-k respected), community coverage over the exact co-rating
+    node set, and the serving queries' LIMIT contracts. The embeddings/
+    labels themselves stay rows-only (iterative float programs)."""
+    res = _pipeline(s, d)
+    ref = _ref(s, d)
+    emb, sim, comm = res.embeddings, res.similar_to, res.communities
+    e = emb.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.min(F.size("embedding")).alias("dim_min"),
+        F.max(F.size("embedding")).alias("dim_max"),
+    ).first()
+    sim_viol = sim.filter(
+        (F.col("src") == F.col("dst"))
+        | (F.col("similarity") > 1.000001)
+        | (F.col("similarity") < 0.6 - 1e-6)
+    ).count()
+    sim_over = sim.groupBy("src").count().filter(F.col("count") > 20).count()
+    c = comm.agg(
+        F.countDistinct("user_id").cast("long").alias("n"),
+        (F.count(F.lit(1)) == F.countDistinct("user_id")).alias("one"),
+    ).first()
+    knn_rec_n = recommend.recommend_books_knn(
+        sim, ref.ratings, ref.books, UID, k=10
+    ).count()
+    comm_rec_n = recommend.recommend_books_community(
+        _users_with_pipeline_community(s, d), ref.ratings, ref.books, UID, k=3
+    ).count()
+    return s.createDataFrame(
+        [
+            (
+                e["n_users"],
+                int(e["dim_min"]),
+                int(e["dim_max"]),
+                int(sim_viol),
+                int(sim_over),
+                c["n"],
+                bool(c["one"]),
+                bool(knn_rec_n <= 10),
+                bool(comm_rec_n <= 3),
+            )
+        ],
+        "n_users long, dim_min int, dim_max int, sim_violations long, "
+        "sim_over_topk long, n_comm_nodes long, one_label_per_node boolean, "
+        "knn_rec_within_k boolean, comm_rec_within_k boolean",
+    )
+
+
+register(
+    "q_pipeline_invariants",
+    _pipeline_invariants_q,
+    _q(
+        """
+        , pos AS (SELECT user_id, isbn FROM ratings WHERE rating >= 6),
+        ce AS (SELECT a.user_id AS src FROM pos a JOIN pos b USING (isbn)
+               WHERE a.user_id <> b.user_id GROUP BY a.user_id, b.user_id)
+        SELECT CAST((SELECT COUNT(DISTINCT user_id) FROM ratings) AS BIGINT) AS n_users,
+               CAST(64 AS INT) AS dim_min, CAST(64 AS INT) AS dim_max,
+               CAST(0 AS BIGINT) AS sim_violations, CAST(0 AS BIGINT) AS sim_over_topk,
+               CAST((SELECT COUNT(DISTINCT src) FROM ce) AS BIGINT) AS n_comm_nodes,
+               TRUE AS one_label_per_node, TRUE AS knn_rec_within_k,
+               TRUE AS comm_rec_within_k
+        """
+    ),
 )
 
 

@@ -412,3 +412,33 @@ def test_streaming_funnel_matches_batch_triples(spark, event_stream, batch_event
     )
     assert _rows(got) == _rows(want)
     assert want.count() > 0  # fixture exercises the cascade
+
+
+def test_simsearch_stream_writeback_matches_batch(spark, tmp_path):
+    """VERDICT r3 item 6: the streaming ANN write-back (foreachBatch
+    stream-static top-k) round-trips through parquet to exactly the batch
+    brute-force result q_simsearch_topk attests — same pairs, same
+    rounded similarities."""
+    from graph_database_application_for_recommendations_spark.operators.simsearch import (
+        topk_bruteforce,
+    )
+
+    emb = load_ref_tables(spark, SF_SMALL).embeddings
+    stream = stream_ops.read_embeddings_stream(spark, SF_SMALL).filter(
+        F.col("vec_id") < 10
+    )
+    out = str(tmp_path / "simsearch_out")
+    stream_ops.simsearch_stream_writeback(
+        stream, emb, out, str(tmp_path / "ck_sw"), k=10
+    )
+    got = {
+        (r["query_id"], r["neighbor_id"]): r["similarity"]
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r["query_id"], r["neighbor_id"]): r["similarity"]
+        for r in topk_bruteforce(
+            emb.filter(F.col("vec_id") < 10), emb, k=10
+        ).collect()
+    }
+    assert got == want
