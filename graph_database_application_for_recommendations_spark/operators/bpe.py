@@ -161,3 +161,44 @@ def bpe_merges(
     return spark.createDataFrame(
         merges, "rank int, left string, right string, pair_count long"
     )
+
+
+def bpe_segment(
+    documents: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a learned merge table to the corpus — the tokenize half of
+    BPE next to the train half above: (doc_id, n_words, n_syms_before,
+    n_syms_after), where n_syms_* count word symbols (chars + end marker
+    before; merged subwords after).
+
+    Scale shape: the merge folds run over the DISTINCT-word table (
+    vocabulary-sized), which then broadcast-joins back onto the corpus'
+    (doc, word) stream — the corpus itself is touched once and never
+    carries symbol arrays. Each merge is the same leftmost-first
+    non-overlapping Catalyst fold the trainer uses, so train and apply
+    cannot drift apart. Words containing the end-of-word marker are
+    dropped, matching training."""
+    words_per_doc = (
+        documents.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word"))
+        .filter(~F.col("word").contains(END_OF_WORD))
+    )
+    sym = F.concat(
+        F.filter(F.split(F.col("word"), "(?!^)"), lambda x: F.length(x) > 0),
+        F.array(F.lit(END_OF_WORD)),
+    )
+    seg = words_per_doc.select("word").distinct().select("word", sym.alias("sym"))
+    for left, right in merges:
+        seg = seg.withColumn("sym", _apply_merge(F.col("sym"), left, right))
+    seg = seg.select("word", F.size("sym").cast("long").alias("_n_after"))
+    return (
+        words_per_doc.join(F.broadcast(seg), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("word") + 1).alias("n_syms_before"),
+            F.sum("_n_after").alias("n_syms_after"),
+        )
+    )

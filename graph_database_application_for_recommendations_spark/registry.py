@@ -3278,12 +3278,15 @@ def _bpe_merges_q(s: SparkSession, d: str) -> DataFrame:
     return _bpe_cached(s, d, 4)
 
 
-def _bpe_oracle(rounds: int) -> str:
-    """SQL twin of ``bpe_merges``: each round counts adjacent symbol pairs
-    (weighted by word count), takes the argmax, and rebuilds the symbol
-    table by greedy leftmost non-overlapping substitution — selection =
-    odd-ranked positions within each consecutive run of matches (the
-    closed form of the left fold's merged-flag guard)."""
+def _bpe_oracle(rounds: int, segment: bool = False) -> str:
+    """SQL twin of ``bpe_merges`` (and, with ``segment=True``, of
+    ``bpe_segment``): each round counts adjacent symbol pairs (weighted by
+    word count), takes the argmax, and rebuilds the symbol table by greedy
+    leftmost non-overlapping substitution — selection = odd-ranked
+    positions within each consecutive run of matches (the closed form of
+    the left fold's merged-flag guard). Segment mode applies ALL rounds'
+    merges and emits per-document symbol counts instead of the merge
+    table."""
     ctes = [
         r"""words AS (SELECT word, COUNT(*) AS wc FROM (
   SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
@@ -3304,7 +3307,7 @@ def _bpe_oracle(rounds: int) -> str:
         ctes.append(
             f"m{r} AS MATERIALIZED (SELECT l, r, pc FROM p{r} ORDER BY pc DESC, l, r LIMIT 1)"
         )
-        if r < rounds:
+        if r < rounds or segment:
             ctes.append(
                 f"""mk{r} AS (
   SELECT a.word, a.pos FROM syms{r} a
@@ -3331,6 +3334,16 @@ def _bpe_oracle(rounds: int) -> str:
     LEFT JOIN sel{r} drp ON drp.word = s.word AND drp.pos = s.pos - 1
     WHERE drp.pos IS NULL))"""
             )
+    if segment:
+        sel = f"""wd AS (SELECT doc_id, word FROM (
+  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+  FROM documents) WHERE word NOT LIKE '%▁%'),
+wn AS (SELECT word, COUNT(*) AS n_after FROM syms{rounds + 1} GROUP BY word)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(length(word) + 1) AS BIGINT) AS n_syms_before,
+       CAST(SUM(n_after) AS BIGINT) AS n_syms_after
+FROM wd JOIN wn USING (word) GROUP BY doc_id"""
+        return "WITH " + ",\n".join(ctes) + ",\n" + sel
     sel = "\nUNION ALL ".join(
         f'SELECT CAST({r} AS INT) AS rank, l AS "left", r AS "right", '
         f"CAST(pc AS BIGINT) AS pair_count FROM m{r}"
@@ -3340,6 +3353,21 @@ def _bpe_oracle(rounds: int) -> str:
 
 
 register("q_corpus_bpe_merges", _bpe_merges_q, _bpe_oracle(4))
+
+
+def _bpe_segment_q(s: SparkSession, d: str) -> DataFrame:
+    """The apply half of BPE: tokenize the corpus under the 4 learned
+    merges (train and apply share the same Catalyst merge fold, so this
+    also cross-checks the trainer's merge application at corpus scale —
+    per-document symbol counts value-hash vs the SQL twin's windowed
+    re-segmentation)."""
+    from .operators.bpe import bpe_segment
+
+    merges = [(r["left"], r["right"]) for r in _bpe_cached(s, d, 4).collect()]
+    return bpe_segment(_docs(s, d), merges)
+
+
+register("q_corpus_bpe_segment", _bpe_segment_q, _bpe_oracle(4, segment=True))
 
 
 def _approx_pct_bounds_q(s: SparkSession, d: str) -> DataFrame:
