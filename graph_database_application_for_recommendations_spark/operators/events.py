@@ -445,3 +445,44 @@ def resample_forward_fill(events: DataFrame, minutes: int = 60) -> DataFrame:
         F.last("_obs", ignorenulls=True).over(w).alias("value"),
         F.col("_obs").isNull().alias("is_gap"),
     )
+
+
+def moving_average(events: DataFrame, minutes: int = 60, window: int = 3) -> DataFrame:
+    """(event_type, bucket_us, value, moving_avg): trailing ``window``-
+    bucket rolling mean over the gap-filled regular grid — the classic
+    hypertable smoothing query on top of :func:`resample_forward_fill`
+    (nulls from leading gaps are ignored, like SQL AVG).
+
+    Scale shape: inherits the gap-fill plan (one aggregate over the scan,
+    then grid-sized work); the rolling window is ROWS-bounded over the
+    time grid, never over raw events.
+    """
+    from pyspark.sql import Window
+
+    filled = resample_forward_fill(events, minutes)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_us")
+        .rowsBetween(-(window - 1), 0)
+    )
+    return filled.select(
+        "event_type",
+        "bucket_us",
+        "value",
+        F.round(F.avg("value").over(w), 6).alias("moving_avg"),
+    )
+
+
+def value_trend(events: DataFrame) -> DataFrame:
+    """(event_type, n, slope, intercept, r2): per-type least-squares
+    linear trend of ``value`` over event time (days since epoch — unit
+    chosen so slopes land at printable magnitudes). ANSI ``REGR_*``
+    aggregates — one map-side-combinable pass, identical semantics in
+    DuckDB for the oracle twin."""
+    x = F.unix_micros("ts") / F.lit(86_400_000_000.0)
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.regr_slope(F.col("value"), x), 6).alias("slope"),
+        F.round(F.regr_intercept(F.col("value"), x), 6).alias("intercept"),
+        F.round(F.regr_r2(F.col("value"), x), 6).alias("r2"),
+    )

@@ -2859,6 +2859,39 @@ register("q_simsearch_opq", _opq_q, None)
 # full CUBE grouping sets over events: completes the OLAP grouping surface
 # next to q_events_rollup (which only descends the (day, type) hierarchy);
 # GROUPING() flags distinguish rolled-up NULLs from NULL data values.
+# rolling mean over the gap-filled grid: the oracle REUSES the gapfill
+# twin verbatim as a subquery and wraps the same ROWS window around it, so
+# the two queries cannot drift apart
+
+
+def _ma_q(s: SparkSession, d: str) -> DataFrame:
+    return events.moving_average(_ref(s, d).events, minutes=60, window=3)
+
+
+register(
+    "q_events_moving_avg",
+    _ma_q,
+    f"""
+    WITH base AS ({{GAPFILL}})
+    SELECT event_type, bucket_us, value,
+           ROUND(AVG(value) OVER (PARTITION BY event_type ORDER BY bucket_us
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg
+    FROM base
+    """.replace("{GAPFILL}", QUERIES["q_events_gapfill"][1]),
+)
+
+register(
+    "q_events_trend",
+    lambda s, d: events.value_trend(_ref(s, d).events),
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(regr_slope(value, epoch_us(ts) / 86400000000.0), 6) AS slope,
+           ROUND(regr_intercept(value, epoch_us(ts) / 86400000000.0), 6) AS intercept,
+           ROUND(regr_r2(value, epoch_us(ts) / 86400000000.0), 6) AS r2
+    FROM events GROUP BY event_type
+    """,
+)
+
 register(
     "q_events_cube",
     lambda s, d: events.cube_counts(_ref(s, d).events),
