@@ -294,3 +294,62 @@ def random_walks(
             frontier.select("walk_id", F.lit(step).alias("step"), "node")
         )
     return out
+
+
+def degree_centrality(
+    edges: DataFrame, src: str = "src", dst: str = "dst", weight: str | None = "weight"
+) -> DataFrame:
+    """(node_id, degree, weighted_degree): per-node degree over a doubled
+    (undirected) edge list — gds.degree with orientation UNDIRECTED.
+    One map-side-combinable aggregate over the scan; the cheapest
+    centrality and the sanity anchor for the others."""
+    aggs = [F.count(F.lit(1)).alias("degree")]
+    if weight is not None:
+        aggs.append(F.sum(F.col(weight)).cast("double").alias("weighted_degree"))
+    return (
+        edges.groupBy(F.col(src).alias("node_id"))
+        .agg(*aggs)
+    )
+
+
+def clustering_coefficient(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(node_id, degree, triangles, coefficient): local clustering
+    coefficient 2T/(d(d-1)) — gds.localClusteringCoefficient. Reuses the
+    degree-ordered triangle counts (hub-safe wedge joins) plus one degree
+    aggregate; nodes with d < 2 get coefficient 0.0 by convention."""
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("a").alias("node_id"))
+        .unionAll(canon.select(F.col("b").alias("node_id")))
+        .groupBy("node_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = triangle_counts(edges, src=src, dst=dst)
+    return (
+        deg.join(tri, "node_id", "left")
+        .select(
+            "node_id",
+            "degree",
+            F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    2.0
+                    * F.coalesce(F.col("triangles"), F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("coefficient"),
+        )
+    )

@@ -2638,12 +2638,11 @@ register("q_graph_bfs", _bfs_q, _BFS_ORACLE)
 
 
 def _betweenness_q(s: SparkSession, d: str) -> DataFrame:
-    """Sampled-Brandes betweenness on the strong co-rating graph
-    (rows-only: the estimate is exact only at num_sources >= n, which the
-    unit tests pin on known graphs; the sampled estimate is nevertheless
-    a deterministic function of (graph, seed)).
-    q_graph_betweenness_exact is the driver-attestable twin (exact
-    Brandes on a bounded subgraph vs unrolled-level SQL)."""
+    """Sampled-Brandes betweenness on the strong co-rating graph. Fully
+    oracle-checked since round 4: the md5 source sample, all-pairs path
+    counts and the n/k-scaled pair-formula estimate are all re-expressed
+    in the SQL twin below; q_graph_betweenness_exact additionally pins
+    the num_sources >= n exact mode on a bounded subgraph."""
     from .plans.betweenness import betweenness_approx
 
     strong = _corating_double(s, d).filter(F.col("weight") >= COMPONENTS_MIN_WEIGHT)
@@ -2652,7 +2651,68 @@ def _betweenness_q(s: SparkSession, d: str) -> DataFrame:
     )
 
 
-register("q_graph_betweenness", _betweenness_q, None)
+# Full value-hash oracle for the SAMPLED production estimator (round 4):
+# the md5-hash source sample is SQL-expressible (fixed-width hex substring
+# orders identically to the 60-bit numeric hash), sigma needs all-pairs
+# path counts (the t side ranges over every node) — ~270k D rows at
+# sf0.01, fine for DuckDB — and the estimate is the Brandes pair formula
+# restricted to sampled s, scaled n/k. Validated cell-identical to the
+# Spark output at sf0.001 and sf0.01 before registration.
+_BETW_SAMPLED_LEVELS = 24  # >= full strong-graph diameter (measured 19 at sf0.01)
+
+
+def _betweenness_sampled_oracle(levels: int, num_sources: int, seed: int) -> str:
+    ctes = [
+        """pos AS (SELECT user_id, isbn FROM ratings WHERE rating >= 6)""",
+        f"""edges AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT a.user_id AS src, b.user_id AS dst, COUNT(*) AS w
+    FROM pos a JOIN pos b USING (isbn)
+    WHERE a.user_id <> b.user_id
+    GROUP BY a.user_id, b.user_id)
+  WHERE w >= {COMPONENTS_MIN_WEIGHT})""",
+        "nn AS (SELECT COUNT(DISTINCT src) AS n FROM edges)",
+        f"""srcs AS MATERIALIZED (
+  SELECT src AS s FROM (SELECT DISTINCT src FROM edges)
+  ORDER BY substring(md5(CAST(src AS VARCHAR) || '#{seed}'), 1, 15), src
+  LIMIT {num_sources})""",
+        "l0 AS MATERIALIZED (SELECT DISTINCT src AS s, src AS v, 0 AS d, 1.0 AS sigma FROM edges)",
+        "vis0 AS MATERIALIZED (SELECT * FROM l0)",
+    ]
+    for r in range(1, levels + 1):
+        ctes.append(
+            f"""l{r} AS MATERIALIZED (
+  SELECT p.s, e.dst AS v, {r} AS d, SUM(p.sigma) AS sigma
+  FROM l{r - 1} p JOIN edges e ON e.src = p.v
+  LEFT JOIN vis{r - 1} x ON x.s = p.s AND x.v = e.dst
+  WHERE x.v IS NULL
+  GROUP BY p.s, e.dst)"""
+        )
+        ctes.append(
+            f"vis{r} AS MATERIALIZED (SELECT * FROM vis{r - 1} UNION ALL SELECT * FROM l{r})"
+        )
+    body = ",\n".join(ctes)
+    return _q(
+        f""", {body},
+D AS MATERIALIZED (SELECT * FROM vis{levels}),
+DS AS MATERIALIZED (SELECT * FROM D WHERE s IN (SELECT s FROM srcs))
+SELECT sv.v AS user_id,
+       ROUND(SUM(sv.sigma * vt.sigma / st.sigma)
+             * (SELECT n FROM nn) / LEAST({num_sources}.0, (SELECT n FROM nn)), 6) AS betweenness
+FROM DS sv
+JOIN D vt ON vt.s = sv.v
+JOIN DS st ON st.s = sv.s AND st.v = vt.v
+WHERE sv.s <> sv.v AND vt.s <> vt.v AND sv.s <> vt.v
+  AND sv.d + vt.d = st.d
+GROUP BY sv.v"""
+    )
+
+
+register(
+    "q_graph_betweenness",
+    _betweenness_q,
+    _betweenness_sampled_oracle(_BETW_SAMPLED_LEVELS, 16, 7),
+)
 
 
 # BM25 retrieval scoring against a fixed term set (Lucene's non-negative
@@ -3237,7 +3297,7 @@ register(
 # (scale factor 1), so this is a full value-hash check of both BFS
 # path-counting and the dependency accumulation; q_graph_betweenness keeps
 # the production sampled estimate on the full strong graph.
-_BETW_LEVELS = 16  # >= graph diameter at driver scales (measured 11 at sf0.01)
+_BETW_LEVELS = 20  # >= subgraph diameter at driver scales (measured 11 at sf0.01)
 
 
 def _betweenness_exact_q(s: SparkSession, d: str) -> DataFrame:
@@ -3295,6 +3355,143 @@ GROUP BY sv.v"""
 
 register(
     "q_graph_betweenness_exact", _betweenness_exact_q, _betweenness_oracle(_BETW_LEVELS)
+)
+
+
+def _degree_q(s: SparkSession, d: str) -> DataFrame:
+    """Degree centrality (gds.degree, UNDIRECTED) on the full co-rating
+    projection — shares the projection cache with q_corating_projection."""
+    from .plans.graphs import degree_centrality
+
+    return degree_centrality(_corating_double(s, d)).select(
+        F.col("node_id").alias("user_id"), "degree", "weighted_degree"
+    )
+
+
+register(
+    "q_graph_degree",
+    _degree_q,
+    _q(
+        """
+        , pos AS (SELECT user_id, isbn FROM ratings WHERE rating >= 6),
+        edges AS (
+          SELECT a.user_id AS src, b.user_id AS dst, COUNT(*) AS w
+          FROM pos a JOIN pos b USING (isbn)
+          WHERE a.user_id <> b.user_id
+          GROUP BY a.user_id, b.user_id)
+        SELECT src AS user_id, CAST(COUNT(*) AS BIGINT) AS degree,
+               CAST(SUM(w) AS DOUBLE) AS weighted_degree
+        FROM edges GROUP BY src
+        """
+    ),
+)
+
+
+def _clustering_coef_q(s: SparkSession, d: str) -> DataFrame:
+    """Local clustering coefficient (gds.localClusteringCoefficient) on
+    the strong co-rating graph — reuses the hub-safe degree-ordered
+    triangle counts (q_graph_triangles) plus one degree aggregate."""
+    from .plans.graphs import clustering_coefficient
+
+    strong = _corating_double(s, d).filter(F.col("weight") >= COMPONENTS_MIN_WEIGHT)
+    return clustering_coefficient(strong).select(
+        F.col("node_id").alias("user_id"), "degree", "triangles", "coefficient"
+    )
+
+
+register(
+    "q_graph_clustering_coef",
+    _clustering_coef_q,
+    _q(
+        f"""
+        , pos AS (SELECT user_id, isbn FROM ratings WHERE rating >= 6),
+        und AS (
+          SELECT src AS a, dst AS b FROM (
+            SELECT a.user_id AS src, b.user_id AS dst, COUNT(*) AS w
+            FROM pos a JOIN pos b USING (isbn)
+            WHERE a.user_id < b.user_id
+            GROUP BY a.user_id, b.user_id)
+          WHERE w >= {COMPONENTS_MIN_WEIGHT}),
+        deg AS (
+          SELECT node, COUNT(*) AS d FROM (
+            SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+          GROUP BY node),
+        tri AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM und e1
+          JOIN und e2 ON e2.a = e1.b
+          JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+        corners AS (
+          SELECT x AS node FROM tri
+          UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri),
+        tcount AS (SELECT node, COUNT(*) AS t FROM corners GROUP BY node)
+        SELECT deg.node AS user_id, CAST(deg.d AS BIGINT) AS degree,
+               CAST(COALESCE(tcount.t, 0) AS BIGINT) AS triangles,
+               CASE WHEN deg.d >= 2
+                    THEN ROUND(2.0 * COALESCE(tcount.t, 0) / (deg.d * (deg.d - 1)), 6)
+                    ELSE 0.0 END AS coefficient
+        FROM deg LEFT JOIN tcount ON tcount.node = deg.node
+        """
+    ),
+)
+
+
+def _closeness_q(s: SparkSession, d: str) -> DataFrame:
+    """Sampled harmonic closeness (gds.closeness.harmonic) on the strong
+    co-rating graph — same deterministic md5 source sample as the
+    betweenness estimator, distances-only multi-source BFS."""
+    from .plans.closeness import harmonic_closeness_approx
+
+    strong = _corating_double(s, d).filter(F.col("weight") >= COMPONENTS_MIN_WEIGHT)
+    return harmonic_closeness_approx(strong, num_sources=16, seed=7).select(
+        F.col("node_id").alias("user_id"), "closeness"
+    )
+
+
+def _closeness_oracle(levels: int, num_sources: int, seed: int) -> str:
+    ctes = [
+        """pos AS (SELECT user_id, isbn FROM ratings WHERE rating >= 6)""",
+        f"""edges AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT a.user_id AS src, b.user_id AS dst, COUNT(*) AS w
+    FROM pos a JOIN pos b USING (isbn)
+    WHERE a.user_id <> b.user_id
+    GROUP BY a.user_id, b.user_id)
+  WHERE w >= {COMPONENTS_MIN_WEIGHT})""",
+        "nn AS (SELECT COUNT(DISTINCT src) AS n FROM edges)",
+        f"""l0 AS MATERIALIZED (
+  SELECT src AS s, src AS v, 0 AS d FROM (SELECT DISTINCT src FROM edges)
+  ORDER BY substring(md5(CAST(src AS VARCHAR) || '#{seed}'), 1, 15), src
+  LIMIT {num_sources})""",
+        "vis0 AS MATERIALIZED (SELECT * FROM l0)",
+    ]
+    for r in range(1, levels + 1):
+        ctes.append(
+            f"""l{r} AS MATERIALIZED (
+  SELECT DISTINCT p.s, e.dst AS v, {r} AS d
+  FROM l{r - 1} p JOIN edges e ON e.src = p.v
+  LEFT JOIN vis{r - 1} x ON x.s = p.s AND x.v = e.dst
+  WHERE x.v IS NULL)"""
+        )
+        ctes.append(
+            f"vis{r} AS MATERIALIZED (SELECT * FROM vis{r - 1} UNION ALL SELECT * FROM l{r})"
+        )
+    body = ",\n".join(ctes)
+    return _q(
+        f""", {body}
+SELECT v AS user_id,
+       ROUND(SUM(1.0 / d) * (SELECT n FROM nn) / LEAST({num_sources}.0, (SELECT n FROM nn)), 6) AS closeness
+FROM vis{levels}
+WHERE d > 0
+GROUP BY v"""
+    )
+
+
+register(
+    "q_graph_closeness",
+    _closeness_q,
+    _closeness_oracle(_BETW_SAMPLED_LEVELS, 16, 7),
 )
 
 

@@ -601,3 +601,52 @@ def test_betweenness_sampled_deterministic_and_scaled(spark):
     center = max(est.get(4, 0), est.get(5, 0))
     edge_nodes = max(est.get(0, 0), est.get(9, 0))
     assert center > edge_nodes
+
+
+def test_harmonic_closeness_exact_known_graphs(spark):
+    """num_sources >= n makes the estimator exact harmonic centrality.
+    Path 0-1-2-3-4: node 0 gets 1 + 1/2 + 1/3 + 1/4; node 2 (center)
+    gets 2*(1 + 1/2). Star hub: n-1 neighbors at distance 1."""
+    from graph_database_application_for_recommendations_spark.plans.closeness import (
+        harmonic_closeness_approx,
+    )
+    from graph_database_application_for_recommendations_spark.plans.graphs import (
+        undirected,
+    )
+
+    path = undirected(
+        spark.createDataFrame([(0, 1), (1, 2), (2, 3), (3, 4)], "src LONG, dst LONG")
+    )
+    got = dict(map(tuple, harmonic_closeness_approx(path, num_sources=10).collect()))
+    assert got[0] == pytest.approx(round(1 + 1 / 2 + 1 / 3 + 1 / 4, 6))
+    assert got[2] == pytest.approx(3.0)
+    star = undirected(
+        spark.createDataFrame([(0, i) for i in range(1, 6)], "src LONG, dst LONG")
+    )
+    got = dict(map(tuple, harmonic_closeness_approx(star, num_sources=10).collect()))
+    assert got[0] == pytest.approx(5.0)
+    assert got[1] == pytest.approx(round(1 + 4 * 0.5, 6))
+
+
+def test_clustering_coefficient_known_graphs(spark):
+    """Triangle with a pendant: the triangle corners not touching the
+    pendant have coefficient 1.0; the corner with the pendant has
+    d=3, T=1 -> 1/3; the pendant has d=1 -> 0.0."""
+    from graph_database_application_for_recommendations_spark.plans.graphs import (
+        clustering_coefficient,
+        undirected,
+    )
+
+    g = undirected(
+        spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 0), (0, 3)], "src LONG, dst LONG"
+        )
+    )
+    got = {
+        r["node_id"]: (r["degree"], r["triangles"], r["coefficient"])
+        for r in clustering_coefficient(g).collect()
+    }
+    assert got[1] == (2, 1, 1.0)
+    assert got[2] == (2, 1, 1.0)
+    assert got[0] == (3, 1, pytest.approx(round(1 / 3, 6)))
+    assert got[3] == (1, 0, 0.0)
