@@ -340,6 +340,41 @@ def encode_corpus(
     )
 
 
+def decode_corpus(
+    encoded: DataFrame,
+    vocabulary: DataFrame,
+    oov_token: str = "<unk>",
+) -> DataFrame:
+    """(doc_id, text): the inverse of :func:`encode_corpus` — token ids
+    mapped back through the vocabulary (OOV ids render as ``oov_token``),
+    reassembled in position order. With the whitespace tokenizer,
+    decode(encode(x)) == normalize(x) up to OOV replacement — the
+    round-trip invariant the q_corpus_decode oracle hash-checks, which
+    pins the id mapping's invertibility (a duplicated or shifted token_id
+    breaks the reassembled text).
+
+    Scale shape mirrors the encoder: the vocabulary broadcasts; the
+    corpus-sized side sees one aggregate keyed by doc_id (the natural
+    output partitioning for shard writing)."""
+    dec = encoded.join(
+        F.broadcast(vocabulary.select("token_id", "token")), "token_id", "left"
+    ).select(
+        "doc_id", "pos", F.coalesce(F.col("token"), F.lit(oov_token)).alias("token")
+    )
+    return (
+        dec.groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "token"))
+            ).alias("_pt")
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.transform("_pt", lambda s: s["token"])).alias("text"),
+        )
+    )
+
+
 # --- PII scrubbing -----------------------------------------------------------
 
 # Patterns kept to the Java/RE2 common subset so the Spark plan and the

@@ -918,6 +918,40 @@ register(
 
 # tokenizer vocabulary: dense ids by (count desc, token asc) — must be
 # bit-reproducible across corpus rebuilds
+def _decode_q(s: SparkSession, d: str) -> DataFrame:
+    """Round-trip: decode(encode(corpus)) — equals the normalized text
+    with sub-min-count/out-of-window tokens replaced by <unk>. Attests
+    the vocabulary id mapping is collision-free and invertible."""
+    vocab = textstats.build_vocabulary(_docs(s, d), max_size=2000, min_count=2)
+    enc = textstats.encode_corpus(_docs(s, d), vocab)
+    return textstats.decode_corpus(enc, vocab)
+
+
+register(
+    "q_corpus_decode",
+    _decode_q,
+    _q_docs(
+        """
+        , tokd AS (
+          SELECT doc_id, g.i - 1 AS pos, toks[g.i] AS token
+          FROM (SELECT doc_id, string_split(norm, ' ') AS toks FROM norm),
+               LATERAL unnest(generate_series(1, len(toks))) g(i)),
+        counts AS (
+          SELECT token, COUNT(*) AS count FROM tokd GROUP BY token HAVING COUNT(*) >= 2),
+        vocab AS (
+          SELECT token, token_id FROM (
+            SELECT token, ROW_NUMBER() OVER (ORDER BY count DESC, token) - 1 AS token_id
+            FROM counts)
+          WHERE token_id < 2000)
+        SELECT doc_id,
+               string_agg(COALESCE(v.token, '<unk>'), ' ' ORDER BY pos) AS text
+        FROM tokd t LEFT JOIN vocab v ON v.token = t.token
+        GROUP BY doc_id
+        """
+    ),
+)
+
+
 register(
     "q_corpus_vocab",
     lambda s, d: textstats.build_vocabulary(_docs(s, d), max_size=2000, min_count=2),
@@ -3235,6 +3269,33 @@ register(
           SELECT vec_id, cell AS cluster, ROUND(sim, 6) AS similarity,
                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
           FROM sims) WHERE rn = 1
+        """
+    ),
+)
+
+
+def _quantize_q(s: SparkSession, d: str) -> DataFrame:
+    """Int8 storage quantization of the embedding table (4x smaller than
+    float32; search-side compression is PQ's job). Fully oracle-checked:
+    the codes and scales are pure per-row arithmetic both engines compute
+    from the same parquet doubles."""
+    from .operators.quantize import quantize_int8_flat
+
+    return quantize_int8_flat(_ref(s, d).embeddings)
+
+
+register(
+    "q_emb_quantize",
+    _quantize_q,
+    _q_vec(
+        """
+        , m AS (
+          SELECT vec_id, v, (SELECT MAX(ABS(x)) FROM unnest(v) t(x)) AS ma
+          FROM vec)
+        SELECT vec_id, CAST(t.i - 1 AS INT) AS dim,
+               CAST(CASE WHEN ma > 0 THEN ROUND(127.0 * v[t.i] / ma, 0) ELSE 0 END AS INT) AS q,
+               ROUND(ma / 127.0, 9) AS scale
+        FROM m, range(1, 65) t(i)
         """
     ),
 )

@@ -1220,3 +1220,53 @@ def test_bpe_merge_application_is_leftmost_nonoverlapping(spark):
     assert got[0] == (1, "a", "a", 6)
     # after merging: each 'aaaa' -> [aa, aa]; round 2's top pair is (aa, aa)
     assert got[1] == (2, "aa", "aa", 2)
+
+
+def test_quantize_int8_roundtrip_error_bound(spark):
+    """Symmetric int8: every reconstructed coordinate is within half a
+    quantization step (scale/2) of the original, and codes stay in
+    [-127, 127]."""
+    from graph_database_application_for_recommendations_spark.operators.quantize import (
+        dequantize_int8,
+        quantize_int8_flat,
+    )
+    from graph_database_application_for_recommendations_spark.sources.views import (
+        load_ref_tables,
+    )
+
+    emb = load_ref_tables(spark, SF_SMALL).embeddings
+    flat = quantize_int8_flat(emb)
+    assert flat.filter((F.col("q") > 127) | (F.col("q") < -127)).count() == 0
+    orig = emb.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x")
+    )
+    joined = orig.join(flat, ["vec_id", "dim"])
+    bad = joined.filter(
+        F.abs(F.col("x") - F.col("q") * F.col("scale")) > F.col("scale") / 2 + 1e-7
+    )
+    assert bad.count() == 0
+    # dequantize reassembles full vectors in dimension order
+    deq = dequantize_int8(flat)
+    row = deq.filter(F.col("vec_id") == 0).collect()[0]
+    assert len(row["embedding"]) == 64
+
+
+def test_decode_corpus_inverts_encode(spark):
+    """With a full vocabulary (min_count=1, no size cap) the decode of the
+    encode equals the normalized text exactly — the id mapping is a
+    bijection on the corpus vocabulary."""
+    from graph_database_application_for_recommendations_spark.operators import textstats
+    from graph_database_application_for_recommendations_spark.sources.views import (
+        load_ref_tables,
+    )
+
+    docs = load_ref_tables(spark, SF_SMALL).documents
+    vocab = textstats.build_vocabulary(docs, min_count=1)
+    dec = textstats.decode_corpus(textstats.encode_corpus(docs, vocab), vocab)
+    norm = docs.select(
+        "doc_id",
+        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")).alias("text"),
+    )
+    diff = dec.join(norm, "doc_id").filter(dec["text"] != norm["text"])
+    assert diff.count() == 0
+    assert dec.count() == docs.count()
