@@ -3498,6 +3498,51 @@ register(
 )
 
 
+_SSSP_ROUNDS = 24  # >= max hops on optimal weighted paths (measured 15 at sf0.01)
+
+
+def _sssp_q(s: SparkSession, d: str) -> DataFrame:
+    """Weighted SSSP (gds.shortestPath.dijkstra analog) from the target
+    user over the strong co-rating graph, cost = 1/weight."""
+    from .plans.sssp import sssp_weighted
+
+    strong = _corating_double(s, d).filter(F.col("weight") >= COMPONENTS_MIN_WEIGHT)
+    return sssp_weighted(strong, UID).select(
+        F.col("node_id").alias("user_id"), "dist"
+    )
+
+
+def _sssp_oracle(rounds: int) -> str:
+    ctes = [
+        """pos AS (SELECT user_id, isbn FROM ratings WHERE rating >= 6)""",
+        f"""edges AS MATERIALIZED (
+  SELECT src, dst, w FROM (
+    SELECT a.user_id AS src, b.user_id AS dst, COUNT(*) AS w
+    FROM pos a JOIN pos b USING (isbn)
+    WHERE a.user_id <> b.user_id
+    GROUP BY a.user_id, b.user_id)
+  WHERE w >= {COMPONENTS_MIN_WEIGHT})""",
+        f"d0 AS (SELECT {UID} AS node, 0.0 AS dist)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""d{r} AS MATERIALIZED (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d{r - 1}
+    UNION ALL
+    SELECT e.dst AS node, p.dist + 1.0 / e.w AS dist
+    FROM d{r - 1} p JOIN edges e ON e.src = p.node)
+  GROUP BY node)"""
+        )
+    body = ",\n".join(ctes)
+    return _q(
+        f", {body}\nSELECT node AS user_id, ROUND(dist, 6) AS dist FROM d{rounds}"
+    )
+
+
+register("q_graph_sssp", _sssp_q, _sssp_oracle(_SSSP_ROUNDS))
+
+
 def _closeness_q(s: SparkSession, d: str) -> DataFrame:
     """Sampled harmonic closeness (gds.closeness.harmonic) on the strong
     co-rating graph — same deterministic md5 source sample as the

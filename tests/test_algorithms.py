@@ -650,3 +650,20 @@ def test_clustering_coefficient_known_graphs(spark):
     assert got[2] == (2, 1, 1.0)
     assert got[0] == (3, 1, pytest.approx(round(1 / 3, 6)))
     assert got[3] == (1, 0, 0.0)
+
+
+def test_sssp_weighted_prefers_cheap_multihop(spark):
+    """Weighted SSSP with cost=1/weight: a strong 2-hop chain (w=10 each,
+    cost 0.1+0.1) beats the weak direct edge (w=1, cost 1.0) — the case
+    that separates Dijkstra semantics from BFS hop counting."""
+    from graph_database_application_for_recommendations_spark.plans.graphs import undirected
+    from graph_database_application_for_recommendations_spark.plans.sssp import sssp_weighted
+
+    g = undirected(
+        spark.createDataFrame(
+            [(0, 1, 10.0), (1, 2, 10.0), (0, 2, 1.0)],
+            "src LONG, dst LONG, weight DOUBLE",
+        )
+    )
+    got = dict(map(tuple, sssp_weighted(g, 0).collect()))
+    assert got == {0: 0.0, 1: 0.1, 2: 0.2}
