@@ -64,10 +64,14 @@ BENCH_QUERIES = [
     "q_simsearch_range",
     "q_emb_centroids",
     "q_emb_pca",
+    "q_emb_quantize",
     "q_corpus_cluster",
     "q_louvain_communities",
     "q_pagerank",
     "q_graph_kcore",
+    "q_graph_sssp",
+    "q_graph_closeness",
+    "q_graph_clustering_coef",
     "q_hits",
     "q_text_langid",
     "q_text_tfidf",
@@ -99,11 +103,15 @@ BENCH_QUERIES = [
     "q_events_funnel",
     "q_events_anomaly",
     "q_events_gapfill",
+    "q_events_moving_avg",
+    "q_events_trend",
     "q_events_cube",
     "q_text_collocations",
     "q_emb_hard_negatives",
     "q_graph_walks",
     "q_corpus_bpe",
+    "q_corpus_bpe_segment",
+    "q_corpus_decode",
 ]
 
 # the iterative pipeline (FastRP -> KNN -> LPA) is measured as one unit,
