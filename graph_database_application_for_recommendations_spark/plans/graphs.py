@@ -353,3 +353,54 @@ def clustering_coefficient(
             .alias("coefficient"),
         )
     )
+
+
+def graph_summary(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """One-row graph profile (the gds.graph.list / graph.stats surface):
+    (n_nodes, n_edges, density, avg_degree, max_degree, transitivity,
+    assortativity) over a doubled (undirected) edge list.
+
+    - density/degrees from one degree aggregate;
+    - transitivity = Σ_v T_v / Σ_v d_v(d_v-1)/2 (global clustering
+      coefficient) reusing the hub-safe triangle counts;
+    - assortativity = Pearson correlation of endpoint degrees over the
+      doubled edge list (Newman 2002, public) — one ``corr`` aggregate
+      after a degree join.
+    All map-side-combinable aggregates + broadcast-sized joins; nothing
+    scales past the edge list itself."""
+    deg = (
+        edges.groupBy(F.col(src).alias("node_id"))
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    tri_total = triangle_counts(edges, src=src, dst=dst).agg(
+        F.coalesce(F.sum("triangles"), F.lit(0)).alias("t3")
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        (F.sum("d") / 2).cast("long").alias("n_edges"),
+        F.max("d").cast("long").alias("max_degree"),
+        F.round(F.avg("d"), 6).alias("avg_degree"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("_wedges"),
+    )
+    e_deg = (
+        edges.join(deg.withColumnRenamed("node_id", src).withColumnRenamed("d", "_ds"), src)
+        .join(deg.withColumnRenamed("node_id", dst).withColumnRenamed("d", "_dt"), dst)
+        .agg(F.round(F.corr(F.col("_ds").cast("double"), F.col("_dt").cast("double")), 6).alias("assortativity"))
+    )
+    return (
+        stats.crossJoin(tri_total)
+        .crossJoin(e_deg)
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.round(
+                2.0 * F.col("n_edges") / (F.col("n_nodes") * (F.col("n_nodes") - 1)), 6
+            ).alias("density"),
+            "avg_degree",
+            "max_degree",
+            F.when(F.col("_wedges") > 0, F.round(F.col("t3") / F.col("_wedges"), 6))
+            .otherwise(F.lit(0.0))
+            .alias("transitivity"),
+            "assortativity",
+        )
+    )

@@ -3543,6 +3543,58 @@ def _sssp_oracle(rounds: int) -> str:
 register("q_graph_sssp", _sssp_q, _sssp_oracle(_SSSP_ROUNDS))
 
 
+def _graph_summary_q(s: SparkSession, d: str) -> DataFrame:
+    """One-row profile of the strong co-rating graph (gds.graph.list
+    stats + global clustering + Newman degree assortativity)."""
+    from .plans.graphs import graph_summary
+
+    strong = _corating_double(s, d).filter(F.col("weight") >= COMPONENTS_MIN_WEIGHT)
+    return graph_summary(strong)
+
+
+register(
+    "q_graph_summary",
+    _graph_summary_q,
+    _q(
+        f"""
+        , pos AS (SELECT user_id, isbn FROM ratings WHERE rating >= 6),
+        edges AS MATERIALIZED (
+          SELECT src, dst FROM (
+            SELECT a.user_id AS src, b.user_id AS dst, COUNT(*) AS w
+            FROM pos a JOIN pos b USING (isbn)
+            WHERE a.user_id <> b.user_id
+            GROUP BY a.user_id, b.user_id)
+          WHERE w >= {COMPONENTS_MIN_WEIGHT}),
+        deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),
+        und AS (
+          SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+          FROM edges GROUP BY 1, 2),
+        tri AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM und e1 JOIN und e2 ON e2.a = e1.b
+          JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+        s AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                 CAST(SUM(d) / 2 AS BIGINT) AS n_edges,
+                 CAST(MAX(d) AS BIGINT) AS max_degree,
+                 ROUND(AVG(d), 6) AS avg_degree,
+                 SUM(d * (d - 1) / 2.0) AS wedges
+          FROM deg),
+        t AS (SELECT 3.0 * COUNT(*) AS t3 FROM tri),
+        asst AS (
+          SELECT ROUND(corr(CAST(ds.d AS DOUBLE), CAST(dt.d AS DOUBLE)), 6) AS assortativity
+          FROM edges e JOIN deg ds ON ds.node = e.src JOIN deg dt ON dt.node = e.dst)
+        SELECT n_nodes, n_edges,
+               ROUND(2.0 * n_edges / (n_nodes * (n_nodes - 1)), 6) AS density,
+               avg_degree, max_degree,
+               CASE WHEN wedges > 0 THEN ROUND(t3 / wedges, 6) ELSE 0.0 END AS transitivity,
+               assortativity
+        FROM s, t, asst
+        """
+    ),
+)
+
+
 def _closeness_q(s: SparkSession, d: str) -> DataFrame:
     """Sampled harmonic closeness (gds.closeness.harmonic) on the strong
     co-rating graph — same deterministic md5 source sample as the
