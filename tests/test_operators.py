@@ -486,3 +486,33 @@ def test_bucketed_point_upsert_rewrites_only_touched_buckets(spark, tmp_path):
     assert [r["rating"] for r in row.collect()] == [3]
     plan = row._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "_bucket" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_source_format_roundtrips(spark, tmp_path):
+    """Source/sink format coverage beyond parquet+CSV: ORC and JSON-lines
+    round-trip the documents table byte-for-byte (same rows, same
+    schema-relevant values). Spark ships both natively — at 100 TB these
+    are the interchange formats a training pipeline actually meets."""
+    from graph_database_application_for_recommendations_spark.sources.views import (
+        load_ref_tables,
+    )
+
+    docs = load_ref_tables(spark, SF_SMALL).documents.select(
+        "doc_id", "text", "lang", "source"
+    )
+    want = sorted(map(tuple, docs.collect()))
+
+    orc_path = str(tmp_path / "docs_orc")
+    docs.write.mode("overwrite").orc(orc_path)
+    got_orc = sorted(map(tuple, spark.read.orc(orc_path).select(docs.columns).collect()))
+    assert got_orc == want
+
+    json_path = str(tmp_path / "docs_jsonl")
+    docs.write.mode("overwrite").json(json_path)
+    got_json = sorted(
+        map(
+            tuple,
+            spark.read.schema(docs.schema).json(json_path).select(docs.columns).collect(),
+        )
+    )
+    assert got_json == want
