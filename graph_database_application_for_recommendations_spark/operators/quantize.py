@@ -26,11 +26,17 @@ def quantize_int8_flat(
     repeats per row so a reader needs no second table. Zero vectors
     quantize to all-zero codes with scale 0."""
     v = V.as_double(F.col(vec_col))
-    src = embeddings.select(
+    # compute the per-vector max BEFORE the explode: in a single select
+    # Catalyst places the Generate under the projection and re-evaluates
+    # array_max once per exploded ROW — O(d²) per vector. Two selects pin
+    # the scalar to the pre-explode projection (verified in the plan:
+    # Project[_m] below Generate).
+    pre = embeddings.select(
         F.col(id_col),
+        v.alias("_v"),
         F.array_max(F.transform(v, lambda x: F.abs(x))).alias("_m"),
-        F.posexplode(v).alias("dim", "val"),
     )
+    src = pre.select(id_col, "_m", F.posexplode("_v").alias("dim", "val"))
     q = (
         F.when(F.col("_m") > 0, F.round(127.0 * F.col("val") / F.col("_m"), 0))
         .otherwise(F.lit(0.0))
