@@ -4072,6 +4072,39 @@ register(
 )
 
 
+# --- rows-only -> attestable-twin map (round-4 discipline) ------------------
+#
+# Every rows-only query must name an oracle-backed companion that value-
+# hash checks the same machinery (tests/test_oracle_parity.py enforces
+# this at registration time, so a future rows-only operator cannot land
+# without its twin). Keys are rows-only names; values are oracle-backed.
+
+ROWS_ONLY_TWINS: dict[str, str] = {
+    "q_simsearch_ivf": "q_simsearch_ivf_exact",
+    "q_simsearch_pq": "q_simsearch_pq_exact",
+    "q_simsearch_opq": "q_simsearch_opq_exact",
+    "q_corpus_cluster": "q_corpus_cluster_assign",
+    "q_emb_pca": "q_emb_pca_moments",
+    "q_corpus_bpe": "q_corpus_bpe_merges",
+    "q_events_approx_percentiles": "q_events_approx_bounds",
+    "q_events_approx_users": "q_events_approx_users_bounds",
+    "q_multimodal_features": "q_multimodal_features_digest",
+    "q_multimodal_resize": "q_multimodal_resize_digest",
+    "q_multimodal_frames": "q_multimodal_frames_digest",
+    "q_louvain_communities": "q_louvain_invariants",
+    "q_louvain_modularity": "q_louvain_invariants",
+    "q_pipeline_similar_to": "q_pipeline_invariants",
+    "q_pipeline_communities": "q_pipeline_invariants",
+    "q_pipeline_community_stats": "q_pipeline_invariants",
+    "q_pipeline_community_members": "q_pipeline_invariants",
+    "q_pipeline_knn_recommend": "q_pipeline_invariants",
+    "q_pipeline_comm_recommend": "q_pipeline_invariants",
+    "q_pipeline_modularity": "q_pipeline_invariants",
+    "q_pipeline_fastrp_digest": "q_pipeline_invariants",
+    "q_pipeline_fastrp_embeddings": "q_pipeline_invariants",
+}
+
+
 # --- driver-window ordering -------------------------------------------------
 #
 # The verify driver hash-checks the FIRST 50 entries of ``oracle_sql()`` in

@@ -51,3 +51,25 @@ def test_events_parity_is_session_timezone_proof(spark, name):
                 registry.oracle_sql()[name], SF_SMALL)
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_every_rows_only_query_has_an_attestable_twin():
+    """Round-4 discipline: a rows-only registration (no oracle SQL) must
+    name an oracle-backed companion in registry.ROWS_ONLY_TWINS — so every
+    surface keeps a driver hash row even when its own output can't be
+    value-hashed."""
+    from graph_database_application_for_recommendations_spark import registry
+
+    q = set(registry.queries())
+    o = set(registry.oracle_sql())
+    rows_only = q - o
+    missing = rows_only - set(registry.ROWS_ONLY_TWINS)
+    assert not missing, f"rows-only queries without a declared twin: {sorted(missing)}"
+    bad_twins = {
+        name: twin
+        for name, twin in registry.ROWS_ONLY_TWINS.items()
+        if twin not in o
+    }
+    assert not bad_twins, f"twins that are not oracle-backed: {bad_twins}"
+    stale = set(registry.ROWS_ONLY_TWINS) - rows_only
+    assert not stale, f"twin map entries for queries that are no longer rows-only: {sorted(stale)}"
