@@ -404,3 +404,91 @@ def graph_summary(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataF
             "assortativity",
         )
     )
+
+
+def biased_walks(
+    ratings: DataFrame,
+    steps: int = 3,
+    start_mod: int = 20,
+    seed: int = 7,
+    p: float = 4.0,
+    q: float = 2.0,
+) -> DataFrame:
+    """node2vec-style second-order biased walks (Grover & Leskovec 2016,
+    public) on the bipartite rating graph: (walk_id, step, node).
+
+    Per step the walker at ``node`` (having arrived from ``prev``) picks
+    the neighbor minimizing the A-ES key ``-ln(u)/w`` where ``u`` is the
+    per-(walk, step, neighbor) md5-uniform and ``w`` the node2vec bias:
+    1/p for returning to ``prev``, 1 for neighbors adjacent to ``prev``,
+    1/q otherwise (first step: uniform). That is exactly a weighted
+    sample with probability ∝ w, derandomized by the deterministic hash —
+    the same derandomization contract as :func:`random_walks`, so the
+    corpus hash-compares against an unrolled SQL twin.
+
+    On a bipartite graph no non-return neighbor is adjacent to ``prev``
+    (they share its side), so the in-out bias q applies to all of them —
+    the adjacency check is still evaluated (and mirrored in the oracle
+    and the pure-Python twin in pytest) so the plan shape is the general
+    node2vec one; on this input the branch is provably never taken.
+
+    Plan shape per step: one equi-join frontier×edges, one LEFT join for
+    the prev-adjacency flag, one per-walk argmin window — all
+    |walks|·degree-proportional, same scale story as random_walks.
+    """
+    from pyspark.sql import Window
+
+    from . import materialize
+    from ..functions.text import md5_hash60
+
+    u_node = F.concat(F.lit("u:"), F.col("user_id").cast("string"))
+    b_node = F.concat(F.lit("b:"), F.col("isbn"))
+    edges = materialize(
+        ratings.select(u_node.alias("src"), b_node.alias("dst"))
+        .unionByName(ratings.select(b_node.alias("src"), u_node.alias("dst")))
+        .repartition("src")
+    )
+    adj = edges.select(F.col("src").alias("_ps"), F.col("dst").alias("_pd")).distinct()
+    frontier = materialize(
+        ratings.filter(F.col("user_id") % start_mod == 0)
+        .select(u_node.alias("walk_id"))
+        .distinct()
+        .select(
+            "walk_id",
+            F.lit(None).cast("string").alias("prev"),
+            F.col("walk_id").alias("node"),
+        )
+    )
+    out = frontier.select("walk_id", F.lit(0).alias("step"), "node")
+    for step in range(1, steps + 1):
+        h = md5_hash60(
+            F.concat(F.col("walk_id"), F.lit(f"|{step}|"), F.col("dst")), seed
+        )
+        u = (h.cast("double") + F.lit(1.0)) / F.lit(float(1 << 60))
+        bias = (
+            F.when(F.col("prev").isNull(), F.lit(1.0))
+            .when(F.col("dst") == F.col("prev"), F.lit(1.0 / p))
+            .when(F.col("_pd").isNotNull(), F.lit(1.0))
+            .otherwise(F.lit(1.0 / q))
+        )
+        key = -F.log(u) / bias
+        w = Window.partitionBy("walk_id").orderBy(key.asc(), F.col("dst").asc())
+        frontier = materialize(
+            frontier.join(edges, frontier.node == edges.src)
+            .join(
+                adj,
+                (F.col("prev") == F.col("_ps")) & (F.col("dst") == F.col("_pd")),
+                "left",
+            )
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "walk_id",
+                F.col("node").alias("prev"),
+                F.col("dst").alias("node"),
+            )
+        )
+        out = out.unionByName(
+            frontier.select("walk_id", F.lit(step).alias("step"), "node")
+        )
+    return out

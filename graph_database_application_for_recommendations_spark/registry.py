@@ -3115,6 +3115,69 @@ w0 AS (
 
 register("q_graph_walks", _walks_q, _WALKS_ORACLE)
 
+_WALK_P, _WALK_Q = 4.0, 2.0
+
+
+def _biased_walks_q(s: SparkSession, d: str) -> DataFrame:
+    """node2vec-style biased walks (p=4, q=2): second-order walk corpus
+    for embedding training, derandomized by the deterministic md5 A-ES
+    key so the full corpus value-hashes against the unrolled SQL twin."""
+    from .plans.graphs import biased_walks
+
+    return biased_walks(
+        _ref(s, d).ratings, steps=_WALK_STEPS, start_mod=_WALK_MOD,
+        seed=_WALK_SEED, p=_WALK_P, q=_WALK_Q,
+    )
+
+
+def _biased_step_cte(i: int, prev: str) -> str:
+    h = (
+        f"CAST(('0x' || substr(md5(w.walk_id || '|{i}|' || e.dst || "
+        f"'#{_WALK_SEED}'), 1, 15)) AS BIGINT)"
+    )
+    key = (
+        f"(-ln(({h} + 1.0) / 1152921504606846976.0)) / "
+        f"(CASE WHEN w.prev IS NULL THEN 1.0 "
+        f"WHEN e.dst = w.prev THEN {1.0 / _WALK_P!r} "
+        f"WHEN a.pd IS NOT NULL THEN 1.0 "
+        f"ELSE {1.0 / _WALK_Q!r} END)"
+    )
+    return f"""b{i} AS (SELECT walk_id, nprev AS prev, dst AS node FROM (
+  SELECT w.walk_id, w.node AS nprev, e.dst,
+         ROW_NUMBER() OVER (PARTITION BY w.walk_id ORDER BY {key}, e.dst) AS rn
+  FROM {prev} w JOIN e ON w.node = e.src
+  LEFT JOIN adj a ON a.ps = w.prev AND a.pd = e.dst) WHERE rn = 1)"""
+
+
+_BIASED_WALKS_ORACLE = (
+    f"""{ORACLE_PRELUDE},
+e AS (
+  SELECT 'u:' || CAST(user_id AS VARCHAR) AS src, 'b:' || isbn AS dst FROM ratings
+  UNION ALL
+  SELECT 'b:' || isbn AS src, 'u:' || CAST(user_id AS VARCHAR) AS dst FROM ratings
+),
+adj AS (SELECT DISTINCT src AS ps, dst AS pd FROM e),
+b0 AS (
+  SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS walk_id,
+                  CAST(NULL AS VARCHAR) AS prev,
+                  'u:' || CAST(user_id AS VARCHAR) AS node
+  FROM ratings WHERE user_id % {_WALK_MOD} = 0
+),
+"""
+    + ",\n".join(
+        _biased_step_cte(i, "b0" if i == 1 else f"b{i - 1}")
+        for i in range(1, _WALK_STEPS + 1)
+    )
+    + "\nSELECT walk_id, 0 AS step, node FROM b0"
+    + "".join(
+        f"\nUNION ALL SELECT walk_id, {i} AS step, node FROM b{i}"
+        for i in range(1, _WALK_STEPS + 1)
+    )
+)
+
+register("q_graph_walks_biased", _biased_walks_q, _BIASED_WALKS_ORACLE)
+
+
 
 # BPE training is EAGER — bpe_merges runs its full driver-side merge loop
 # the moment the registry lambda is invoked (ADVICE r3) — so results are

@@ -667,3 +667,56 @@ def test_sssp_weighted_prefers_cheap_multihop(spark):
     )
     got = dict(map(tuple, sssp_weighted(g, 0).collect()))
     assert got == {0: 0.0, 1: 0.1, 2: 0.2}
+
+
+def test_biased_walks_match_python_twin(spark):
+    """node2vec biased walks vs an independent pure-Python replication of
+    the full semantics (md5 A-ES keys, p/q/common-neighbor bias branches,
+    tie-breaks) — the third implementation next to the Spark plan and the
+    SQL oracle."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    from graph_database_application_for_recommendations_spark.plans.graphs import biased_walks
+
+    ratings = load_ref_tables(spark, SF_SMALL).ratings
+    got = {
+        (r["walk_id"], r["step"]): r["node"]
+        for r in biased_walks(ratings, steps=3, start_mod=20, seed=7, p=4.0, q=2.0).collect()
+    }
+
+    rows = ratings.select("user_id", "isbn").collect()
+    adj = defaultdict(set)
+    for r in rows:
+        u, b = f"u:{r['user_id']}", f"b:{r['isbn']}"
+        adj[u].add(b)
+        adj[b].add(u)
+    starts = sorted({f"u:{r['user_id']}" for r in rows if r["user_id"] % 20 == 0})
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(f"{s}#7".encode()).hexdigest()[:15], 16)
+
+    want = {}
+    for w in starts:
+        prev, node = None, w
+        want[(w, 0)] = node
+        for step in (1, 2, 3):
+            best = None
+            for nb in adj[node]:
+                u = (h60(f"{w}|{step}|{nb}") + 1.0) / float(1 << 60)
+                if prev is None:
+                    bias = 1.0
+                elif nb == prev:
+                    bias = 1.0 / 4.0
+                elif nb in adj[prev]:
+                    bias = 1.0
+                else:
+                    bias = 1.0 / 2.0
+                key = -math.log(u) / bias
+                if best is None or (key, nb) < best[:2]:
+                    best = (key, nb)
+            prev, node = node, best[1]
+            want[(w, step)] = node
+
+    assert got == want
