@@ -607,3 +607,33 @@ def funnel_stream(
         F.unix_micros("t2").alias("t2_us"),
         F.unix_micros("t3").alias("t3_us"),
     )
+
+
+def value_trend_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of operators/events.py::value_trend — the REGR_*
+    sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) are all plain sums,
+    so the linear trend maintains incrementally under complete-mode
+    aggregation with bounded state (one row of moments per event type);
+    the closed-form slope/intercept/r² are computed on output. This is
+    the standard way to stream any moment-expressible statistic."""
+    x = F.unix_micros("ts") / F.lit(86_400_000_000.0)
+    src = events.select("event_type", x.alias("_x"), F.col("value").alias("_y"))
+    m = src.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("sx"),
+        F.sum("_y").alias("sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("syy"),
+    )
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
+    varx = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    vary = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    slope = cov / varx
+    return m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias("intercept"),
+        F.round(cov * cov / (varx * vary), 6).alias("r2"),
+    )

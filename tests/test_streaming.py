@@ -442,3 +442,30 @@ def test_simsearch_stream_writeback_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_streaming_trend_matches_batch(spark, event_stream, batch_events, tmp_path):
+    """The moment-form streaming trend equals the batch REGR_* trend up
+    to float round-off (algebraically identical, different accumulation;
+    the intercept extrapolates ~20k days back to epoch, so absolute
+    digits are ill-conditioned — compare relatively)."""
+    got = {
+        r["event_type"]: (r["n"], r["slope"], r["intercept"], r["r2"])
+        for r in stream_ops.run_to_memory(
+            stream_ops.value_trend_stream(event_stream),
+            "t_trend",
+            "complete",
+            str(tmp_path / "ck_trend"),
+        ).collect()
+    }
+    want = {
+        r["event_type"]: (r["n"], r["slope"], r["intercept"], r["r2"])
+        for r in batch_ops.value_trend(batch_events).collect()
+    }
+    assert set(got) == set(want)
+    for k, (n, s, i, r2) in want.items():
+        gn, gs, gi, gr2 = got[k]
+        assert gn == n
+        assert gs == pytest.approx(s, rel=1e-6, abs=1e-6)
+        assert gi == pytest.approx(i, rel=1e-6)
+        assert gr2 == pytest.approx(r2, rel=1e-4, abs=1e-6)
