@@ -425,3 +425,21 @@ def test_kcore_round_uses_cached_edges_and_semi_joins(spark):
     )
     assert plan.count("LeftSemi") == 2
     assert "HashAggregate" in plan
+
+
+def test_quantize_computes_max_before_explode(spark):
+    """Plan guard for the round-4 fix: the per-vector max must sit BELOW
+    the Generate (computed once per vector); in a single select Catalyst
+    re-evaluates it per exploded row — O(d²) per vector at 100 TB."""
+    from graph_database_application_for_recommendations_spark.operators.quantize import (
+        quantize_int8_flat,
+    )
+    from graph_database_application_for_recommendations_spark.sources.views import (
+        load_ref_tables,
+    )
+
+    df = quantize_int8_flat(load_ref_tables(spark, SF_SMALL).embeddings)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    gen = plan.index("Generate")
+    assert "array_max" in plan[gen:], "array_max must be computed below the Generate"
+    assert "array_max" not in plan[:gen], "array_max above Generate = per-row re-eval"
