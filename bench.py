@@ -240,9 +240,9 @@ def main() -> None:
     # record that fits in the tail: 3-significant-digit times, no spaces.
     # If a grown mix ever pushes it past the tail budget, drop the "q_"
     # prefix from the query keys rather than dropping queries.
-    def _compact(times: dict[str, float], strip_prefix: bool) -> str:
+    def _compact(times: dict[str, float], strip_prefix: bool, sig: int) -> str:
         q = {
-            (k[2:] if strip_prefix and k.startswith("q_") else k): float(f"{v:.3g}")
+            (k[2:] if strip_prefix and k.startswith("q_") else k): float(f"{v:.{sig}g}")
             for k, v in times.items()
         }
         return json.dumps(
@@ -259,9 +259,13 @@ def main() -> None:
         )
 
     print(json.dumps({"rows": rows}, separators=(",", ":")), file=sys.stderr, flush=True)
-    line = _compact(timings, strip_prefix=False)
-    if len(line) > 1900:
-        line = _compact(timings, strip_prefix=True)
+    # progressively compact until the record fits the driver's ~2000-char
+    # stdout tail with margin: full names -> stripped q_ prefix -> 2-sig
+    # times. Every per-query time survives in all modes.
+    for strip, sig in ((False, 3), (True, 3), (True, 2)):
+        line = _compact(timings, strip_prefix=strip, sig=sig)
+        if len(line) <= 1850:
+            break
     print(line, flush=True)
 
 
