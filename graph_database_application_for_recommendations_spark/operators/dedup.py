@@ -834,3 +834,44 @@ def corpus_dedup_groups(
         )
         .withColumn("keep", F.col("doc_id") == F.col("group_id"))
     )
+
+
+def corpus_dedup_keep_best(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(doc_id, group_id, n_tokens, keep): the near-dup decision table
+    under the keep-LONGEST retention policy — production corpus builds
+    keep the highest-value member of each duplicate cluster rather than
+    the smallest id (token count is the standard cheap value proxy; swap
+    in a quality score by joining before the window). keep marks the
+    argmax(n_tokens, tie-break smallest id) per group.
+
+    Same plan as :func:`corpus_dedup_groups` (banded MinHash pairs ->
+    components) plus one |docs|-proportional token count and one window
+    partitioned by group — group sizes are near-dup cluster sizes, so the
+    window never sees skew beyond actual duplication.
+    """
+    pairs = minhash_lsh_pairs(
+        documents, id_col, text_col, num_hashes, bands, shingle_n, threshold
+    )
+    comp = neardup_components(pairs)
+    base = (
+        documents.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+        )
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("group_id", F.col("doc_id")).alias("group_id"),
+            "n_tokens",
+        )
+    )
+    w = Window.partitionBy("group_id").orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+    return base.withColumn("keep", F.row_number().over(w) == 1)

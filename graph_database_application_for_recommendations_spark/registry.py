@@ -844,6 +844,26 @@ register(
     lambda s, d: dedup.corpus_dedup_groups(_docs(s, d), threshold=0.5),
     _DEDUP_GROUPS_ORACLE,
 )
+_KEEP_BEST_ORACLE = _DEDUP_GROUPS_ORACLE.replace(
+    """    SELECT doc.doc_id,
+           COALESCE(c.group_id, doc.doc_id) AS group_id,
+           doc.doc_id = COALESCE(c.group_id, doc.doc_id) AS keep
+    FROM documents doc LEFT JOIN comp c USING (doc_id)""",
+    """    , g AS (
+      SELECT doc.doc_id, COALESCE(c.group_id, doc.doc_id) AS group_id
+      FROM documents doc LEFT JOIN comp c USING (doc_id)),
+    nt AS (SELECT doc_id, CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens FROM norm)
+    SELECT doc_id, group_id, n_tokens,
+           ROW_NUMBER() OVER (PARTITION BY group_id ORDER BY n_tokens DESC, doc_id) = 1 AS keep
+    FROM g JOIN nt USING (doc_id)""",
+)
+assert _KEEP_BEST_ORACLE != _DEDUP_GROUPS_ORACLE, "keep-best oracle tail rewrite failed"
+
+register(
+    "q_corpus_dedup_keep_best",
+    lambda s, d: dedup.corpus_dedup_keep_best(_docs(s, d), threshold=0.5),
+    _KEEP_BEST_ORACLE,
+)
 register(
     "q_corpus_clean",
     _corpus_clean,
@@ -1242,6 +1262,77 @@ register(
       FROM documents)
     """,
 )
+
+def _mix_fractions_q(s: SparkSession, d: str) -> DataFrame:
+    """Temperature-scaled mixture balancing (mT5/XLM-R recipe, T=2):
+    per-source keep fractions realized by down-sampling only. The Spark
+    side runs the real temperature_fractions helper over a one-pass
+    count; the oracle recomputes the closed form (p_d ∝ n_d^(1/T),
+    keep_d ∝ (p_d/Z)/(n_d/N), max-normalized) in SQL."""
+    from .operators.packing import temperature_fractions
+
+    counts = {
+        r["source"]: r["n"]
+        for r in _docs(s, d)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    fr = temperature_fractions(counts, temperature=2.0)
+    return s.createDataFrame(
+        [(k, int(counts[k]), float(round(fr[k], 6))) for k in sorted(counts)],
+        "source string, n_docs long, keep_fraction double",
+    )
+
+
+register(
+    "q_corpus_mix_fractions",
+    _mix_fractions_q,
+    """
+    WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY source),
+    tot AS (SELECT SUM(n) AS t FROM c),
+    p AS (SELECT source, n, POWER(CAST(n AS DOUBLE) / (SELECT t FROM tot), 0.5) AS p FROM c),
+    z AS (SELECT SUM(p) AS z FROM p),
+    r AS (SELECT source, n,
+                 (p / (SELECT z FROM z)) / (CAST(n AS DOUBLE) / (SELECT t FROM tot)) AS raw
+          FROM p),
+    m AS (SELECT MAX(raw) AS m FROM r)
+    SELECT source, n AS n_docs, ROUND(raw / (SELECT m FROM m), 6) AS keep_fraction FROM r
+    """,
+)
+
+
+def _quality_deciles_q(s: SparkSession, d: str) -> DataFrame:
+    """Quality deciles (NTILE over prose-ness): the bucketing a curation
+    pipeline uses for quality-stratified sampling — decile 1 = most
+    stopword-dense (most prose-like). Total order via (rounded ratio
+    DESC, doc_id), so the tiles are engine-independent."""
+    from pyspark.sql import Window
+
+    q = textstats.quality_scores(_docs(s, d))
+    w = Window.orderBy(F.desc("stopword_ratio"), F.asc("doc_id"))
+    return q.select(
+        "doc_id", "stopword_ratio", F.ntile(10).over(w).alias("decile")
+    )
+
+
+register(
+    "q_text_quality_deciles",
+    _quality_deciles_q,
+    _q_docs(
+        f"""
+        , tok AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS token FROM norm),
+        agg AS (
+          SELECT doc_id,
+                 ROUND(AVG(CASE WHEN token IN ({{_SW_EN}}) THEN 1.0 ELSE 0.0 END), 6) AS stopword_ratio
+          FROM tok GROUP BY doc_id)
+        SELECT doc_id, stopword_ratio,
+               CAST(NTILE(10) OVER (ORDER BY stopword_ratio DESC, doc_id) AS INT) AS decile
+        FROM agg
+        """.replace("{_SW_EN}", _SW_EN)
+    ),
+)
+
 
 register(
     "q_corpus_mix",
