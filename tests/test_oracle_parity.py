@@ -28,6 +28,7 @@ def test_all_registered_queries_are_driver_canonicalizable(spark):
     is scalar-only (schema resolution; pipeline queries run their
     algorithm jobs once at sf0.001 and are cached for other tests)."""
     bad = {}
+    py_udf = {}
     for name, fn in registry.queries().items():
         df = fn(spark, SF_SMALL)
         offenders = [
@@ -37,7 +38,15 @@ def test_all_registered_queries_are_driver_canonicalizable(spark):
         ]
         if offenders:
             bad[name] = offenders
+        # plan hygiene, piggybacked on the same sweep: row-at-a-time
+        # Python UDFs (BatchEvalPython) are banned engine-wide — Arrow
+        # kernels show as ArrowEvalPython/MapInPandas/FlatMapGroupsInPandas
+        # and are fine
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if "BatchEvalPython" in plan:
+            py_udf[name] = True
     assert not bad, f"non-canonicalizable columns: {bad}"
+    assert not py_udf, f"row-at-a-time Python UDFs in plans: {sorted(py_udf)}"
 
 
 @pytest.mark.parametrize("name", [n for n in CASES if n.startswith("q_events")])
