@@ -486,3 +486,22 @@ def value_trend(events: DataFrame) -> DataFrame:
         F.round(F.regr_intercept(F.col("value"), x), 6).alias("intercept"),
         F.round(F.regr_r2(F.col("value"), x), 6).alias("r2"),
     )
+
+
+def type_transitions(events: DataFrame) -> DataFrame:
+    """(from_type, to_type, n): consecutive event-type transition counts
+    per user in event-time order ((ts, event_id) total order) — the
+    Markov transition corpus next-event prediction models train on. One
+    window + one aggregate, both keyed by columns the scan already has."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("_to", F.lead("event_type").over(w))
+        .filter(F.col("_to").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"), F.col("_to").alias("to_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -1778,6 +1778,7 @@ def reset_caches() -> None:
     _PIPELINE_CACHE.clear()
     _LOUVAIN_CACHE.clear()
     _BPE_CACHE.clear()
+    _ALS_CACHE.clear()
 
 
 def _pipeline(spark: SparkSession, sf_dir: str):
@@ -4226,6 +4227,91 @@ register(
 )
 
 
+
+
+# --- ALS matrix-factorization recommender (MLlib; rows-only + twin) ---------
+
+_ALS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _als_recs(s: SparkSession, d: str) -> DataFrame:
+    from .plans.als import als_recommendations
+
+    key = (s.sparkContext.applicationId, d)
+    res = _ALS_CACHE.get(key)
+    if res is None:
+        res = als_recommendations(_ref(s, d).ratings, k=3).cache()
+        _ALS_CACHE[key] = res
+    return res
+
+
+def _als_q(s: SparkSession, d: str) -> DataFrame:
+    """MLlib ALS top-3 recommendations (rows-only: block-parallel
+    factorization is float-partitioning dependent; q_recsys_als_invariants
+    is the driver-attestable twin — RMSE bar + contract checks)."""
+    return _als_recs(s, d)
+
+
+register("q_recsys_als", _als_q, None)
+
+
+def _als_invariants_q(s: SparkSession, d: str) -> DataFrame:
+    """ALS invariant row: user/item counts SQL-anchored; the factorization
+    must beat the global-mean baseline on train RMSE (a broken solver
+    cannot earn this TRUE); recommendations must respect the unseen-only
+    anti-join and the per-user k cap."""
+    from .plans.als import als_train_rmse
+
+    ratings = _ref(s, d).ratings
+    rmse, base, n_users, n_items = als_train_rmse(ratings)
+    recs = _als_recs(s, d)
+    seen_viol = recs.join(
+        ratings.select("user_id", "isbn"), ["user_id", "isbn"], "left_semi"
+    ).count()
+    over_k = recs.groupBy("user_id").count().filter(F.col("count") > 3).count()
+    return s.createDataFrame(
+        [
+            (
+                int(n_users),
+                int(n_items),
+                bool(rmse < base),
+                int(seen_viol),
+                int(over_k),
+            )
+        ],
+        "n_users long, n_items long, rmse_beats_baseline boolean, "
+        "seen_violations long, over_k_users long",
+    )
+
+
+register(
+    "q_recsys_als_invariants",
+    _als_invariants_q,
+    _q(
+        """
+        SELECT CAST((SELECT COUNT(DISTINCT user_id) FROM ratings) AS BIGINT) AS n_users,
+               CAST((SELECT COUNT(DISTINCT isbn) FROM ratings) AS BIGINT) AS n_items,
+               TRUE AS rmse_beats_baseline,
+               CAST(0 AS BIGINT) AS seen_violations,
+               CAST(0 AS BIGINT) AS over_k_users
+        """
+    ),
+)
+
+register(
+    "q_events_transitions",
+    lambda s, d: events.type_transitions(_ref(s, d).events),
+    """
+    SELECT event_type AS from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      FROM events)
+    WHERE to_type IS NOT NULL
+    GROUP BY event_type, to_type
+    """,
+)
+
+
 # --- rows-only -> attestable-twin map (round-4 discipline) ------------------
 #
 # Every rows-only query must name an oracle-backed companion that value-
@@ -4256,6 +4342,7 @@ ROWS_ONLY_TWINS: dict[str, str] = {
     "q_pipeline_modularity": "q_pipeline_invariants",
     "q_pipeline_fastrp_digest": "q_pipeline_invariants",
     "q_pipeline_fastrp_embeddings": "q_pipeline_invariants",
+    "q_recsys_als": "q_recsys_als_invariants",
 }
 
 
