@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "q_knn_topk",
     "q_knn_recommend",
     "q_comm_recommend",
+    "q_recsys_als",
     "q_community_members",
     "q_rated_books",
     "q_fk_enforced_edges",
@@ -105,6 +106,7 @@ BENCH_QUERIES = [
     "q_events_gapfill",
     "q_events_moving_avg",
     "q_events_trend",
+    "q_events_transitions",
     "q_events_cube",
     "q_text_collocations",
     "q_emb_hard_negatives",
