@@ -4312,6 +4312,40 @@ register(
 )
 
 
+
+
+def _fpgrowth_q(s: SparkSession, d: str) -> DataFrame:
+    """MLlib FP-Growth frequent itemsets (sizes 1-2, basket count >= 3)
+    over positive-rating baskets — EXACT integer counts, so unlike the
+    float-iterative MLlib surfaces this one value-hash checks directly
+    against a self-join recount in SQL."""
+    from .plans.fpgrowth import frequent_itemsets
+
+    return frequent_itemsets(_ref(s, d).ratings, min_count=3, max_size=2)
+
+
+register(
+    "q_recsys_fpgrowth",
+    _fpgrowth_q,
+    _q(
+        """
+        , pos AS (SELECT DISTINCT user_id, isbn FROM ratings WHERE rating >= 6),
+        s1 AS (
+          SELECT isbn AS items, CAST(1 AS INT) AS size, CAST(COUNT(*) AS BIGINT) AS freq
+          FROM pos GROUP BY isbn),
+        s2 AS (
+          SELECT a.isbn || ',' || b.isbn AS items, CAST(2 AS INT) AS size,
+                 CAST(COUNT(*) AS BIGINT) AS freq
+          FROM pos a JOIN pos b ON a.user_id = b.user_id AND a.isbn < b.isbn
+          GROUP BY a.isbn, b.isbn)
+        SELECT items, size, freq FROM (
+          SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+        WHERE freq >= 3
+        """
+    ),
+)
+
+
 # --- rows-only -> attestable-twin map (round-4 discipline) ------------------
 #
 # Every rows-only query must name an oracle-backed companion that value-
