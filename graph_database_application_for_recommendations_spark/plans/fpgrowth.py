@@ -60,3 +60,51 @@ def frequent_itemsets(
     return out.select(
         F.concat_ws(",", "_items").alias("items"), "size", "freq"
     )
+
+
+def association_rules_pairs(
+    ratings: DataFrame,
+    min_count: int = 3,
+    min_rating: int = 6,
+    min_confidence: float = 0.2,
+) -> DataFrame:
+    """(antecedent, consequent, freq_pair, confidence, lift): single-item
+    association rules from the frequent pairs — confidence =
+    n(a∧b)/n(a), lift = confidence / (n(b)/N). All integer-count
+    arithmetic rounded 6dp, so the rule table value-hash checks against
+    the SQL recount like the itemsets do."""
+    from pyspark.ml.fpm import FPGrowth
+
+    baskets = (
+        ratings.filter(F.col("rating") >= min_rating)
+        .groupBy("user_id")
+        .agg(F.collect_set("isbn").alias("items"))
+    )
+    n_baskets = baskets.count()
+    model = FPGrowth(
+        itemsCol="items",
+        minSupport=(min_count - 0.5) / max(n_baskets, 1),
+        minConfidence=min_confidence,
+    ).fit(baskets)
+    singles = model.freqItemsets.filter(F.size("items") == 1).select(
+        F.col("items")[0].alias("consequent"), F.col("freq").alias("_nb")
+    )
+    rules = (
+        model.associationRules.filter(F.size("antecedent") == 1)
+        .select(
+            F.col("antecedent")[0].alias("antecedent"),
+            F.col("consequent")[0].alias("consequent"),
+            F.col("confidence"),
+            F.col("support"),
+        )
+        .join(F.broadcast(singles), "consequent")
+    )
+    return rules.select(
+        "antecedent",
+        "consequent",
+        F.round(F.col("support") * n_baskets, 0).cast("long").alias("freq_pair"),
+        F.round("confidence", 6).alias("confidence"),
+        F.round(
+            F.col("confidence") / (F.col("_nb") / F.lit(float(n_baskets))), 6
+        ).alias("lift"),
+    )

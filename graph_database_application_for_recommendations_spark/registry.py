@@ -4346,6 +4346,42 @@ register(
 )
 
 
+
+
+def _assoc_rules_q(s: SparkSession, d: str) -> DataFrame:
+    """Single-antecedent association rules from the frequent pairs
+    (confidence + lift) — MLlib's rule generation value-hash checked
+    against the integer-count recount."""
+    from .plans.fpgrowth import association_rules_pairs
+
+    return association_rules_pairs(_ref(s, d).ratings, min_count=3, min_confidence=0.2)
+
+
+register(
+    "q_recsys_assoc_rules",
+    _assoc_rules_q,
+    _q(
+        """
+        , pos AS (SELECT DISTINCT user_id, isbn FROM ratings WHERE rating >= 6),
+        nb AS (SELECT CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS n FROM pos),
+        s1 AS (SELECT isbn, COUNT(*) AS f FROM pos GROUP BY isbn),
+        s2 AS (
+          SELECT a.isbn AS ia, b.isbn AS ib, COUNT(*) AS f
+          FROM pos a JOIN pos b ON a.user_id = b.user_id AND a.isbn <> b.isbn
+          GROUP BY a.isbn, b.isbn)
+        SELECT s2.ia AS antecedent, s2.ib AS consequent,
+               CAST(s2.f AS BIGINT) AS freq_pair,
+               ROUND(CAST(s2.f AS DOUBLE) / fa.f, 6) AS confidence,
+               ROUND((CAST(s2.f AS DOUBLE) / fa.f) / (fb.f / (SELECT n FROM nb)), 6) AS lift
+        FROM s2
+        JOIN s1 fa ON fa.isbn = s2.ia
+        JOIN s1 fb ON fb.isbn = s2.ib
+        WHERE s2.f >= 3 AND CAST(s2.f AS DOUBLE) / fa.f >= 0.2
+        """
+    ),
+)
+
+
 # --- rows-only -> attestable-twin map (round-4 discipline) ------------------
 #
 # Every rows-only query must name an oracle-backed companion that value-
