@@ -492,3 +492,42 @@ def biased_walks(
             frontier.select("walk_id", F.lit(step).alias("step"), "node")
         )
     return out
+
+
+def walk_embeddings(
+    ratings: DataFrame,
+    dim: int = 16,
+    steps: int = 3,
+    start_mod: int = 20,
+    seed: int = 7,
+) -> DataFrame:
+    """(node, vector): DeepWalk (Perozzi et al. 2014, public) — MLlib
+    Word2Vec skip-gram over the deterministic walk corpus from
+    :func:`random_walks`. The FastRP plan is this engine's production
+    embedding (exchange-free, bit-deterministic); DeepWalk is the
+    walk-corpus alternative exposed for parity with the standard
+    node-embedding toolbox. Vectors are float-iterative (rows-only); the
+    corpus itself is hash-derandomized, so the invariant twin SQL-anchors
+    the vocabulary to the walk oracle's distinct visited nodes."""
+    from pyspark.ml.feature import Word2Vec
+
+    walks = random_walks(ratings, steps=steps, start_mod=start_mod, seed=seed)
+    sentences = (
+        walks.groupBy("walk_id")
+        .agg(F.array_sort(F.collect_list(F.struct("step", "node"))).alias("_sn"))
+        .select(F.transform("_sn", lambda s: s["node"]).alias("sentence"))
+    )
+    w2v = Word2Vec(
+        vectorSize=dim,
+        minCount=1,
+        inputCol="sentence",
+        outputCol="_v",
+        seed=42,
+        maxIter=4,
+    )
+    from pyspark.ml.functions import vector_to_array
+
+    model = w2v.fit(sentences)
+    return model.getVectors().select(
+        F.col("word").alias("node"), vector_to_array("vector").alias("vector")
+    )

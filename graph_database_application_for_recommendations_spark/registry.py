@@ -4382,6 +4382,55 @@ register(
 )
 
 
+
+
+def _deepwalk_q(s: SparkSession, d: str) -> DataFrame:
+    """DeepWalk vectors in driver-canonicalizable long form (rows-only:
+    Word2Vec negative-sampling updates are float-order dependent;
+    q_emb_deepwalk_invariants is the attestable twin)."""
+    from .plans.graphs import walk_embeddings
+
+    emb = walk_embeddings(_ref(s, d).ratings, dim=16)
+    return emb.select(
+        "node", F.posexplode("vector").alias("dim", "value")
+    ).select("node", "dim", F.round("value", 6).alias("value"))
+
+
+register("q_emb_deepwalk", _deepwalk_q, None)
+
+
+def _deepwalk_invariants_q(s: SparkSession, d: str) -> DataFrame:
+    """DeepWalk structural invariants, SQL-anchored: the vocabulary must
+    be EXACTLY the distinct nodes the (hash-derandomized, oracle-checked)
+    walk corpus visits, every vector must have the configured width, and
+    all values must be finite."""
+    from .plans.graphs import walk_embeddings
+
+    emb = walk_embeddings(_ref(s, d).ratings, dim=16)
+    flat = emb.select("node", F.explode("vector").alias("x"))
+    return emb.agg(
+        F.countDistinct("node").cast("long").alias("n_vocab"),
+    ).crossJoin(
+        flat.agg(
+            (F.count(F.lit(1)) == F.countDistinct("node") * 16).alias("dims_ok"),
+            (F.count(F.when(F.isnan("x") | F.col("x").isNull(), 1)) == 0).alias(
+                "all_finite"
+            ),
+        )
+    )
+
+
+register(
+    "q_emb_deepwalk_invariants",
+    _deepwalk_invariants_q,
+    "WITH base AS ({WALKS})\n"
+    "SELECT CAST(COUNT(DISTINCT node) AS BIGINT) AS n_vocab, "
+    "TRUE AS dims_ok, TRUE AS all_finite FROM base".replace(
+        "{WALKS}", _WALKS_ORACLE
+    ),
+)
+
+
 # --- rows-only -> attestable-twin map (round-4 discipline) ------------------
 #
 # Every rows-only query must name an oracle-backed companion that value-
@@ -4413,6 +4462,7 @@ ROWS_ONLY_TWINS: dict[str, str] = {
     "q_pipeline_fastrp_digest": "q_pipeline_invariants",
     "q_pipeline_fastrp_embeddings": "q_pipeline_invariants",
     "q_recsys_als": "q_recsys_als_invariants",
+    "q_emb_deepwalk": "q_emb_deepwalk_invariants",
 }
 
 
