@@ -875,3 +875,126 @@ def corpus_dedup_keep_best(
     )
     w = Window.partitionBy("group_id").orderBy(F.desc("n_tokens"), F.asc("doc_id"))
     return base.withColumn("keep", F.row_number().over(w) == 1)
+
+
+def split_paragraphs(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_paras: int = 1 << 16,
+) -> DataFrame:
+    """(doc_id, para_idx, para_key, text): blank-line paragraph units —
+    the granularity Lee et al. (ACL 2022) §4.1 dedups alongside whole
+    documents. ``para_idx`` is the position in the raw split (empties
+    keep their slot but are dropped from the output), ``para_key`` packs
+    (doc, para) into one long (doc_id·max_paras + para_idx) so every
+    downstream pair/component kernel keyed on a single long id works
+    unchanged. Requires doc_id < 2^63 / max_paras (2^47 at the default) —
+    far above any real ingest-assigned id space.
+
+    Plan: one generate (posexplode) inside the scan stage, no shuffle.
+    """
+    return (
+        documents.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.col(text_col), "\n\n")).alias("para_idx", "text"),
+        )
+        .filter(F.trim(F.col("text")) != "")
+        .filter(F.col("para_idx") < max_paras)
+        .withColumn(
+            "para_key", F.col("doc_id") * F.lit(max_paras) + F.col("para_idx")
+        )
+    )
+
+
+def dedup_paragraphs(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_paras: int = 1 << 16,
+) -> DataFrame:
+    """(doc_id, para_idx, group_id, keep): paragraph-level near-dup
+    decision table — MinHash-LSH over paragraph units, connected
+    components, ``group_id`` = MIN para_key of the near-dup component
+    (decode: doc = group_id div max_paras, para = group_id % max_paras),
+    ``keep`` marks the globally-first occurrence of each duplicated
+    paragraph (and every unique paragraph).
+
+    The paragraph face of :func:`corpus_dedup_groups`: same banded
+    candidate generation (equi-join on (band, band_key) — never
+    all-pairs), same min-label component collapse, on the exploded
+    paragraph table instead of whole documents. At 100 TB the only
+    change vs document-level is row count (paragraphs-per-doc ×), not
+    plan shape.
+    """
+    paras = split_paragraphs(documents, id_col, text_col, max_paras)
+    pairs = minhash_lsh_pairs(
+        paras, "para_key", "text", num_hashes, bands, shingle_n, threshold
+    )
+    comp = neardup_components(pairs).withColumnRenamed("doc_id", "para_key")
+    return (
+        paras.join(comp, "para_key", "left")
+        .withColumn("group_id", F.coalesce("group_id", F.col("para_key")))
+        .select(
+            "doc_id",
+            "para_idx",
+            "group_id",
+            (F.col("para_key") == F.col("group_id")).alias("keep"),
+        )
+    )
+
+
+def remove_duplicate_paragraphs(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_paras: int = 1 << 16,
+) -> DataFrame:
+    """(doc_id, n_paras, n_kept, text): the composed curation operator —
+    every document reconstructed with only its kept paragraphs (original
+    order, blank-line joined). A document whose every paragraph was a
+    later occurrence of some duplicate survives with text '' and
+    n_kept = 0 rather than disappearing, so the output stays 1:1 with
+    the input corpus and downstream joins don't silently drop rows.
+    """
+    paras = split_paragraphs(documents, id_col, text_col, max_paras)
+    pairs = minhash_lsh_pairs(
+        paras, "para_key", "text", num_hashes, bands, shingle_n, threshold
+    )
+    comp = neardup_components(pairs).withColumnRenamed("doc_id", "para_key")
+    tagged = paras.join(comp, "para_key", "left").withColumn(
+        "_keep", F.col("para_key") == F.coalesce("group_id", F.col("para_key"))
+    )
+    rebuilt = tagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_paras"),
+        F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+        F.concat_ws(
+            "\n\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_keep"), F.struct("para_idx", "text"))
+                    )
+                ),
+                lambda x: x["text"],
+            ),
+        ).alias("text"),
+    )
+    return (
+        documents.select(F.col(id_col).alias("doc_id"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_paras", F.lit(0)).alias("n_paras"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("text", F.lit("")).alias("text"),
+        )
+    )

@@ -128,19 +128,33 @@ def point_upsert(
     just those partitions (dynamic partition overwrite). Returns the
     bucket ids rewritten — the unit tests assert untouched buckets'
     files are byte-identical afterwards.
+
+    The merged result is MATERIALIZED (localCheckpoint) before the
+    overwrite starts (ADVICE r4): the overwrite job's plan must not read
+    the files it is about to replace. Dynamic partition overwrite alone
+    defers deletion to job commit, but that is a per-write option — if it
+    were ever dropped, static mode deletes matching partitions before the
+    write job runs and the in-flight scan would read destroyed buckets.
+    With the checkpoint, the source read finishes (and its lineage is
+    cut) before any destructive step can begin, whatever the mode.
     """
+    from ..plans import materialize, release_checkpoint
+
     upd = updates.withColumn(_BUCKET_COL, _bucket_of(keys, n_buckets))
     buckets = sorted(
         r[_BUCKET_COL] for r in upd.select(_BUCKET_COL).distinct().collect()
     )
     existing = spark.read.parquet(path).filter(F.col(_BUCKET_COL).isin(buckets))
-    merged = upsert_keep_last(existing, upd, keys)
-    (
-        merged.write.partitionBy(_BUCKET_COL)
-        .option("partitionOverwriteMode", "dynamic")
-        .mode("overwrite")
-        .parquet(path)
-    )
+    merged = materialize(upsert_keep_last(existing, upd, keys))
+    try:
+        (
+            merged.write.partitionBy(_BUCKET_COL)
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(path)
+        )
+    finally:
+        release_checkpoint(merged)
     return buckets
 
 

@@ -29,17 +29,36 @@ def als_model(
     """Fitted MLlib ALS model over (user_id, isbn, rating). ISBNs are
     string keys; ALS needs integer ids, so items are indexed by a
     deterministic dense rank (sorted isbn) — reproducible across runs,
-    no StringIndexer fit state to persist."""
+    no StringIndexer fit state to persist.
+
+    The rank is computed WITHOUT an unpartitioned catalog-wide window
+    (ADVICE r4): the same two-level prefix sum as ``packing.pack_chunks``
+    — items block on their isbn prefix (lexicographic order is prefix-
+    consistent, so block-then-within-block ordering IS the global isbn
+    order), an exclusive prefix over the tiny block histogram yields each
+    block's id offset (the only unpartitioned window input is the
+    distinct-prefix dimension), and a PARTITIONED per-block row_number
+    finishes the rank. Identical ids to the old global dense rank at any
+    catalog size."""
     from pyspark.ml.recommendation import ALS
     from pyspark.sql import Window
 
+    items = ratings.select("isbn").distinct().withColumn(
+        "_blk", F.substring("isbn", 1, 4)
+    )
+    hist = items.groupBy("_blk").agg(F.count(F.lit(1)).alias("_c"))
+    w_blk = Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = hist.select(
+        "_blk", F.coalesce(F.sum("_c").over(w_blk), F.lit(0)).alias("_off")
+    )
+    w_in = Window.partitionBy("_blk").orderBy("isbn")
     item_ids = (
-        ratings.select("isbn")
-        .distinct()
+        items.join(F.broadcast(offsets), "_blk")
         .withColumn(
             "item_id",
-            F.row_number().over(Window.orderBy("isbn")).cast("int"),
+            (F.col("_off") + F.row_number().over(w_in)).cast("int"),
         )
+        .select("isbn", "item_id")
     )
     train = (
         ratings.join(item_ids, "isbn")

@@ -864,6 +864,115 @@ register(
     lambda s, d: dedup.corpus_dedup_keep_best(_docs(s, d), threshold=0.5),
     _KEEP_BEST_ORACLE,
 )
+
+
+def _superdocs(s: SparkSession, d: str) -> DataFrame:
+    """Paragraph-bearing corpus for the paragraph-dedup queries: the
+    synthetic documents are single-line, so groups of 8 are blank-line
+    concatenated into 'superdocs' whose paragraphs are real documents —
+    near-dup paragraphs then exist exactly where near-dup documents do,
+    and both engines can rebuild the construction deterministically."""
+    return (
+        _docs(s, d)
+        .groupBy(F.expr("doc_id div 8").alias("sd_id"))
+        .agg(
+            F.concat_ws(
+                "\n\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                    lambda x: x["text"],
+                ),
+            ).alias("text")
+        )
+        .select(F.col("sd_id").alias("doc_id"), "text")
+    )
+
+
+# Paragraph-granularity near-dedup (Lee et al. ACL 2022 §4.1 — the unit the
+# span-removal operator's recipe also prescribes). Full oracle: paragraph
+# split with slot-preserving indices, the same md5+LCG MinHash / banding /
+# recursive min-label closure as _DEDUP_GROUPS_ORACLE, keyed on the packed
+# (superdoc, paragraph) long key.
+_PARA_CTES = f"""
+sd AS (
+  SELECT doc_id // 8 AS sd_id,
+         string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS sd_text
+  FROM documents GROUP BY doc_id // 8),
+para0 AS (
+  SELECT sd_id, unnest([{{'para_idx': i - 1, 'ptext': p[i]}} for i in range(1, len(p) + 1)],
+                       recursive := true)
+  FROM (SELECT sd_id, string_split(sd_text, chr(10) || chr(10)) AS p FROM sd)),
+para AS (
+  SELECT sd_id, CAST(para_idx AS INT) AS para_idx,
+         sd_id * 65536 + para_idx AS pk, ptext
+  FROM para0 WHERE trim(ptext) <> ''),
+pnorm AS (SELECT pk, trim(regexp_replace(lower(ptext), '\\s+', ' ', 'g')) AS norm FROM para),
+ptoks AS (SELECT pk, string_split(norm, ' ') AS t FROM pnorm),
+psh AS (
+  SELECT pk, unnest(s) AS shingle FROM (
+    SELECT pk, list_distinct([array_to_string(list_slice(t, i, i + 2), ' ')
+                              for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS s
+    FROM ptoks)),
+coef(seed, a, b) AS (VALUES {_MINHASH_COEF_VALUES}),
+base AS (SELECT pk, CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h FROM psh),
+sig AS (SELECT pk, seed, MIN((a * h + b) % {dedup.MINHASH_PRIME}) AS mh
+        FROM base CROSS JOIN coef GROUP BY pk, seed),
+bnd AS (SELECT pk, seed // 4 AS band,
+               string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS band_key
+        FROM sig GROUP BY pk, seed // 4),
+cand AS (SELECT DISTINCT a.pk AS pa, b.pk AS pb
+         FROM bnd a JOIN bnd b
+           ON a.band = b.band AND a.band_key = b.band_key AND a.pk < b.pk),
+est AS (SELECT c.pa, c.pb,
+               ROUND(AVG(CASE WHEN sa.mh = sb.mh THEN 1.0 ELSE 0.0 END), 6) AS ej
+        FROM cand c
+        JOIN sig sa ON sa.pk = c.pa
+        JOIN sig sb ON sb.pk = c.pb AND sb.seed = sa.seed
+        GROUP BY 1, 2),
+ed AS (SELECT pa AS s, pb AS d FROM est WHERE ej >= 0.5
+       UNION ALL SELECT pb, pa FROM est WHERE ej >= 0.5),
+reach(node, label) AS (
+  SELECT s, s FROM ed
+  UNION
+  SELECT e.d, r.label FROM reach r JOIN ed e ON e.s = r.node
+  WHERE r.label < e.d),
+comp AS (SELECT node AS pk, MIN(label) AS group_id FROM reach GROUP BY node)
+""".strip()
+
+register(
+    "q_dedup_paragraphs",
+    lambda s, d: dedup.dedup_paragraphs(_superdocs(s, d), threshold=0.5),
+    f"""
+    WITH RECURSIVE {_PARA_CTES}
+    SELECT p.sd_id AS doc_id, p.para_idx,
+           CAST(COALESCE(c.group_id, p.pk) AS BIGINT) AS group_id,
+           p.pk = COALESCE(c.group_id, p.pk) AS keep
+    FROM para p LEFT JOIN comp c USING (pk)
+    """,
+)
+
+register(
+    "q_dedup_paragraphs_clean",
+    lambda s, d: dedup.remove_duplicate_paragraphs(_superdocs(s, d), threshold=0.5),
+    f"""
+    WITH RECURSIVE {_PARA_CTES},
+    tagged AS (
+      SELECT p.sd_id, p.para_idx, p.ptext,
+             p.pk = COALESCE(c.group_id, p.pk) AS keep
+      FROM para p LEFT JOIN comp c USING (pk))
+    SELECT s.sd_id AS doc_id,
+           CAST(COALESCE(t.n_paras, 0) AS BIGINT) AS n_paras,
+           CAST(COALESCE(t.n_kept, 0) AS BIGINT) AS n_kept,
+           COALESCE(t.text, '') AS text
+    FROM (SELECT DISTINCT sd_id FROM sd) s
+    LEFT JOIN (
+      SELECT sd_id, COUNT(*) AS n_paras,
+             SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
+             COALESCE(string_agg(CASE WHEN keep THEN ptext END,
+                                 chr(10) || chr(10) ORDER BY para_idx), '') AS text
+      FROM tagged GROUP BY sd_id) t ON t.sd_id = s.sd_id
+    """,
+)
 register(
     "q_corpus_clean",
     _corpus_clean,
@@ -1303,17 +1412,13 @@ register(
 
 
 def _quality_deciles_q(s: SparkSession, d: str) -> DataFrame:
-    """Quality deciles (NTILE over prose-ness): the bucketing a curation
-    pipeline uses for quality-stratified sampling — decile 1 = most
-    stopword-dense (most prose-like). Total order via (rounded ratio
-    DESC, doc_id), so the tiles are engine-independent."""
-    from pyspark.sql import Window
-
-    q = textstats.quality_scores(_docs(s, d))
-    w = Window.orderBy(F.desc("stopword_ratio"), F.asc("doc_id"))
-    return q.select(
-        "doc_id", "stopword_ratio", F.ntile(10).over(w).alias("decile")
-    )
+    """Quality deciles (NTILE-equivalent over prose-ness): the bucketing
+    a curation pipeline uses for quality-stratified sampling — decile 1
+    = most stopword-dense (most prose-like). Total order via (rounded
+    ratio DESC, doc_id), so the tiles are engine-independent. Computed
+    via histogram-derived ranks (textstats.quality_deciles), never a
+    corpus-sized global window."""
+    return textstats.quality_deciles(_docs(s, d), n_tiles=10)
 
 
 register(
@@ -2818,8 +2923,15 @@ def _betweenness_sampled_oracle(levels: int, num_sources: int, seed: int) -> str
             f"vis{r} AS MATERIALIZED (SELECT * FROM vis{r - 1} UNION ALL SELECT * FROM l{r})"
         )
     body = ",\n".join(ctes)
+    # convergence assertion (ADVICE r4): the unroll depth is a constant
+    # measured at driver scale — if a bigger graph's BFS is still
+    # expanding at the last level, fail LOUDLY instead of silently
+    # truncating sigma counts into a spurious engine-blamed mismatch
     return _q(
         f""", {body},
+conv AS (SELECT CASE WHEN (SELECT COUNT(*) FROM l{levels}) > 0
+                     THEN error('betweenness oracle: BFS unroll truncated at {levels} levels')
+                     ELSE 1 END AS ok),
 D AS MATERIALIZED (SELECT * FROM vis{levels}),
 DS AS MATERIALIZED (SELECT * FROM D WHERE s IN (SELECT s FROM srcs))
 SELECT sv.v AS user_id,
@@ -2830,6 +2942,7 @@ JOIN D vt ON vt.s = sv.v
 JOIN DS st ON st.s = sv.s AND st.v = vt.v
 WHERE sv.s <> sv.v AND vt.s <> vt.v AND sv.s <> vt.v
   AND sv.d + vt.d = st.d
+  AND (SELECT ok FROM conv) = 1
 GROUP BY sv.v"""
     )
 
@@ -3555,8 +3668,12 @@ def _betweenness_oracle(levels: int) -> str:
             f"vis{r} AS MATERIALIZED (SELECT * FROM vis{r - 1} UNION ALL SELECT * FROM l{r})"
         )
     body = ",\n".join(ctes)
+    # same loud-truncation guard as the sampled oracle (ADVICE r4)
     return _q(
         f""", {body},
+conv AS (SELECT CASE WHEN (SELECT COUNT(*) FROM l{levels}) > 0
+                     THEN error('exact-betweenness oracle: BFS unroll truncated at {levels} levels')
+                     ELSE 1 END AS ok),
 D AS MATERIALIZED (SELECT * FROM vis{levels})
 SELECT sv.v AS user_id,
        ROUND(SUM(sv.sigma * vt.sigma / st.sigma), 6) AS betweenness
@@ -3565,6 +3682,7 @@ JOIN D vt ON vt.s = sv.v
 JOIN D st ON st.s = sv.s AND st.v = vt.v
 WHERE sv.s <> sv.v AND vt.s <> vt.v AND sv.s <> vt.v
   AND sv.d + vt.d = st.d
+  AND (SELECT ok FROM conv) = 1
 GROUP BY sv.v"""
     )
 
@@ -3690,8 +3808,18 @@ def _sssp_oracle(rounds: int) -> str:
   GROUP BY node)"""
         )
     body = ",\n".join(ctes)
+    # convergence assertion (ADVICE r4): Bellman-Ford must have reached
+    # its fixpoint within the unrolled rounds (d{N} == d{N-1}; once no
+    # relaxation fires the min re-derives bit-identical doubles, so EXCEPT
+    # is an exact emptiness check) — otherwise fail loudly
     return _q(
-        f", {body}\nSELECT node AS user_id, ROUND(dist, 6) AS dist FROM d{rounds}"
+        f""", {body},
+conv AS (SELECT CASE WHEN (SELECT COUNT(*) FROM
+                           (SELECT * FROM d{rounds} EXCEPT SELECT * FROM d{rounds - 1})) > 0
+                     THEN error('sssp oracle: relaxation unroll truncated at {rounds} rounds')
+                     ELSE 1 END AS ok)
+SELECT node AS user_id, ROUND(dist, 6) AS dist FROM d{rounds}
+WHERE (SELECT ok FROM conv) = 1"""
     )
 
 
@@ -3791,12 +3919,16 @@ def _closeness_oracle(levels: int, num_sources: int, seed: int) -> str:
             f"vis{r} AS MATERIALIZED (SELECT * FROM vis{r - 1} UNION ALL SELECT * FROM l{r})"
         )
     body = ",\n".join(ctes)
+    # same loud-truncation guard as the betweenness oracles (ADVICE r4)
     return _q(
-        f""", {body}
+        f""", {body},
+conv AS (SELECT CASE WHEN (SELECT COUNT(*) FROM l{levels}) > 0
+                     THEN error('closeness oracle: BFS unroll truncated at {levels} levels')
+                     ELSE 1 END AS ok)
 SELECT v AS user_id,
        ROUND(SUM(1.0 / d) * (SELECT n FROM nn) / LEAST({num_sources}.0, (SELECT n FROM nn)), 6) AS closeness
 FROM vis{levels}
-WHERE d > 0
+WHERE d > 0 AND (SELECT ok FROM conv) = 1
 GROUP BY v"""
     )
 
@@ -4490,14 +4622,19 @@ ROWS_ONLY_TWINS: dict[str, str] = {
 _ATTESTATIONS_STALE_BEFORE: dict[str, int] = {"q_events_asof": 2}
 
 
-def _count_attestations() -> dict[str, int] | None:
+def _count_attestations() -> dict[str, tuple[int, int]] | None:
+    """name -> (green-row count, last round attested). The last round is
+    the second rotation key (round-4 VERDICT item 4): once every oracle
+    query has >=1 green row, ties within a count bucket re-attest
+    oldest-first instead of registration-order-first, so rows from early
+    rounds keep getting refreshed as the code underneath them moves."""
     import glob
     import json
     import os
     import re
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    counts: dict[str, int] = {}
+    counts: dict[str, tuple[int, int]] = {}
     files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
     if not files:
         return None
@@ -4511,7 +4648,8 @@ def _count_attestations() -> dict[str, int] | None:
                 if rnd < _ATTESTATIONS_STALE_BEFORE.get(name, 0):
                     continue
                 if isinstance(row, dict) and row.get("hash_match") and not row.get("err"):
-                    counts[name] = counts.get(name, 0) + 1
+                    c, last = counts.get(name, (0, 0))
+                    counts[name] = (c + 1, max(last, rnd))
     except (OSError, ValueError, KeyError):
         return None
     return counts
@@ -4522,7 +4660,7 @@ def _count_attestations() -> dict[str, int] | None:
 # oracle query counts as never-attested and the window falls back to plain
 # registration order — predictable, and never stale (round-3 VERDICT item 4:
 # the old hardcoded fallback dict silently drifted out of date).
-_DRIVER_ATTESTATIONS: dict[str, int] = _count_attestations() or {}
+_DRIVER_ATTESTATIONS: dict[str, tuple[int, int]] = _count_attestations() or {}
 
 
 def _window_order() -> list[str]:
@@ -4531,10 +4669,12 @@ def _window_order() -> list[str]:
     # Rows-only queries never get a CORRECTNESS row; rank them as once-
     # checked so they neither crowd out never-attested oracle queries nor
     # all dogpile at the end.
-    def key(name: str) -> tuple[int, int]:
+    def key(name: str) -> tuple[int, int, int]:
         has_oracle = QUERIES[name][1] is not None
-        count = _DRIVER_ATTESTATIONS.get(name, 0) if has_oracle else 1
-        return (count, reg_index[name])
+        count, last_round = (
+            _DRIVER_ATTESTATIONS.get(name, (0, 0)) if has_oracle else (1, 0)
+        )
+        return (count, last_round, reg_index[name])
 
     return sorted(names, key=key)
 

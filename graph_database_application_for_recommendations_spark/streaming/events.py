@@ -629,11 +629,22 @@ def value_trend_stream(events: DataFrame) -> DataFrame:
     cov = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
     varx = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
     vary = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
-    slope = cov / varx
+    # REGR_* corner semantics (ADVICE r4, and required under the session's
+    # ANSI mode where a bare /0 THROWS, not nulls): slope is NULL when
+    # var(x)=0 (all events at one timestamp); r² is NULL when var(x)=0,
+    # exactly 1.0 when var(y)=0 but var(x)≠0 (constant-valued type: a
+    # perfect horizontal fit), else cov²/(varx·vary). CASE branches are
+    # conditionally executed, so the guarded divisions never trip ANSI.
+    slope = F.when(varx == 0, F.lit(None).cast("double")).otherwise(cov / varx)
+    r2 = (
+        F.when(varx == 0, F.lit(None).cast("double"))
+        .when(vary == 0, F.lit(1.0))
+        .otherwise(cov * cov / (varx * vary))
+    )
     return m.select(
         "event_type",
         F.col("n").cast("long").alias("n"),
         F.round(slope, 6).alias("slope"),
         F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias("intercept"),
-        F.round(cov * cov / (varx * vary), 6).alias("r2"),
+        F.round(r2, 6).alias("r2"),
     )

@@ -4,6 +4,7 @@ DuckDB oracle at sf0.001 (fast) — the driver itself runs sf0.01."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from graph_database_application_for_recommendations_spark import registry
 
@@ -11,6 +12,81 @@ from .conftest import SF_SMALL
 from .oracle_utils import compare
 
 CASES = sorted(registry.oracle_sql().keys())
+
+# ---- corpus-sized unpartitioned-Window guard (round-4 VERDICT item 3) ----
+# An unpartitioned Window forces its whole input through ONE task's sort.
+# That is only acceptable when the input is provably bounded: every path
+# from the window down to a leaf must pass through an Aggregate (value
+# histogram / vocab / distinct dimension), a Limit (top-k), or a
+# Deduplicate before reaching a scan. LocalRelation/OneRowRelation leaves
+# are driver-literal and bounded by construction. This is a cardinality
+# heuristic, not a proof (an Aggregate keyed by a corpus-unique column
+# would slip through), but it catches exactly the anti-pattern class the
+# round-4 verdict flagged twice (IVF seeding, quality-deciles NTILE).
+
+_BOUNDING = {"Aggregate", "GlobalLimit", "LocalLimit", "Deduplicate", "Distinct"}
+_BOUNDED_LEAVES = {"LocalRelation", "OneRowRelation"}
+
+
+def _kids(node):
+    s = node.children()
+    return [s.apply(i) for i in range(s.size())]
+
+
+def _reaches_unbounded_leaf(node) -> bool:
+    if node.nodeName() in _BOUNDING:
+        return False
+    cs = _kids(node)
+    if not cs:
+        return node.nodeName() not in _BOUNDED_LEAVES
+    return any(_reaches_unbounded_leaf(c) for c in cs)
+
+
+def unpartitioned_corpus_windows(df) -> list[str]:
+    """Offending Window nodes in ``df``'s optimized logical plan."""
+
+    def walk(n):
+        yield n
+        for c in _kids(n):
+            yield from walk(c)
+
+    plan = df._jdf.queryExecution().optimizedPlan()
+    return [
+        node.simpleString(60)
+        for node in walk(plan)
+        if node.nodeName() == "Window"
+        and node.partitionSpec().isEmpty()
+        and _reaches_unbounded_leaf(_kids(node)[0])
+    ]
+
+
+def test_window_guard_flags_the_reverted_antipattern(spark):
+    """Sensitivity check: the guard must flag the exact shapes the round-4
+    verdict found (global row_number over a raw scan; global NTILE over a
+    per-doc projection) and must pass the sanctioned histogram shape."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    bad_rank = docs.withColumn(
+        "rk", F.row_number().over(Window.orderBy("doc_id"))
+    )
+    assert unpartitioned_corpus_windows(bad_rank), "guard missed a global row_number over a scan"
+    bad_ntile = docs.select("doc_id", "n_chars").withColumn(
+        "tile", F.ntile(10).over(Window.orderBy("n_chars", "doc_id"))
+    )
+    assert unpartitioned_corpus_windows(bad_ntile), "guard missed a global NTILE"
+    hist = docs.groupBy("n_chars").count()
+    ok = hist.withColumn(
+        "cum",
+        F.sum("count").over(
+            Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    assert not unpartitioned_corpus_windows(ok), "guard flagged the histogram pattern"
+    topk = docs.orderBy("doc_id").limit(8).withColumn(
+        "rk", F.row_number().over(Window.orderBy("doc_id"))
+    )
+    assert not unpartitioned_corpus_windows(topk), "guard flagged a limit-bounded window"
 
 
 @pytest.mark.parametrize("name", CASES)
@@ -29,6 +105,7 @@ def test_all_registered_queries_are_driver_canonicalizable(spark):
     algorithm jobs once at sf0.001 and are cached for other tests)."""
     bad = {}
     py_udf = {}
+    global_windows = {}
     for name, fn in registry.queries().items():
         df = fn(spark, SF_SMALL)
         offenders = [
@@ -45,8 +122,17 @@ def test_all_registered_queries_are_driver_canonicalizable(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         if "BatchEvalPython" in plan:
             py_udf[name] = True
+        # ... as are corpus-sized unpartitioned Windows (round-4 VERDICT
+        # item 3): single-task global sorts, the engine's documented
+        # scale anti-pattern (operators/packing.py:7)
+        gw = unpartitioned_corpus_windows(df)
+        if gw:
+            global_windows[name] = gw
     assert not bad, f"non-canonicalizable columns: {bad}"
     assert not py_udf, f"row-at-a-time Python UDFs in plans: {sorted(py_udf)}"
+    assert not global_windows, (
+        f"corpus-sized unpartitioned Windows (single-task global sorts): {global_windows}"
+    )
 
 
 @pytest.mark.parametrize("name", [n for n in CASES if n.startswith("q_events")])

@@ -469,3 +469,57 @@ def test_streaming_trend_matches_batch(spark, event_stream, batch_events, tmp_pa
         assert gs == pytest.approx(s, rel=1e-6, abs=1e-6)
         assert gi == pytest.approx(i, rel=1e-6)
         assert gr2 == pytest.approx(r2, rel=1e-4, abs=1e-6)
+
+
+def test_streaming_trend_regr_corner_cases(spark, tmp_path):
+    """REGR_* corner semantics must match ANSI between the twins (ADVICE
+    r4): a constant-VALUED type (var(y)=0, var(x)!=0) has r2 = 1.0, and a
+    single-timestamp type (var(x)=0) has NULL slope/r2 — in BOTH the
+    batch aggregate and the moment-form streaming rewrite."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+    rows = []
+    # 'flat': constant value over distinct timestamps -> slope 0, r2 1.0
+    for i in range(5):
+        rows.append((i, "flat", t0 + datetime.timedelta(hours=i), 7.5))
+    # 'point': all events at ONE timestamp -> var(x)=0 -> NULL slope/r2
+    for i in range(5, 9):
+        rows.append((i, "point", t0, float(i)))
+    # 'ramp': a genuine trend as the control
+    for i in range(9, 14):
+        rows.append((i, "ramp", t0 + datetime.timedelta(hours=i), float(i)))
+    pdf = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, value double"
+    )
+    src_dir = tmp_path / "corner_events"
+    pdf.repartition(1).write.parquet(str(src_dir))
+    stream = spark.readStream.schema(pdf.schema).parquet(str(src_dir))
+
+    def by_type(df):
+        return {r["event_type"]: (r["n"], r["slope"], r["r2"]) for r in df.collect()}
+
+    want = by_type(batch_ops.value_trend(pdf))
+    got = by_type(
+        stream_ops.run_to_memory(
+            stream_ops.value_trend_stream(stream),
+            "t_trend_corner",
+            "complete",
+            str(tmp_path / "ck_trend_corner"),
+        )
+    )
+    assert set(got) == {"flat", "point", "ramp"}
+    assert want["flat"][1:] == (0.0, 1.0)
+    assert want["point"][1:] == (None, None)
+    for k in want:
+        n, s, r2 = want[k]
+        gn, gs, gr2 = got[k]
+        assert gn == n
+        if s is None:
+            assert gs is None and gr2 is None
+        else:
+            # the moment form cancels catastrophically at epoch-scale x
+            # for a 5-point synthetic series; the corner rows above are
+            # the exact checks, the ramp is only the non-degenerate control
+            assert gs == pytest.approx(s, rel=1e-4, abs=1e-4)
+            assert gr2 == pytest.approx(r2, rel=1e-4, abs=1e-4)
