@@ -998,3 +998,59 @@ def remove_duplicate_paragraphs(
             F.coalesce("text", F.lit("")).alias("text"),
         )
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    lloyd_iters: int = 4,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """(vec_id, cluster, rep_id, rep_sim, keep): SemDeDup-style semantic
+    dedup (Abbas et al. 2023, arXiv:2303.09540, public) — k-means cells
+    bound the comparison space, then within each cell every member is
+    compared to ONE kept representative (the member most similar to the
+    cell centroid, tie-break smallest id) and dropped when
+    round(cosine, 6) >= threshold. The representative itself and every
+    sufficiently-distinct member keep=True.
+
+    Composition of two attested kernels: the IVF k-means assignment
+    (operators/ivf.py) and the normalized-dot cosine. Deliberately
+    LINEAR per cell (member-vs-representative), never the within-cell
+    all-pairs matrix — at 100 TB each step is a broadcast argmin/argmax
+    join (centroids, then the k representative vectors) plus map-side
+    combinable aggregates; no corpus-sized or cell-partitioned window
+    (the per-cell representative is a max_by-style struct aggregate, so
+    a skewed cell never funnels through one task's sort).
+    """
+    from ..functions import vector as V
+    from .ivf import cluster_corpus
+
+    assigned = cluster_corpus(embeddings, id_col, vec_col, k, lloyd_iters)
+    vecs = embeddings.select(
+        F.col(id_col).alias("_sid"),
+        V.l2_normalize(V.as_double(F.col(vec_col))).alias("_nv"),
+    )
+    members = assigned.join(
+        vecs, assigned[id_col] == vecs["_sid"]
+    ).select(id_col, "cluster", "similarity", "_nv")
+    reps = (
+        members.groupBy("cluster")
+        .agg(F.max(F.struct(F.col("similarity"), (-F.col(id_col)).alias("_negid"))).alias("_m"))
+        .select("cluster", (-F.col("_m._negid")).alias("rep_id"))
+    )
+    rep_vecs = reps.join(
+        vecs.select(F.col("_sid").alias("rep_id"), F.col("_nv").alias("_rv")), "rep_id"
+    )
+    out = members.join(F.broadcast(rep_vecs), "cluster").select(
+        F.col(id_col),
+        "cluster",
+        "rep_id",
+        F.round(V.dot(F.col("_nv"), F.col("_rv")), V.SIM_SCALE).alias("rep_sim"),
+    )
+    return out.withColumn(
+        "keep",
+        (F.col(id_col) == F.col("rep_id")) | (F.col("rep_sim") < F.lit(threshold)),
+    )

@@ -3542,6 +3542,78 @@ register(
 )
 
 
+def _semantic_dedup_q(s: SparkSession, d: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) at production settings: k-means cells
+    (4 Lloyd iterations — float-order dependent, hence rows-only) +
+    member-vs-representative cosine drop. Attestable twin:
+    q_corpus_semantic_dedup_exact pins the full decision table at the
+    deterministic 0-iteration fixpoint."""
+    return dedup.semantic_dedup(
+        _ref(s, d).embeddings, k=16, lloyd_iters=4, threshold=0.35
+    )
+
+
+register("q_corpus_semantic_dedup", _semantic_dedup_q, None)
+
+
+def _semantic_dedup_exact_q(s: SparkSession, d: str) -> DataFrame:
+    """SemDeDup at the deterministic k-means fixpoint (0 Lloyd
+    iterations, the q_corpus_cluster_assign pattern): centroids are the
+    8 smallest md5-ranked vectors, so cell assignment, representative
+    selection (closest-to-centroid, tie smallest id), and the
+    member-vs-representative cosine drop are all pure functions of the
+    parquet doubles that SQL recomputes verbatim — a full value-hash of
+    every (vec_id, cluster, rep_id, rep_sim, keep) row."""
+    return dedup.semantic_dedup(
+        _ref(s, d).embeddings, k=8, lloyd_iters=0, threshold=0.35
+    )
+
+
+register(
+    "q_corpus_semantic_dedup_exact",
+    _semantic_dedup_exact_q,
+    _q_vec(
+        """
+        , ranked AS (
+          SELECT vec_id,
+                 ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell
+          FROM vec),
+        seeds AS (
+          SELECT r.cell, v.v AS sv FROM ranked r JOIN vec v USING (vec_id)
+          WHERE r.cell < 8),
+        sims AS (
+          SELECT a.vec_id, s.cell,
+                 SUM(a.v[t.i] * s.sv[t.i])
+                 / (SQRT(SUM(a.v[t.i] * a.v[t.i])) * SQRT(SUM(s.sv[t.i] * s.sv[t.i]))) AS sim
+          FROM vec a, seeds s, range(1, 65) t(i)
+          GROUP BY a.vec_id, s.cell),
+        assign AS (
+          SELECT vec_id, cell AS cluster, similarity FROM (
+            SELECT vec_id, cell, ROUND(sim, 6) AS similarity,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+            FROM sims) WHERE rn = 1),
+        reps AS (
+          SELECT cluster, vec_id AS rep_id FROM (
+            SELECT cluster, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY cluster
+                                      ORDER BY similarity DESC, vec_id) AS rn
+            FROM assign) WHERE rn = 1)
+        SELECT m.vec_id, m.cluster, r.rep_id,
+               ROUND(SUM(a.v[t.i] * b.v[t.i])
+                     / (SQRT(SUM(a.v[t.i] * a.v[t.i])) * SQRT(SUM(b.v[t.i] * b.v[t.i]))), 6) AS rep_sim,
+               (m.vec_id = r.rep_id
+                OR ROUND(SUM(a.v[t.i] * b.v[t.i])
+                         / (SQRT(SUM(a.v[t.i] * a.v[t.i])) * SQRT(SUM(b.v[t.i] * b.v[t.i]))), 6) < 0.35) AS keep
+        FROM assign m
+        JOIN reps r USING (cluster)
+        JOIN vec a ON a.vec_id = m.vec_id
+        JOIN vec b ON b.vec_id = r.rep_id, range(1, 65) t(i)
+        GROUP BY m.vec_id, m.cluster, r.rep_id
+        """
+    ),
+)
+
+
 def _quantize_q(s: SparkSession, d: str) -> DataFrame:
     """Int8 storage quantization of the embedding table (4x smaller than
     float32; search-side compression is PQ's job). Fully oracle-checked:
@@ -4595,6 +4667,7 @@ ROWS_ONLY_TWINS: dict[str, str] = {
     "q_pipeline_fastrp_embeddings": "q_pipeline_invariants",
     "q_recsys_als": "q_recsys_als_invariants",
     "q_emb_deepwalk": "q_emb_deepwalk_invariants",
+    "q_corpus_semantic_dedup": "q_corpus_semantic_dedup_exact",
 }
 
 
