@@ -67,9 +67,10 @@ BENCH_QUERIES = [
     "q_emb_pca",
     "q_emb_quantize",
     "q_corpus_cluster",
-    # round-5 additions: paragraph-granularity near-dedup and SemDeDup
+    # round-5 additions: paragraph-granularity near-dedup, SemDeDup, DSIR
     "q_dedup_paragraphs",
     "q_corpus_semantic_dedup",
+    "q_corpus_dsir",
     "q_louvain_communities",
     "q_pagerank",
     "q_graph_kcore",

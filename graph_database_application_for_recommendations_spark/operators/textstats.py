@@ -749,3 +749,70 @@ def quality_deciles(
     return ranked.select(
         "doc_id", "stopword_ratio", tile.cast("int").alias("decile")
     )
+
+
+def dsir_scores(
+    documents: DataFrame,
+    target: DataFrame,
+    num_buckets: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_tokens, log_weight): DSIR-style importance weights
+    (Xie et al. 2023, "Data Selection for Language Models via Importance
+    Resampling", arXiv:2302.03169 — public): hashed unigram bucket
+    counts, add-one-smoothed categorical bucket distributions for the
+    TARGET domain vs the RAW corpus, per-document log importance weight
+    Σ_b count_b · ln(p_target(b) / p_raw(b)), rounded 6dp. Selection
+    (sample ∝ weight / keep top fraction) composes with the existing
+    deterministic sampling operators; this op is the scoring kernel.
+
+    Plan shape at 100 TB: two token explodes feeding bucket-count
+    aggregates (map-side combinable, ≤ num_buckets output rows each);
+    the log-ratio table is num_buckets rows — broadcast; per-(doc,
+    bucket) counts shuffle once on doc_id; no windows, no skew (bucket
+    join is a broadcast). Token totals ride a 1-row cross join.
+    """
+    from ..functions.text import md5_hash32
+    from ..functions.text import tokens as _tokens
+
+    B = num_buckets
+
+    def bucketize(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(_tokens(F.col(text_col))).alias("token"),
+        ).select("doc_id", F.pmod(md5_hash32(F.col("token")), F.lit(B)).alias("b"))
+
+    raw_tok = bucketize(documents)
+    tgt_tok = bucketize(target)
+    raw_hist = raw_tok.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
+    tgt_hist = tgt_tok.groupBy("b").agg(F.count(F.lit(1)).alias("tc"))
+    totals = raw_tok.agg(F.count(F.lit(1)).alias("rn")).crossJoin(
+        tgt_tok.agg(F.count(F.lit(1)).alias("tn"))
+    )
+    ratio = (
+        raw_hist.join(tgt_hist, "b", "outer")
+        .select(
+            "b",
+            F.coalesce("rc", F.lit(0)).alias("rc"),
+            F.coalesce("tc", F.lit(0)).alias("tc"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            (
+                F.log((F.col("tc") + 1).cast("double") / (F.col("tn") + B))
+                - F.log((F.col("rc") + 1).cast("double") / (F.col("rn") + B))
+            ).alias("lr"),
+        )
+    )
+    per_doc = raw_tok.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_doc.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.round(F.sum(F.col("c") * F.col("lr")), 6).alias("log_weight"),
+        )
+    )

@@ -1439,6 +1439,43 @@ register(
 )
 
 
+def _dsir_q(s: SparkSession, d: str) -> DataFrame:
+    """DSIR importance scores toward the English-document target domain
+    — the importance-resampling face of corpus mixing (mix_corpus picks
+    by source weight; DSIR scores every doc by distributional closeness
+    to a target sample)."""
+    docs = _docs(s, d)
+    return textstats.dsir_scores(docs, docs.filter(F.col("lang") == "en"))
+
+
+register(
+    "q_corpus_dsir",
+    _dsir_q,
+    _q_docs(
+        """
+        , tok AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS token FROM norm),
+        bt AS (
+          SELECT t.doc_id, CAST(('0x' || substr(md5(t.token), 1, 8)) AS BIGINT) % 4096 AS b,
+                 d.lang
+          FROM tok t JOIN documents d USING (doc_id)),
+        rh AS (SELECT b, COUNT(*) AS rc FROM bt GROUP BY b),
+        th AS (SELECT b, COUNT(*) AS tc FROM bt WHERE lang = 'en' GROUP BY b),
+        tot AS (SELECT (SELECT COUNT(*) FROM bt) AS rn,
+                       (SELECT COUNT(*) FROM bt WHERE lang = 'en') AS tn),
+        ratio AS (
+          SELECT rh.b,
+                 ln((COALESCE(th.tc, 0) + 1.0) / (tot.tn + 4096))
+                 - ln((rh.rc + 1.0) / (tot.rn + 4096)) AS lr
+          FROM rh LEFT JOIN th ON rh.b = th.b CROSS JOIN tot),
+        pd AS (SELECT doc_id, b, COUNT(*) AS c FROM bt GROUP BY 1, 2)
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+               ROUND(SUM(c * lr), 6) AS log_weight
+        FROM pd JOIN ratio USING (b) GROUP BY doc_id
+        """
+    ),
+)
+
+
 register(
     "q_corpus_mix",
     lambda s, d: packing.mix_corpus(
