@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "q_dedup_paragraphs",
     "q_corpus_semantic_dedup",
     "q_corpus_dsir",
+    "q_simsearch_binary",
     "q_louvain_communities",
     "q_pagerank",
     "q_graph_kcore",

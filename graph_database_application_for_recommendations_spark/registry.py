@@ -3678,6 +3678,88 @@ register(
 )
 
 
+def _quantize_binary_q(s: SparkSession, d: str) -> DataFrame:
+    """1-bit sign quantization packed into 32-bit words (BQ storage
+    layout, 32x smaller than float32) — pure integer arithmetic both
+    engines compute exactly."""
+    from .operators.quantize import quantize_binary_flat
+
+    return quantize_binary_flat(_ref(s, d).embeddings)
+
+
+register(
+    "q_emb_quantize_binary",
+    _quantize_binary_q,
+    _q_vec(
+        """
+        , e AS (
+          SELECT vec_id, CAST(t.i - 1 AS INT) AS i0, v[t.i] AS x
+          FROM vec, range(1, 65) t(i))
+        SELECT vec_id, CAST(i0 // 32 AS INT) AS word_idx,
+               CAST(SUM(CASE WHEN x > 0
+                             THEN CAST(1 AS BIGINT) << CAST(i0 % 32 AS INT)
+                             ELSE 0 END) AS BIGINT) AS word
+        FROM e GROUP BY 1, 2
+        """
+    ),
+)
+
+
+def _simsearch_binary_q(s: SparkSession, d: str) -> DataFrame:
+    """BQ + rescore ANN: Hamming candidates over the packed sign bits
+    (popcount of XOR), exact-cosine re-rank — deterministic end to end
+    (integer Hamming ties break on neighbor_id), so unlike IVF/PQ this
+    approximate path needs no exact-mode twin: the production
+    configuration itself is value-hash checked."""
+    from .operators.quantize import topk_binary
+
+    emb = _ref(s, d).embeddings
+    return topk_binary(emb.filter(F.col("vec_id") < 10), emb, k=10, rerank=100)
+
+
+register(
+    "q_simsearch_binary",
+    _simsearch_binary_q,
+    _q_vec(
+        """
+        , e AS (
+          SELECT vec_id, CAST(t.i - 1 AS INT) AS i0, v[t.i] AS x
+          FROM vec, range(1, 65) t(i)),
+        bits AS (
+          SELECT vec_id, i0 // 32 AS w,
+                 SUM(CASE WHEN x > 0
+                          THEN CAST(1 AS BIGINT) << CAST(i0 % 32 AS INT)
+                          ELSE 0 END) AS word
+          FROM e GROUP BY 1, 2),
+        ham AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 CAST(SUM(bit_count(xor(a.word, b.word))) AS INT) AS hamming
+          FROM bits a JOIN bits b ON a.w = b.w
+          WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+          GROUP BY 1, 2),
+        cand AS (
+          SELECT query_id, neighbor_id, hamming FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY hamming, neighbor_id) AS rn
+            FROM ham) WHERE rn <= 100),
+        scored AS (
+          SELECT c.query_id, c.neighbor_id, c.hamming,
+                 ROUND(SUM(qa.v[t.i] * ca.v[t.i])
+                       / (SQRT(SUM(qa.v[t.i] * qa.v[t.i]))
+                          * SQRT(SUM(ca.v[t.i] * ca.v[t.i]))), 6) AS similarity
+          FROM cand c
+          JOIN vec qa ON qa.vec_id = c.query_id
+          JOIN vec ca ON ca.vec_id = c.neighbor_id, range(1, 65) t(i)
+          GROUP BY 1, 2, 3)
+        SELECT query_id, neighbor_id, hamming, similarity FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY similarity DESC, neighbor_id) AS rn
+          FROM scored) WHERE rn <= 10
+        """
+    ),
+)
+
+
 def _pca_moments_q(s: SparkSession, d: str) -> DataFrame:
     """The PCA stage's full information content, value-hash checkable:
     (i,-1) rows carry the mean vector, (i,j) rows the covariance matrix

@@ -1509,3 +1509,37 @@ def test_jpeg_progressive_raises_and_falls_back(spark):
     )
     row = multimodal.extract_features(assets).collect()[0]
     assert row["decoded"] is False
+
+
+def test_binary_quantization_packs_signs(spark):
+    """popcount of the packed words == count of positive coordinates, and
+    words stay within the 32-bit range (the cross-engine layout contract)."""
+    from graph_database_application_for_recommendations_spark.operators.quantize import (
+        quantize_binary_flat,
+    )
+
+    emb = load_ref_tables(spark, SF_SMALL).embeddings
+    flat = quantize_binary_flat(emb)
+    assert flat.filter((F.col("word") < 0) | (F.col("word") > (1 << 32) - 1)).count() == 0
+    pos = emb.select(
+        "vec_id",
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias("n_pos"),
+    )
+    packed = flat.groupBy("vec_id").agg(F.sum(F.bit_count("word")).alias("n_bits"))
+    assert packed.join(pos, "vec_id").filter(F.col("n_bits") != F.col("n_pos")).count() == 0
+
+
+def test_simsearch_binary_recall_against_bruteforce(spark):
+    from graph_database_application_for_recommendations_spark.operators.quantize import (
+        topk_binary,
+    )
+
+    emb = load_ref_tables(spark, SF_SMALL).embeddings
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = simsearch.topk_bruteforce(queries, emb, k=5)
+    approx = topk_binary(queries, emb, k=5, rerank=100)
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    # 64 sign bits + exact rerank of 100/500 candidates: recall should be high
+    assert recall > 0.6
