@@ -4621,6 +4621,48 @@ register(
     ),
 )
 
+def _quality_clf_q(s: SparkSession, d: str) -> DataFrame:
+    """CCNet-style learned quality filter: logistic regression on hashed
+    token counts, English documents as the target domain — rows-only
+    (L-BFGS treeAggregate float order); q_corpus_quality_clf_invariants
+    is the attestable twin."""
+    from .plans.quality_clf import quality_classifier_scores
+
+    return quality_classifier_scores(_docs(s, d), F.col("lang") == "en")
+
+
+register("q_corpus_quality_clf", _quality_clf_q, None)
+
+
+def _quality_clf_invariants_q(s: SparkSession, d: str) -> DataFrame:
+    """Quality-classifier invariant row: corpus/label counts SQL-anchored;
+    train accuracy must beat the majority-class baseline (earned — a
+    broken trainer or feature hash cannot produce it); every score must
+    be a valid probability; output stays 1:1 with the corpus."""
+    from .plans.quality_clf import quality_classifier_invariants
+
+    docs = _docs(s, d)
+    n, pos, beats, invalid = quality_classifier_invariants(
+        docs, F.col("lang") == "en"
+    )
+    return s.createDataFrame(
+        [(n, pos, beats, invalid)],
+        "n_docs long, n_pos long, accuracy_beats_majority boolean, invalid_scores long",
+    )
+
+
+register(
+    "q_corpus_quality_clf_invariants",
+    _quality_clf_invariants_q,
+    """
+    SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
+           CAST((SELECT COUNT(*) FROM documents WHERE lang = 'en') AS BIGINT) AS n_pos,
+           TRUE AS accuracy_beats_majority,
+           CAST(0 AS BIGINT) AS invalid_scores
+    """,
+)
+
+
 register(
     "q_events_transitions",
     lambda s, d: events.type_transitions(_ref(s, d).events),
@@ -4787,6 +4829,7 @@ ROWS_ONLY_TWINS: dict[str, str] = {
     "q_recsys_als": "q_recsys_als_invariants",
     "q_emb_deepwalk": "q_emb_deepwalk_invariants",
     "q_corpus_semantic_dedup": "q_corpus_semantic_dedup_exact",
+    "q_corpus_quality_clf": "q_corpus_quality_clf_invariants",
 }
 
 
