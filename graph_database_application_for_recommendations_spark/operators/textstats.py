@@ -773,25 +773,52 @@ def dsir_scores(
     bucket) counts shuffle once on doc_id; no windows, no skew (bucket
     join is a broadcast). Token totals ride a 1-row cross join.
     """
+    raw_tok = _dsir_buckets(documents, num_buckets, id_col, text_col)
+    ratio = dsir_log_ratio(documents, target, num_buckets, id_col, text_col)
+    per_doc = raw_tok.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_doc.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.round(F.sum(F.col("c") * F.col("lr")), 6).alias("log_weight"),
+        )
+    )
+
+
+def _dsir_buckets(
+    df: DataFrame, num_buckets: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(doc_id, b): hashed-unigram bucket stream (one row per token)."""
     from ..functions.text import md5_hash32
     from ..functions.text import tokens as _tokens
 
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_tokens(F.col(text_col))).alias("token"),
+    ).select("doc_id", F.pmod(md5_hash32(F.col("token")), F.lit(num_buckets)).alias("b"))
+
+
+def dsir_log_ratio(
+    documents: DataFrame,
+    target: DataFrame,
+    num_buckets: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(b, lr): the trained DSIR model — add-one-smoothed log ratio
+    ln(p_target(b)/p_raw(b)) per hashed-unigram bucket. ≤ num_buckets
+    rows: the broadcastable artifact the batch scorer and the streaming
+    scorer (streaming/events.py::dsir_score_stream) both consume."""
     B = num_buckets
-
-    def bucketize(df: DataFrame) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(_tokens(F.col(text_col))).alias("token"),
-        ).select("doc_id", F.pmod(md5_hash32(F.col("token")), F.lit(B)).alias("b"))
-
-    raw_tok = bucketize(documents)
-    tgt_tok = bucketize(target)
+    raw_tok = _dsir_buckets(documents, B, id_col, text_col)
+    tgt_tok = _dsir_buckets(target, B, id_col, text_col)
     raw_hist = raw_tok.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
     tgt_hist = tgt_tok.groupBy("b").agg(F.count(F.lit(1)).alias("tc"))
     totals = raw_tok.agg(F.count(F.lit(1)).alias("rn")).crossJoin(
         tgt_tok.agg(F.count(F.lit(1)).alias("tn"))
     )
-    ratio = (
+    return (
         raw_hist.join(tgt_hist, "b", "outer")
         .select(
             "b",
@@ -805,14 +832,5 @@ def dsir_scores(
                 F.log((F.col("tc") + 1).cast("double") / (F.col("tn") + B))
                 - F.log((F.col("rc") + 1).cast("double") / (F.col("rn") + B))
             ).alias("lr"),
-        )
-    )
-    per_doc = raw_tok.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
-    return (
-        per_doc.join(F.broadcast(ratio), "b")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("c").cast("long").alias("n_tokens"),
-            F.round(F.sum(F.col("c") * F.col("lr")), 6).alias("log_weight"),
         )
     )

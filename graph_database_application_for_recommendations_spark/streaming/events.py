@@ -648,3 +648,39 @@ def value_trend_stream(events: DataFrame) -> DataFrame:
         F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias("intercept"),
         F.round(r2, 6).alias("r2"),
     )
+
+
+def dsir_score_stream(docs: DataFrame, log_ratio: DataFrame) -> DataFrame:
+    """Streaming DSIR scoring: incoming documents scored against a
+    BATCH-trained hashed-unigram log-ratio table (the standard serving
+    split — distributions are estimated offline on the existing corpus,
+    the stream scores arrivals). ``log_ratio`` is the (b, lr) table a
+    batch ``textstats.dsir_scores`` run derives (num_buckets rows —
+    broadcast into a stream-static join, no streaming state at all).
+
+    Emits (doc_id, n_tokens, log_weight), append-safe: each document's
+    score is complete when its row arrives, so parity with the batch
+    scorer on the same corpus is exact (same expressions, same rounding).
+    """
+    from ..functions.text import md5_hash32
+    from ..functions.text import tokens as _tokens
+
+    tok = docs.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("token")
+    ).select(
+        "doc_id",
+        F.pmod(md5_hash32(F.col("token")), F.lit(4096)).alias("b"),
+    )
+    # ONE stateful aggregation (Σ_tokens lr(b) ≡ Σ_b count·lr): chaining a
+    # per-(doc, bucket) pre-count into a per-doc rollup would be two
+    # stateful operators, which Structured Streaming's global-watermark
+    # correctness check rejects; the stream-static broadcast join is
+    # stateless, so this keeps the whole plan single-state.
+    return (
+        tok.join(F.broadcast(log_ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.sum("lr"), 6).alias("log_weight"),
+        )
+    )

@@ -523,3 +523,34 @@ def test_streaming_trend_regr_corner_cases(spark, tmp_path):
             # the exact checks, the ramp is only the non-degenerate control
             assert gs == pytest.approx(s, rel=1e-4, abs=1e-4)
             assert gr2 == pytest.approx(r2, rel=1e-4, abs=1e-4)
+
+
+def test_streaming_dsir_matches_batch(spark, tmp_path):
+    """dsir_score_stream over the replayed corpus with the batch-trained
+    log-ratio table equals the batch scorer exactly (same expressions,
+    same rounding; the stream adds no state)."""
+    from graph_database_application_for_recommendations_spark.operators import textstats
+    from graph_database_application_for_recommendations_spark.sources.views import (
+        load_ref_tables,
+    )
+
+    docs = load_ref_tables(spark, SF_SMALL).documents
+    target = docs.filter(F.col("lang") == "en")
+    ratio = textstats.dsir_log_ratio(docs, target).cache()
+    want = {
+        r["doc_id"]: (r["n_tokens"], r["log_weight"])
+        for r in textstats.dsir_scores(docs, target).collect()
+    }
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["log_weight"])
+        for r in stream_ops.run_to_memory(
+            stream_ops.dsir_score_stream(
+                stream_ops.read_documents_stream(spark, SF_SMALL), ratio
+            ),
+            "t_dsir",
+            "complete",
+            str(tmp_path / "ck_dsir"),
+        ).collect()
+    }
+    ratio.unpersist(blocking=False)
+    assert got == want
