@@ -834,3 +834,40 @@ def dsir_log_ratio(
             ).alias("lr"),
         )
     )
+
+
+def dsir_sample(
+    documents: DataFrame,
+    target: DataFrame,
+    k: int = 100,
+    num_buckets: int = 4096,
+    seed: int = 11,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, log_weight, sample_key): DSIR selection — a Gumbel-top-k
+    draw of ``k`` documents without replacement with probability ∝
+    exp(log_weight), i.e. the importance-RESAMPLING half of Xie et al.
+    2023. Log-space Efraimidis–Spirakis: the A-ES key −ln(u)/w equals
+    exp(ln(−ln u) − ln w), so taking the k smallest of
+    ``ln(−ln u) − log_weight`` is the identical sample with no exp()
+    overflow at extreme weights. ``u`` is the deterministic md5 uniform
+    of the sampling suite — the draw is a pure function of (doc_id,
+    seed) and the ROUNDED 6dp log_weight, hence engine-independent.
+
+    Plan shape: the DSIR scoring plan + a scan-resident key + ORDER BY
+    LIMIT k (TakeOrdered — per-partition heaps, k-row driver merge).
+    """
+    from ..functions.text import md5_hash60
+
+    scores = dsir_scores(documents, target, num_buckets, id_col, text_col)
+    u = (md5_hash60(F.col("doc_id").cast("string"), seed) + F.lit(1)).cast(
+        "double"
+    ) / F.lit(float(1 << 60))
+    key = F.log(-F.log(u)) - F.col("log_weight")
+    return (
+        scores.select("doc_id", "log_weight", key.alias("_k"))
+        .orderBy("_k", "doc_id")
+        .limit(k)
+        .select("doc_id", "log_weight", F.round("_k", 6).alias("sample_key"))
+    )

@@ -1448,29 +1448,58 @@ def _dsir_q(s: SparkSession, d: str) -> DataFrame:
     return textstats.dsir_scores(docs, docs.filter(F.col("lang") == "en"))
 
 
+# shared DSIR oracle CTEs (scoring); the sample query extends them
+_DSIR_CTES = """
+tok AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS token FROM norm),
+bt AS (
+  SELECT t.doc_id, CAST(('0x' || substr(md5(t.token), 1, 8)) AS BIGINT) % 4096 AS b,
+         d.lang
+  FROM tok t JOIN documents d USING (doc_id)),
+rh AS (SELECT b, COUNT(*) AS rc FROM bt GROUP BY b),
+th AS (SELECT b, COUNT(*) AS tc FROM bt WHERE lang = 'en' GROUP BY b),
+tot AS (SELECT (SELECT COUNT(*) FROM bt) AS rn,
+               (SELECT COUNT(*) FROM bt WHERE lang = 'en') AS tn),
+ratio AS (
+  SELECT rh.b,
+         ln((COALESCE(th.tc, 0) + 1.0) / (tot.tn + 4096))
+         - ln((rh.rc + 1.0) / (tot.rn + 4096)) AS lr
+  FROM rh LEFT JOIN th ON rh.b = th.b CROSS JOIN tot),
+pd AS (SELECT doc_id, b, COUNT(*) AS c FROM bt GROUP BY 1, 2),
+dsir AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         ROUND(SUM(c * lr), 6) AS log_weight
+  FROM pd JOIN ratio USING (b) GROUP BY doc_id)
+""".strip()
+
 register(
     "q_corpus_dsir",
     _dsir_q,
+    _q_docs(f", {_DSIR_CTES}\nSELECT doc_id, n_tokens, log_weight FROM dsir"),
+)
+
+
+def _dsir_sample_q(s: SparkSession, d: str) -> DataFrame:
+    """Gumbel-top-k DSIR resampling (log-space A-ES over the 6dp-rounded
+    importance weights — a pure function of (doc_id, seed), so the draw
+    value-hashes)."""
+    docs = _docs(s, d)
+    return textstats.dsir_sample(
+        docs, docs.filter(F.col("lang") == "en"), k=100, seed=11
+    )
+
+
+register(
+    "q_corpus_dsir_sample",
+    _dsir_sample_q,
     _q_docs(
-        """
-        , tok AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS token FROM norm),
-        bt AS (
-          SELECT t.doc_id, CAST(('0x' || substr(md5(t.token), 1, 8)) AS BIGINT) % 4096 AS b,
-                 d.lang
-          FROM tok t JOIN documents d USING (doc_id)),
-        rh AS (SELECT b, COUNT(*) AS rc FROM bt GROUP BY b),
-        th AS (SELECT b, COUNT(*) AS tc FROM bt WHERE lang = 'en' GROUP BY b),
-        tot AS (SELECT (SELECT COUNT(*) FROM bt) AS rn,
-                       (SELECT COUNT(*) FROM bt WHERE lang = 'en') AS tn),
-        ratio AS (
-          SELECT rh.b,
-                 ln((COALESCE(th.tc, 0) + 1.0) / (tot.tn + 4096))
-                 - ln((rh.rc + 1.0) / (tot.rn + 4096)) AS lr
-          FROM rh LEFT JOIN th ON rh.b = th.b CROSS JOIN tot),
-        pd AS (SELECT doc_id, b, COUNT(*) AS c FROM bt GROUP BY 1, 2)
-        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
-               ROUND(SUM(c * lr), 6) AS log_weight
-        FROM pd JOIN ratio USING (b) GROUP BY doc_id
+        f""", {_DSIR_CTES},
+        keyed AS (
+          SELECT doc_id, log_weight,
+                 ln(-ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#11'), 1, 15)) AS BIGINT) + 1)
+                        / 1152921504606846976.0)) - log_weight AS k
+          FROM dsir)
+        SELECT doc_id, log_weight, ROUND(k, 6) AS sample_key
+        FROM keyed ORDER BY k, doc_id LIMIT 100
         """
     ),
 )
