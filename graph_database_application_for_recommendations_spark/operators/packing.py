@@ -204,3 +204,68 @@ def temperature_fractions(
     raw = {d: (p[d] / z) / (domain_counts[d] / total) for d in domain_counts}
     m = max(raw.values())
     return {d: raw[d] / m for d in raw}
+
+
+def pack_length_buckets(
+    documents: DataFrame,
+    ctx_len: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_size: int = DEFAULT_BLOCK,
+) -> DataFrame:
+    """(doc_id, n_tokens, bucket_len, bucket_pack, slot): length-bucketed
+    packing — the padding-efficiency alternative to concat-and-chunk
+    (``pack_chunks``): each document rounds up to the next power-of-two
+    bucket (capped at ``ctx_len``; longer docs truncate into the top
+    bucket), and a pack holds ``ctx_len / bucket_len`` same-bucket docs,
+    so no document ever straddles a window and per-pack padding is
+    bounded by the bucket rounding. A pack is identified by
+    (bucket_len, bucket_pack); ``slot`` is the position inside it.
+    Assignment is deterministic: doc_id order within each bucket.
+
+    The within-bucket rank is the scale crux: buckets are
+    low-cardinality (≤ log2(ctx_len)+1 values), so a window partitioned
+    by bucket alone would funnel ~1/10th of the corpus through single
+    tasks — the same killer as an unpartitioned window. Same cure as
+    ``pack_chunks``: rank = per-(bucket, id-block) row_number (bounded
+    by ``block_size``) + an exclusive prefix over the tiny
+    (bucket × block) histogram, broadcast back.
+    """
+    # power-of-two bucket ladder, identical CASE tree on both engines
+    # (no float log2: exactness at powers of two is not guaranteed there)
+    n = F.size(tokens(F.col(text_col))).cast("long")
+    bl = F.lit(ctx_len)
+    step = ctx_len
+    while step > 1:
+        step //= 2
+        bl = F.when(n <= step, F.lit(step)).otherwise(bl)
+    tok = documents.select(
+        F.col(id_col).alias("doc_id"),
+        n.alias("n_tokens"),
+        bl.alias("bucket_len"),
+    ).withColumn("_blk", F.expr(f"CAST(doc_id AS BIGINT) div {int(block_size)}"))
+
+    hist = tok.groupBy("bucket_len", "_blk").agg(F.count(F.lit(1)).alias("_c"))
+    w_blk = (
+        Window.partitionBy("bucket_len")
+        .orderBy("_blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = hist.select(
+        "bucket_len",
+        "_blk",
+        F.coalesce(F.sum("_c").over(w_blk), F.lit(0)).alias("_off"),
+    )
+    w_in = Window.partitionBy("bucket_len", "_blk").orderBy("doc_id")
+    ranked = (
+        tok.join(F.broadcast(offsets), ["bucket_len", "_blk"])
+        .withColumn("_rk", F.col("_off") + F.row_number().over(w_in) - 1)
+    )
+    cap = F.lit(ctx_len) / F.col("bucket_len")  # exact: both powers of two
+    return ranked.select(
+        "doc_id",
+        "n_tokens",
+        F.col("bucket_len").cast("long").alias("bucket_len"),
+        F.floor(F.col("_rk") / cap).cast("long").alias("bucket_pack"),
+        F.pmod(F.col("_rk"), cap).cast("long").alias("slot"),
+    )

@@ -1315,6 +1315,30 @@ register(
         """
     ),
 )
+# length-bucketed packing: the padding-efficiency layout (no document
+# straddles a window). The power-of-two CASE ladder is generated once and
+# shared verbatim by both engines; the oracle uses the plain per-bucket
+# window the two-level Spark plan must equal.
+_BUCKET_CASE = "CASE " + " ".join(
+    f"WHEN n_tokens <= {w} THEN {w}" for w in [2**i for i in range(10)]
+) + f" ELSE {_PACK_CTX} END"
+register(
+    "q_corpus_pack_buckets",
+    lambda s, d: packing.pack_length_buckets(_docs(s, d), ctx_len=_PACK_CTX),
+    _q_docs(
+        f"""
+        , nt AS (SELECT doc_id, CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens FROM norm),
+        b AS (SELECT doc_id, n_tokens, {_BUCKET_CASE} AS bucket_len FROM nt),
+        r AS (SELECT doc_id, n_tokens, bucket_len,
+                     ROW_NUMBER() OVER (PARTITION BY bucket_len ORDER BY doc_id) - 1 AS rk
+              FROM b)
+        SELECT doc_id, n_tokens, CAST(bucket_len AS BIGINT) AS bucket_len,
+               CAST(rk // ({_PACK_CTX} // bucket_len) AS BIGINT) AS bucket_pack,
+               CAST(rk % ({_PACK_CTX} // bucket_len) AS BIGINT) AS slot
+        FROM r
+        """
+    ),
+)
 register(
     "q_corpus_pack_stats",
     lambda s, d: packing.pack_stats(
