@@ -76,3 +76,46 @@ def community_stats(communities: DataFrame) -> DataFrame:
         F.max("size").alias("maxSize"),
         F.round(F.avg("size"), 6).alias("avgSize"),
     )
+
+
+def conductance(
+    edges: DataFrame, communities: DataFrame, weight_col: str = "weight"
+) -> DataFrame:
+    """(community, volume, cut_weight, conductance): per-community
+    conductance φ(C) = cut(C) / min(vol(C), vol(G)−vol(C)) over the
+    undirected-doubled edge list — the community-quality metric GDS ships
+    as ``gds.conductance`` (public). A whole-graph community (denominator
+    0) reports 0.0 by convention.
+
+    Same single-scan shape as :func:`modularity`: label-join the doubled
+    edges (broadcast-gated), one groupBy for per-community volume and cut,
+    one 1-row total cross-joined back. 6dp rounding for the value hash.
+    """
+    lab = communities.select(F.col("node_id"), F.col("community"))
+    if lab.count() * 24 < 256 * 1024 * 1024:
+        lab = F.broadcast(lab)
+    e = edges.join(
+        lab.select(F.col("node_id").alias("src"), F.col("community").alias("c_src")),
+        "src",
+    ).join(
+        lab.select(F.col("node_id").alias("dst"), F.col("community").alias("c_dst")),
+        "dst",
+    )
+    percomm = e.groupBy(F.col("c_src").alias("community")).agg(
+        F.sum(weight_col).alias("volume"),
+        F.sum(
+            F.when(F.col("c_src") != F.col("c_dst"), F.col(weight_col)).otherwise(
+                F.lit(0.0)
+            )
+        ).alias("cut_weight"),
+    )
+    total = percomm.agg(F.sum("volume").alias("_tot"))
+    denom = F.least(F.col("volume"), F.col("_tot") - F.col("volume"))
+    return percomm.crossJoin(F.broadcast(total)).select(
+        "community",
+        F.round("volume", 6).alias("volume"),
+        F.round("cut_weight", 6).alias("cut_weight"),
+        F.round(
+            F.when(denom > 0, F.col("cut_weight") / denom).otherwise(F.lit(0.0)), 6
+        ).alias("conductance"),
+    )

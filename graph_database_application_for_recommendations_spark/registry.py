@@ -2284,6 +2284,47 @@ FROM percomm
 register("q_modularity_nation", _modularity_nation, _MODULARITY_NATION_ORACLE)
 
 
+def _conductance_nation(s: SparkSession, d: str) -> DataFrame:
+    """Per-community conductance (gds.conductance analog) on the co-rating
+    projection under the deterministic nation partition — the same
+    label anchoring that makes q_modularity_nation value-hashable."""
+    from .plans.modularity import conductance
+
+    customer = s.read.parquet(f"{d}/customer.parquet")
+    labels = customer.select(
+        F.col("c_custkey").alias("node_id"), F.col("c_nationkey").alias("community")
+    )
+    return conductance(_corating_double(s, d), labels)
+
+
+_CONDUCTANCE_NATION_ORACLE = f"""{ORACLE_PRELUDE},
+co AS (
+  SELECT a.user_id AS src, b.user_id AS dst, CAST(COUNT(*) AS DOUBLE) AS weight
+  FROM (SELECT user_id, isbn FROM ratings WHERE rating >= 6) a
+  JOIN (SELECT user_id, isbn FROM ratings WHERE rating >= 6) b USING (isbn)
+  WHERE a.user_id <> b.user_id
+  GROUP BY a.user_id, b.user_id),
+lab AS (SELECT c_custkey AS node_id, c_nationkey AS community FROM customer),
+e AS (
+  SELECT la.community AS c_src, lb.community AS c_dst, co.weight
+  FROM co
+  JOIN lab la ON co.src = la.node_id
+  JOIN lab lb ON co.dst = lb.node_id),
+percomm AS (
+  SELECT c_src AS community, SUM(weight) AS volume,
+         SUM(CASE WHEN c_src <> c_dst THEN weight ELSE 0 END) AS cut_weight
+  FROM e GROUP BY c_src),
+tot AS (SELECT SUM(volume) AS t FROM percomm)
+SELECT community, ROUND(volume, 6) AS volume, ROUND(cut_weight, 6) AS cut_weight,
+       ROUND(CASE WHEN LEAST(volume, t - volume) > 0
+                  THEN cut_weight / LEAST(volume, t - volume)
+                  ELSE 0.0 END, 6) AS conductance
+FROM percomm CROSS JOIN tot
+"""
+
+register("q_graph_conductance", _conductance_nation, _CONDUCTANCE_NATION_ORACLE)
+
+
 # PageRank: the one iterative algorithm whose fixed iteration count unrolls
 # into plain chained CTEs, so it gets a full value-hash oracle (G1/G2 make
 # do with invariant checks). 8dp rounding: cross-engine summation-order
