@@ -1041,9 +1041,12 @@ def semantic_dedup(
         .agg(F.max(F.struct(F.col("similarity"), (-F.col(id_col)).alias("_negid"))).alias("_m"))
         .select("cluster", (-F.col("_m._negid")).alias("rep_id"))
     )
-    rep_vecs = reps.join(
-        vecs.select(F.col("_sid").alias("rep_id"), F.col("_nv").alias("_rv")), "rep_id"
-    )
+    # broadcast the k-row rep table INTO the corpus-sized vector scan —
+    # without the hint this k-row aggregate has no size stats and Catalyst
+    # would shuffle the whole vector table to extract k rows
+    rep_vecs = vecs.select(
+        F.col("_sid").alias("rep_id"), F.col("_nv").alias("_rv")
+    ).join(F.broadcast(reps), "rep_id")
     out = members.join(F.broadcast(rep_vecs), "cluster").select(
         F.col(id_col),
         "cluster",

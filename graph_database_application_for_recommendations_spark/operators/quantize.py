@@ -155,8 +155,10 @@ def topk_binary(
         F.col(id_col).alias("neighbor_id"),
         V.l2_normalize(V.as_double(F.col(vec_col))).alias("_cv"),
     )
+    # candidates are |queries|·rerank rows — broadcast them INTO the
+    # corpus-side float scan rather than shuffling the corpus on id
     scored = (
-        cand.join(cv, "neighbor_id")
+        cv.join(F.broadcast(cand), "neighbor_id")
         .join(F.broadcast(qv), "query_id")
         .select(
             "query_id",
