@@ -1057,3 +1057,36 @@ def semantic_dedup(
         "keep",
         (F.col(id_col) == F.col("rep_id")) | (F.col("rep_sim") < F.lit(threshold)),
     )
+
+
+def dedup_aware_split(
+    documents: DataFrame,
+    test_fraction: float = 0.1,
+    seed: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(doc_id, group_id, split): train/test split where near-dup GROUPS
+    are assigned atomically — a document and its near-duplicates always
+    land on the same side, so the eval split cannot be contaminated by
+    training near-dups (the leakage Lee et al. ACL 2022 measure).
+    Assignment is the deterministic md5 bucket of the group id (the
+    sampling-suite primitive): reproducible across runs and engines,
+    and the expected test mass is ``test_fraction`` of GROUPS.
+
+    Plan: the corpus_dedup_groups plan + one scan-resident expression.
+    """
+    from .sampling import HASH_BUCKETS, sample_bucket
+
+    groups = corpus_dedup_groups(
+        documents, id_col, text_col, num_hashes, bands, shingle_n, threshold
+    )
+    split = F.when(
+        sample_bucket(F.col("group_id"), seed) < int(test_fraction * HASH_BUCKETS),
+        F.lit("test"),
+    ).otherwise(F.lit("train"))
+    return groups.select("doc_id", "group_id", split.alias("split"))

@@ -859,6 +859,30 @@ _KEEP_BEST_ORACLE = _DEDUP_GROUPS_ORACLE.replace(
 )
 assert _KEEP_BEST_ORACLE != _DEDUP_GROUPS_ORACLE, "keep-best oracle tail rewrite failed"
 
+# dedup-aware split: groups assigned atomically to train/test by the md5
+# bucket of the group id (leakage-proof split, Lee et al. ACL 2022)
+_SPLIT_ORACLE = _DEDUP_GROUPS_ORACLE.replace(
+    """    SELECT doc.doc_id,
+           COALESCE(c.group_id, doc.doc_id) AS group_id,
+           doc.doc_id = COALESCE(c.group_id, doc.doc_id) AS keep
+    FROM documents doc LEFT JOIN comp c USING (doc_id)""",
+    """    , g AS (
+      SELECT doc.doc_id, COALESCE(c.group_id, doc.doc_id) AS group_id
+      FROM documents doc LEFT JOIN comp c USING (doc_id))
+    SELECT doc_id, group_id,
+           CASE WHEN CAST(('0x' || substr(md5(CAST(group_id AS VARCHAR) || '#5'), 1, 8)) AS BIGINT)
+                     % 1000000 < 100000
+                THEN 'test' ELSE 'train' END AS split
+    FROM g""",
+)
+assert _SPLIT_ORACLE != _DEDUP_GROUPS_ORACLE, "split oracle tail rewrite failed"
+
+register(
+    "q_corpus_split_dedup_aware",
+    lambda s, d: dedup.dedup_aware_split(_docs(s, d), test_fraction=0.1, seed=5),
+    _SPLIT_ORACLE,
+)
+
 register(
     "q_corpus_dedup_keep_best",
     lambda s, d: dedup.corpus_dedup_keep_best(_docs(s, d), threshold=0.5),
