@@ -66,30 +66,6 @@ def quality_classifier_scores(
     )
 
 
-def quality_classifier_invariants(
-    documents: DataFrame,
-    positive: Column,
-    num_features: int = 4096,
-    max_iter: int = 10,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-):
-    """(n_docs, n_pos, accuracy_beats_majority, invalid_scores): the
-    attestable face — counts SQL-anchored, the earned boolean requires
-    train accuracy strictly above the majority-class rate."""
-    scored = quality_classifier_scores(
-        documents, positive, num_features, max_iter, id_col=id_col, text_col=text_col
-    )
-    agg = scored.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("label").alias("pos"),
-        F.sum(
-            ((F.col("score") >= 0.5).cast("int") == F.col("label")).cast("long")
-        ).alias("correct"),
-        F.sum(
-            ((F.col("score") < 0) | (F.col("score") > 1)).cast("long")
-        ).alias("invalid"),
-    ).first()
-    n, pos, correct, invalid = int(agg["n"]), int(agg["pos"]), int(agg["correct"]), int(agg["invalid"])
-    majority = max(pos, n - pos)
-    return n, pos, bool(correct > majority), invalid
+# The invariants face (counts SQL-anchored, accuracy-beats-majority bar)
+# lives in registry._quality_clf_invariants_q, computed from the memoized
+# scores so the twin never re-fits the model.

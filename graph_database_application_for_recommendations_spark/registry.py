@@ -1998,6 +1998,7 @@ def reset_caches() -> None:
     _LOUVAIN_CACHE.clear()
     _BPE_CACHE.clear()
     _ALS_CACHE.clear()
+    _QCLF_CACHE.clear()
 
 
 def _pipeline(spark: SparkSession, sf_dir: str):
@@ -4739,14 +4740,29 @@ register(
     ),
 )
 
+_QCLF_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _quality_clf_scores(s: SparkSession, d: str) -> DataFrame:
+    """One L-BFGS fit per (app, sf_dir), shared by the scores query and
+    its invariants twin (same memoization contract as _ALS_CACHE;
+    cleared by reset_caches so the bench re-pays the fit per pass)."""
+    from .plans.quality_clf import quality_classifier_scores
+
+    key = (s.sparkContext.applicationId, d)
+    res = _QCLF_CACHE.get(key)
+    if res is None:
+        res = quality_classifier_scores(_docs(s, d), F.col("lang") == "en").cache()
+        _QCLF_CACHE[key] = res
+    return res
+
+
 def _quality_clf_q(s: SparkSession, d: str) -> DataFrame:
     """CCNet-style learned quality filter: logistic regression on hashed
     token counts, English documents as the target domain — rows-only
     (L-BFGS treeAggregate float order); q_corpus_quality_clf_invariants
     is the attestable twin."""
-    from .plans.quality_clf import quality_classifier_scores
-
-    return quality_classifier_scores(_docs(s, d), F.col("lang") == "en")
+    return _quality_clf_scores(s, d)
 
 
 register("q_corpus_quality_clf", _quality_clf_q, None)
@@ -4757,14 +4773,21 @@ def _quality_clf_invariants_q(s: SparkSession, d: str) -> DataFrame:
     train accuracy must beat the majority-class baseline (earned — a
     broken trainer or feature hash cannot produce it); every score must
     be a valid probability; output stays 1:1 with the corpus."""
-    from .plans.quality_clf import quality_classifier_invariants
-
-    docs = _docs(s, d)
-    n, pos, beats, invalid = quality_classifier_invariants(
-        docs, F.col("lang") == "en"
-    )
+    scored = _quality_clf_scores(s, d)
+    agg = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("label").alias("pos"),
+        F.sum(
+            ((F.col("score") >= 0.5).cast("int") == F.col("label")).cast("long")
+        ).alias("correct"),
+        F.sum(((F.col("score") < 0) | (F.col("score") > 1)).cast("long")).alias(
+            "invalid"
+        ),
+    ).first()
+    n, pos = int(agg["n"]), int(agg["pos"])
+    beats = int(agg["correct"]) > max(pos, n - pos)
     return s.createDataFrame(
-        [(n, pos, beats, invalid)],
+        [(n, pos, bool(beats), int(agg["invalid"]))],
         "n_docs long, n_pos long, accuracy_beats_majority boolean, invalid_scores long",
     )
 
