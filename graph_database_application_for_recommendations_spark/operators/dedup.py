@@ -1,10 +1,11 @@
 """Deduplication operators for large-scale training-data pipelines.
 
 Beyond the reference's surface (per the build mandate): exact dedup,
-canonical-fingerprint dedup, n-gram Jaccard, MinHash+LSH, SimHash, and
-embedding-cosine near-dup. All are pure DataFrame programs built on
-cross-engine-reproducible md5 hashing (functions/text.py), so each one is
-oracle-checkable against DuckDB.
+canonical-fingerprint dedup, n-gram Jaccard, MinHash+LSH (document AND
+paragraph granularity), SimHash, embedding-cosine near-dup, SemDeDup
+semantic dedup, and the dedup-aware train/test split. All are pure
+DataFrame programs built on cross-engine-reproducible md5 hashing
+(functions/text.py), so each one is oracle-checkable against DuckDB.
 
 Scale notes (100 TB):
 - Exact/fingerprint dedup is a single hash-aggregate — map-side combinable.
