@@ -248,30 +248,55 @@ def main() -> None:
     # record that fits in the tail: 3-significant-digit times, no spaces.
     # If a grown mix ever pushes it past the tail budget, drop the "q_"
     # prefix from the query keys rather than dropping queries.
-    def _compact(times: dict[str, float], strip_prefix: bool, sig: int) -> str:
+    def _shorten(names: list[str], width: int) -> dict[str, str]:
+        """Deterministic unique abbreviations: first ``width`` chars, a
+        numeric suffix on collision (registration order)."""
+        out: dict[str, str] = {}
+        seen: dict[str, int] = {}
+        for k in names:
+            base = k[:width]
+            n = seen.get(base, 0)
+            seen[base] = n + 1
+            out[k] = base if n == 0 else f"{base}~{n}"
+        return out
+
+    def _compact(
+        times: dict[str, float], strip_prefix: bool, sig: int, width: int | None
+    ) -> str:
+        keys = [
+            (k[2:] if strip_prefix and k.startswith("q_") else k) for k in times
+        ]
+        if width is not None:
+            m = _shorten(keys, width)
+            keys = [m[k] for k in keys]
         q = {
-            (k[2:] if strip_prefix and k.startswith("q_") else k): float(f"{v:.{sig}g}")
-            for k, v in times.items()
+            kk: float(f"{v:.{sig}g}") for kk, v in zip(keys, times.values())
         }
-        return json.dumps(
-            {
-                "metric": "headline_queries_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": q,
-                "sf": _sf_of(sf_dir),
-                "cpus": cpus,
-                "passes": 2,
-            },
-            separators=(",", ":"),
-        )
+        rec = {
+            "metric": "headline_queries_wall_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": q,
+            "sf": _sf_of(sf_dir),
+        }
+        if width is None:  # the metadata extras go first when space is tight
+            rec["cpus"] = cpus
+            rec["passes"] = 2
+        return json.dumps(rec, separators=(",", ":"))
 
     print(json.dumps({"rows": rows}, separators=(",", ":")), file=sys.stderr, flush=True)
     # progressively compact until the record fits the driver's ~2000-char
     # stdout tail with margin: full names -> stripped q_ prefix -> 2-sig
-    # times. Every per-query time survives in all modes.
-    for strip, sig in ((False, 3), (True, 3), (True, 2)):
-        line = _compact(timings, strip_prefix=strip, sig=sig)
+    # times -> abbreviated names (first-14-chars, unique). Every per-query
+    # time survives in all modes.
+    for strip, sig, width in (
+        (False, 3, None),
+        (True, 3, None),
+        (True, 2, None),
+        (True, 2, 14),
+        (True, 2, 10),
+    ):
+        line = _compact(timings, strip_prefix=strip, sig=sig, width=width)
         if len(line) <= 1850:
             break
     print(line, flush=True)
