@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "q_corpus_semantic_dedup",
     "q_corpus_dsir",
     "q_simsearch_binary",
+    "q_simsearch_ivfpq",
     "q_corpus_quality_clf",
     "q_louvain_communities",
     "q_pagerank",

@@ -1,0 +1,160 @@
+"""IVF-PQ approximate nearest-neighbor search — the composition of the
+coarse quantizer (operators/ivf.py) with residual product quantization
+(operators/pq.py): Jégou et al., TPAMI 2011 §IV "IVFADC" (public), the
+index family production vector stores default to (faiss ``IVFx,PQy``).
+
+Why the composition beats either part at 100 TB: IVF bounds the
+CANDIDATE set (~n/cells · nprobe per query) and PQ bounds the BYTES per
+candidate (m codes instead of d·8), so the first-pass scan touches
+nprobe cells of m-byte codes — both knobs multiply. The residual trick
+keeps PQ accurate inside a cell: with normalized vectors v = c + r,
+⟨q, v⟩ = ⟨q, c⟩ (exact, one scalar per probed cell) + ⟨q, r⟩ (ADC over
+the residual codebooks). The residual LUT is QUERY-global — the cell
+only enters through the exact ⟨q, c⟩ term, so there is no per-cell LUT
+rebuild.
+
+Determinism contract (shared with the other ANN paths): md5-ranked
+seeds and training samples, argmin/tie-break by id, 6dp-rounded cosine
+in the exact re-rank. Exact-recovery configuration (full probe + full
+re-rank) provably collapses to brute force — the attestation twin
+``q_simsearch_ivfpq_exact`` value-hashes it against the DuckDB
+brute-force oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import vector as V
+from .ivf import _assign, train_ivf_centroids
+from .pq import pq_encode, train_pq_codebooks
+
+
+def topk_ivfpq(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    num_cells: int | None = None,
+    nprobe: int = 4,
+    m: int = 8,
+    num_centroids: int = 16,
+    rerank: int = 4,
+    lloyd_iters: int = 2,
+    sample: int = 4096,
+) -> DataFrame:
+    """IVF-PQ approximate top-k: (query_id, neighbor_id, similarity).
+
+    Plan: coarse centroids (distributed Lloyd over md5 seeds) → corpus
+    assignment + residuals (broadcast argmin join) → residual PQ codes
+    (Arrow kernel, cell id carried through — no join-back shuffle) →
+    per-query probes of the ``nprobe`` best cells (broadcast centroid
+    table) → ADC = ⟨q, c⟩ + Σ LUT[code] over a (cell)-equi-join of the
+    probes against the code table (shuffle ∝ probed-cell occupancy ×
+    m bytes) → exact cosine re-rank of the ``rerank``·k survivors
+    (broadcast back into the vector scan).
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    centroids = train_ivf_centroids(corpus, id_col, vec_col, num_cells, lloyd_iters)
+
+    par = spark.sparkContext.defaultParallelism
+    c_vecs = corpus.repartition(par).select(
+        F.col(id_col).alias("neighbor_id"),
+        V.l2_normalize(V.as_double(F.col(vec_col))).alias("_v"),
+    )
+    assigned = _assign(c_vecs, centroids, "neighbor_id", "cell")
+    residuals = assigned.join(F.broadcast(centroids), "cell").select(
+        "neighbor_id",
+        "cell",
+        F.zip_with("_v", "_c", lambda a, b: a - b).alias("_r"),
+    )
+    books = train_pq_codebooks(
+        residuals,
+        id_col="neighbor_id",
+        vec_col="_r",
+        m=m,
+        k=num_centroids,
+        sample=sample,
+        normalize=False,
+    )
+    coded = pq_encode(
+        residuals,
+        books,
+        id_col="neighbor_id",
+        vec_col="_r",
+        normalize=False,
+        carry=["cell"],
+    ).withColumnRenamed("vec_id", "neighbor_id")
+
+    # probes: nprobe best cells per query, keeping the EXACT <q, c> term
+    q_vecs = queries.select(
+        F.col(id_col).alias("query_id"),
+        V.l2_normalize(V.as_double(F.col(vec_col))).alias("_qv"),
+    )
+    q_cells = q_vecs.crossJoin(F.broadcast(centroids)).select(
+        "query_id", "_qv", "cell", V.dot(F.col("_qv"), F.col("_c")).alias("_qc")
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("_qc"), F.asc("cell"))
+    probes = (
+        q_cells.withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "cell", "_qc")
+    )
+
+    # query-global residual LUT (the <q, r> half of the score)
+    q_pdf = (
+        q_vecs.toPandas().sort_values("query_id", ignore_index=True)
+    )
+    qmat = np.asarray(q_pdf["_qv"].tolist(), dtype=np.float64)
+    mm, kk, dsub = books.shape
+    luts = np.einsum("qmd,mkd->qmk", qmat.reshape(len(qmat), mm, dsub), books)
+    id_type = queries.schema[id_col].dataType.simpleString()
+    ids = q_pdf["query_id"].tolist()
+    lut_df = spark.createDataFrame(
+        [(ids[i], [float(x) for x in luts[i].ravel()]) for i in range(len(ids))],
+        f"query_id {id_type}, _lut array<double>",
+    )
+    qv_df = spark.createDataFrame(
+        [(ids[i], [float(x) for x in q_pdf["_qv"][i]]) for i in range(len(ids))],
+        f"query_id {id_type}, _qv array<double>",
+    )
+
+    adc_res = F.aggregate(
+        F.sequence(F.lit(0), F.lit(mm - 1)),
+        F.lit(0.0),
+        lambda acc, mi: acc
+        + F.element_at(
+            F.col("_lut"),
+            (mi * kk + F.element_at(F.col("codes"), mi + 1) + 1).cast("int"),
+        ),
+    )
+    pairs = (
+        coded.join(F.broadcast(probes.join(F.broadcast(lut_df), "query_id")), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", (F.col("_qc") + adc_res).alias("_adc"))
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("_adc"), F.asc("neighbor_id"))
+    cands = (
+        pairs.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= rerank * k)
+        .select("query_id", "neighbor_id")
+    )
+    rer = c_vecs.withColumnRenamed("_v", "_cv").join(
+        F.broadcast(cands.join(F.broadcast(qv_df), "query_id")), "neighbor_id"
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(V.dot(F.col("_qv"), F.col("_cv")), V.SIM_SCALE).alias("similarity"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("similarity"), F.asc("neighbor_id")
+    )
+    return (
+        rer.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

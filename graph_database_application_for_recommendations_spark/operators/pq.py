@@ -40,20 +40,25 @@ def train_pq_codebooks(
     k: int = 16,
     sample: int = 4096,
     iters: int = 8,
+    normalize: bool = True,
 ):
     """numpy array (m, k, d/m): per-subspace codebooks from Lloyd k-means.
 
     Deterministic end to end: the training subset is the ``sample``
     smallest md5-ranked ids (no RNG, stable across runs/partitionings),
     init is the first k subset rows in that order, and empty clusters
-    keep their previous centroid.
+    keep their previous centroid. ``normalize=False`` trains on the raw
+    vectors — required for RESIDUAL quantization (IVF-PQ), where the
+    input is v − centroid and re-normalizing would destroy the residual
+    geometry.
     """
     import numpy as np
 
+    vexpr = V.as_double(F.col(vec_col))
     sub = (
         corpus.select(
             F.col(id_col).alias("_id"),
-            V.l2_normalize(V.as_double(F.col(vec_col))).alias("_v"),
+            (V.l2_normalize(vexpr) if normalize else vexpr).alias("_v"),
         )
         .withColumn("_rk", F.md5(F.col("_id").cast("string")))
         .orderBy("_rk", "_id")
@@ -87,10 +92,15 @@ def pq_encode(
     codebooks,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    normalize: bool = True,
+    carry: list[str] | None = None,
 ) -> DataFrame:
-    """(vec_id, codes ARRAY<INT> length m): PQ codes per vector — the
-    compressed representation and nothing else, so downstream scans move
-    m small codes per row instead of the d·8-byte vector.
+    """(vec_id, codes ARRAY<INT> length m[, carry...]): PQ codes per
+    vector — the compressed representation and nothing else, so
+    downstream scans move m small codes per row instead of the d·8-byte
+    vector. ``normalize=False`` encodes raw vectors (residual
+    quantization); ``carry`` passes extra small columns through the
+    Arrow kernel (e.g. the IVF cell id) without a join-back shuffle.
 
     Broadcast the KB-sized codebooks, argmin per subspace in one Arrow
     batch kernel — a pure scan-side map, no shuffle.
@@ -101,9 +111,15 @@ def pq_encode(
     spark = corpus.sparkSession
     bc = spark.sparkContext.broadcast(codebooks)
     id_type = corpus.schema[id_col].dataType.simpleString()
+    carry = carry or []
+    carry_schema = "".join(
+        f", {c} {corpus.schema[c].dataType.simpleString()}" for c in carry
+    )
+    vexpr = V.as_double(F.col(vec_col))
     prep = corpus.select(
         F.col(id_col).alias("_id"),
-        V.l2_normalize(V.as_double(F.col(vec_col))).alias("_v"),
+        (V.l2_normalize(vexpr) if normalize else vexpr).alias("_v"),
+        *[F.col(c) for c in carry],
     )
 
     def gen(batches):
@@ -118,11 +134,12 @@ def pq_encode(
                 x = mat[:, mi * dsub : (mi + 1) * dsub]
                 d2 = ((x[:, None, :] - books[mi][None, :, :]) ** 2).sum(axis=2)
                 codes[:, mi] = d2.argmin(axis=1)
-            yield pd.DataFrame(
-                {"vec_id": pdf["_id"].to_numpy(), "codes": list(codes.tolist())}
-            )
+            out = {"vec_id": pdf["_id"].to_numpy(), "codes": list(codes.tolist())}
+            for c in carry:
+                out[c] = pdf[c].to_numpy()
+            yield pd.DataFrame(out)
 
-    return prep.mapInPandas(gen, schema=f"vec_id {id_type}, codes array<int>")
+    return prep.mapInPandas(gen, schema=f"vec_id {id_type}, codes array<int>{carry_schema}")
 
 
 def topk_pq(

@@ -3627,6 +3627,45 @@ _BRUTE_TOPK_ORACLE = _q_vec(
 register("q_simsearch_ivf_exact", _ivf_exact_q, _BRUTE_TOPK_ORACLE)
 
 
+def _simsearch_ivfpq(s: SparkSession, d: str) -> DataFrame:
+    """IVF-PQ (IVFADC): coarse cells + residual PQ codes — candidates AND
+    bytes bounded, the faiss-production composition. Rows-only (Lloyd
+    means float-order dependent); q_simsearch_ivfpq_exact is the twin."""
+    from .operators.ivfpq import topk_ivfpq
+
+    emb = _ref(s, d).embeddings
+    return topk_ivfpq(
+        emb.filter(F.col("vec_id") < 10), emb, k=10, nprobe=4, m=8, rerank=4
+    )
+
+
+register("q_simsearch_ivfpq", _simsearch_ivfpq, None)
+
+
+def _ivfpq_exact_q(s: SparkSession, d: str) -> DataFrame:
+    """IVF-PQ at full probe AND full re-rank: every cell probed, every
+    ADC candidate exactly re-scored — the composition must equal
+    brute-force top-k, value-hashing the centroid training, residual
+    computation, code assignment, probe accounting, and the ⟨q,c⟩+ADC
+    decomposition in one check."""
+    from .operators.ivfpq import topk_ivfpq
+
+    emb = _ref(s, d).embeddings
+    return topk_ivfpq(
+        emb.filter(F.col("vec_id") < 10),
+        emb,
+        k=10,
+        num_cells=8,
+        nprobe=8,
+        m=8,
+        rerank=1_000_000,
+        lloyd_iters=1,
+    )
+
+
+register("q_simsearch_ivfpq_exact", _ivfpq_exact_q, _BRUTE_TOPK_ORACLE)
+
+
 def _pq_exact_q(s: SparkSession, d: str) -> DataFrame:
     """PQ-ADC with rerank large enough that every catalog vector survives
     the ADC pass: the exact rerank then sees all candidates and the output
@@ -4946,6 +4985,7 @@ register(
 
 ROWS_ONLY_TWINS: dict[str, str] = {
     "q_simsearch_ivf": "q_simsearch_ivf_exact",
+    "q_simsearch_ivfpq": "q_simsearch_ivfpq_exact",
     "q_simsearch_pq": "q_simsearch_pq_exact",
     "q_simsearch_opq": "q_simsearch_opq_exact",
     "q_corpus_cluster": "q_corpus_cluster_assign",

@@ -1543,3 +1543,21 @@ def test_simsearch_binary_recall_against_bruteforce(spark):
     recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
     # 64 sign bits + exact rerank of 100/500 candidates: recall should be high
     assert recall > 0.6
+
+
+def test_simsearch_ivfpq_recall_against_bruteforce(spark):
+    from graph_database_application_for_recommendations_spark.operators.ivfpq import (
+        topk_ivfpq,
+    )
+
+    emb = load_ref_tables(spark, SF_SMALL).embeddings
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = simsearch.topk_bruteforce(queries, emb, k=5)
+    approx = topk_ivfpq(queries, emb, k=5, nprobe=4, m=8, rerank=4)
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    # nprobe=4 of ~22 cells over near-random vectors: candidates bound recall;
+    # the property pinned is honest composition (overlap + exact rerank)
+    assert recall > 0.15
+    assert approx.groupBy("query_id").count().filter("count > 5").count() == 0
