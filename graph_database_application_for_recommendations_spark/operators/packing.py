@@ -269,3 +269,53 @@ def pack_length_buckets(
         F.floor(F.col("_rk") / cap).cast("long").alias("bucket_pack"),
         F.pmod(F.col("_rk"), cap).cast("long").alias("slot"),
     )
+
+
+def curriculum_order(
+    documents: DataFrame,
+    n_tiles: int = 10,
+    seed: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, decile, pos): quality-curriculum training order — the
+    corpus is consumed decile by decile (decile 1 = most prose-like
+    first, the standard easy-to-hard curriculum), deterministically
+    hash-shuffled WITHIN each decile so no other ordering bias leaks in.
+    ``pos`` is 0-based within the decile; the training loader reads
+    (decile ASC, pos ASC).
+
+    The within-decile rank is the same scale crux as the length buckets
+    (``pack_length_buckets``): deciles are 10 values, so a window
+    partitioned by decile alone funnels ~corpus/10 through single
+    tasks. Two-level instead: block on the top bits of the md5 order key
+    (prefix blocking preserves the (hash, id) order), per-(decile,
+    block) bounded windows, exclusive prefix over the tiny
+    (decile × 256 blocks) histogram, broadcast back.
+    """
+    from ..functions.text import md5_hash60
+    from .textstats import quality_deciles
+
+    dec = quality_deciles(documents, n_tiles, id_col=id_col, text_col=text_col)
+    h = md5_hash60(F.col("doc_id").cast("string"), seed)
+    base = dec.select("doc_id", "decile", h.alias("_h")).withColumn(
+        "_blk", F.expr(f"_h div {1 << 52}")  # top 8 bits of the 60-bit hash
+    )
+    hist = base.groupBy("decile", "_blk").agg(F.count(F.lit(1)).alias("_c"))
+    w_blk = (
+        Window.partitionBy("decile")
+        .orderBy("_blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = hist.select(
+        "decile", "_blk", F.coalesce(F.sum("_c").over(w_blk), F.lit(0)).alias("_off")
+    )
+    w_in = Window.partitionBy("decile", "_blk").orderBy("_h", "doc_id")
+    return (
+        base.join(F.broadcast(offsets), ["decile", "_blk"])
+        .select(
+            "doc_id",
+            "decile",
+            (F.col("_off") + F.row_number().over(w_in) - 1).alias("pos"),
+        )
+    )

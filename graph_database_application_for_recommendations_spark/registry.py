@@ -1469,20 +1469,47 @@ def _quality_deciles_q(s: SparkSession, d: str) -> DataFrame:
     return textstats.quality_deciles(_docs(s, d), n_tiles=10)
 
 
+# shared decile CTEs: the curriculum query builds on the same tiles
+_DECILE_CTES = """
+tok AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS token FROM norm),
+agg AS (
+  SELECT doc_id,
+         ROUND(AVG(CASE WHEN token IN ({_SW_EN}) THEN 1.0 ELSE 0.0 END), 6) AS stopword_ratio
+  FROM tok GROUP BY doc_id),
+dec AS (
+  SELECT doc_id, stopword_ratio,
+         CAST(NTILE(10) OVER (ORDER BY stopword_ratio DESC, doc_id) AS INT) AS decile
+  FROM agg)
+""".replace("{_SW_EN}", _SW_EN).strip()
+
 register(
     "q_text_quality_deciles",
     _quality_deciles_q,
+    _q_docs(f", {_DECILE_CTES}\nSELECT doc_id, stopword_ratio, decile FROM dec"),
+)
+
+
+def _curriculum_q(s: SparkSession, d: str) -> DataFrame:
+    """Quality-curriculum training order: decile by decile (most
+    prose-like first), deterministically shuffled within each decile —
+    the composition of the deciles surface with the epoch-shuffle
+    discipline (two-level ranks, no decile-partitioned corpus window)."""
+    return packing.curriculum_order(_docs(s, d), seed=3)
+
+
+register(
+    "q_corpus_curriculum",
+    _curriculum_q,
     _q_docs(
-        f"""
-        , tok AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS token FROM norm),
-        agg AS (
-          SELECT doc_id,
-                 ROUND(AVG(CASE WHEN token IN ({{_SW_EN}}) THEN 1.0 ELSE 0.0 END), 6) AS stopword_ratio
-          FROM tok GROUP BY doc_id)
-        SELECT doc_id, stopword_ratio,
-               CAST(NTILE(10) OVER (ORDER BY stopword_ratio DESC, doc_id) AS INT) AS decile
-        FROM agg
-        """.replace("{_SW_EN}", _SW_EN)
+        f""", {_DECILE_CTES},
+        h AS (
+          SELECT doc_id, decile,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#3'), 1, 15)) AS BIGINT) AS hh
+          FROM dec)
+        SELECT doc_id, decile,
+               CAST(ROW_NUMBER() OVER (PARTITION BY decile ORDER BY hh, doc_id) - 1 AS BIGINT) AS pos
+        FROM h
+        """
     ),
 )
 
