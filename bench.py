@@ -261,12 +261,36 @@ def main() -> None:
             out[k] = base if n == 0 else f"{base}~{n}"
         return out
 
+    # category prefixes -> 1-2 letter tags: names stay human-matchable
+    # against BASELINE/earlier rounds ("s:ivfpq", "d:paragraphs"), unlike
+    # blind truncation
+    _PREFIX_TAGS = [
+        ("q_dedup_", "d:"), ("q_simsearch_", "s:"), ("q_corpus_", "c:"),
+        ("q_events_", "e:"), ("q_text_", "t:"), ("q_graph_", "g:"),
+        ("q_emb_", "m:"), ("q_pipeline_", "p:"), ("q_recsys_", "r:"),
+        ("q_multimodal_", "mm:"), ("q_node_", "n:"), ("q_knn_", "k:"),
+        ("q_", ""),
+    ]
+
+    def _tag(k: str) -> str:
+        for p, r in _PREFIX_TAGS:
+            if k.startswith(p):
+                return r + k[len(p):]
+        return k
+
     def _compact(
-        times: dict[str, float], strip_prefix: bool, sig: int, width: int | None
+        times: dict[str, float],
+        strip_prefix: bool,
+        sig: int,
+        width: int | None,
+        tags: bool = False,
     ) -> str:
-        keys = [
-            (k[2:] if strip_prefix and k.startswith("q_") else k) for k in times
-        ]
+        if tags:
+            keys = [_tag(k) for k in times]
+        else:
+            keys = [
+                (k[2:] if strip_prefix and k.startswith("q_") else k) for k in times
+            ]
         if width is not None:
             m = _shorten(keys, width)
             keys = [m[k] for k in keys]
@@ -288,16 +312,20 @@ def main() -> None:
     print(json.dumps({"rows": rows}, separators=(",", ":")), file=sys.stderr, flush=True)
     # progressively compact until the record fits the driver's ~2000-char
     # stdout tail with margin: full names -> stripped q_ prefix -> 2-sig
-    # times -> abbreviated names (first-14-chars, unique). Every per-query
-    # time survives in all modes.
-    for strip, sig, width in (
-        (False, 3, None),
-        (True, 3, None),
-        (True, 2, None),
-        (True, 2, 14),
-        (True, 2, 10),
-    ):
-        line = _compact(timings, strip_prefix=strip, sig=sig, width=width)
+    # times -> category-tagged names (still human-matchable) -> blind
+    # truncation as the very last resort. Every per-query time survives
+    # in all modes.
+    attempts = (
+        dict(strip_prefix=False, sig=3, width=None),
+        dict(strip_prefix=True, sig=3, width=None),
+        dict(strip_prefix=True, sig=2, width=None),
+        dict(strip_prefix=True, sig=3, width=None, tags=True),
+        dict(strip_prefix=True, sig=2, width=None, tags=True),
+        dict(strip_prefix=True, sig=2, width=14),
+        dict(strip_prefix=True, sig=2, width=10),
+    )
+    for kw in attempts:
+        line = _compact(timings, **kw)
         if len(line) <= 1850:
             break
     print(line, flush=True)
