@@ -531,3 +531,108 @@ def walk_embeddings(
     return model.getVectors().select(
         F.col("word").alias("node"), vector_to_array("vector").alias("vector")
     )
+
+
+def _edge_support(canon: DataFrame) -> DataFrame:
+    """(a, b, support): per-canonical-edge triangle support — each
+    triangle is enumerated ONCE via the same degree-ordered wedge joins
+    as :func:`triangle_counts` (hub-safe), then credited to its three
+    canonical edges."""
+    deg = (
+        canon.select(F.col("a").alias("n"))
+        .unionAll(canon.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
+    keyed = canon.join(da, "a").join(db, "b")
+    lower_first = F.struct(F.col("da"), F.col("a")) < F.struct(F.col("db"), F.col("b"))
+    o = keyed.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(
+            lower_first, F.struct(F.col("db").alias("d"), F.col("b").alias("n"))
+        )
+        .otherwise(F.struct(F.col("da").alias("d"), F.col("a").alias("n")))
+        .alias("v"),
+    )
+    e1 = o.select(F.col("u"), F.col("v").alias("v1"))
+    e2 = o.select(F.col("u"), F.col("v").alias("v2"))
+    wedges = e1.join(e2, "u").filter(F.col("v1") < F.col("v2"))
+    closing = o.select(F.col("u").alias("_cu"), F.col("v").alias("_cv"))
+    tri = wedges.join(
+        closing,
+        (F.col("v1").getField("n") == F.col("_cu")) & (F.col("v2") == F.col("_cv")),
+        "left_semi",
+    ).select(
+        F.col("u").alias("x"),
+        F.col("v1").getField("n").alias("y"),
+        F.col("v2").getField("n").alias("z"),
+    )
+    pairs = F.array(
+        F.struct(
+            F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+        ),
+        F.struct(
+            F.least("x", "z").alias("a"), F.greatest("x", "z").alias("b")
+        ),
+        F.struct(
+            F.least("y", "z").alias("a"), F.greatest("y", "z").alias("b")
+        ),
+    )
+    return (
+        tri.select(F.explode(pairs).alias("e"))
+        .groupBy(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+
+
+def k_truss(
+    edges: DataFrame, k: int, src: str = "src", dst: str = "dst", max_rounds: int = 32
+) -> DataFrame:
+    """(src, dst, support): the k-truss of an undirected edge list — the
+    maximal subgraph in which every edge participates in ≥ k−2 triangles
+    (Cohen 2008, public; the cohesion step past k-core: a k-truss is
+    always inside the (k−1)-core but strictly tighter). Unique fixpoint
+    independent of peel order → value-hash comparable against an
+    unrolled SQL twin. Output is the canonical (src < dst) surviving
+    edge list with each edge's within-truss support.
+
+    Plan shape: each peel round is one hub-safe triangle enumeration
+    (degree-ordered wedges — 3 shuffles, fan-out bounded by oriented
+    out-degree) plus an edge filter; the edge set shrinks monotonically
+    and each round's result is materialized (lineage cut, real AQE
+    stats). Rounds = peel depth, single digits on real graphs.
+    """
+    from . import materialize
+
+    cur = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    prev: DataFrame | None = None
+    prev_n: int | None = None
+    for _ in range(max_rounds):
+        sup = _edge_support(cur)
+        kept = (
+            cur.join(sup, ["a", "b"], "left")
+            .select(
+                "a", "b", F.coalesce("support", F.lit(0)).cast("long").alias("support")
+            )
+            .filter(F.col("support") >= k - 2)
+        )
+        kept = materialize(kept, supersedes=prev)
+        n = kept.count()
+        if prev_n is not None and n == prev_n:
+            break
+        prev, prev_n = kept, n
+        cur = kept.select("a", "b")
+        if n == 0:
+            break
+    return kept.select(
+        F.col("a").alias(src), F.col("b").alias(dst), "support"
+    )

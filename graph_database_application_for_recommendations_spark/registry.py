@@ -2938,6 +2938,69 @@ GROUP BY src"""
 register("q_graph_kcore", _kcore_q, _kcore_oracle(_KCORE_K, _KCORE_ROUNDS))
 
 
+# k-truss of the strong co-rating graph (k=3: every edge must close at
+# least one triangle WITHIN the surviving subgraph — the triangle-connected
+# backbone; 18 edges @sf0.01, 1738 @sf0.001, fixpoint at 2 peel rounds at
+# both scales). The oracle unrolls 4 rounds with the loud-fail convergence
+# assertion (e{N} must equal e{N-1} — the ADVICE r4 discipline), so a
+# deeper peel at some future scale errors instead of hash-mismatching.
+_KTRUSS_K = 3
+_KTRUSS_ROUNDS = 4
+
+
+def _ktruss_q(s: SparkSession, d: str) -> DataFrame:
+    from .plans.graphs import k_truss
+
+    strong = _corating_double(s, d).filter(F.col("weight") >= COMPONENTS_MIN_WEIGHT)
+    return k_truss(strong, k=_KTRUSS_K).select(
+        F.col("src").alias("user_a"), F.col("dst").alias("user_b"), "support"
+    )
+
+
+def _ktruss_oracle(k: int, rounds: int) -> str:
+    ctes = [
+        """pos AS (SELECT user_id, isbn FROM ratings WHERE rating >= 6)""",
+        f"""e0 AS MATERIALIZED (
+  SELECT a.user_id AS a, b.user_id AS b
+  FROM pos a JOIN pos b USING (isbn)
+  WHERE a.user_id < b.user_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= {COMPONENTS_MIN_WEIGHT})""",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""t{i} AS MATERIALIZED (
+  SELECT x.a AS ta, x.b AS tb, y.b AS tc
+  FROM e{i - 1} x JOIN e{i - 1} y ON y.a = x.a AND y.b > x.b
+  JOIN e{i - 1} z ON z.a = x.b AND z.b = y.b)"""
+        )
+        ctes.append(
+            f"""sup{i} AS MATERIALIZED (
+  SELECT a, b, COUNT(*) AS s FROM (
+    SELECT ta AS a, tb AS b FROM t{i}
+    UNION ALL SELECT ta, tc FROM t{i}
+    UNION ALL SELECT tb, tc FROM t{i})
+  GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"""e{i} AS MATERIALIZED (
+  SELECT e.a, e.b, s.s FROM e{i - 1} e JOIN sup{i} s USING (a, b)
+  WHERE s.s >= {k - 2})"""
+        )
+    body = ",\n".join(ctes)
+    return _q(
+        f""", {body},
+conv AS (SELECT CASE WHEN (SELECT COUNT(*) FROM
+                           (SELECT a, b FROM e{rounds - 1} EXCEPT SELECT a, b FROM e{rounds})) > 0
+                     THEN error('k-truss oracle: peel unroll truncated at {rounds} rounds')
+                     ELSE 1 END AS ok)
+SELECT a AS user_a, b AS user_b, CAST(s AS BIGINT) AS support FROM e{rounds}
+WHERE (SELECT ok FROM conv) = 1"""
+    )
+
+
+register("q_graph_ktruss", _ktruss_q, _ktruss_oracle(_KTRUSS_K, _KTRUSS_ROUNDS))
+
+
 # HITS hubs & authorities on the bipartite positive-rating graph
 # (users=hubs, books=authorities — the form gds.alpha.hits ships; on the
 # symmetric co-rating projection HITS would collapse to q_eigenvector).
