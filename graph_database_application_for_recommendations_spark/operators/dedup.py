@@ -1091,3 +1091,51 @@ def dedup_aware_split(
         F.lit("test"),
     ).otherwise(F.lit("train"))
     return groups.select("doc_id", "group_id", split.alias("split"))
+
+
+def novelty_scores(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """(doc_id, n_grams, novelty): fraction of a document's n-token span
+    positions whose span appears NOWHERE else in the corpus (other
+    occurrences in the same document don't count against novelty — the
+    signal is cross-document memorization risk, Lee et al. ACL 2022's
+    duplication measure turned per-document). novelty = 1.0 means every
+    span is corpus-unique to this document; low novelty flags training
+    data an eval set or another document already covers.
+
+    Plan shape: the same single explode as ``repeated_ngrams`` feeding a
+    (gram-hash, doc) count (map-side combinable), a gram-level distinct-
+    doc count over it (second small aggregate), and one per-doc rollup —
+    linear in corpus tokens, no joins wider than the gram hash.
+    """
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    toks = tokens(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    per_doc_gram = (
+        documents.repartition(par)
+        .select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("gram"))
+        .groupBy("doc_id", F.md5("gram").alias("h"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    gram_docs = per_doc_gram.groupBy("h").agg(
+        F.count(F.lit(1)).alias("nd")  # distinct docs per gram (rows are per doc)
+    )
+    return (
+        per_doc_gram.join(gram_docs, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_grams"),
+            F.round(
+                F.sum(F.when(F.col("nd") == 1, F.col("c")).otherwise(F.lit(0)))
+                / F.sum("c"),
+                6,
+            ).alias("novelty"),
+        )
+    )

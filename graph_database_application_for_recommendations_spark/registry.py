@@ -890,6 +890,26 @@ register(
 )
 
 
+register(
+    "q_dedup_novelty",
+    lambda s, d: dedup.novelty_scores(_docs(s, d), n=8),
+    _q_docs(
+        """
+        , grams AS (
+          SELECT doc_id,
+                 unnest([md5(array_to_string(list_slice(t, i, i + 7), ' '))
+                         for i in range(1, greatest(len(t) - 7, 1) + 1)]) AS h
+          FROM toks),
+        pdg AS (SELECT doc_id, h, COUNT(*) AS c FROM grams GROUP BY 1, 2),
+        gd AS (SELECT h, COUNT(*) AS nd FROM pdg GROUP BY h)
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+               ROUND(SUM(CASE WHEN nd = 1 THEN c ELSE 0 END) / CAST(SUM(c) AS DOUBLE), 6) AS novelty
+        FROM pdg JOIN gd USING (h) GROUP BY doc_id
+        """
+    ),
+)
+
+
 def _superdocs(s: SparkSession, d: str) -> DataFrame:
     """Paragraph-bearing corpus for the paragraph-dedup queries: the
     synthetic documents are single-line, so groups of 8 are blank-line
