@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "q_dedup_embedding",
     "q_dedup_embedding_lsh",
     "q_corpus_dedup_groups",
+    "q_dedup_novelty",
     "q_simsearch_topk",
     "q_simsearch_lsh",
     "q_simsearch_ivf",
@@ -77,6 +78,7 @@ BENCH_QUERIES = [
     "q_louvain_communities",
     "q_pagerank",
     "q_graph_kcore",
+    "q_graph_ktruss",
     "q_graph_sssp",
     "q_graph_closeness",
     "q_graph_clustering_coef",
