@@ -106,6 +106,7 @@ def test_all_registered_queries_are_driver_canonicalizable(spark):
     bad = {}
     py_udf = {}
     global_windows = {}
+    cartesian = {}
     for name, fn in registry.queries().items():
         df = fn(spark, SF_SMALL)
         offenders = [
@@ -128,11 +129,20 @@ def test_all_registered_queries_are_driver_canonicalizable(spark):
         gw = unpartitioned_corpus_windows(df)
         if gw:
             global_windows[name] = gw
+        # ... and non-broadcast cartesian products, the other silent
+        # scale-killer class. Engine code never emits one (crossJoin is
+        # always broadcast-hinted -> BroadcastNestedLoopJoin); the ONE
+        # sanctioned site is MLlib's own recommendForAllUsers, whose
+        # blocked user-factor x item-factor CartesianProduct +
+        # collect_top_k IS the canonical ALS serving plan.
+        if "CartesianProduct" in plan and name not in ("q_recsys_als",):
+            cartesian[name] = True
     assert not bad, f"non-canonicalizable columns: {bad}"
     assert not py_udf, f"row-at-a-time Python UDFs in plans: {sorted(py_udf)}"
     assert not global_windows, (
         f"corpus-sized unpartitioned Windows (single-task global sorts): {global_windows}"
     )
+    assert not cartesian, f"non-broadcast cartesian products: {sorted(cartesian)}"
 
 
 @pytest.mark.parametrize("name", [n for n in CASES if n.startswith("q_events")])
