@@ -627,12 +627,19 @@ def k_truss(
         )
         kept = materialize(kept, supersedes=prev)
         n = kept.count()
-        if prev_n is not None and n == prev_n:
+        if n == 0 or (prev_n is not None and n == prev_n):
             break
         prev, prev_n = kept, n
         cur = kept.select("a", "b")
-        if n == 0:
-            break
+    else:
+        import warnings
+
+        warnings.warn(
+            f"k_truss: edge set still shrinking after {max_rounds} peel "
+            f"rounds — returned subgraph may not be the fixpoint (same "
+            f"budget-exhaustion contract as neardup_components)",
+            stacklevel=2,
+        )
     return kept.select(
         F.col("a").alias(src), F.col("b").alias(dst), "support"
     )
