@@ -171,3 +171,39 @@ def point_lookup(
     for k, v in zip(keys, values):
         cond = cond & (F.col(k) == F.lit(v))
     return df.filter(cond).drop(_BUCKET_COL)
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, status): snapshot delta between two corpus versions —
+    'added' (id only in new), 'removed' (id only in old), 'changed'
+    (both, canonical fingerprint differs), 'unchanged'. The table an
+    incremental pipeline keys its re-processing on: only added/changed
+    ids re-enter dedup/quality/packing, removed ids tombstone.
+
+    One full outer join on the id (shuffle ∝ |old|+|new|) comparing
+    canonical fingerprints (word-order/whitespace-insensitive, the
+    dedup_fingerprint primitive) — no text payload moves, only hashes.
+    """
+    from ..functions.text import canonical_fingerprint
+
+    o = old.select(
+        F.col(id_col).alias("doc_id"),
+        canonical_fingerprint(F.col(text_col)).alias("_fo"),
+    )
+    n = new.select(
+        F.col(id_col).alias("doc_id"),
+        canonical_fingerprint(F.col(text_col)).alias("_fn"),
+    )
+    return o.join(n, "doc_id", "outer").select(
+        "doc_id",
+        F.when(F.col("_fo").isNull(), F.lit("added"))
+        .when(F.col("_fn").isNull(), F.lit("removed"))
+        .when(F.col("_fo") != F.col("_fn"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )

@@ -890,6 +890,65 @@ register(
 )
 
 
+def _corpus_diff_q(s: SparkSession, d: str) -> DataFrame:
+    """Snapshot delta between the corpus and a deterministically-derived
+    v2 (5% of ids dropped, 3% text-revised, 3% re-added under new ids —
+    all md5-bucket decisions both engines rebuild exactly): the
+    added/removed/changed/unchanged table an incremental pipeline keys
+    its re-processing on."""
+    from .operators.etl import corpus_diff
+    from .operators.sampling import sample_bucket
+
+    docs = _docs(s, d)
+    b = sample_bucket("doc_id", seed=21)
+    kept = docs.filter(b < 950_000)
+    v2base = kept.select(
+        "doc_id",
+        F.when(b < 30_000, F.concat(F.col("text"), F.lit(" revised")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = docs.filter((b >= 30_000) & (b < 60_000)).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    return corpus_diff(docs, v2base.unionByName(added))
+
+
+register(
+    "q_corpus_diff",
+    _corpus_diff_q,
+    r"""
+    WITH b AS (
+      SELECT doc_id, text,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#21'), 1, 8)) AS BIGINT)
+             % 1000000 AS bk
+      FROM documents),
+    v2 AS (
+      SELECT doc_id,
+             CASE WHEN bk < 30000 THEN text || ' revised' ELSE text END AS text
+      FROM b WHERE bk < 950000
+      UNION ALL
+      SELECT doc_id + 10000000, text FROM b WHERE bk >= 30000 AND bk < 60000),
+    fo AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))), ' ')) AS f
+      FROM documents),
+    fn AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))), ' ')) AS f
+      FROM v2)
+    SELECT COALESCE(fo.doc_id, fn.doc_id) AS doc_id,
+           CASE WHEN fo.doc_id IS NULL THEN 'added'
+                WHEN fn.doc_id IS NULL THEN 'removed'
+                WHEN fo.f <> fn.f THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM fo FULL OUTER JOIN fn ON fo.doc_id = fn.doc_id
+    """,
+)
+
+
 register(
     "q_dedup_novelty",
     lambda s, d: dedup.novelty_scores(_docs(s, d), n=8),
