@@ -207,3 +207,63 @@ def corpus_diff(
         .otherwise(F.lit("unchanged"))
         .alias("status"),
     )
+
+
+def ingest_dedup_append(
+    spark,
+    corpus_path: str,
+    index_path: str,
+    incoming: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Append-only ingest dedup: survivors of ``incoming`` whose
+    canonical fingerprint is new — not already in the fingerprint INDEX
+    maintained alongside the corpus, nor duplicated within the batch
+    (first-writer-wins: smallest id) — are appended to the corpus
+    parquet, and their fingerprints to the index. Returns the number of
+    appended documents.
+
+    The index is the scale trick: dedup of a new batch never rescans the
+    corpus text — it anti-joins the batch's fingerprints (md5 strings)
+    against the index table, |index| = |distinct docs| rows of one hash
+    column. This is the batch face of the streaming ingest dedup
+    (streaming/events.py::dedup_documents_stream); both share the
+    canonical_fingerprint expression, so a corpus built either way
+    admits the same survivor set.
+    """
+    import os
+
+    from ..functions.text import canonical_fingerprint
+
+    tagged = incoming.select(
+        F.col(id_col), F.col(text_col), canonical_fingerprint(F.col(text_col)).alias("_fp")
+    )
+    w = Window.partitionBy("_fp").orderBy(id_col)
+    batch_first = (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    if os.path.isdir(index_path):
+        index = spark.read.parquet(index_path)
+        fresh = batch_first.join(
+            index.withColumnRenamed("fingerprint", "_fp"), "_fp", "left_anti"
+        )
+    else:
+        fresh = batch_first
+    # materialize before the two appends so the survivors compute once
+    # and the index append can't observe a half-written corpus plan
+    from ..plans import materialize, release_checkpoint
+
+    fresh = materialize(fresh)
+    try:
+        n = fresh.count()
+        if n:
+            fresh.select(id_col, text_col).write.mode("append").parquet(corpus_path)
+            fresh.select(F.col("_fp").alias("fingerprint")).write.mode("append").parquet(
+                index_path
+            )
+    finally:
+        release_checkpoint(fresh)
+    return n

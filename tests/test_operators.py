@@ -516,3 +516,38 @@ def test_source_format_roundtrips(spark, tmp_path):
         )
     )
     assert got_json == want
+
+
+def test_ingest_dedup_append_matches_batch_dedup(spark, tmp_path):
+    """Two overlapping ingest batches through the fingerprint-index path
+    admit exactly the batch dedup_fingerprint survivor set of the union
+    (first-writer-wins across batches; ids ordered so batch order ==
+    id order)."""
+    from graph_database_application_for_recommendations_spark.operators.dedup import (
+        dedup_fingerprint,
+    )
+    from graph_database_application_for_recommendations_spark.operators.etl import (
+        ingest_dedup_append,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "fp_index")
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon"), (3, "beta  GAMMA alpha")],
+        "doc_id long, text string",
+    )  # 3 is a canonical dup of 1 (order/case/whitespace)
+    b2 = spark.createDataFrame(
+        [(4, "delta epsilon"), (5, "zeta eta"), (6, "zeta eta"), (7, "theta")],
+        "doc_id long, text string",
+    )  # 4 dups batch-1's 2; 6 dups 5 within the batch
+    n1 = ingest_dedup_append(spark, corpus, index, b1)
+    n2 = ingest_dedup_append(spark, corpus, index, b2)
+    assert (n1, n2) == (2, 2)
+    stored = spark.read.parquet(corpus)
+    want = {
+        r["keep_id"]
+        for r in dedup_fingerprint(b1.unionByName(b2)).collect()
+    }
+    assert {r["doc_id"] for r in stored.collect()} == want == {1, 2, 5, 7}
+    # the index holds exactly one fingerprint per survivor
+    assert spark.read.parquet(index).distinct().count() == 4
