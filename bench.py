@@ -123,6 +123,8 @@ BENCH_QUERIES = [
     "q_corpus_bpe",
     "q_corpus_bpe_segment",
     "q_corpus_decode",
+    # full-outer-join physical pattern (no other bench query exercises it)
+    "q_corpus_diff",
 ]
 
 # the iterative pipeline (FastRP -> KNN -> LPA) is measured as one unit,
