@@ -243,3 +243,64 @@ def test_length_quantile_keep_properties(spark, lengths, q):
     assert len(kept) >= len(lengths) - math.ceil(q * len(lengths)) - 0
     # tie consistency: any length present among kept docs is never dropped
     assert not (set(kept.values()) & set(dropped.values()))
+
+
+@given(
+    lengths=st.lists(st.integers(min_value=1, max_value=700), min_size=1, max_size=25),
+    ctx=st.sampled_from([16, 64, 512]),
+)
+@SLOW
+def test_pack_length_buckets_invariants(spark, lengths, ctx):
+    """For ANY token lengths and context: bucket_len is the smallest
+    power of two >= n_tokens (capped at ctx), slots stay under the
+    bucket's capacity, slots within a pack are distinct, and within each
+    bucket the (pack, slot) sequence is exactly doc_id order — the
+    two-level rank can never disagree with the sequential definition."""
+    from graph_database_application_for_recommendations_spark.operators import packing
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in enumerate(lengths)],
+        "doc_id LONG, text STRING",
+    )
+    rows = packing.pack_length_buckets(docs, ctx_len=ctx, block_size=4).collect()
+    assert len(rows) == len(lengths)
+    by_bucket: dict[int, list] = {}
+    for r in rows:
+        n = r["n_tokens"]
+        bl = r["bucket_len"]
+        want = 1
+        while want < min(n, ctx):
+            want *= 2
+        assert bl == want
+        cap = ctx // bl
+        assert 0 <= r["slot"] < cap
+        by_bucket.setdefault(bl, []).append(r)
+    for bl, rs in by_bucket.items():
+        cap = ctx // bl
+        rs.sort(key=lambda r: r["doc_id"])
+        for rank, r in enumerate(rs):
+            assert r["bucket_pack"] == rank // cap
+            assert r["slot"] == rank % cap
+
+
+@given(seed=st.integers(min_value=0, max_value=50))
+@SLOW
+def test_curriculum_order_is_a_permutation_within_deciles(spark, seed):
+    """For ANY seed: positions are a dense 0..n-1 permutation within each
+    decile, and the (decile, pos) pair is unique corpus-wide — the
+    blocked two-level rank can't skip or duplicate a position."""
+    from graph_database_application_for_recommendations_spark.operators import packing
+    from graph_database_application_for_recommendations_spark.sources.views import (
+        load_ref_tables,
+    )
+
+    from .conftest import SF_SMALL
+
+    docs = load_ref_tables(spark, SF_SMALL).documents.limit(80)
+    rows = packing.curriculum_order(docs, seed=seed).collect()
+    assert len(rows) == 80
+    by_dec: dict[int, list] = {}
+    for r in rows:
+        by_dec.setdefault(r["decile"], []).append(r["pos"])
+    for dec, ps in by_dec.items():
+        assert sorted(ps) == list(range(len(ps))), f"decile {dec} not dense"
