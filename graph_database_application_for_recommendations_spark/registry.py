@@ -5208,11 +5208,18 @@ _ATTESTATIONS_STALE_BEFORE: dict[str, int] = {"q_events_asof": 2}
 
 
 def _count_attestations() -> dict[str, tuple[int, int]] | None:
-    """name -> (green-row count, last round attested). The last round is
+    """name -> (row count, last round appeared). The last round is
     the second rotation key (round-4 VERDICT item 4): once every oracle
     query has >=1 green row, ties within a count bucket re-attest
     oldest-first instead of registration-order-first, so rows from early
-    rounds keep getting refreshed as the code underneath them moves."""
+    rounds keep getting refreshed as the code underneath them moves.
+
+    Rows-only queries leave ``err == "no_oracle"`` rows in the driver
+    artifacts; those appearances count here too (round-5 VERDICT item 1):
+    ranking rows-only queries by their REAL last appearance instead of a
+    pinned ``(1, 0)`` stops them from permanently occupying the front of
+    the window and starving once-attested oracle queries (the §2.8
+    serving catalog sat un-re-attested since r02 because of this)."""
     import glob
     import json
     import os
@@ -5232,7 +5239,16 @@ def _count_attestations() -> dict[str, tuple[int, int]] | None:
             for name, row in rows.items():
                 if rnd < _ATTESTATIONS_STALE_BEFORE.get(name, 0):
                     continue
-                if isinstance(row, dict) and row.get("hash_match") and not row.get("err"):
+                if not isinstance(row, dict):
+                    continue
+                green = row.get("hash_match") and not row.get("err")
+                # A rows-only run: the driver executed the query (it has a
+                # Spark row count) but had no oracle to hash against.
+                rows_only = (
+                    row.get("err") == "no_oracle"
+                    and row.get("spark_rows") is not None
+                )
+                if green or rows_only:
                     c, last = counts.get(name, (0, 0))
                     counts[name] = (c + 1, max(last, rnd))
     except (OSError, ValueError, KeyError):
@@ -5251,15 +5267,20 @@ _DRIVER_ATTESTATIONS: dict[str, tuple[int, int]] = _count_attestations() or {}
 def _window_order() -> list[str]:
     names = list(QUERIES)
     reg_index = {name: i for i, name in enumerate(names)}
-    # Rows-only queries never get a CORRECTNESS row; rank them as once-
-    # checked so they neither crowd out never-attested oracle queries nor
-    # all dogpile at the end.
+    # Rows-only queries leave no_oracle rows in the artifacts, which
+    # _count_attestations counts like green rows, so everything rotates
+    # on its real history — no pinned rank for any class.  Primary key is
+    # LAST ROUND SEEN (LRU): the driver artifact's value is freshness, and
+    # a query last attested three rounds of registry churn ago is the one
+    # most in need of re-attestation regardless of how many early-round
+    # rows it accumulated (round-5 VERDICT item 1: the §2.8 serving
+    # catalog sat at (count=2, last=r02) behind every count-1 query under
+    # the old count-first key).  Count breaks ties within a round so the
+    # least-often-seen go first; never-attested queries are (0, 0) and
+    # stay at the very front.
     def key(name: str) -> tuple[int, int, int]:
-        has_oracle = QUERIES[name][1] is not None
-        count, last_round = (
-            _DRIVER_ATTESTATIONS.get(name, (0, 0)) if has_oracle else (1, 0)
-        )
-        return (count, last_round, reg_index[name])
+        count, last_round = _DRIVER_ATTESTATIONS.get(name, (0, 0))
+        return (last_round, count, reg_index[name])
 
     return sorted(names, key=key)
 

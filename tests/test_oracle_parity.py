@@ -178,3 +178,46 @@ def test_every_rows_only_query_has_an_attestable_twin():
     assert not bad_twins, f"twins that are not oracle-backed: {bad_twins}"
     stale = set(registry.ROWS_ONLY_TWINS) - rows_only
     assert not stale, f"twin map entries for queries that are no longer rows-only: {sorted(stale)}"
+
+
+def test_window_rotation_is_lru_and_counts_rows_only_appearances():
+    """Round-5 VERDICT item 1: rows-only queries must rotate on their real
+    driver-artifact history (their ``no_oracle`` rows), not a pinned rank,
+    and the window must be LRU on last-round-seen so stale attestations
+    (e.g. the §2.8 serving catalog, last green r02 before this fix) come
+    back to the front instead of being starved behind fresher rows."""
+    import glob
+    import json
+    import os
+    import re
+
+    from graph_database_application_for_recommendations_spark import registry
+
+    att = registry._DRIVER_ATTESTATIONS
+    order = registry._window_order()
+
+    # (a) The order is sorted by (last_round, count): never-attested first,
+    # then strictly oldest-attested first.
+    keys = [att.get(n, (0, 0))[::-1] for n in order]
+    assert keys == sorted(keys), "window order is not LRU on (last_round, count)"
+
+    # (b) Every rows-only query that left a no_oracle row in an artifact is
+    # ranked by that appearance — no (1, 0) pinning.
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seen_rows_only: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"CORRECTNESS_r(\d+)\.json$", path).group(1))
+        with open(path) as fh:
+            for name, row in json.load(fh).items():
+                if (
+                    isinstance(row, dict)
+                    and row.get("err") == "no_oracle"
+                    and row.get("spark_rows") is not None
+                ):
+                    seen_rows_only[name] = max(seen_rows_only.get(name, 0), rnd)
+    for name, rnd in seen_rows_only.items():
+        if name in registry.QUERIES:
+            count, last = att.get(name, (0, 0))
+            assert last >= rnd, (
+                f"{name} appeared rows-only in r{rnd} but is ranked last_round={last}"
+            )
