@@ -891,7 +891,12 @@ def split_paragraphs(
     (doc, para) into one long (doc_id·max_paras + para_idx) so every
     downstream pair/component kernel keyed on a single long id works
     unchanged. Requires doc_id < 2^63 / max_paras (2^47 at the default) —
-    far above any real ingest-assigned id space.
+    far above any real ingest-assigned id space. A document with
+    ≥ max_paras paragraphs RAISES (loud-truncation discipline, ADVICE
+    r5: the old silent ``para_idx < max_paras`` filter would both lose
+    tail content and hash-mismatch the oracle); the guard lives inside
+    the para_key expression so column pruning can't elide it while any
+    downstream consumer reads the key.
 
     Plan: one generate (posexplode) inside the scan stage, no shuffle.
     """
@@ -901,9 +906,22 @@ def split_paragraphs(
             F.posexplode(F.split(F.col(text_col), "\n\n")).alias("para_idx", "text"),
         )
         .filter(F.trim(F.col("text")) != "")
-        .filter(F.col("para_idx") < max_paras)
         .withColumn(
-            "para_key", F.col("doc_id") * F.lit(max_paras) + F.col("para_idx")
+            "para_key",
+            F.when(
+                F.col("para_idx") < max_paras,
+                F.col("doc_id") * F.lit(max_paras) + F.col("para_idx"),
+            ).otherwise(
+                F.raise_error(
+                    F.format_string(
+                        "split_paragraphs: doc_id=%s has para_idx=%s >= "
+                        f"max_paras={max_paras}; raise max_paras (and the "
+                        "matching oracle cap) instead of truncating",
+                        F.col("doc_id"),
+                        F.col("para_idx"),
+                    )
+                ).cast("long")
+            ),
         )
     )
 

@@ -695,9 +695,20 @@ def extract_features(
                 if decoder is not None:
                     try:
                         decoded = decoder(payload)
-                    except (NotImplementedError, ValueError, IndexError, struct.error):
-                        # undecodable (including truncated headers, which
-                        # surface as struct.error) -> byte features only
+                    except (
+                        NotImplementedError,
+                        ValueError,
+                        IndexError,
+                        KeyError,
+                        ZeroDivisionError,
+                        struct.error,
+                    ):
+                        # undecodable -> byte features only. Truncated
+                        # headers surface as struct.error/IndexError; a
+                        # malformed-but-parseable JPEG can also raise
+                        # KeyError (SOS referencing an undefined DHT/DQT
+                        # table id) or ZeroDivisionError (zero sampling
+                        # factor in SOF) — ADVICE r5.
                         decoded = None
                 row = {
                     "asset_id": asset_id,

@@ -807,9 +807,14 @@ def dsir_log_ratio(
     text_col: str = "text",
 ) -> DataFrame:
     """(b, lr): the trained DSIR model — add-one-smoothed log ratio
-    ln(p_target(b)/p_raw(b)) per hashed-unigram bucket. ≤ num_buckets
-    rows: the broadcastable artifact the batch scorer and the streaming
-    scorer (streaming/events.py::dsir_score_stream) both consume."""
+    ln(p_target(b)/p_raw(b)) per hashed-unigram bucket. Emitted DENSE:
+    exactly num_buckets rows, one per possible bucket, so a bucket unseen
+    in BOTH corpora still carries its smoothed ratio ln((rn+B)/(tn+B))⁻¹-
+    style value instead of being absent (ADVICE r5: the streaming scorer's
+    inner join silently dropped tokens hashing to missing buckets,
+    understating n_tokens/log_weight for genuinely novel documents).
+    Still the broadcastable artifact both the batch scorer and
+    streaming/events.py::dsir_score_stream consume."""
     B = num_buckets
     raw_tok = _dsir_buckets(documents, B, id_col, text_col)
     tgt_tok = _dsir_buckets(target, B, id_col, text_col)
@@ -818,8 +823,13 @@ def dsir_log_ratio(
     totals = raw_tok.agg(F.count(F.lit(1)).alias("rn")).crossJoin(
         tgt_tok.agg(F.count(F.lit(1)).alias("tn"))
     )
+    spark = documents.sparkSession
+    # Dense bucket spine: B is bounded (default 4096), one driver-side
+    # range() row per bucket — broadcast-sized by construction.
+    spine = spark.range(B).select(F.col("id").cast("int").alias("b"))
     return (
-        raw_hist.join(tgt_hist, "b", "outer")
+        spine.join(raw_hist, "b", "left")
+        .join(tgt_hist, "b", "left")
         .select(
             "b",
             F.coalesce("rc", F.lit(0)).alias("rc"),

@@ -1006,8 +1006,12 @@ para0 AS (
                        recursive := true)
   FROM (SELECT sd_id, string_split(sd_text, chr(10) || chr(10)) AS p FROM sd)),
 para AS (
+  -- mirrors split_paragraphs' loud max_paras guard: CASE is lazily
+  -- evaluated, so error() only fires on an actually-overflowing doc
   SELECT sd_id, CAST(para_idx AS INT) AS para_idx,
-         sd_id * 65536 + para_idx AS pk, ptext
+         CASE WHEN para_idx >= 65536
+              THEN CAST(error('split_paragraphs oracle: para_idx >= max_paras=65536') AS BIGINT)
+              ELSE sd_id * 65536 + para_idx END AS pk, ptext
   FROM para0 WHERE trim(ptext) <> ''),
 pnorm AS (SELECT pk, trim(regexp_replace(lower(ptext), '\\s+', ' ', 'g')) AS norm FROM para),
 ptoks AS (SELECT pk, string_split(norm, ' ') AS t FROM pnorm),

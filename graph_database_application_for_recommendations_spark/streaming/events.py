@@ -650,13 +650,20 @@ def value_trend_stream(events: DataFrame) -> DataFrame:
     )
 
 
-def dsir_score_stream(docs: DataFrame, log_ratio: DataFrame) -> DataFrame:
+def dsir_score_stream(
+    docs: DataFrame, log_ratio: DataFrame, num_buckets: int = 4096
+) -> DataFrame:
     """Streaming DSIR scoring: incoming documents scored against a
     BATCH-trained hashed-unigram log-ratio table (the standard serving
     split — distributions are estimated offline on the existing corpus,
     the stream scores arrivals). ``log_ratio`` is the (b, lr) table a
-    batch ``textstats.dsir_scores`` run derives (num_buckets rows —
-    broadcast into a stream-static join, no streaming state at all).
+    batch ``textstats.dsir_log_ratio`` run derives — DENSE, exactly
+    ``num_buckets`` rows (one per possible bucket, unseen buckets carry
+    the smoothed ratio), broadcast into a stream-static join, no
+    streaming state at all. ``num_buckets`` must match training (ADVICE
+    r5: the old hardcoded 4096 silently mis-bucketed non-default models);
+    the density contract is verified loudly up front, which also catches
+    a mismatched ``num_buckets`` since the row count won't agree.
 
     Emits (doc_id, n_tokens, log_weight), append-safe: each document's
     score is complete when its row arrives, so parity with the batch
@@ -665,11 +672,21 @@ def dsir_score_stream(docs: DataFrame, log_ratio: DataFrame) -> DataFrame:
     from ..functions.text import md5_hash32
     from ..functions.text import tokens as _tokens
 
+    # log_ratio is the static side (bounded: num_buckets rows) — counting
+    # it here is a tiny batch job, not a streaming action.
+    n_ratio = log_ratio.count()
+    if n_ratio != num_buckets:
+        raise ValueError(
+            f"log_ratio has {n_ratio} rows but num_buckets={num_buckets}: "
+            "the table must be the dense artifact of dsir_log_ratio "
+            "trained with the same num_buckets (a sparse or mismatched "
+            "table would silently drop or mis-assign token buckets)"
+        )
     tok = docs.select(
         "doc_id", F.explode(_tokens(F.col("text"))).alias("token")
     ).select(
         "doc_id",
-        F.pmod(md5_hash32(F.col("token")), F.lit(4096)).alias("b"),
+        F.pmod(md5_hash32(F.col("token")), F.lit(num_buckets)).alias("b"),
     )
     # ONE stateful aggregation (Σ_tokens lr(b) ≡ Σ_b count·lr): chaining a
     # per-(doc, bucket) pre-count into a per-doc rollup would be two

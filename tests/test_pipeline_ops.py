@@ -1561,3 +1561,84 @@ def test_simsearch_ivfpq_recall_against_bruteforce(spark):
     # the property pinned is honest composition (overlap + exact rerank)
     assert recall > 0.15
     assert approx.groupBy("query_id").count().filter("count > 5").count() == 0
+
+
+def test_split_paragraphs_overflow_raises_loudly(spark):
+    """ADVICE r5: a document with >= max_paras paragraphs must RAISE
+    (loud-truncation discipline), not silently drop tail content and
+    hash-mismatch the paragraph oracle."""
+    from graph_database_application_for_recommendations_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "\n\n".join(f"p{i}" for i in range(5)))], "doc_id long, text string"
+    )
+    # under the cap: all paragraphs present
+    ok = dedup.split_paragraphs(docs, max_paras=8)
+    assert ok.count() == 5
+    with pytest.raises(Exception, match="max_paras"):
+        dedup.split_paragraphs(docs, max_paras=3).collect()
+
+
+def test_jpeg_malformed_table_ids_route_to_byte_features(spark):
+    """ADVICE r5: a parseable-but-malformed JPEG (SOS referencing an
+    undefined DHT table id -> KeyError; zero sampling factor in SOF ->
+    ZeroDivisionError) must fall back to byte features in the Arrow
+    kernel, per the module contract, instead of crashing the task."""
+    good = _make_jpeg(_gradient(8, 8))
+
+    # corrupt the SOS component's DC/AC table selectors to undefined id 3
+    sos_at = good.rindex(b"\xff\xda")
+    bad_dht = bytearray(good)
+    bad_dht[sos_at + 6] = 0x33  # first component's Td<<4|Ta
+    with pytest.raises(KeyError):
+        multimodal._decode_jpeg(bytes(bad_dht))
+
+    # corrupt SOF0's first component sampling factors to 0x00
+    sof_at = good.index(b"\xff\xc0")
+    bad_samp = bytearray(good)
+    bad_samp[sof_at + 2 + 2 + 6 + 1] = 0x00  # marker+len+precision/h/w/nc, comp0 h|v
+    with pytest.raises(ZeroDivisionError):
+        multimodal._decode_jpeg(bytes(bad_samp))
+
+    assets = spark.createDataFrame(
+        [
+            (1, "image", bytearray(bad_dht), "s", "en"),
+            (2, "image", bytearray(bad_samp), "s", "en"),
+        ],
+        "asset_id long, kind string, payload binary, meta_source string, meta_lang string",
+    )
+    rows = multimodal.extract_features(assets).collect()
+    assert all(r["decoded"] is False for r in rows)
+    assert all(r["n_bytes"] == len(good) for r in rows)
+
+
+def test_dsir_log_ratio_is_dense_and_stream_guard_rejects_mismatch(spark):
+    """ADVICE r5: the trained (b, lr) table is DENSE — exactly num_buckets
+    rows, unseen buckets carrying the smoothed ratio — so the streaming
+    scorer's stream-static join can never drop a novel document's tokens;
+    and the scorer loudly rejects a table whose bucket count doesn't match
+    its num_buckets instead of silently mis-assigning every token."""
+    from graph_database_application_for_recommendations_spark.operators import textstats
+    from graph_database_application_for_recommendations_spark.streaming import (
+        events as stream_ops,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "doc_id long, text string"
+    )
+    target = docs.filter(F.col("doc_id") == 1)
+    B = 64
+    ratio = textstats.dsir_log_ratio(docs, target, num_buckets=B)
+    rows = ratio.collect()
+    assert len(rows) == B and {r["b"] for r in rows} == set(range(B))
+    # unseen buckets carry the smoothed default, finite and uniform
+    import math
+
+    seen_lr = {r["b"]: r["lr"] for r in rows}
+    # 2 docs x 2 tokens = 4 raw tokens, 2 target tokens
+    default_lr = math.log(1.0 / (2 + B)) - math.log(1.0 / (4 + B))
+    unseen = [lr for b, lr in seen_lr.items() if abs(lr - default_lr) < 1e-12]
+    assert len(unseen) >= B - 3  # at most 3 distinct token buckets occupied
+
+    with pytest.raises(ValueError, match="num_buckets"):
+        stream_ops.dsir_score_stream(docs, ratio, num_buckets=128)
