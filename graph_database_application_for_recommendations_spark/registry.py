@@ -969,6 +969,138 @@ register(
 )
 
 
+def _ingest_neardup_q(s: SparkSession, d: str) -> DataFrame:
+    """Near-dup-aware ingest decision table (round-5 VERDICT item 3): the
+    even-doc_id half of the corpus plays the standing corpus (its
+    fingerprint+signature INDEX is what a real ingest would have
+    persisted — taken as-is, no internal dedup), the odd half arrives as
+    one batch. Attests the full decision kernel: exact anti-join on the
+    index, banded-signature near-dup candidates vs the index, and the
+    in-batch greedy first-writer-wins (LFMIS) resolution."""
+    from .functions.text import canonical_fingerprint
+
+    docs = _docs(s, d)
+    standing = docs.filter(F.col("doc_id") % 2 == 0)
+    incoming = docs.filter(F.col("doc_id") % 2 == 1)
+    index = standing.select(
+        "doc_id", canonical_fingerprint(F.col("text")).alias("fingerprint")
+    ).join(dedup.minhash_signature_arrays(standing), "doc_id", "left").select(
+        "fingerprint", "sig"
+    )
+    return dedup.ingest_neardup_decisions(index, incoming, threshold=0.5)
+
+
+def _lfmis_rounds_sql(rounds: int) -> str:
+    """Unrolled parallel-LFMIS rounds over CTEs ``live`` (undecided ids)
+    and ``edges`` (a < b duplicate pairs): the same peel-round unroll
+    pattern as the k-truss oracle, ending in ``kept`` plus a loud error()
+    if the duplicate-chain depth exceeds the unroll budget."""
+    # every round CTE is MATERIALIZED: DuckDB inlines plain CTEs per
+    # reference, and each round references the previous one ~3 times —
+    # an un-materialized unroll re-expands the whole chain 3^rounds times
+    parts = [
+        "u0 AS MATERIALIZED (SELECT doc_id FROM live)",
+        "k0 AS MATERIALIZED (SELECT doc_id FROM live WHERE FALSE)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts += [
+            f"p{i} AS MATERIALIZED (SELECT DISTINCT e.b AS doc_id FROM edges e JOIN u{p} u ON u.doc_id = e.a)",
+            f"f{i} AS MATERIALIZED (SELECT doc_id FROM u{p} WHERE doc_id NOT IN (SELECT doc_id FROM p{i}))",
+            f"kb{i} AS MATERIALIZED (SELECT DISTINCT e.b AS doc_id FROM edges e JOIN k{p} k ON k.doc_id = e.a)",
+            f"k{i} AS MATERIALIZED (SELECT doc_id FROM k{p} UNION "
+            f"SELECT doc_id FROM f{i} WHERE doc_id NOT IN (SELECT doc_id FROM kb{i}))",
+            f"u{i} AS MATERIALIZED (SELECT doc_id FROM u{p} WHERE doc_id NOT IN (SELECT doc_id FROM f{i}))",
+        ]
+    parts += [
+        f"conv AS (SELECT CASE WHEN EXISTS (SELECT 1 FROM u{rounds}) "
+        f"THEN CAST(error('LFMIS oracle: dup-chain depth exceeds {rounds} unrolled rounds') AS INT) "
+        "ELSE 1 END AS ok)",
+        f"kept AS (SELECT doc_id FROM k{rounds})",
+    ]
+    return ",\n    ".join(parts)
+
+
+register(
+    "q_ingest_neardup",
+    _ingest_neardup_q,
+    _q_docs(
+        f"""
+        , coef(seed, a, b) AS (VALUES {_MINHASH_COEF_VALUES}),
+        base AS (
+          SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+          FROM sh),
+        sig AS MATERIALIZED (
+          SELECT doc_id, seed, MIN((a * h + b) % {dedup.MINHASH_PRIME}) AS mh
+          FROM base CROSS JOIN coef
+          GROUP BY doc_id, seed),
+        bnd AS MATERIALIZED (
+          SELECT doc_id, seed // 4 AS band,
+                 string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS band_key
+          FROM sig GROUP BY doc_id, seed // 4),
+        fp AS MATERIALIZED (
+          SELECT doc_id,
+                 md5(array_to_string(list_sort(list_distinct(string_split(norm, ' '))), ' ')) AS f
+          FROM norm),
+        std AS MATERIALIZED (SELECT doc_id FROM documents WHERE doc_id % 2 = 0),
+        inc AS MATERIALIZED (SELECT doc_id FROM documents WHERE doc_id % 2 = 1),
+        std_fp AS MATERIALIZED (SELECT DISTINCT f.f FROM fp f JOIN std s USING (doc_id)),
+        ex_idx AS (
+          SELECT i.doc_id FROM inc i JOIN fp fi USING (doc_id)
+          WHERE fi.f IN (SELECT f FROM std_fp)),
+        cand_idx AS (
+          SELECT DISTINCT a.doc_id AS ai, b.doc_id AS bi
+          FROM bnd a JOIN bnd b ON a.band = b.band AND a.band_key = b.band_key
+          JOIN inc i ON i.doc_id = a.doc_id
+          JOIN std s ON s.doc_id = b.doc_id),
+        est_idx AS (
+          SELECT c.ai, c.bi,
+                 ROUND(AVG(CASE WHEN sa.mh = sb.mh THEN 1.0 ELSE 0.0 END), 6) AS ej
+          FROM cand_idx c
+          JOIN sig sa ON sa.doc_id = c.ai
+          JOIN sig sb ON sb.doc_id = c.bi AND sb.seed = sa.seed
+          GROUP BY c.ai, c.bi),
+        near_idx AS (SELECT DISTINCT ai AS doc_id FROM est_idx WHERE ej >= 0.5),
+        dropped_idx AS MATERIALIZED (SELECT doc_id FROM ex_idx UNION SELECT doc_id FROM near_idx),
+        live AS MATERIALIZED (
+          SELECT doc_id FROM inc
+          WHERE doc_id NOT IN (SELECT doc_id FROM dropped_idx)),
+        fp_e AS (
+          SELECT fa.doc_id AS a, fb.doc_id AS b
+          FROM fp fa JOIN fp fb ON fa.f = fb.f AND fa.doc_id < fb.doc_id
+          WHERE fa.doc_id IN (SELECT doc_id FROM live)
+            AND fb.doc_id IN (SELECT doc_id FROM live)),
+        cand_b AS (
+          SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+          FROM bnd a JOIN bnd b
+            ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+          WHERE a.doc_id IN (SELECT doc_id FROM live)
+            AND b.doc_id IN (SELECT doc_id FROM live)),
+        est_b AS (
+          SELECT c.a, c.b,
+                 ROUND(AVG(CASE WHEN sa.mh = sb.mh THEN 1.0 ELSE 0.0 END), 6) AS ej
+          FROM cand_b c
+          JOIN sig sa ON sa.doc_id = c.a
+          JOIN sig sb ON sb.doc_id = c.b AND sb.seed = sa.seed
+          GROUP BY c.a, c.b),
+        near_e AS (SELECT a, b FROM est_b WHERE ej >= 0.5),
+        edges AS MATERIALIZED (SELECT a, b FROM fp_e UNION SELECT a, b FROM near_e),
+        {_lfmis_rounds_sql(8)},
+        exact_any AS (
+          SELECT i.doc_id FROM inc i JOIN fp fi USING (doc_id)
+          WHERE fi.f IN (SELECT f FROM std_fp)
+             OR EXISTS (SELECT 1 FROM kept k JOIN fp fk ON fk.doc_id = k.doc_id
+                        WHERE fk.f = fi.f AND k.doc_id < i.doc_id))
+        SELECT i.doc_id,
+               CASE WHEN i.doc_id IN (SELECT doc_id FROM kept) THEN 'kept'
+                    WHEN i.doc_id IN (SELECT doc_id FROM exact_any) THEN 'dup_exact'
+                    ELSE 'dup_near' END AS status
+        FROM inc i CROSS JOIN conv
+        """
+    ),
+)
+
+
 def _superdocs(s: SparkSession, d: str) -> DataFrame:
     """Paragraph-bearing corpus for the paragraph-dedup queries: the
     synthetic documents are single-line, so groups of 8 are blank-line

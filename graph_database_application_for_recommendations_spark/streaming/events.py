@@ -724,3 +724,40 @@ def quality_score_stream(docs: DataFrame, model) -> DataFrame:
     return model.transform(feats).select(
         "doc_id", F.round(vector_to_array("probability")[1], 6).alias("score")
     )
+
+
+def run_ingest_neardup_stream(
+    docs_stream: DataFrame,
+    corpus_path: str,
+    index_path: str,
+    checkpoint_dir: str,
+    **ingest_kwargs,
+) -> None:
+    """Streaming near-dup-aware ingest: each micro-batch runs the SAME
+    decision kernel + index contract as the batch write path
+    (operators/etl.py::ingest_neardup_append) via ``foreachBatch`` — so
+    a corpus ingested as a stream admits exactly the batch survivor set
+    (greedy first-writer-wins is batching-invariant; see
+    dedup.ingest_neardup_decisions). The fingerprint+signature index
+    accumulates across micro-batches in ``index_path``; state lives in
+    the index table, not the streaming engine, which keeps the stream
+    itself stateless and restart-safe (the checkpoint replays undelivered
+    batches; re-appending a batch is idempotent on the survivor set
+    because its dups are now in the index)."""
+    from ..operators.etl import ingest_neardup_append
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ingest_neardup_append(
+            batch_df.sparkSession, corpus_path, index_path, batch_df, **ingest_kwargs
+        )
+
+    query = (
+        docs_stream.writeStream.foreachBatch(_ingest)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
