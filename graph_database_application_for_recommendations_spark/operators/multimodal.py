@@ -367,7 +367,7 @@ def _jpeg_extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
-def _decode_jpeg(payload: bytes) -> dict:
+def _decode_jpeg(payload: bytes, _pixels_out: list | None = None) -> dict:
     """Baseline JPEG decode (ITU-T T.81, public spec), stdlib + numpy:
     marker walk (DQT/DHT/SOF0/SOF1/DRI/SOS), canonical Huffman tables,
     entropy decode with byte unstuffing and restart-interval resets,
@@ -539,18 +539,34 @@ def _decode_jpeg(payload: bytes) -> dict:
         p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1)
         full.append(p[:h, :w])
     if len(full) == 1:
+        if _pixels_out is not None:
+            # ×3 keeps grayscale on the same channel-sum scale as RGB for
+            # the pixel consumers (image_dhash's gray3 convention)
+            _pixels_out.append((np.round(full[0]) * 3).astype(np.int64))
         mean = float(np.mean(np.round(full[0])))
         return {"width": w, "height": h, "channels": 1, "mean_value": round(mean, 6)}
     if len(full) != 3:
         raise NotImplementedError("only 1- or 3-component JPEG decodable")
+    r, g, b = _jpeg_rgb(full)
+    if _pixels_out is not None:
+        _pixels_out.append((r + g + b).astype(np.int64))
+    mean = float((r.sum() + g.sum() + b.sum()) / (3 * w * h))
+    return {"width": w, "height": h, "channels": 3, "mean_value": round(mean, 6)}
+
+
+def _jpeg_rgb(full):
+    """BT.601 YCbCr→RGB with the decoder's exact round/clip discipline —
+    shared by the metadata path and the pixel path so a hash computed
+    over pixels agrees with the attested mean_value math."""
+    import numpy as np
+
     y, cb, cr = full
     r = np.clip(np.round(y + 1.402 * (cr - 128.0)), 0, 255)
     g = np.clip(
         np.round(y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)), 0, 255
     )
     b = np.clip(np.round(y + 1.772 * (cb - 128.0)), 0, 255)
-    mean = float((r.sum() + g.sum() + b.sum()) / (3 * w * h))
-    return {"width": w, "height": h, "channels": 3, "mean_value": round(mean, 6)}
+    return r, g, b
 
 
 def _decode_image(payload: bytes) -> dict:
@@ -839,3 +855,203 @@ def resize_images(assets: DataFrame, width: int = 64, height: int = 64) -> DataF
     return assets.repartition(fanout_partitions(assets)).mapInPandas(
         _resize, RESIZE_SCHEMA
     )
+
+
+# --- perceptual-hash dedup (round-5 VERDICT item 4) -------------------------
+
+
+def _decode_gray3(payload: bytes):
+    """(h, w) int64 channel-sum pixel grid (r+g+b; grayscale scaled ×3 to
+    stay on the same scale) — the pixel feed for the perceptual-hash
+    path. PPM (P6) and uncompressed 24/32-bit BMP parse their rasters
+    directly; baseline JPEG rides the decoder's pixel capture. Other
+    formats raise NotImplementedError and are excluded from pHash dedup
+    (honest capability gap, same contract as the decoder fallbacks)."""
+    import numpy as np
+
+    if payload[:2] == b"\xff\xd8":
+        px: list = []
+        _decode_jpeg(payload, _pixels_out=px)
+        return px[0]
+    if payload[:2] == b"P6":
+        vals: list[int] = []
+        i = 2
+        while len(vals) < 3:
+            while i < len(payload) and payload[i : i + 1].isspace():
+                i += 1
+            if payload[i : i + 1] == b"#":
+                while i < len(payload) and payload[i] != 0x0A:
+                    i += 1
+                continue
+            j = i
+            while j < len(payload) and not payload[j : j + 1].isspace():
+                j += 1
+            vals.append(int(payload[i:j]))
+            i = j
+        i += 1
+        w, h, _maxval = vals
+        raster = payload[i : i + w * h * 3]
+        if len(raster) < w * h * 3:
+            raise ValueError(f"truncated PPM raster: {len(raster)} < {w * h * 3}")
+        arr = np.frombuffer(raster, dtype=np.uint8).astype(np.int64).reshape(h, w, 3)
+        return arr.sum(axis=2)
+    if payload[:2] == b"BM":
+        (data_off,) = struct.unpack_from("<I", payload, 10)
+        w, h = struct.unpack_from("<ii", payload, 18)
+        (bpp,) = struct.unpack_from("<H", payload, 28)
+        (compression,) = struct.unpack_from("<I", payload, 30)
+        if compression != 0 or bpp not in (24, 32):
+            raise NotImplementedError("only uncompressed 24/32-bit BMP decodable")
+        nch = bpp // 8
+        stride = (w * nch + 3) // 4 * 4
+        top_down = h < 0
+        h = abs(h)
+        rows = []
+        for r in range(h):
+            src_r = r if top_down else h - 1 - r
+            line = payload[data_off + src_r * stride : data_off + src_r * stride + w * nch]
+            if len(line) < w * nch:
+                raise ValueError("truncated BMP raster")
+            px = np.frombuffer(line, dtype=np.uint8).astype(np.int64).reshape(w, nch)
+            rows.append(px[:, :3].sum(axis=1))  # BGR sum == RGB sum; alpha dropped
+        return np.stack(rows)
+    raise NotImplementedError("pixel decode: PPM/BMP/baseline-JPEG only")
+
+
+def _dhash_words(gray3, hash_size: int = 8) -> tuple[int, int]:
+    """64-bit dHash (difference hash — the standard perceptual-hash
+    family member built on the horizontal brightness gradient) packed as
+    TWO 32-bit words, the repo's cross-engine bit layout (DuckDB refuses
+    << 63; quantize_binary set the two-word precedent).
+
+    INTEGER-EXACT area resize to (hash_size, hash_size+1): scale rows by
+    R and buckets by h so every overlap is an integer; all cells share
+    the same total weight, so comparing unnormalized integer sums equals
+    comparing means — no float rounding can flip a gradient bit between
+    engines. Bit k = i·hash_size + j is set when cell (i, j) is brighter
+    than cell (i, j+1); k < 32 → w0, else w1."""
+    import numpy as np
+
+    if hash_size != 8:
+        raise ValueError("two-word layout is fixed at hash_size=8 (64 bits)")
+    h, w = gray3.shape
+    R, C = hash_size, hash_size + 1
+    wr = np.zeros((R, h), dtype=np.int64)
+    for i in range(R):
+        lo, hi = i * h, (i + 1) * h
+        for y in range(h):
+            wr[i, y] = max(0, min(R * y + R, hi) - max(R * y, lo))
+    wc = np.zeros((C, w), dtype=np.int64)
+    for j in range(C):
+        lo, hi = j * w, (j + 1) * w
+        for x in range(w):
+            wc[j, x] = max(0, min(C * x + C, hi) - max(C * x, lo))
+    cells = wr @ gray3 @ wc.T
+    bits = cells[:, :-1] > cells[:, 1:]
+    w0 = w1 = 0
+    for i in range(R):
+        for j in range(hash_size):
+            if bits[i, j]:
+                k = i * hash_size + j
+                if k < 32:
+                    w0 |= 1 << k
+                else:
+                    w1 |= 1 << (k - 32)
+    return w0, w1
+
+
+def image_dhash(assets: DataFrame, hash_size: int = 8) -> DataFrame:
+    """(asset_id, w0, w1): 64-bit perceptual dHash per decodable image
+    asset as two 32-bit words. Arrow kernel over the payload column (the
+    extract_features pattern); assets whose pixels can't be recovered
+    (non-image kinds, undecodable formats) emit no row rather than a
+    fake hash."""
+    from ..plans import fanout_partitions
+
+    assets = assets.repartition(fanout_partitions(assets))
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for asset_id, kind, payload in zip(
+                pdf["asset_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "image" or payload is None:
+                    continue
+                try:
+                    gray3 = _decode_gray3(bytes(payload))
+                    w0, w1 = _dhash_words(gray3, hash_size)
+                except (
+                    NotImplementedError,
+                    ValueError,
+                    IndexError,
+                    KeyError,
+                    ZeroDivisionError,
+                    struct.error,
+                ):
+                    continue
+                out.append({"asset_id": asset_id, "w0": w0, "w1": w1})
+            if out:
+                yield pd.DataFrame(out)
+
+    return assets.mapInPandas(_hash, "asset_id long, w0 long, w1 long")
+
+
+def image_phash_pairs(
+    assets: DataFrame, max_hamming: int = 6, hash_size: int = 8
+) -> DataFrame:
+    """(asset_a, asset_b, hamming): image near-duplicate pairs by dHash
+    Hamming distance — the multimodal × dedup composition (round-5
+    VERDICT item 4): the standard near-dup step for a multimodal corpus
+    (re-encoded/lightly-edited images share most gradient bits).
+
+    Candidates via byte-slice equi-join over the 8 bytes of the hash
+    (pigeonhole: ≤ max_hamming ≤ 7 differing bits across 8 disjoint
+    bytes forces an identical byte — no false negatives), then exact
+    popcount verification — the simhash_near_pairs plan
+    (operators/dedup.py:616) on the two-word layout. Shuffle ∝
+    |assets|·8, never all-pairs: the 100 TB shape.
+    """
+    from ..plans import materialize, release_checkpoint
+
+    if not 0 <= max_hamming <= 7:
+        raise ValueError("byte-band pigeonhole covers max_hamming in [0, 7]")
+    sig = materialize(image_dhash(assets, hash_size))
+    try:
+        banded = sig.withColumn(
+            "band", F.explode(F.sequence(F.lit(0), F.lit(7)))
+        ).withColumn(
+            "slice",
+            F.expr(
+                "CASE WHEN band < 4 THEN (w0 >> (band * 8)) & 255 "
+                "ELSE (w1 >> ((band - 4) * 8)) & 255 END"
+            ),
+        )
+        cand = (
+            banded.alias("a")
+            .join(banded.alias("b"), ["band", "slice"])
+            .filter(F.col("a.asset_id") < F.col("b.asset_id"))
+            .select(
+                F.col("a.asset_id").alias("asset_a"),
+                F.col("b.asset_id").alias("asset_b"),
+                F.col("a.w0").alias("w0a"),
+                F.col("a.w1").alias("w1a"),
+                F.col("b.w0").alias("w0b"),
+                F.col("b.w1").alias("w1b"),
+            )
+            .distinct()
+        )
+        out = (
+            cand.withColumn(
+                "hamming",
+                (
+                    F.bit_count(F.col("w0a").bitwiseXOR(F.col("w0b")))
+                    + F.bit_count(F.col("w1a").bitwiseXOR(F.col("w1b")))
+                ).cast("long"),
+            )
+            .filter(F.col("hamming") <= max_hamming)
+            .select("asset_a", "asset_b", "hamming")
+        )
+        return materialize(out)
+    finally:
+        release_checkpoint(sig)

@@ -4911,6 +4911,79 @@ register(
     """,
 )
 
+# Perceptual-hash dedup (round-5 VERDICT item 4): the dHash words per
+# image asset, and the banded-Hamming near-dup pairs over them. The image
+# assets are the 8×8 PPMs assets_from_documents builds from text bytes, so
+# the ORACLE rebuilds the exact pixels char-by-char and re-derives the
+# integer-exact area-resize + gradient bits in SQL — a full value-hash of
+# the whole pixel→resize→gradient→banding pipeline, not just a digest.
+_PHASH_WORDS_CTES = """
+img AS (SELECT doc_id AS asset_id, text FROM documents WHERE doc_id % 3 = 1),
+px AS MATERIALIZED (
+  -- gray3(y, x) = sum of the 3 raster bytes; raster = first 192 text
+  -- bytes zero-padded (the PPM payload construction)
+  SELECT asset_id, (p.i - 1) // 8 AS y, (p.i - 1) % 8 AS x,
+         (CASE WHEN length(text) >= 3 * (p.i - 1) + 1
+               THEN unicode(substring(text, CAST(3 * (p.i - 1) + 1 AS INT), 1)) ELSE 0 END
+        + CASE WHEN length(text) >= 3 * (p.i - 1) + 2
+               THEN unicode(substring(text, CAST(3 * (p.i - 1) + 2 AS INT), 1)) ELSE 0 END
+        + CASE WHEN length(text) >= 3 * (p.i - 1) + 3
+               THEN unicode(substring(text, CAST(3 * (p.i - 1) + 3 AS INT), 1)) ELSE 0 END) AS g3
+  FROM img, LATERAL unnest(generate_series(1, 64)) p(i)),
+cells AS MATERIALIZED (
+  -- integer area resize of the 8-wide rows into 9 buckets: pixel x spans
+  -- [9x, 9x+9), bucket j spans [8j, 8j+8) — same weights as _dhash_words
+  SELECT asset_id, y AS i, j.j AS j,
+         SUM(greatest(0, least(9 * x + 9, 8 * j.j + 8) - greatest(9 * x, 8 * j.j)) * g3) AS s
+  FROM px, LATERAL unnest(generate_series(0, 8)) j(j)
+  GROUP BY asset_id, y, j.j),
+bits AS MATERIALIZED (
+  SELECT a.asset_id, a.i, a.j, CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
+  FROM cells a JOIN cells b ON b.asset_id = a.asset_id AND b.i = a.i AND b.j = a.j + 1
+  WHERE a.j < 8),
+words AS MATERIALIZED (
+  SELECT asset_id,
+         CAST(SUM(CASE WHEN i * 8 + j < 32 THEN bit * (CAST(1 AS BIGINT) << CAST(i * 8 + j AS INT)) ELSE 0 END) AS BIGINT) AS w0,
+         CAST(SUM(CASE WHEN i * 8 + j >= 32 THEN bit * (CAST(1 AS BIGINT) << CAST(i * 8 + j - 32 AS INT)) ELSE 0 END) AS BIGINT) AS w1
+  FROM bits GROUP BY asset_id)
+""".strip()
+
+register(
+    "q_multimodal_phash",
+    lambda s, d: multimodal.image_dhash(
+        multimodal.assets_from_documents(_docs(s, d))
+    ),
+    f"""
+    WITH {_PHASH_WORDS_CTES}
+    SELECT asset_id, w0, w1 FROM words
+    """,
+)
+
+register(
+    "q_multimodal_phash_dedup",
+    lambda s, d: multimodal.image_phash_pairs(
+        multimodal.assets_from_documents(_docs(s, d)), max_hamming=6
+    ),
+    f"""
+    WITH {_PHASH_WORDS_CTES},
+    banded AS MATERIALIZED (
+      SELECT asset_id, b.b AS band,
+             CASE WHEN b.b < 4 THEN (w0 >> CAST(b.b * 8 AS INT)) & 255
+                  ELSE (w1 >> CAST((b.b - 4) * 8 AS INT)) & 255 END AS slice
+      FROM words, LATERAL unnest(generate_series(0, 7)) b(b)),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.asset_id AS ia, b2.asset_id AS ib
+      FROM banded a JOIN banded b2
+        ON a.band = b2.band AND a.slice = b2.slice AND a.asset_id < b2.asset_id)
+    SELECT c.ia AS asset_a, c.ib AS asset_b,
+           CAST(bit_count(xor(wa.w0, wb.w0)) + bit_count(xor(wa.w1, wb.w1)) AS BIGINT) AS hamming
+    FROM cand c
+    JOIN words wa ON wa.asset_id = c.ia
+    JOIN words wb ON wb.asset_id = c.ib
+    WHERE bit_count(xor(wa.w0, wb.w0)) + bit_count(xor(wa.w1, wb.w1)) <= 6
+    """,
+)
+
 
 def _louvain_invariants_q(s: SparkSession, d: str) -> DataFrame:
     """Louvain partition invariants with SQL-recomputed anchors: the node

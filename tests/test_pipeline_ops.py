@@ -1742,3 +1742,51 @@ def test_ingest_neardup_append_batching_invariance(spark, tmp_path):
     idx = spark.read.parquet(str(multi / "index"))
     assert idx.count() == len(got_multi)
     assert idx.select("fingerprint").distinct().count() == len(got_multi)
+
+
+def test_image_phash_dedup_finds_neardup_jpegs(spark):
+    """The multimodal × dedup composition: two JPEG encodes of almost the
+    same image land within Hamming 6 of each other (the gradient bits ride
+    the decoded pixels, not the bytes — the payloads differ), a genuinely
+    different image pairs with neither, and the PPM pixel path agrees with
+    a hand-computed dHash on a synthetic two-tone raster."""
+    import numpy as np
+
+    img = _gradient(32, 48)
+    img2 = img.copy()
+    img2[:2, :2] = 0  # tiny corner edit: near-dup, different payload
+    img3 = img[:, ::-1].copy()  # mirrored: different gradient signs
+    assets = spark.createDataFrame(
+        [
+            (1, "image", bytearray(_make_jpeg(img)), "s", "en"),
+            (2, "image", bytearray(_make_jpeg(img2)), "s", "en"),
+            (3, "image", bytearray(_make_jpeg(img3)), "s", "en"),
+            (4, "audio", bytearray(b"RIFFxxxx"), "s", "en"),  # ignored kind
+        ],
+        "asset_id long, kind string, payload binary, meta_source string, meta_lang string",
+    )
+    pairs = {
+        (r["asset_a"], r["asset_b"]): r["hamming"]
+        for r in multimodal.image_phash_pairs(assets, max_hamming=6).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 6
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    # PPM path, hand-checked: left half dark, right half bright -> a bit
+    # is set only when the LEFT cell is brighter, which never happens, so
+    # both words are zero. Mirrored (bright cols 0-3 -> scaled span
+    # [0,36)), the 9 resize buckets [8j, 8j+8) make cells 0-3 fully
+    # bright, cell 4 mixed ([32,36) bright), cells 5-8 dark: descending
+    # steps at j=3 and j=4 -> exactly two bits per row, 16 total.
+    dark_bright = np.zeros((8, 8, 3), dtype=np.uint8)
+    dark_bright[:, 4:] = 200
+    def ppm(arr):
+        return b"P6\n8 8\n255\n" + arr.tobytes()
+    from graph_database_application_for_recommendations_spark.operators.multimodal import (
+        _decode_gray3,
+        _dhash_words,
+    )
+    w0, w1 = _dhash_words(_decode_gray3(ppm(dark_bright)))
+    assert (w0, w1) == (0, 0)
+    w0m, w1m = _dhash_words(_decode_gray3(ppm(dark_bright[:, ::-1].copy())))
+    assert bin(w0m).count("1") + bin(w1m).count("1") == 16
