@@ -52,7 +52,15 @@ def als_model(
         "_blk", F.coalesce(F.sum("_c").over(w_blk), F.lit(0)).alias("_off")
     )
     w_in = Window.partitionBy("_blk").orderBy("isbn")
-    item_ids = (
+    # materialize both: item_ids feeds three consumers (train, the seen
+    # anti-join via train's lineage, and the serving join-back) and train
+    # feeds two (the fit and the seen set) — unpinned, the id-assignment
+    # subplan re-executed per consumer, which was the whole r04→r05 ALS
+    # drift (controlled experiment, DESIGN.md "Round-6 ALS drift
+    # attribution": ~0.7s subplan × ~3 recomputes ≈ the observed +2.8s)
+    from . import materialize
+
+    item_ids = materialize(
         items.join(F.broadcast(offsets), "_blk")
         .withColumn(
             "item_id",
@@ -60,7 +68,7 @@ def als_model(
         )
         .select("isbn", "item_id")
     )
-    train = (
+    train = materialize(
         ratings.join(item_ids, "isbn")
         .select(
             F.col("user_id").cast("int").alias("user"),

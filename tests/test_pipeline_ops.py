@@ -1495,20 +1495,25 @@ def test_jpeg_restart_intervals():
     assert with_rst == plain  # restarts change framing, not pixels
 
 
-def test_jpeg_progressive_raises_and_falls_back(spark):
-    import numpy as np
-
-    # minimal progressive header: SOI + SOF2
-    sof2 = b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
+def test_jpeg_unsupported_mode_raises_and_falls_back(spark):
+    """Progressive (SOF2) is decodable since r6; the honest-fallback
+    contract now anchors on a genuinely unsupported mode (arithmetic
+    coding, SOF9) and on a truncated progressive stream (SOF2 with no
+    scans): both must raise and route to byte features in the kernel."""
+    # SOF9: arithmetic sequential — not implemented
+    sof9 = b"\xff\xd8\xff\xc9\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
     with pytest.raises(NotImplementedError):
+        multimodal._decode_image(sof9)
+    # SOF2 header with no SOS: parseable but scanless -> loud ValueError
+    sof2 = b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
+    with pytest.raises(ValueError):
         multimodal._decode_image(sof2)
-    # the Arrow kernel must route it to byte features, not error out
     assets = spark.createDataFrame(
-        [(1, "image", bytearray(sof2), "s", "en")],
+        [(1, "image", bytearray(sof9), "s", "en"), (2, "image", bytearray(sof2), "s", "en")],
         "asset_id long, kind string, payload binary, meta_source string, meta_lang string",
     )
-    row = multimodal.extract_features(assets).collect()[0]
-    assert row["decoded"] is False
+    rows = multimodal.extract_features(assets).collect()
+    assert all(r["decoded"] is False for r in rows)
 
 
 def test_binary_quantization_packs_signs(spark):
@@ -1790,3 +1795,228 @@ def test_image_phash_dedup_finds_neardup_jpegs(spark):
     assert (w0, w1) == (0, 0)
     w0m, w1m = _dhash_words(_decode_gray3(ppm(dark_bright[:, ::-1].copy())))
     assert bin(w0m).count("1") + bin(w1m).count("1") == 16
+
+
+def _jpeg_plane_coefs(img, subsample=False):
+    """Per-component zigzag integer DCT coefficients (Q = all-ones), plus
+    geometry — the shared front half of the baseline and progressive
+    test encoders."""
+    import numpy as np
+
+    from graph_database_application_for_recommendations_spark.operators.multimodal import (
+        _JPEG_ZIGZAG,
+        _idct_basis,
+    )
+
+    img = np.asarray(img, dtype=np.float64)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if gray:
+        planes = [img]
+        samp = [(1, 1)]
+    else:
+        r, g, b = img[..., 0], img[..., 1], img[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if subsample:
+            def down(p):
+                pe = np.pad(p, ((0, p.shape[0] % 2), (0, p.shape[1] % 2)), mode="edge")
+                return (pe[0::2, 0::2] + pe[0::2, 1::2] + pe[1::2, 0::2] + pe[1::2, 1::2]) / 4.0
+            planes = [y, down(cb), down(cr)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samp = [(1, 1), (1, 1), (1, 1)]
+    basis = _idct_basis()
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    zz = list(_JPEG_ZIGZAG)
+    coefs = []
+    for p, (sh, sv) in zip(planes, samp):
+        th_, tw_ = mcus_y * sv * 8, mcus_x * sh * 8
+        pp = np.pad(p, ((0, th_ - p.shape[0]), (0, tw_ - p.shape[1])), mode="edge")
+        grid = {}
+        for by in range(mcus_y * sv):
+            for bx in range(mcus_x * sh):
+                blk = pp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                c2 = basis.T @ blk @ basis
+                grid[(by, bx)] = [int(round(c2.flat[zz[k]])) for k in range(64)]
+        coefs.append(grid)
+    return coefs, samp, (w, h, mcus_x, mcus_y, hmax, vmax)
+
+
+def _make_progressive_jpeg(img, subsample=False):
+    """Progressive (SOF2) test encoder: DC successive approximation
+    (Al=1 first + refinement), per-component spectral-selection AC first
+    passes at Al=1 in two bands, then a full-band AC refinement scan —
+    i.e. every scan kind the decoder implements. Single-block EOB runs;
+    correction-bit interleaving follows T.81 G.1.2.3 (position-aware, so
+    the stream round-trips bit-exactly against the decoder semantics)."""
+    coefs, samp, (w, h, mcus_x, mcus_y, hmax, vmax) = _jpeg_plane_coefs(img, subsample)
+    nc = len(coefs)
+    dc_syms, ac_syms, dc_code, ac_code = _jpeg_tables()
+
+    out = bytearray(b"\xff\xd8")
+    qbody = bytes([0x00]) + bytes([1] * 64)
+    out += b"\xff\xdb" + (len(qbody) + 2).to_bytes(2, "big") + qbody
+    sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nc])
+    for ci, (sh, sv) in enumerate(samp):
+        sof += bytes([ci + 1, sh << 4 | sv, 0])
+    out += b"\xff\xc2" + (len(sof) + 2).to_bytes(2, "big") + bytes(sof)
+    out += _dht_segment(0, 0, dc_syms)
+    out += _dht_segment(1, 0, ac_syms)
+
+    def sos(scomps, ss, se, ah, al):
+        body = bytearray([len(scomps)])
+        for ci in scomps:
+            body += bytes([ci + 1, 0x00])  # Td=0, Ta=0 (AC class table id 0)
+        body += bytes([ss, se, ah << 4 | al])
+        return b"\xff\xda" + (len(body) + 2).to_bytes(2, "big") + bytes(body)
+
+    def own_grid(ci):
+        sh, sv = samp[ci]
+        wb = -(-(-(-w * sh // hmax)) // 8)
+        hb = -(-(-(-h * sv // vmax)) // 8)
+        return hb, wb
+
+    # scan 1: interleaved DC first pass, Al=1
+    wtr = _JpegBitWriter()
+    preds = [0] * nc
+    for mcu in range(mcus_x * mcus_y):
+        my, mx = divmod(mcu, mcus_x)
+        for ci, (sh, sv) in enumerate(samp):
+            for by in range(sv):
+                for bx in range(sh):
+                    v = coefs[ci][(my * sv + by, mx * sh + bx)][0] >> 1
+                    t, raw = _category(v - preds[ci])
+                    preds[ci] = v
+                    ln, code = dc_code[t]
+                    wtr.write(code, ln)
+                    if t:
+                        wtr.write(raw, t)
+    wtr.flush()
+    out += sos(list(range(nc)), 0, 0, 0, 1) + bytes(wtr.out)
+
+    # scan 2: interleaved DC refinement, Ah=1 -> Al=0 (one raw bit/block)
+    wtr = _JpegBitWriter()
+    for mcu in range(mcus_x * mcus_y):
+        my, mx = divmod(mcu, mcus_x)
+        for ci, (sh, sv) in enumerate(samp):
+            for by in range(sv):
+                for bx in range(sh):
+                    wtr.write(coefs[ci][(my * sv + by, mx * sh + bx)][0] & 1, 1)
+    wtr.flush()
+    out += sos(list(range(nc)), 0, 0, 1, 0) + bytes(wtr.out)
+
+    # per component: AC first passes at Al=1 over two spectral bands
+    for ss, se in ((1, 20), (21, 63)):
+        for ci in range(nc):
+            hb, wb = own_grid(ci)
+            wtr = _JpegBitWriter()
+            for bi in range(hb * wb):
+                cf = coefs[ci][(bi // wb, bi % wb)]
+                vals = []
+                for k in range(ss, se + 1):
+                    v = cf[k]
+                    sv = (abs(v) >> 1) * (1 if v > 0 else -1)
+                    vals.append(sv)
+                # trailing-zero trim -> single-block EOB
+                last = -1
+                for i, sv in enumerate(vals):
+                    if sv:
+                        last = i
+                run = 0
+                for i in range(last + 1):
+                    sv = vals[i]
+                    if sv == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        ln, code = ac_code[0xF0]
+                        wtr.write(code, ln)
+                        run -= 16
+                    t, raw = _category(sv)
+                    ln, code = ac_code[run * 16 + t]
+                    wtr.write(code, ln)
+                    wtr.write(raw, t)
+                    run = 0
+                if last < len(vals) - 1:
+                    ln, code = ac_code[0x00]  # EOBRUN = 1
+                    wtr.write(code, ln)
+            wtr.flush()
+            out += sos([ci], ss, se, 0, 1) + bytes(wtr.out)
+
+    # per component: full-band AC refinement, Ah=1 -> Al=0
+    for ci in range(nc):
+        hb, wb = own_grid(ci)
+        wtr = _JpegBitWriter()
+        for bi in range(hb * wb):
+            cf = coefs[ci][(bi // wb, bi % wb)]
+            # classify band positions at Ah=1 history
+            zeros: list[int] = []       # pending zero-history zero positions
+            pend: list[tuple] = []      # pending (pos, bit) correction bits
+            for k in range(1, 64):
+                v = cf[k]
+                a = abs(v)
+                if a > 1:               # previously significant: corr bit
+                    pend.append((k, a & 1))
+                elif a == 1:            # newly significant at Al=0
+                    while len(zeros) > 15:
+                        ln, code = ac_code[0xF0]
+                        wtr.write(code, ln)
+                        pos16 = zeros[15]
+                        for p, bit in [x for x in pend if x[0] < pos16]:
+                            wtr.write(bit, 1)
+                        pend = [x for x in pend if x[0] >= pos16]
+                        zeros = zeros[16:]
+                    r = len(zeros)
+                    ln, code = ac_code[r * 16 + 1]
+                    wtr.write(code, ln)
+                    wtr.write(1 if v > 0 else 0, 1)  # sign bit
+                    for p, bit in [x for x in pend if x[0] < k]:
+                        wtr.write(bit, 1)
+                    pend = [x for x in pend if x[0] >= k]
+                    zeros = []
+                else:
+                    zeros.append(k)
+            if zeros or pend:
+                ln, code = ac_code[0x00]  # EOBRUN = 1
+                wtr.write(code, ln)
+                for p, bit in pend:
+                    wtr.write(bit, 1)
+        wtr.flush()
+        out += sos([ci], 1, 63, 1, 0) + bytes(wtr.out)
+
+    return bytes(out) + b"\xff\xd9"
+
+
+def test_jpeg_progressive_roundtrip_matches_baseline():
+    """Round-5 VERDICT item 6: the progressive (SOF2) decoder. The same
+    image encoded baseline and progressive (DC successive approximation,
+    spectral-selection AC bands, AC refinement) must decode to identical
+    metadata and pixels — the refinement scans reconstruct the full
+    coefficients exactly, and the IDCT tail is shared."""
+    img = _gradient(24, 40)
+    base = multimodal._decode_image(_make_jpeg(img))
+    prog = multimodal._decode_image(_make_progressive_jpeg(img))
+    assert prog == base
+
+    px_b: list = []
+    px_p: list = []
+    multimodal._decode_jpeg(_make_jpeg(img), _pixels_out=px_b)
+    multimodal._decode_jpeg(_make_progressive_jpeg(img), _pixels_out=px_p)
+    assert (px_b[0] == px_p[0]).all()
+
+
+def test_jpeg_progressive_gray_and_subsampled():
+    gray = _gradient(13, 19, color=False)  # partial-MCU edges
+    assert multimodal._decode_image(_make_progressive_jpeg(gray)) == \
+        multimodal._decode_image(_make_jpeg(gray))
+    img = _gradient(32, 48)
+    # 4:2:0: interleaved DC over sampling factors + per-component own-grid
+    # AC scans (chroma grids smaller than the padded MCU grid)
+    assert multimodal._decode_image(_make_progressive_jpeg(img, subsample=True)) == \
+        multimodal._decode_image(_make_jpeg(img, subsample=True))
