@@ -655,3 +655,45 @@ def test_streaming_ingest_neardup_matches_batch(spark, tmp_path):
     assert got == want
     idx = spark.read.parquet(str(multi / "index"))
     assert idx.count() == len(got)
+
+
+def test_streaming_paragraph_dedup_matches_batch(spark, tmp_path):
+    """dedup_paragraphs_stream over the replayed superdoc corpus keeps
+    exactly one representative per canonical paragraph fingerprint, the
+    same fingerprint set as the batch split+fingerprint pass, and every
+    kept unit is a genuine member of its group (dropDuplicates keeps the
+    first ARRIVAL, which within a shuffled micro-batch is not necessarily
+    the smallest para_key — the set-level contract is what both faces
+    share)."""
+    from graph_database_application_for_recommendations_spark.functions.text import (
+        canonical_fingerprint,
+    )
+    from graph_database_application_for_recommendations_spark.operators.dedup import (
+        split_paragraphs,
+    )
+    from graph_database_application_for_recommendations_spark.registry import _superdocs
+    from pyspark.sql import Window
+
+    superdocs = _superdocs(spark, SF_SMALL)
+    sd_path = tmp_path / "superdocs"
+    superdocs.coalesce(1).write.parquet(str(sd_path))
+
+    paras = split_paragraphs(superdocs).withColumn(
+        "fingerprint", canonical_fingerprint(F.col("text"))
+    )
+    members = {}
+    for r in paras.collect():
+        members.setdefault(r["fingerprint"], set()).add(r["para_key"])
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(sd_path))
+    got_rows = stream_ops.run_to_memory(
+        stream_ops.dedup_paragraphs_stream(stream),
+        "t_para_dedup",
+        "append",
+        str(tmp_path / "ck_para"),
+    ).collect()
+    fps = [r["fingerprint"] for r in got_rows]
+    assert len(fps) == len(set(fps))  # one representative per group
+    assert set(fps) == set(members)   # exactly the batch fingerprint set
+    for r in got_rows:                # each kept unit belongs to its group
+        assert r["para_key"] in members[r["fingerprint"]]
