@@ -125,6 +125,11 @@ BENCH_QUERIES = [
     "q_corpus_decode",
     # full-outer-join physical pattern (no other bench query exercises it)
     "q_corpus_diff",
+    # round-6 additions: near-dup-aware ingest decisions (banded index
+    # joins + the greedy LFMIS rounds) and image perceptual-hash dedup
+    # (Arrow pixel-decode kernel + byte-banded Hamming join)
+    "q_ingest_neardup",
+    "q_multimodal_phash_dedup",
 ]
 
 # the iterative pipeline (FastRP -> KNN -> LPA) is measured as one unit,
