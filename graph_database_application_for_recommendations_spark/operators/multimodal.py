@@ -122,7 +122,7 @@ def assets_from_documents(documents: DataFrame) -> DataFrame:
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+alpha, RGBA
 
 
-def _decode_png(payload: bytes) -> dict:
+def _decode_png(payload: bytes, _pixels_out: list | None = None) -> dict:
     """Pure-stdlib PNG decode (VERDICT r2 item 3 polish): chunk walk,
     zlib-inflate the IDAT stream, reverse the per-scanline filters
     (None/Sub/Up/Average/Paeth, RFC 2083 §6). Supports the 8-bit
@@ -161,6 +161,7 @@ def _decode_png(payload: bytes) -> dict:
         raise ValueError("truncated PNG raster")
     prev = bytearray(stride)
     total = 0
+    rows = [] if _pixels_out is not None else None
     for y in range(height):
         base = y * (stride + 1)
         ftype = raw[base]
@@ -187,7 +188,21 @@ def _decode_png(payload: bytes) -> dict:
         elif ftype != 0:
             raise ValueError(f"unknown PNG filter type {ftype}")
         total += sum(line)
+        if rows is not None:
+            rows.append(bytes(line))
         prev = line
+    if _pixels_out is not None:
+        import numpy as np
+
+        px = np.frombuffer(b"".join(rows), dtype=np.uint8).astype(np.int64)
+        px = px.reshape(height, width, channels)
+        if channels == 1:
+            gray3 = px[:, :, 0] * 3
+        elif channels == 2:  # gray+alpha: luminance only, alpha ignored
+            gray3 = px[:, :, 0] * 3
+        else:  # RGB / RGBA: channel sum over the color channels
+            gray3 = px[:, :, :3].sum(axis=2)
+        _pixels_out.append(gray3)
     n = height * stride
     return {
         "width": width,
@@ -242,7 +257,7 @@ def _lzw_decode(min_code_size: int, data: bytes, max_out: int) -> bytes:
     return bytes(out[:max_out])
 
 
-def _decode_gif(payload: bytes) -> dict:
+def _decode_gif(payload: bytes, _pixels_out: list | None = None) -> dict:
     """Pure-stdlib GIF87a/89a decode: logical screen descriptor, color
     tables, extension-block skip, first image frame through full LZW
     (variable-width codes, clear/end, 12-bit dictionary cap). Interlaced
@@ -290,6 +305,24 @@ def _decode_gif(payload: bytes) -> dict:
             rgb_sum = sum(
                 table[3 * i] + table[3 * i + 1] + table[3 * i + 2] for i in idx
             )
+            if _pixels_out is not None:
+                import numpy as np
+
+                g3 = np.array(
+                    [table[3 * i] + table[3 * i + 1] + table[3 * i + 2] for i in idx],
+                    dtype=np.int64,
+                ).reshape(h, w)
+                if iflags & 0x40:  # interlaced: rows arrive in 4-pass order
+                    order = (
+                        list(range(0, h, 8))
+                        + list(range(4, h, 8))
+                        + list(range(2, h, 4))
+                        + list(range(1, h, 2))
+                    )
+                    out = np.empty_like(g3)
+                    out[order] = g3
+                    g3 = out
+                _pixels_out.append(g3)
             return {
                 "width": w,
                 "height": h,
@@ -1197,14 +1230,23 @@ def _decode_gray3(payload: bytes):
     """(h, w) int64 channel-sum pixel grid (r+g+b; grayscale scaled ×3 to
     stay on the same scale) — the pixel feed for the perceptual-hash
     path. PPM (P6) and uncompressed 24/32-bit BMP parse their rasters
-    directly; baseline JPEG rides the decoder's pixel capture. Other
-    formats raise NotImplementedError and are excluded from pHash dedup
-    (honest capability gap, same contract as the decoder fallbacks)."""
+    directly; JPEG (baseline + progressive), PNG, and GIF (incl.
+    de-interlace) ride the decoders' pixel capture. Formats past the
+    decoder capabilities raise NotImplementedError and are excluded from
+    pHash dedup (honest gap, same contract as the decoder fallbacks)."""
     import numpy as np
 
     if payload[:2] == b"\xff\xd8":
         px: list = []
         _decode_jpeg(payload, _pixels_out=px)
+        return px[0]
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        px = []
+        _decode_png(payload, _pixels_out=px)
+        return px[0]
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        px = []
+        _decode_gif(payload, _pixels_out=px)
         return px[0]
     if payload[:2] == b"P6":
         vals: list[int] = []
@@ -1248,7 +1290,7 @@ def _decode_gray3(payload: bytes):
             px = np.frombuffer(line, dtype=np.uint8).astype(np.int64).reshape(w, nch)
             rows.append(px[:, :3].sum(axis=1))  # BGR sum == RGB sum; alpha dropped
         return np.stack(rows)
-    raise NotImplementedError("pixel decode: PPM/BMP/baseline-JPEG only")
+    raise NotImplementedError("pixel decode: PPM/BMP/JPEG/PNG/GIF only")
 
 
 def _dhash_words(gray3, hash_size: int = 8) -> tuple[int, int]:

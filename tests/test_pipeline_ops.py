@@ -2020,3 +2020,48 @@ def test_jpeg_progressive_gray_and_subsampled():
     # AC scans (chroma grids smaller than the padded MCU grid)
     assert multimodal._decode_image(_make_progressive_jpeg(img, subsample=True)) == \
         multimodal._decode_image(_make_jpeg(img, subsample=True))
+
+
+def test_decode_gray3_png_gif_paths_match_raster():
+    """The pHash pixel feed covers PNG and GIF too: a PNG of the same RGB
+    raster as a PPM yields the identical gray3 grid, and an interlaced
+    GIF de-interlaces to the same grid as its sequential twin."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from graph_database_application_for_recommendations_spark.operators.multimodal import (
+        _decode_gray3,
+    )
+
+    w, h = 6, 5
+    raster = bytes((i * 53 + 7) % 256 for i in range(w * h * 3))
+    ppm = f"P6\n{w} {h}\n255\n".encode() + raster
+
+    def chunk(ctype, body):
+        return (
+            len(body).to_bytes(4, "big") + ctype + body
+            + zlib.crc32(ctype + body).to_bytes(4, "big")
+        )
+
+    scan = b"".join(
+        b"\x00" + raster[y * w * 3 : (y + 1) * w * 3] for y in range(h)
+    )
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+    assert (_decode_gray3(ppm) == _decode_gray3(png)).all()
+
+    idx = [(x + y) % 4 for y in range(8) for x in range(8)]
+    seq = _decode_gray3(_make_gif(8, 8, idx))
+    inter_idx = []
+    order = list(range(0, 8, 8)) + list(range(4, 8, 8)) + list(range(2, 8, 4)) + list(range(1, 8, 2))
+    for row in order:
+        inter_idx += idx[row * 8 : row * 8 + 8]
+    inter = _decode_gray3(_make_gif(8, 8, inter_idx, interlaced=True))
+    assert (seq == inter).all()
+    assert seq.shape == (8, 8) and int(seq[0, 1]) == 255 * 1  # palette entry 1 = red
