@@ -1387,11 +1387,18 @@ def image_phash_pairs(
     (operators/dedup.py:616) on the two-word layout. Shuffle ∝
     |assets|·8, never all-pairs: the 100 TB shape.
     """
+    return _hamming_pairs_words(image_dhash(assets, hash_size), max_hamming)
+
+
+def _hamming_pairs_words(sig: DataFrame, max_hamming: int) -> DataFrame:
+    """(asset_a, asset_b, hamming) over a (asset_id, w0, w1) two-word
+    signature table: byte-slice banded candidates + exact popcount —
+    shared by the image and audio perceptual-hash dedup faces."""
     from ..plans import materialize, release_checkpoint
 
     if not 0 <= max_hamming <= 7:
         raise ValueError("byte-band pigeonhole covers max_hamming in [0, 7]")
-    sig = materialize(image_dhash(assets, hash_size))
+    sig = materialize(sig)
     try:
         banded = sig.withColumn(
             "band", F.explode(F.sequence(F.lit(0), F.lit(7)))
@@ -1430,3 +1437,118 @@ def image_phash_pairs(
         return materialize(out)
     finally:
         release_checkpoint(sig)
+
+
+def _decode_pcm_samples(payload: bytes):
+    """1-D int64 channel-sum sample vector from a PCM WAV — the audio
+    analog of _decode_gray3 (channels summed to stay integer-exact;
+    8-bit samples are unsigned, 16-bit little-endian signed)."""
+    import struct as _struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError("only RIFF/WAVE audio decodable without an audio lib")
+    off = 12
+    fmt = None
+    data = None
+    while off + 8 <= len(payload):
+        cid = payload[off : off + 4]
+        (csize,) = _struct.unpack_from("<I", payload, off + 4)
+        body = payload[off + 8 : off + 8 + csize]
+        if cid == b"fmt ":
+            audio_fmt, channels = _struct.unpack_from("<HH", body, 0)
+            (bits,) = _struct.unpack_from("<H", body, 14)
+            if audio_fmt != 1:
+                raise NotImplementedError("only PCM WAV decodable")
+            fmt = (channels, bits)
+        elif cid == b"data":
+            data = body
+        off += 8 + csize + (csize & 1)
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    channels, bits = fmt
+    if bits == 8:
+        arr = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+    elif bits == 16:
+        arr = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2").astype(np.int64)
+    else:
+        raise NotImplementedError("only 8/16-bit PCM decodable")
+    n = len(arr) // channels
+    if n == 0:
+        raise ValueError("empty WAV data chunk")
+    return arr[: n * channels].reshape(n, channels).sum(axis=1)
+
+
+def _audio_dhash_words(samples, hash_size: int = 8) -> tuple[int, int]:
+    """64-bit temporal dHash over a PCM sample vector: integer-exact 1-D
+    area resize to 65 energy buckets (same LCM-scaled overlap weights as
+    the image path — equal bucket weights, so unnormalized integer sums
+    order like means), bit k set when bucket k is louder than bucket
+    k+1. Two 32-bit words, the engine's cross-engine bit layout."""
+    import numpy as np
+
+    if hash_size != 8:
+        raise ValueError("two-word layout is fixed at hash_size=8 (64 bits)")
+    n = len(samples)
+    C = 65
+    wc = np.zeros((C, n), dtype=np.int64)
+    for j in range(C):
+        lo, hi = j * n, (j + 1) * n
+        # sample x spans [C*x, C*x+C)
+        x0 = max(0, lo // C)
+        x1 = min(n, -(-hi // C))
+        for x in range(x0, x1):
+            wc[j, x] = max(0, min(C * x + C, hi) - max(C * x, lo))
+    cells = wc @ samples
+    bits = cells[:-1] > cells[1:]
+    w0 = w1 = 0
+    for k in range(64):
+        if bits[k]:
+            if k < 32:
+                w0 |= 1 << k
+            else:
+                w1 |= 1 << (k - 32)
+    return w0, w1
+
+
+def audio_dhash(assets: DataFrame) -> DataFrame:
+    """(asset_id, w0, w1): 64-bit temporal dHash per decodable audio
+    asset — the audio member of the perceptual-hash dedup family (a
+    re-encoded/trimmed-silence copy shares most loudness-gradient bits).
+    Arrow kernel; undecodable payloads emit no row."""
+    from ..plans import fanout_partitions
+
+    assets = assets.repartition(fanout_partitions(assets))
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for asset_id, kind, payload in zip(
+                pdf["asset_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "audio" or payload is None:
+                    continue
+                try:
+                    w0, w1 = _audio_dhash_words(_decode_pcm_samples(bytes(payload)))
+                except (
+                    NotImplementedError,
+                    ValueError,
+                    IndexError,
+                    KeyError,
+                    ZeroDivisionError,
+                    struct.error,
+                ):
+                    continue
+                out.append({"asset_id": asset_id, "w0": w0, "w1": w1})
+            if out:
+                yield pd.DataFrame(out)
+
+    return assets.mapInPandas(_hash, "asset_id long, w0 long, w1 long")
+
+
+def audio_phash_pairs(assets: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """(asset_a, asset_b, hamming): audio near-duplicate pairs by
+    temporal-dHash Hamming distance — same byte-banded candidate plan as
+    the image face (_hamming_pairs_words)."""
+    return _hamming_pairs_words(audio_dhash(assets), max_hamming)

@@ -4985,6 +4985,72 @@ register(
 )
 
 
+# Audio temporal-dHash (the audio member of the perceptual-hash family):
+# WAV payloads are the 256 zero-padded text bytes as 8-bit PCM, so the
+# oracle rebuilds the exact samples and re-derives the integer 1-D area
+# resize + loudness-gradient bits — full value-hash, like the image face.
+_AUDIOHASH_WORDS_CTES = """
+aud AS (SELECT doc_id AS asset_id, text FROM documents WHERE doc_id % 3 = 2),
+smp AS MATERIALIZED (
+  SELECT asset_id, p.i - 1 AS x,
+         CASE WHEN length(text) >= p.i
+              THEN unicode(substring(text, CAST(p.i AS INT), 1)) ELSE 0 END AS v
+  FROM aud, LATERAL unnest(generate_series(1, 256)) p(i)),
+acell AS MATERIALIZED (
+  -- sample x spans [65x, 65x+65), bucket j spans [256j, 256j+256):
+  -- the same LCM-scaled integer weights as _audio_dhash_words
+  SELECT asset_id, j.j AS j,
+         SUM(greatest(0, least(65 * x + 65, 256 * j.j + 256) - greatest(65 * x, 256 * j.j)) * v) AS s
+  FROM smp, LATERAL unnest(generate_series(0, 64)) j(j)
+  GROUP BY asset_id, j.j),
+abit AS MATERIALIZED (
+  SELECT a.asset_id, a.j AS k, CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
+  FROM acell a JOIN acell b ON b.asset_id = a.asset_id AND b.j = a.j + 1
+  WHERE a.j < 64),
+words AS MATERIALIZED (
+  SELECT asset_id,
+         CAST(SUM(CASE WHEN k < 32 THEN bit * (CAST(1 AS BIGINT) << CAST(k AS INT)) ELSE 0 END) AS BIGINT) AS w0,
+         CAST(SUM(CASE WHEN k >= 32 THEN bit * (CAST(1 AS BIGINT) << CAST(k - 32 AS INT)) ELSE 0 END) AS BIGINT) AS w1
+  FROM abit GROUP BY asset_id)
+""".strip()
+
+register(
+    "q_multimodal_audiohash",
+    lambda s, d: multimodal.audio_dhash(
+        multimodal.assets_from_documents(_docs(s, d))
+    ),
+    f"""
+    WITH {_AUDIOHASH_WORDS_CTES}
+    SELECT asset_id, w0, w1 FROM words
+    """,
+)
+
+register(
+    "q_multimodal_audiohash_dedup",
+    lambda s, d: multimodal.audio_phash_pairs(
+        multimodal.assets_from_documents(_docs(s, d)), max_hamming=6
+    ),
+    f"""
+    WITH {_AUDIOHASH_WORDS_CTES},
+    banded AS MATERIALIZED (
+      SELECT asset_id, b.b AS band,
+             CASE WHEN b.b < 4 THEN (w0 >> CAST(b.b * 8 AS INT)) & 255
+                  ELSE (w1 >> CAST((b.b - 4) * 8 AS INT)) & 255 END AS slice
+      FROM words, LATERAL unnest(generate_series(0, 7)) b(b)),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.asset_id AS ia, b2.asset_id AS ib
+      FROM banded a JOIN banded b2
+        ON a.band = b2.band AND a.slice = b2.slice AND a.asset_id < b2.asset_id)
+    SELECT c.ia AS asset_a, c.ib AS asset_b,
+           CAST(bit_count(xor(wa.w0, wb.w0)) + bit_count(xor(wa.w1, wb.w1)) AS BIGINT) AS hamming
+    FROM cand c
+    JOIN words wa ON wa.asset_id = c.ia
+    JOIN words wb ON wb.asset_id = c.ib
+    WHERE bit_count(xor(wa.w0, wb.w0)) + bit_count(xor(wa.w1, wb.w1)) <= 6
+    """,
+)
+
+
 def _louvain_invariants_q(s: SparkSession, d: str) -> DataFrame:
     """Louvain partition invariants with SQL-recomputed anchors: the node
     count is a hard value (distinct co-raters, recomputed by the oracle),

@@ -2065,3 +2065,56 @@ def test_decode_gray3_png_gif_paths_match_raster():
     inter = _decode_gray3(_make_gif(8, 8, inter_idx, interlaced=True))
     assert (seq == inter).all()
     assert seq.shape == (8, 8) and int(seq[0, 1]) == 255 * 1  # palette entry 1 = red
+
+
+def test_audio_dhash_finds_neardup_wavs(spark):
+    """Audio face of perceptual-hash dedup: a lightly-perturbed copy of a
+    WAV lands within Hamming 6, an unrelated waveform pairs with
+    neither, 16-bit stereo decodes through the same sample path."""
+    import math
+    import struct as st
+
+    import numpy as np
+
+    from graph_database_application_for_recommendations_spark.operators.multimodal import (
+        _WAV_HEADER,
+        _decode_pcm_samples,
+        audio_phash_pairs,
+    )
+
+    def wav8(samples):  # 256-byte 8-bit mono, reusing the fixture header
+        return _WAV_HEADER + bytes(samples[:256]).ljust(256, b"\x80")
+
+    base = [int(128 + 100 * math.sin(i / 6.0)) for i in range(256)]
+    near = list(base)
+    for i in range(0, 256, 50):
+        near[i] = min(255, near[i] + 3)  # tiny clicks
+    other = [int(128 + 100 * math.sin(i / 2.3 + 1)) for i in range(256)]
+    assets = spark.createDataFrame(
+        [
+            (1, "audio", bytearray(wav8(base)), "s", "en"),
+            (2, "audio", bytearray(wav8(near)), "s", "en"),
+            (3, "audio", bytearray(wav8(other)), "s", "en"),
+            (4, "image", bytearray(b"P6 bogus"), "s", "en"),
+        ],
+        "asset_id long, kind string, payload binary, meta_source string, meta_lang string",
+    )
+    pairs = {
+        (r["asset_a"], r["asset_b"]): r["hamming"]
+        for r in audio_phash_pairs(assets, max_hamming=6).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 6
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    # 16-bit stereo: channel-sum sample path
+    frames = [(-1000 + 37 * i, 500 - 20 * i) for i in range(16)]
+    data = b"".join(st.pack("<hh", a, b) for a, b in frames)
+    hdr = (
+        b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + st.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+        + b"data" + len(data).to_bytes(4, "little")
+    )
+    got = _decode_pcm_samples(hdr + data)
+    want = np.array([a + b for a, b in frames], dtype=np.int64)
+    assert (got == want).all()
