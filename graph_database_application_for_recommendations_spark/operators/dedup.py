@@ -1455,3 +1455,58 @@ def ingest_neardup_decisions(
     finally:
         release_checkpoint(inc)
         release_checkpoint(idx)
+
+
+def decontaminate(
+    train: DataFrame,
+    evalset: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """(doc_id, n_grams, eval_hits, contaminated): benchmark
+    decontamination decision table — for each training document, how
+    many of its n-token span positions also occur in the EVAL set, and
+    whether that clears the contamination bar (Brown et al. 2020 App. C /
+    Lee et al. ACL 2022 run exactly this n-gram-overlap filter before
+    training so test answers aren't memorized from leaked copies).
+
+    Plan: eval-set distinct gram hashes are a small side (|eval| ·
+    grams/doc rows of one md5) — a semi-join-shaped equi-join the
+    optimizer broadcasts when eval is benchmark-sized; per-doc hit
+    counting is one map-side-combinable aggregate over the join output.
+    Nothing is corpus-quadratic: the join is keyed on the gram hash, and
+    a training gram matching nothing in the eval set drops at the join.
+    ``eval_hits`` counts hit POSITIONS (duplicate spans in a doc each
+    count — the memorized-surface measure), matching novelty_scores'
+    position semantics.
+    """
+    par = train.sparkSession.sparkContext.defaultParallelism
+    toks = tokens(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+
+    def per_doc(df: DataFrame) -> DataFrame:
+        return df.repartition(par).select(
+            F.col(id_col).alias("doc_id"), F.explode(grams).alias("gram")
+        ).select("doc_id", F.md5("gram").alias("h"))
+
+    eval_grams = per_doc(evalset).select("h").distinct()
+    tg = per_doc(train)
+    hits = (
+        tg.join(eval_grams.withColumn("_hit", F.lit(1)), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("eval_hits"),
+        )
+    )
+    return hits.select(
+        "doc_id",
+        "n_grams",
+        "eval_hits",
+        (F.col("eval_hits") >= min_hits).alias("contaminated"),
+    )

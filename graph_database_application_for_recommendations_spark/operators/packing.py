@@ -319,3 +319,41 @@ def curriculum_order(
             (F.col("_off") + F.row_number().over(w_in) - 1).alias("pos"),
         )
     )
+
+
+def unimax_budgets(
+    domain_counts: dict[str, int], budget: float
+) -> dict[str, float]:
+    """Per-domain document budgets implementing UniMax (Chung et al.
+    2023, "UniMax: Fairer and More Effective Language Sampling", public):
+    spread ``budget`` as uniformly as possible across domains, capping
+    each domain at its availability (one epoch — pure down-sampling,
+    same realization contract as temperature_fractions/mix_corpus).
+
+    Computed in CLOSED water-filling form, not by iterative subtraction:
+    with domains sorted ascending by (count, name), the fully-taken set
+    is the maximal prefix where n_k ≤ (budget − cum_{k−1})/(L−k+1) (the
+    greedy share can only stay constant once a domain caps out, so the
+    condition is prefix-monotone), and every remaining domain gets the
+    identical level t = (budget − cum_{k*})/(L − k*). The closed form is
+    what the SQL oracle computes too, so the float operations are
+    bit-identical across engines — an iterative loop would drift in the
+    last ulp.
+    """
+    if not domain_counts or budget < 0:
+        raise ValueError("need non-empty counts and budget >= 0")
+    items = sorted(domain_counts.items(), key=lambda kv: (kv[1], kv[0]))
+    L = len(items)
+    cum = 0
+    kstar = 0
+    for k, (_, n) in enumerate(items, start=1):
+        if n <= (budget - cum) / (L - k + 1):
+            cum += n
+            kstar = k
+        else:
+            break
+    t = (budget - cum) / (L - kstar) if kstar < L else 0.0
+    return {
+        d: float(n) if k <= kstar else t
+        for k, (d, n) in enumerate(items, start=1)
+    }

@@ -1101,6 +1101,50 @@ register(
 )
 
 
+def _decontaminate_q(s: SparkSession, d: str) -> DataFrame:
+    """Benchmark decontamination over a deterministic 10% eval split:
+    docs in md5-bucket < 100k (seed 33) play the eval set, the rest the
+    training corpus; the decision table counts each training doc's
+    8-gram positions that also occur anywhere in the eval set."""
+    from .operators.sampling import sample_bucket
+
+    docs = _docs(s, d)
+    b = sample_bucket("doc_id", seed=33)
+    return dedup.decontaminate(
+        docs.filter(b >= 100_000), docs.filter(b < 100_000), n=8
+    )
+
+
+register(
+    "q_corpus_decontaminate",
+    _decontaminate_q,
+    r"""
+    WITH b AS (
+      SELECT doc_id, text,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#33'), 1, 8)) AS BIGINT)
+             % 1000000 AS bk
+      FROM documents),
+    trt AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+            FROM b WHERE bk >= 100000),
+    evt AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+            FROM b WHERE bk < 100000),
+    trg AS MATERIALIZED (
+      SELECT doc_id, unnest([md5(array_to_string(list_slice(t, i, i + 7), ' '))
+                             for i in range(1, greatest(len(t) - 7, 1) + 1)]) AS h
+      FROM trt),
+    evg AS MATERIALIZED (
+      SELECT DISTINCT h FROM (
+        SELECT unnest([md5(array_to_string(list_slice(t, i, i + 7), ' '))
+                       for i in range(1, greatest(len(t) - 7, 1) + 1)]) AS h
+        FROM evt))
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN h IN (SELECT h FROM evg) THEN 1 ELSE 0 END) AS BIGINT) AS eval_hits,
+           SUM(CASE WHEN h IN (SELECT h FROM evg) THEN 1 ELSE 0 END) >= 1 AS contaminated
+    FROM trg GROUP BY doc_id
+    """,
+)
+
+
 def _superdocs(s: SparkSession, d: str) -> DataFrame:
     """Paragraph-bearing corpus for the paragraph-dedup queries: the
     synthetic documents are single-line, so groups of 8 are blank-line
@@ -1670,6 +1714,62 @@ register(
           FROM p),
     m AS (SELECT MAX(raw) AS m FROM r)
     SELECT source, n AS n_docs, ROUND(raw / (SELECT m FROM m), 6) AS keep_fraction FROM r
+    """,
+)
+
+
+def _mix_unimax_q(s: SparkSession, d: str) -> DataFrame:
+    """UniMax mixture allocation (Chung et al. 2023) at a budget of half
+    the corpus: per-source document budgets, uniform across sources up
+    to each source's availability (water-filling). The Spark side runs
+    the real unimax_budgets helper over a one-pass count; the oracle
+    recomputes the identical CLOSED form (prefix-monotone fully-taken
+    set + single water level) in SQL — same IEEE double operations, so
+    the values hash-match exactly."""
+    import math
+
+    from .operators.packing import unimax_budgets
+
+    counts = {
+        r["source"]: r["n"]
+        for r in _docs(s, d)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    budget = float(math.floor(0.5 * sum(counts.values())))
+    alloc = unimax_budgets(counts, budget)
+    return s.createDataFrame(
+        [(k, int(counts[k]), float(round(alloc[k], 6))) for k in sorted(counts)],
+        "source string, n_docs long, alloc_docs double",
+    )
+
+
+register(
+    "q_corpus_mix_unimax",
+    _mix_unimax_q,
+    """
+    WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY source),
+    p AS (SELECT source, n,
+            ROW_NUMBER() OVER (ORDER BY n, source) AS k,
+            SUM(n) OVER (ORDER BY n, source ROWS UNBOUNDED PRECEDING) AS cum,
+            (SELECT COUNT(*) FROM c) AS l
+          FROM c),
+    b AS (SELECT FLOOR(0.5 * CAST((SELECT SUM(n) FROM c) AS DOUBLE)) AS bud),
+    f AS (SELECT p.*,
+            CAST(n AS DOUBLE) <= ((SELECT bud FROM b) - CAST(cum - n AS DOUBLE)) / (l - k + 1)
+              AS take_full
+          FROM p),
+    ks AS (SELECT COALESCE(MAX(k), 0) AS kstar FROM f WHERE take_full),
+    lev AS (SELECT CASE WHEN (SELECT kstar FROM ks) < (SELECT MAX(l) FROM f)
+                   THEN ((SELECT bud FROM b)
+                         - CAST(COALESCE((SELECT cum FROM f WHERE k = (SELECT kstar FROM ks)), 0) AS DOUBLE))
+                        / ((SELECT MAX(l) FROM f) - (SELECT kstar FROM ks))
+                   ELSE 0.0 END AS t)
+    SELECT source, n AS n_docs,
+           ROUND(CASE WHEN k <= (SELECT kstar FROM ks) THEN CAST(n AS DOUBLE)
+                      ELSE (SELECT t FROM lev) END, 6) AS alloc_docs
+    FROM f
     """,
 )
 

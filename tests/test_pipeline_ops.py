@@ -2118,3 +2118,47 @@ def test_audio_dhash_finds_neardup_wavs(spark):
     got = _decode_pcm_samples(hdr + data)
     want = np.array([a + b for a, b in frames], dtype=np.int64)
     assert (got == want).all()
+
+
+def test_unimax_budgets_water_filling():
+    """UniMax allocation: small domains kept whole, the rest split the
+    remainder at one common level; total equals the budget when the
+    budget is feasible; over-budget degenerates to everything."""
+    from graph_database_application_for_recommendations_spark.operators.packing import (
+        unimax_budgets,
+    )
+
+    a = unimax_budgets({"a": 10, "b": 100, "c": 1000}, 600)
+    assert a == {"a": 10.0, "b": 100.0, "c": 490.0}
+    assert sum(a.values()) == 600
+    assert unimax_budgets({"a": 10, "b": 100, "c": 1000}, 5000) == {
+        "a": 10.0, "b": 100.0, "c": 1000.0,
+    }
+    e = unimax_budgets({"a": 500, "b": 500, "c": 500}, 900)
+    assert e == {"a": 300.0, "b": 300.0, "c": 300.0}
+    with pytest.raises(ValueError):
+        unimax_budgets({}, 10)
+
+
+def test_decontaminate_flags_eval_overlap(spark):
+    """A training doc sharing an 8-gram span with the eval set is flagged
+    with the exact position count; disjoint docs are clean; duplicate
+    spans in one doc each count (memorized-surface semantics)."""
+    from graph_database_application_for_recommendations_spark.operators.dedup import (
+        decontaminate,
+    )
+
+    leak = "the quick brown fox jumps over the lazy dog"  # 9 tokens, 2 8-grams
+    train = spark.createDataFrame(
+        [
+            (1, leak + " indeed"),                      # shares both 8-grams + more
+            (2, "completely different words " + " ".join(f"z{i}" for i in range(10))),
+            (3, leak + " " + leak),                     # leaked span twice
+        ],
+        "doc_id long, text string",
+    )
+    evalset = spark.createDataFrame([(100, leak)], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in decontaminate(train, evalset, n=8).collect()}
+    assert rows[1]["contaminated"] and rows[1]["eval_hits"] == 2
+    assert not rows[2]["contaminated"] and rows[2]["eval_hits"] == 0
+    assert rows[3]["contaminated"] and rows[3]["eval_hits"] > 2
