@@ -1318,10 +1318,15 @@ def ingest_neardup_decisions(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_iters: int = 32,
-) -> DataFrame:
+    keep_inc: bool = False,
+):
     """(doc_id, status) for every incoming doc: ``kept`` | ``dup_exact`` |
     ``dup_near`` — the decision kernel of near-dup-aware append-only
-    ingest (round-5 VERDICT item 3).
+    ingest (round-5 VERDICT item 3). With ``keep_inc=True`` returns
+    ``(decisions, inc)`` where ``inc`` is the still-pinned
+    (doc_id, _fp, _sig) batch table, so the write path can derive the
+    survivors' index rows without re-shingling the batch text — the
+    caller then owns releasing it.
 
     ``index`` is the standing-corpus survivor index: (fingerprint,
     sig array<bigint>) — canonical fingerprint plus minhash signature per
@@ -1451,9 +1456,11 @@ def ingest_neardup_decisions(
                 .alias("status"),
             )
         )
-        return materialize(out)
+        out = materialize(out)
+        return (out, inc) if keep_inc else out
     finally:
-        release_checkpoint(inc)
+        if not keep_inc:
+            release_checkpoint(inc)
         release_checkpoint(idx)
 
 

@@ -303,15 +303,17 @@ def ingest_neardup_append(
     """
     import os
 
-    from ..functions.text import canonical_fingerprint
     from ..plans import materialize, release_checkpoint
-    from .dedup import ingest_neardup_decisions, minhash_signature_arrays
+    from .dedup import ingest_neardup_decisions
 
     if os.path.isdir(index_path):
         index = spark.read.parquet(index_path)
     else:
         index = spark.createDataFrame([], "fingerprint string, sig array<bigint>")
-    decisions = ingest_neardup_decisions(
+    # keep_inc: the decision kernel already materialized the batch's
+    # (fingerprint, signature) table — reuse it for the survivors' index
+    # rows instead of re-shingling the batch text a second time
+    decisions, inc = ingest_neardup_decisions(
         index,
         incoming,
         id_col,
@@ -320,25 +322,22 @@ def ingest_neardup_append(
         bands,
         shingle_n,
         threshold,
+        keep_inc=True,
     )
     fresh = materialize(
-        incoming.join(
-            decisions.filter(F.col("status") == "kept").select(
-                F.col("doc_id").alias(id_col)
-            ),
-            id_col,
-        ).select(
-            F.col(id_col),
-            F.col(text_col),
-            canonical_fingerprint(F.col(text_col)).alias("fingerprint"),
-        ).join(
-            minhash_signature_arrays(
-                incoming, id_col, text_col, num_hashes, shingle_n
-            ).withColumnRenamed("doc_id", id_col),
-            id_col,
-            "left",
+        inc.join(
+            decisions.filter(F.col("status") == "kept").select("doc_id"), "doc_id"
+        )
+        .select(
+            F.col("doc_id").alias(id_col),
+            F.col("_fp").alias("fingerprint"),
+            F.col("_sig").alias("sig"),
+        )
+        .join(
+            incoming.select(F.col(id_col), F.col(text_col)), id_col
         )
     )
+    release_checkpoint(inc)
     try:
         n = fresh.count()
         if n:
