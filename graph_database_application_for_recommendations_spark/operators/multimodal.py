@@ -8,7 +8,7 @@ PPM, uncompressed BMP, 8-bit PNG (zlib inflate + scanline defilter),
 GIF87a/89a (full LZW), baseline AND progressive JPEG (Huffman entropy
 decode + IDCT, any sampling, restart intervals, spectral selection +
 successive approximation), and PCM WAV. Formats past those capabilities
-(arithmetic/lossless/12-bit JPEG, palette/16-bit/Adam7 PNG,
+(arithmetic/lossless/12-bit JPEG, 16-bit/Adam7 PNG,
 compressed audio) raise NotImplementedError and route to deterministic
 byte-level features (length, crc32, first/last byte), so the distributed
 pipeline shape is exercisable on any payload.
@@ -126,8 +126,8 @@ def _decode_png(payload: bytes, _pixels_out: list | None = None) -> dict:
     """Pure-stdlib PNG decode (VERDICT r2 item 3 polish): chunk walk,
     zlib-inflate the IDAT stream, reverse the per-scanline filters
     (None/Sub/Up/Average/Paeth, RFC 2083 §6). Supports the 8-bit
-    non-interlaced color types; palette/16-bit/Adam7 raise
-    NotImplementedError → byte-feature fallback."""
+    non-interlaced color types including palette (PLTE-mapped, r6);
+    16-bit/Adam7 raise NotImplementedError → byte-feature fallback."""
     import struct
     import zlib
 
@@ -135,6 +135,7 @@ def _decode_png(payload: bytes, _pixels_out: list | None = None) -> dict:
     width = height = None
     bit_depth = color_type = interlace = None
     idat = bytearray()
+    plte = b""
     while off + 8 <= len(payload):
         (clen,) = struct.unpack_from(">I", payload, off)
         ctype = payload[off + 4 : off + 8]
@@ -143,6 +144,8 @@ def _decode_png(payload: bytes, _pixels_out: list | None = None) -> dict:
             width, height, bit_depth, color_type, _comp, _filt, interlace = (
                 struct.unpack(">IIBBBBB", body)
             )
+        elif ctype == b"PLTE":
+            plte = body
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
@@ -150,11 +153,14 @@ def _decode_png(payload: bytes, _pixels_out: list | None = None) -> dict:
         off += 12 + clen  # len + type + body + crc
     if width is None:
         raise ValueError("PNG missing IHDR")
-    if bit_depth != 8 or color_type not in _PNG_CHANNELS or interlace != 0:
+    palette = color_type == 3
+    if bit_depth != 8 or (color_type not in _PNG_CHANNELS and not palette) or interlace != 0:
         raise NotImplementedError(
-            "only 8-bit non-interlaced gray/RGB/gray+alpha/RGBA PNG decodable"
+            "only 8-bit non-interlaced gray/RGB/gray+alpha/RGBA/palette PNG decodable"
         )
-    channels = _PNG_CHANNELS[color_type]
+    if palette and (not plte or len(plte) % 3):
+        raise ValueError("palette PNG missing/invalid PLTE")
+    channels = 1 if palette else _PNG_CHANNELS[color_type]
     raw = zlib.decompress(bytes(idat))
     stride = width * channels
     if len(raw) < height * (stride + 1):
@@ -187,7 +193,12 @@ def _decode_png(payload: bytes, _pixels_out: list | None = None) -> dict:
                 line[i] = (line[i] + pr) & 0xFF
         elif ftype != 0:
             raise ValueError(f"unknown PNG filter type {ftype}")
-        total += sum(line)
+        if palette:
+            total += sum(
+                plte[3 * i] + plte[3 * i + 1] + plte[3 * i + 2] for i in line
+            )
+        else:
+            total += sum(line)
         if rows is not None:
             rows.append(bytes(line))
         prev = line
@@ -196,18 +207,21 @@ def _decode_png(payload: bytes, _pixels_out: list | None = None) -> dict:
 
         px = np.frombuffer(b"".join(rows), dtype=np.uint8).astype(np.int64)
         px = px.reshape(height, width, channels)
-        if channels == 1:
+        if palette:
+            lut = np.frombuffer(plte, dtype=np.uint8).astype(np.int64).reshape(-1, 3)
+            gray3 = lut.sum(axis=1)[px[:, :, 0]]
+        elif channels == 1:
             gray3 = px[:, :, 0] * 3
         elif channels == 2:  # gray+alpha: luminance only, alpha ignored
             gray3 = px[:, :, 0] * 3
         else:  # RGB / RGBA: channel sum over the color channels
             gray3 = px[:, :, :3].sum(axis=2)
         _pixels_out.append(gray3)
-    n = height * stride
+    n = height * stride * (3 if palette else 1)
     return {
         "width": width,
         "height": height,
-        "channels": channels,
+        "channels": 3 if palette else channels,
         "mean_value": round(total / n, 6) if n else 0.0,
     }
 

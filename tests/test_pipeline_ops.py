@@ -2162,3 +2162,47 @@ def test_decontaminate_flags_eval_overlap(spark):
     assert rows[1]["contaminated"] and rows[1]["eval_hits"] == 2
     assert not rows[2]["contaminated"] and rows[2]["eval_hits"] == 0
     assert rows[3]["contaminated"] and rows[3]["eval_hits"] > 2
+
+
+def test_png_palette_decode_and_pixels():
+    """8-bit palette (color type 3) PNG: mean and pHash pixels map
+    indexes through PLTE; equals the same image encoded as plain RGB."""
+    import struct
+    import zlib
+
+    from graph_database_application_for_recommendations_spark.operators.multimodal import (
+        _decode_gray3,
+        _decode_image,
+    )
+
+    def chunk(ctype, body):
+        return (
+            len(body).to_bytes(4, "big") + ctype + body
+            + zlib.crc32(ctype + body).to_bytes(4, "big")
+        )
+
+    w, h = 4, 3
+    plte = bytes([10, 20, 30, 200, 100, 0, 0, 0, 255, 50, 50, 50])
+    idx = [(x + y) % 4 for y in range(h) for x in range(w)]
+    scan_p = b"".join(
+        b"\x00" + bytes(idx[y * w : (y + 1) * w]) for y in range(h)
+    )
+    pal_png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(scan_p))
+        + chunk(b"IEND", b"")
+    )
+    rgb = bytes(b for i in idx for b in plte[3 * i : 3 * i + 3])
+    scan_r = b"".join(
+        b"\x00" + rgb[y * w * 3 : (y + 1) * w * 3] for y in range(h)
+    )
+    rgb_png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(scan_r))
+        + chunk(b"IEND", b"")
+    )
+    assert _decode_image(pal_png) == _decode_image(rgb_png)
+    assert (_decode_gray3(pal_png) == _decode_gray3(rgb_png)).all()
