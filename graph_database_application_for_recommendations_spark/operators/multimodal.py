@@ -707,7 +707,11 @@ def _decode_jpeg_progressive(payload: bytes, _pixels_out: list | None = None) ->
             ss, se, ahl = body[1 + 2 * ns : 4 + 2 * ns]
             segments, pos = _jpeg_entropy_segments(payload, pos + seglen)
             # huffman tables are mutable between scans: snapshot the ones
-            # this scan references
+            # this scan references. A scan naming an undefined table is a
+            # loud ValueError here (not an AttributeError inside the
+            # entropy loop, which the Arrow kernel's fallback wouldn't
+            # catch); DC-refinement scans read raw bits and legitimately
+            # reference no table, so missing ids only fail when USED.
             tables = {
                 (tc, th): huff.get((tc, th)) for _, td, ta in sc
                 for tc, th in ((0, td), (1, ta))
@@ -759,6 +763,8 @@ def _decode_jpeg_progressive(payload: bytes, _pixels_out: list | None = None) ->
         if ss > 0:
             cs, _td, ta = sc[0]
             actab = tables[(1, ta)]
+            if actab is None:
+                raise ValueError(f"JPEG AC scan references undefined DHT id {ta}")
             ch, cv, _ = by_id[cs]
             wb = _cdiv(_cdiv(w * ch, hmax), 8)
             hb = _cdiv(_cdiv(h * cv, vmax), 8)
@@ -864,6 +870,8 @@ def _decode_jpeg_progressive(payload: bytes, _pixels_out: list | None = None) ->
             if ns == 1:
                 cs, td, _ta = sc[0]
                 dctab = tables[(0, td)]
+                if dctab is None:
+                    raise ValueError(f"JPEG DC scan references undefined DHT id {td}")
                 ch, cv, _ = by_id[cs]
                 wb = _cdiv(_cdiv(w * ch, hmax), 8)
                 hb = _cdiv(_cdiv(h * cv, vmax), 8)
@@ -888,6 +896,10 @@ def _decode_jpeg_progressive(payload: bytes, _pixels_out: list | None = None) ->
                     my, mx = divmod(mcu, mcus_x)
                     for cs, td, _ta in sc:
                         dctab = tables[(0, td)]
+                        if dctab is None:
+                            raise ValueError(
+                                f"JPEG DC scan references undefined DHT id {td}"
+                            )
                         ch, cv, _ = by_id[cs]
                         for by in range(cv):
                             for bx in range(ch):
