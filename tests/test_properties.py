@@ -304,3 +304,88 @@ def test_curriculum_order_is_a_permutation_within_deciles(spark, seed):
         by_dec.setdefault(r["decile"], []).append(r["pos"])
     for dec, ps in by_dec.items():
         assert sorted(ps) == list(range(len(ps))), f"decile {dec} not dense"
+
+
+@given(
+    n=st.integers(min_value=1, max_value=14),
+    edges=st.lists(
+        st.tuples(st.integers(0, 13), st.integers(0, 13)), max_size=20
+    ),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_greedy_first_writer_equals_sequential_greedy(spark, n, edges):
+    """greedy_first_writer (parallel LFMIS rounds) equals the sequential
+    definition — process ids ascending, keep a doc iff no smaller KEPT
+    neighbor — on arbitrary graphs. This is the batching-invariance
+    anchor: the sequential semantics IS 'one micro-batch per doc'."""
+    es = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b and a < n and b < n})
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edf = (
+        spark.createDataFrame(es, "a long, b long")
+        if es
+        else spark.createDataFrame([], "a long, b long")
+    )
+    got = {
+        r["doc_id"]
+        for r in dedup.greedy_first_writer(ids, edf).collect()
+        if r["keep"]
+    }
+    nbrs: dict[int, set] = {}
+    for a, b in es:
+        nbrs.setdefault(b, set()).add(a)
+    want = set()
+    for i in range(n):
+        if not (nbrs.get(i, set()) & want):
+            want.add(i)
+    assert got == want
+
+
+@given(
+    h=st.integers(min_value=1, max_value=24),
+    w=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=1000),
+    shift=st.integers(min_value=1, max_value=50),
+    scale=st.integers(min_value=2, max_value=5),
+)
+@settings(max_examples=30, deadline=None)
+def test_dhash_gradient_invariances(h, w, seed, shift, scale):
+    """The integer dHash is a pure gradient signature: uniform brightness
+    shifts and positive scalings leave every bit unchanged on any image
+    size (the area-resize cells all share one total weight, so both
+    transforms act monotonically on the compared sums); mirroring
+    reverses the gradient, so bits can only come from descents."""
+    import numpy as np
+
+    from graph_database_application_for_recommendations_spark.operators.multimodal import (
+        _dhash_words,
+    )
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 700, size=(h, w)).astype(np.int64)  # gray3 scale
+    base = _dhash_words(img)
+    assert _dhash_words(img + shift) == base
+    assert _dhash_words(img * scale) == base
+    # constant image -> no descents at all
+    assert _dhash_words(np.full((h, w), 123, dtype=np.int64)) == (0, 0)
+
+
+@given(
+    n=st.integers(min_value=1, max_value=400),
+    seed=st.integers(min_value=0, max_value=1000),
+    shift=st.integers(min_value=1, max_value=50),
+)
+@settings(max_examples=30, deadline=None)
+def test_audio_dhash_invariances(n, seed, shift):
+    import numpy as np
+
+    from graph_database_application_for_recommendations_spark.operators.multimodal import (
+        _audio_dhash_words,
+    )
+
+    rng = np.random.RandomState(seed)
+    s = rng.randint(0, 512, size=n).astype(np.int64)
+    base = _audio_dhash_words(s)
+    assert _audio_dhash_words(s + shift) == base
+    assert _audio_dhash_words(s * 3) == base
+    assert _audio_dhash_words(np.full(n, 7, dtype=np.int64)) == (0, 0)
