@@ -347,3 +347,41 @@ def ingest_neardup_append(
         release_checkpoint(fresh)
         release_checkpoint(decisions)
     return n
+
+
+def compact_parquet(
+    spark, path: str, target_files: int | None = None, target_bytes: int = 128 << 20
+) -> tuple[int, int]:
+    """Compact an append-accumulated plain-parquet directory (the corpus
+    and index tables the ingest write paths grow one file-set per batch)
+    into few large files; returns (files_before, files_after).
+
+    Small-file proliferation is THE operational tax of append-only plain
+    parquet at scale — every reader pays per-file open/footer costs, and
+    a 100 TB corpus ingested in 10⁵ batches would carry 10⁵+ files.
+    ``target_files`` defaults to ceil(total_bytes / target_bytes)
+    (~128 MB files, the standard HDFS/columnar sweet spot).
+
+    The data is MATERIALIZED before the overwrite — a lazy plan still
+    reading ``path`` while ``mode("overwrite")`` deletes it would read
+    its own destruction (the point_upsert materialize-before-overwrite
+    discipline, ADVICE r4). Row-content equality is the contract;
+    file layout is not (callers must not rely on file order).
+    """
+    import glob
+    import math
+    import os
+
+    from ..plans import materialize, release_checkpoint
+
+    files = glob.glob(os.path.join(path, "*.parquet"))
+    files_before = len(files)
+    if target_files is None:
+        total = sum(os.path.getsize(f) for f in files)
+        target_files = max(1, math.ceil(total / target_bytes))
+    pinned = materialize(spark.read.parquet(path))
+    try:
+        pinned.coalesce(target_files).write.mode("overwrite").parquet(path)
+    finally:
+        release_checkpoint(pinned)
+    return files_before, len(glob.glob(os.path.join(path, "*.parquet")))

@@ -2206,3 +2206,35 @@ def test_png_palette_decode_and_pixels():
     )
     assert _decode_image(pal_png) == _decode_image(rgb_png)
     assert (_decode_gray3(pal_png) == _decode_gray3(rgb_png)).all()
+
+
+def test_compact_parquet_preserves_rows_and_shrinks_files(spark, tmp_path):
+    """Compaction of the append-grown ingest index: row content identical
+    (fingerprint+sig multiset), file count collapses, and a subsequent
+    ingest against the compacted index still dedups correctly."""
+    from graph_database_application_for_recommendations_spark.operators.etl import (
+        compact_parquet,
+        ingest_neardup_append,
+    )
+
+    rows = _ingest_test_docs()
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    root = tmp_path / "m"
+    for lo in (0, 10, 20):
+        part = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 10))
+        ingest_neardup_append(spark, str(root / "corpus"), str(root / "index"), part)
+
+    idx_path = str(root / "index")
+    before_rows = sorted(
+        (r["fingerprint"], tuple(r["sig"] or [])) for r in spark.read.parquet(idx_path).collect()
+    )
+    nb, na = compact_parquet(spark, idx_path, target_files=1)
+    assert nb > 1 and na == 1
+    after_rows = sorted(
+        (r["fingerprint"], tuple(r["sig"] or [])) for r in spark.read.parquet(idx_path).collect()
+    )
+    assert after_rows == before_rows
+
+    # re-ingesting the same docs against the compacted index appends nothing
+    n = ingest_neardup_append(spark, str(root / "corpus"), idx_path, docs)
+    assert n == 0
