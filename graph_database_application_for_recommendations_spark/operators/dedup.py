@@ -1517,3 +1517,57 @@ def decontaminate(
         "eval_hits",
         (F.col("eval_hits") >= min_hits).alias("contaminated"),
     )
+
+
+def cdc_chunk_fingerprints(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    boundary_mod: int = 16,
+) -> DataFrame:
+    """(doc_id, chunk_idx, n_tokens, chunk_hash): content-defined token
+    chunks — the rolling-hash/CDC idea behind LBFS (Muthitacharoen et
+    al., SOSP 2001) and rsync, at token granularity: a chunk boundary
+    falls AFTER any token whose hash ≡ 0 (mod ``boundary_mod``), so cut
+    points depend on CONTENT, not position. Shift-robust by
+    construction: inserting a sentence changes only the chunk it lands
+    in — every later chunk keeps its hash, unlike fixed-size windows
+    where one insertion shifts every subsequent fingerprint. Cross-doc
+    chunk dedup (group by chunk_hash) then finds shared content between
+    documents that fixed shingles would miss after large edits.
+
+    Plan: one generate (posexplode) → per-DOC bounded window for the
+    boundary prefix count (partitioned by doc_id — never corpus-wide) →
+    one hash aggregate per (doc, chunk). Shuffle ∝ token count, chunk
+    reconstruction uses the array_sort(collect_list(struct)) pattern the
+    BPE/pack oracles already pin.
+    """
+    toks = tokens(F.col(text_col))
+    t = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(toks).alias("pos", "token"),
+    ).withColumn(
+        "_b", (F.pmod(md5_hash32(F.col("token")), F.lit(boundary_mod)) == 0).cast("int")
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = t.withColumn("chunk_idx", F.coalesce(F.sum("_b").over(w), F.lit(0)))
+    return (
+        chunked.groupBy("doc_id", "chunk_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                        lambda x: x["token"],
+                    ),
+                )
+            ).alias("chunk_hash"),
+        )
+        .select("doc_id", F.col("chunk_idx").cast("long").alias("chunk_idx"), "n_tokens", "chunk_hash")
+    )

@@ -1101,6 +1101,34 @@ register(
 )
 
 
+register(
+    "q_dedup_cdc_chunks",
+    lambda s, d: dedup.cdc_chunk_fingerprints(_docs(s, d), boundary_mod=16),
+    _q_docs(
+        """
+        , tk AS (
+          SELECT doc_id, unnest([{'pos': i - 1, 'token': t[i]} for i in range(1, len(t) + 1)],
+                                recursive := true)
+          FROM toks),
+        fl AS (
+          SELECT doc_id, pos, token,
+                 CASE WHEN CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 16 = 0
+                      THEN 1 ELSE 0 END AS b
+          FROM tk),
+        ch AS (
+          SELECT doc_id, pos, token,
+                 COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+          FROM fl)
+        SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               md5(string_agg(token, ' ' ORDER BY pos)) AS chunk_hash
+        FROM ch GROUP BY doc_id, chunk_idx
+        """
+    ),
+)
+
+
 def _decontaminate_q(s: SparkSession, d: str) -> DataFrame:
     """Benchmark decontamination over a deterministic 10% eval split:
     docs in md5-bucket < 100k (seed 33) play the eval set, the rest the

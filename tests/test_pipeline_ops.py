@@ -2238,3 +2238,28 @@ def test_compact_parquet_preserves_rows_and_shrinks_files(spark, tmp_path):
     # re-ingesting the same docs against the compacted index appends nothing
     n = ingest_neardup_append(spark, str(root / "corpus"), idx_path, docs)
     assert n == 0
+
+
+def test_cdc_chunks_shift_robust(spark):
+    """The CDC property fixed windows lack: prepending a sentence to a
+    document changes ONLY the first chunk's hash — every chunk after the
+    first content-defined boundary keeps its fingerprint, so cross-doc
+    chunk dedup still matches the shared tail."""
+    from graph_database_application_for_recommendations_spark.operators.dedup import (
+        cdc_chunk_fingerprints,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(200))
+    docs = spark.createDataFrame(
+        [(1, base), (2, "an entirely new preamble sentence " + base)],
+        "doc_id long, text string",
+    )
+    chunks = cdc_chunk_fingerprints(docs).collect()
+    h1 = {r["chunk_hash"] for r in chunks if r["doc_id"] == 1}
+    h2 = {r["chunk_hash"] for r in chunks if r["doc_id"] == 2}
+    shared = h1 & h2
+    # all of doc 1's chunks except (at most) its first survive in doc 2
+    assert len(shared) >= len(h1) - 1 and len(h1) > 3
+    # within a doc, chunk indexes are dense from 0
+    idx1 = sorted(r["chunk_idx"] for r in chunks if r["doc_id"] == 1)
+    assert idx1 == list(range(len(idx1)))
