@@ -881,3 +881,43 @@ def dsir_sample(
         .limit(k)
         .select("doc_id", "log_weight", F.round("_k", 6).alias("sample_key"))
     )
+
+
+def paragraph_language_profile(
+    spark: SparkSession,
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_paras, majority_lang, lang_consistency, is_mixed):
+    paragraph-granularity language profile — language_id run per
+    paragraph unit, rolled up per document. Mixed-language documents
+    (boilerplate in one language wrapping content in another, mid-doc
+    language switches) are a standard multilingual-corpus cleaning
+    target that document-level langid averages away; the profile flags
+    them (``is_mixed``) with the majority language and its coverage
+    fraction (ties by language code ascending, the langid contract).
+
+    Plan: split_paragraphs' generate + the langid broadcast stopword
+    join per paragraph + one per-doc rollup — everything keyed on the
+    packed para_key / doc_id, no corpus-wide state."""
+    from .dedup import split_paragraphs
+
+    paras = split_paragraphs(documents, id_col, text_col)
+    plang = language_id(
+        spark,
+        paras.select(F.col("para_key").alias("pk"), "text"),
+        id_col="pk",
+    ).withColumnRenamed("doc_id", "para_key")
+    joined = paras.select("doc_id", "para_key").join(plang, "para_key")
+    cnt = joined.groupBy("doc_id", "lang_guess").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("lang_guess"))
+    maj = cnt.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    tot = joined.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_paras"))
+    return tot.join(maj, "doc_id").select(
+        "doc_id",
+        "n_paras",
+        F.col("lang_guess").alias("majority_lang"),
+        F.round(F.col("c") / F.col("n_paras"), 6).alias("lang_consistency"),
+        (F.col("c") < F.col("n_paras")).alias("is_mixed"),
+    )

@@ -1102,6 +1102,55 @@ register(
 
 
 register(
+    "q_text_paragraph_langs",
+    lambda s, d: textstats.paragraph_language_profile(s, _superdocs(s, d)),
+    f"""
+    WITH sd AS (
+      SELECT doc_id // 8 AS sd_id,
+             string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS sd_text
+      FROM documents GROUP BY doc_id // 8),
+    para0 AS (
+      SELECT sd_id, unnest([{{'para_idx': i - 1, 'ptext': p[i]}} for i in range(1, len(p) + 1)],
+                           recursive := true)
+      FROM (SELECT sd_id, string_split(sd_text, chr(10) || chr(10)) AS p FROM sd)),
+    para AS (
+      SELECT sd_id, sd_id * 65536 + para_idx AS pk, ptext
+      FROM para0 WHERE trim(ptext) <> ''),
+    pn AS MATERIALIZED (
+      SELECT pk, sd_id, trim(regexp_replace(lower(ptext), '\\s+', ' ', 'g')) AS norm
+      FROM para),
+    ptok AS (SELECT pk, unnest(string_split(norm, ' ')) AS token FROM pn),
+    sw(lang, word) AS (VALUES {{SW}}),
+    hits AS (
+      SELECT pk, lang, COUNT(*) AS h
+      FROM ptok JOIN sw ON ptok.token = sw.word
+      GROUP BY 1, 2),
+    best AS (
+      SELECT pk, lang FROM (
+        SELECT pk, lang, ROW_NUMBER() OVER (PARTITION BY pk ORDER BY h DESC, lang) AS rn
+        FROM hits) WHERE rn = 1),
+    plang AS MATERIALIZED (
+      SELECT pn.sd_id,
+             CASE WHEN CAST(length(pn.norm) - length(regexp_replace(pn.norm, '[\\x{{4e00}}-\\x{{9fff}}]', '', 'g')) AS DOUBLE)
+                       / length(pn.norm) > 0.3 THEN 'zh'
+                  ELSE COALESCE(b.lang, 'und') END AS lang
+      FROM pn LEFT JOIN best b USING (pk)),
+    cnt AS (SELECT sd_id, lang, COUNT(*) AS c FROM plang GROUP BY 1, 2),
+    maj AS (
+      SELECT sd_id, lang, c FROM (
+        SELECT sd_id, lang, c, ROW_NUMBER() OVER (PARTITION BY sd_id ORDER BY c DESC, lang) AS rn
+        FROM cnt) WHERE rn = 1),
+    tot AS (SELECT sd_id, COUNT(*) AS np FROM plang GROUP BY sd_id)
+    SELECT t.sd_id AS doc_id, CAST(t.np AS BIGINT) AS n_paras,
+           m.lang AS majority_lang,
+           ROUND(CAST(m.c AS DOUBLE) / t.np, 6) AS lang_consistency,
+           m.c < t.np AS is_mixed
+    FROM tot t JOIN maj m USING (sd_id)
+    """.replace("{SW}", _SW_VALUES),
+)
+
+
+register(
     "q_dedup_cdc_chunks",
     lambda s, d: dedup.cdc_chunk_fingerprints(_docs(s, d), boundary_mod=16),
     _q_docs(
