@@ -1571,3 +1571,47 @@ def cdc_chunk_fingerprints(
         )
         .select("doc_id", F.col("chunk_idx").cast("long").alias("chunk_idx"), "n_tokens", "chunk_hash")
     )
+
+
+def cdc_shared_pairs(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    boundary_mod: int = 16,
+    min_shared: int = 2,
+    max_docs_per_chunk: int | None = 1000,
+) -> DataFrame:
+    """(doc_a, doc_b, shared_chunks): document pairs sharing at least
+    ``min_shared`` content-defined chunks — the dedup FACE of
+    cdc_chunk_fingerprints: because chunk boundaries are content-defined,
+    this catches partial-overlap pairs (one doc embedding a large edited
+    span of another) that whole-doc fingerprints miss and that shingle
+    Jaccard dilutes when the docs' lengths differ a lot.
+
+    Same scale discipline as ngram_jaccard_pairs: the chunk-hash
+    self-join is quadratic in per-chunk document frequency (a boilerplate
+    chunk shared by 10⁵ docs is a hotspot), so ``max_docs_per_chunk``
+    deterministically caps the smallest-id docs per chunk before the
+    join (defaults ON; ``None`` is the exact kernel the SQL oracle
+    twins). Distinct chunk hashes per doc — a chunk repeated within one
+    document counts once toward sharing.
+    """
+    ch = cdc_chunk_fingerprints(documents, id_col, text_col, boundary_mod).select(
+        "doc_id", "chunk_hash"
+    ).distinct()
+    if max_docs_per_chunk is not None:
+        w = Window.partitionBy("chunk_hash").orderBy("doc_id")
+        ch = (
+            ch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_docs_per_chunk)
+            .drop("_rn")
+        )
+    a = ch.select(F.col("doc_id").alias("doc_a"), "chunk_hash")
+    b = ch.select(F.col("doc_id").alias("doc_b"), "chunk_hash")
+    return (
+        a.join(b, "chunk_hash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_chunks"))
+        .filter(F.col("shared_chunks") >= min_shared)
+    )

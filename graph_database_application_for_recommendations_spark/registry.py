@@ -1178,6 +1178,39 @@ register(
 )
 
 
+register(
+    "q_dedup_cdc_pairs",
+    lambda s, d: dedup.cdc_shared_pairs(
+        _docs(s, d), boundary_mod=16, min_shared=2, max_docs_per_chunk=None
+    ),
+    _q_docs(
+        """
+        , tk AS (
+          SELECT doc_id, unnest([{'pos': i - 1, 'token': t[i]} for i in range(1, len(t) + 1)],
+                                recursive := true)
+          FROM toks),
+        fl AS (
+          SELECT doc_id, pos, token,
+                 CASE WHEN CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 16 = 0
+                      THEN 1 ELSE 0 END AS b
+          FROM tk),
+        ch AS (
+          SELECT doc_id, pos, token,
+                 COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+          FROM fl),
+        hashes AS MATERIALIZED (
+          SELECT DISTINCT doc_id, md5(string_agg(token, ' ' ORDER BY pos)) AS h
+          FROM ch GROUP BY doc_id, chunk_idx)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS shared_chunks
+        FROM hashes a JOIN hashes b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        """
+    ),
+)
+
+
 def _decontaminate_q(s: SparkSession, d: str) -> DataFrame:
     """Benchmark decontamination over a deterministic 10% eval split:
     docs in md5-bucket < 100k (seed 33) play the eval set, the rest the
