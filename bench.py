@@ -130,6 +130,11 @@ BENCH_QUERIES = [
     # (Arrow pixel-decode kernel + byte-banded Hamming join)
     "q_ingest_neardup",
     "q_multimodal_phash_dedup",
+    # round-7 additions (VERDICT r6 item 6): the two r6 physical patterns
+    # not yet in the mix — the capped CDC chunk-hash self-join and the
+    # second banded-Hamming face (1-D audio temporal dHash)
+    "q_dedup_cdc_pairs",
+    "q_multimodal_audiohash_dedup",
 ]
 
 # the iterative pipeline (FastRP -> KNN -> LPA) is measured as one unit,
@@ -341,7 +346,9 @@ def main() -> None:
         }
         if width is None:  # the metadata extras go first when space is tight
             rec["cpus"] = cpus
-            rec["passes"] = 2
+            # max measurement passes any query received (heavy queries get
+            # a third post-reset pass; h3 says how many did) — ADVICE r6
+            rec["passes"] = 3 if heavy else 2
             rec["h3"] = len(heavy)  # queries given the third (heavy) pass
         return json.dumps(rec, separators=(",", ":"))
 

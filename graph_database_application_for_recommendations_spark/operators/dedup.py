@@ -1269,8 +1269,10 @@ def greedy_first_writer(
     undecided = materialize(ids.select("doc_id"))
     kept = ids.select("doc_id").limit(0)
     try:
+        settled = False
         for _ in range(max_iters):
             if undecided.count() == 0:
+                settled = True
                 break
             ua = undecided.select(F.col("doc_id").alias("a"))
             # docs with a smaller-id UNDECIDED neighbor wait another round
@@ -1292,7 +1294,10 @@ def greedy_first_writer(
             undecided = materialize(
                 undecided.join(frontier, "doc_id", "left_anti"), supersedes=undecided
             )
-        else:
+        # budget check AFTER the loop, not for/else: a chain whose depth
+        # equals max_iters exactly empties undecided during the final
+        # granted round, and must not raise (ADVICE r6)
+        if not settled and undecided.count() > 0:
             raise RuntimeError(
                 f"greedy_first_writer: duplicate-chain depth exceeds max_iters="
                 f"{max_iters}; raise the budget (result would be a wrong prefix)"
@@ -1519,6 +1524,31 @@ def decontaminate(
     )
 
 
+def _cdc_chunked(
+    documents: DataFrame, id_col: str, text_col: str, boundary_mod: int
+) -> DataFrame:
+    """(doc_id, pos, token, chunk_idx): the shared CDC token-chunking
+    kernel — one posexplode + a per-DOC bounded window assigning each
+    token to its content-defined chunk (boundary AFTER any token whose
+    32-bit hash ≡ 0 mod ``boundary_mod``). Feeds cdc_chunk_fingerprints
+    and remove_cross_doc_spans so fingerprinting and span removal can
+    never disagree about where a chunk starts."""
+    t = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "token"),
+    ).withColumn(
+        "_b", (F.pmod(md5_hash32(F.col("token")), F.lit(boundary_mod)) == 0).cast("int")
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return t.withColumn(
+        "chunk_idx", F.coalesce(F.sum("_b").over(w), F.lit(0))
+    ).drop("_b")
+
+
 def cdc_chunk_fingerprints(
     documents: DataFrame,
     id_col: str = "doc_id",
@@ -1542,19 +1572,7 @@ def cdc_chunk_fingerprints(
     reconstruction uses the array_sort(collect_list(struct)) pattern the
     BPE/pack oracles already pin.
     """
-    toks = tokens(F.col(text_col))
-    t = documents.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(toks).alias("pos", "token"),
-    ).withColumn(
-        "_b", (F.pmod(md5_hash32(F.col("token")), F.lit(boundary_mod)) == 0).cast("int")
-    )
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    chunked = t.withColumn("chunk_idx", F.coalesce(F.sum("_b").over(w), F.lit(0)))
+    chunked = _cdc_chunked(documents, id_col, text_col, boundary_mod)
     return (
         chunked.groupBy("doc_id", "chunk_idx")
         .agg(
@@ -1614,4 +1632,86 @@ def cdc_shared_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).cast("long").alias("shared_chunks"))
         .filter(F.col("shared_chunks") >= min_shared)
+    )
+
+
+def remove_cross_doc_spans(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    boundary_mod: int = 16,
+    min_tokens: int = 2,
+) -> DataFrame:
+    """(doc_id, clean_text, n_removed_tokens): CROSS-document exact-
+    substring span removal — the exact-substring half of Lee et al.
+    "Deduplicating Training Data Makes Language Models Better" (ACL
+    2022) at content-defined-chunk granularity (VERDICT r6 item 2). A
+    chunk instance is scrubbed from a document iff the identical chunk
+    (same token sequence) also occurs in some STRICTLY SMALLER doc id —
+    first-writer-wins, the same discipline as near-dup ingest: the
+    earliest document keeps the content (all its occurrences, including
+    internal repeats), every later document loses it. Chunks shorter
+    than ``min_tokens`` are never scrubbed (Lee et al.'s length
+    threshold — tiny common chunks are language, not duplication).
+    Surviving tokens are rejoined in order over normalized text, exactly
+    like remove_repeated_spans (the WITHIN-doc face of the same paper).
+
+    Contrast with remove_repeated_spans: that operator drops ALL
+    occurrences of any ≥min_docs-repeated fixed n-gram (aggressive
+    boilerplate cleaning); this one keeps a canonical first copy — the
+    right semantics for news-wire reprints or forked documentation where
+    the content should survive the corpus exactly once.
+
+    Scale shape: everything is |tokens|-proportional — the shared CDC
+    kernel (_cdc_chunked: one posexplode + per-DOC bounded window), one
+    (doc, chunk) hash aggregate, a min-owner aggregate keyed by
+    chunk_hash, one equi-join back on chunk_hash, a (doc_id, chunk_idx)
+    anti-join, and per-document ordered reassembly (collect bounded by
+    document length). No pairwise document joins anywhere; the owner
+    table is |distinct chunks| and stays a shuffle equi-join (never a
+    broadcast assumption).
+    """
+    chunked = _cdc_chunked(documents, id_col, text_col, boundary_mod)
+    chunks = chunked.groupBy("doc_id", "chunk_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                    lambda x: x["token"],
+                ),
+            )
+        ).alias("chunk_hash"),
+    )
+    owner = chunks.groupBy("chunk_hash").agg(F.min("doc_id").alias("_owner"))
+    doomed = (
+        chunks.join(owner, "chunk_hash")
+        .filter((F.col("doc_id") > F.col("_owner")) & (F.col("n_tokens") >= min_tokens))
+        .select("doc_id", "chunk_idx")
+    )
+    kept = chunked.join(doomed, ["doc_id", "chunk_idx"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                lambda s: s["token"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("_kept"),
+    )
+    return (
+        documents.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(tokens(F.col(text_col))).cast("long").alias("_n"),
+        )
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            (F.col("_n") - F.coalesce("_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed_tokens"),
+        )
     )

@@ -209,6 +209,50 @@ def corpus_diff(
     )
 
 
+def _read_index(spark, index_path: str, batch_id: int | None) -> DataFrame | None:
+    """The ingest index table AS OF BEFORE ``batch_id`` (None if empty).
+
+    Replay correctness: if a previous attempt of this very batch crashed
+    AFTER its index publication but BEFORE its corpus publication, a
+    naive re-read would anti-join the batch against its own fingerprints
+    and drop the docs — index rows present, corpus text lost forever.
+    Because publish_batch names every file ``batch-{id}-*``, the replay
+    can reconstruct the exact pre-batch index by excluding the current
+    batch's own files, making the decision kernel's input — and hence
+    both publications — deterministic across any crash point.
+    """
+    from ..sources.fsutil import fs_exists, list_parquet
+
+    if not fs_exists(spark, index_path):
+        return None
+    if batch_id is None:
+        return spark.read.parquet(index_path)
+    tag = f"batch-{int(batch_id):010d}-"
+    files = [n for n, _ in list_parquet(spark, index_path) if not n.startswith(tag)]
+    if not files:
+        return None
+    return spark.read.parquet(*[f"{index_path}/{n}" for n in files])
+
+
+def _publish(spark, df: DataFrame, dest: str, batch_id: int | None) -> None:
+    """One batch's rows into an append-accumulated parquet dir.
+
+    With a ``batch_id`` (the foreachBatch replay key) the write is
+    idempotent — deterministic ``batch-{id}-*`` file names via
+    sources.fsutil.publish_batch, so a crash-replayed batch replaces
+    instead of duplicating. Without one (ad-hoc batch callers) it is a
+    plain append; callers order their table writes index-before-corpus
+    so a crash between them can only strand index rows (which block
+    re-admission — never duplicate text), not corpus rows.
+    """
+    if batch_id is None:
+        df.write.mode("append").parquet(dest)
+    else:
+        from ..sources.fsutil import publish_batch
+
+        publish_batch(spark, df, dest, batch_id)
+
+
 def ingest_dedup_append(
     spark,
     corpus_path: str,
@@ -216,6 +260,7 @@ def ingest_dedup_append(
     incoming: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    batch_id: int | None = None,
 ) -> int:
     """Append-only ingest dedup: survivors of ``incoming`` whose
     canonical fingerprint is new — not already in the fingerprint INDEX
@@ -231,9 +276,15 @@ def ingest_dedup_append(
     (streaming/events.py::dedup_documents_stream); both share the
     canonical_fingerprint expression, so a corpus built either way
     admits the same survivor set.
-    """
-    import os
 
+    Crash/replay contract (ADVICE r6): with ``batch_id`` set (the
+    streaming foreachBatch path) both table writes are idempotent
+    deterministic-name publications — replaying the batch replaces its
+    files, never duplicates. Without it, the index is written BEFORE the
+    corpus: a crash between the two can only leave index-only orphan
+    fingerprints (their docs are dropped on retry — no corpus text is
+    ever duplicated).
+    """
     from ..functions.text import canonical_fingerprint
 
     tagged = incoming.select(
@@ -245,25 +296,25 @@ def ingest_dedup_append(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    if os.path.isdir(index_path):
-        index = spark.read.parquet(index_path)
+    index = _read_index(spark, index_path, batch_id)
+    if index is not None:
         fresh = batch_first.join(
             index.withColumnRenamed("fingerprint", "_fp"), "_fp", "left_anti"
         )
     else:
         fresh = batch_first
     # materialize before the two appends so the survivors compute once
-    # and the index append can't observe a half-written corpus plan
+    # and the corpus append can't observe a half-written index plan
     from ..plans import materialize, release_checkpoint
 
     fresh = materialize(fresh)
     try:
         n = fresh.count()
         if n:
-            fresh.select(id_col, text_col).write.mode("append").parquet(corpus_path)
-            fresh.select(F.col("_fp").alias("fingerprint")).write.mode("append").parquet(
-                index_path
+            _publish(
+                spark, fresh.select(F.col("_fp").alias("fingerprint")), index_path, batch_id
             )
+            _publish(spark, fresh.select(id_col, text_col), corpus_path, batch_id)
     finally:
         release_checkpoint(fresh)
     return n
@@ -280,6 +331,7 @@ def ingest_neardup_append(
     bands: int = 8,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    batch_id: int | None = None,
 ) -> int:
     """Near-dup-aware append-only ingest (round-5 VERDICT item 3): the
     near-dup extension of :func:`ingest_dedup_append`. Survivors of
@@ -300,15 +352,20 @@ def ingest_neardup_append(
     ANY ordered micro-batching yields the identical survivor set — the
     property the streaming face (streaming/events.py::
     run_ingest_neardup_stream) relies on and the tests pin.
-    """
-    import os
 
+    Crash/replay contract (ADVICE r6): with ``batch_id`` (the streaming
+    path passes the foreachBatch id) both writes are idempotent
+    deterministic-name publications (sources.fsutil.publish_batch) — a
+    replayed batch replaces its own files, so restart is exactly-once.
+    Without it, the index is written BEFORE the corpus: a crash between
+    the two strands at worst index-only orphans (those docs are dropped
+    on retry), never duplicate corpus text.
+    """
     from ..plans import materialize, release_checkpoint
     from .dedup import ingest_neardup_decisions
 
-    if os.path.isdir(index_path):
-        index = spark.read.parquet(index_path)
-    else:
+    index = _read_index(spark, index_path, batch_id)
+    if index is None:
         index = spark.createDataFrame([], "fingerprint string, sig array<bigint>")
     # keep_inc: the decision kernel already materialized the batch's
     # (fingerprint, signature) table — reuse it for the survivors' index
@@ -341,8 +398,8 @@ def ingest_neardup_append(
     try:
         n = fresh.count()
         if n:
-            fresh.select(id_col, text_col).write.mode("append").parquet(corpus_path)
-            fresh.select("fingerprint", "sig").write.mode("append").parquet(index_path)
+            _publish(spark, fresh.select("fingerprint", "sig"), index_path, batch_id)
+            _publish(spark, fresh.select(id_col, text_col), corpus_path, batch_id)
     finally:
         release_checkpoint(fresh)
         release_checkpoint(decisions)
@@ -362,26 +419,60 @@ def compact_parquet(
     ``target_files`` defaults to ceil(total_bytes / target_bytes)
     (~128 MB files, the standard HDFS/columnar sweet spot).
 
-    The data is MATERIALIZED before the overwrite — a lazy plan still
-    reading ``path`` while ``mode("overwrite")`` deletes it would read
-    its own destruction (the point_upsert materialize-before-overwrite
-    discipline, ADVICE r4). Row-content equality is the contract;
-    file layout is not (callers must not rely on file order).
+    Crash safety (ADVICE r6): the compacted copy is fully written to a
+    sibling temp directory while the original stays untouched, then the
+    two are swapped by rename (sources.fsutil.swap_dir) — at no point is
+    the only surviving copy an unreplicated checkpoint or a half-deleted
+    directory. File listing/sizing goes through the Hadoop FileSystem
+    API, so the operator works on whatever filesystem ``path``'s scheme
+    names (HDFS/S3A/file:), not just the driver-local disk (VERDICT r6
+    item 5). Row-content equality is the contract; file layout is not
+    (callers must not rely on file order).
     """
-    import glob
     import math
-    import os
 
-    from ..plans import materialize, release_checkpoint
+    from ..sources.fsutil import hadoop_fs, list_parquet, swap_dir
 
-    files = glob.glob(os.path.join(path, "*.parquet"))
+    files = list_parquet(spark, path)
     files_before = len(files)
     if target_files is None:
-        total = sum(os.path.getsize(f) for f in files)
+        total = sum(sz for _, sz in files)
         target_files = max(1, math.ceil(total / target_bytes))
-    pinned = materialize(spark.read.parquet(path))
-    try:
-        pinned.coalesce(target_files).write.mode("overwrite").parquet(path)
-    finally:
-        release_checkpoint(pinned)
-    return files_before, len(glob.glob(os.path.join(path, "*.parquet")))
+    fs, jpath = hadoop_fs(spark, path)
+    tmp = str(jpath) + ".compact-tmp"
+    spark.read.parquet(path).coalesce(target_files).write.mode("overwrite").parquet(tmp)
+    swap_dir(spark, tmp, str(jpath))
+    return files_before, len(list_parquet(spark, path))
+
+
+def compact_after_append(
+    spark,
+    corpus_path: str,
+    index_path: str,
+    batch_id: int,
+    every: int = 100,
+    target_bytes: int = 128 << 20,
+) -> bool:
+    """Periodic small-file maintenance threaded into the ingest loop
+    (VERDICT r6 item 8): compact both ingest tables after every
+    ``every``-th batch. Returns True iff this batch triggered it.
+
+    Interaction with exactly-once replay: compaction folds the
+    ``batch-{id}-*`` files into anonymous compacted files, surrendering
+    those batches' name-based replay exclusion — which is safe EXACTLY
+    where this helper sits: at the end of a successfully published
+    batch, inside the single ingest writer. A batch replayed after its
+    own compaction finds both its corpus and index rows already present
+    (the publish completed before compaction could run), so the
+    fingerprint anti-join makes the replay a no-op — no duplication, no
+    loss. A crash mid-compaction is covered by compact_parquet's
+    write-then-swap. The one forbidden schedule — an out-of-band
+    compactor running between a half-published batch and its replay —
+    is impossible from this call site by construction; external
+    compaction jobs must only touch checkpoint-committed batches.
+    """
+    if every <= 0 or (int(batch_id) + 1) % every:
+        return False
+    compact_parquet(spark, index_path, target_bytes=target_bytes)
+    compact_parquet(spark, corpus_path, target_bytes=target_bytes)
+    return True

@@ -120,9 +120,17 @@ def topk_ivfpq(
     # query-global residual LUT (the <q, r> half of the score), size-gated
     from ..plans import estimated_row_count
 
-    n_queries = estimated_row_count(queries)
-    if n_queries is None:
+    # The estimate is sizing-grade, not cardinality-grade (its own
+    # docstring says so): a narrow-row underestimate could silently keep
+    # the driver toPandas path above the gate. So the estimate is only
+    # trusted when it is decisively (4x) outside the gate; anywhere near
+    # it, pay one exact count() — cheap next to the LUT build it guards
+    # (ADVICE r6).
+    est = estimated_row_count(queries)
+    if est is None or max_local_queries / 4 <= est <= max_local_queries * 4:
         n_queries = queries.count()
+    else:
+        n_queries = est
     local = n_queries <= max_local_queries
     mm, kk, dsub = books.shape
     id_type = queries.schema[id_col].dataType.simpleString()

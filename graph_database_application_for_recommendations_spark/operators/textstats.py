@@ -287,10 +287,16 @@ def build_vocabulary(
     must be reproducible bit-for-bit across corpus rebuilds or every
     downstream checkpoint breaks).
 
-    One explode + one hash aggregate (map-side combinable); the id
-    assignment is a single window over the aggregated vocabulary (|vocab|
-    rows — millions at most, not corpus-sized: the heavy data never passes
-    through the unpartitioned window).
+    One explode + one hash aggregate (map-side combinable). The id
+    assignment is TWO-LEVEL (VERDICT r6 item 3 — the packing.py offsets
+    pattern): rank(count DESC, token ASC) decomposes into a cumulative
+    offset over the (count, token-2-char-prefix) HISTOGRAM — a second
+    aggregate, |distinct (count, prefix)| rows, the only thing that ever
+    crosses an unpartitioned window — plus a per-(count, prefix) bucket
+    rank. A web-corpus vocabulary (10⁸+ tokens, half of them hapax
+    legomena) never single-task sorts: the hapax bucket splits across
+    prefixes, and prefix truncation is order-monotonic so the composed
+    rank is bit-identical to the global one.
     """
     par = documents.sparkSession.sparkContext.defaultParallelism
     counts = (
@@ -303,8 +309,25 @@ def build_vocabulary(
         )
         .filter(F.col("count") >= min_count)
     )
-    w = Window.orderBy(F.desc("count"), F.asc("token"))
-    vocab = counts.withColumn("token_id", (F.row_number().over(w) - 1).cast("long"))
+    pfx = F.substring("token", 1, 2)
+    hist = counts.groupBy(F.col("count").alias("count"), pfx.alias("_pfx")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    w_off = Window.orderBy(F.desc("count"), F.asc("_pfx")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = hist.select(
+        "count", "_pfx", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_in = Window.partitionBy("count", "_pfx").orderBy("token")
+    vocab = (
+        counts.withColumn("_pfx", pfx)
+        .join(F.broadcast(offsets), ["count", "_pfx"])
+        .withColumn(
+            "token_id",
+            (F.col("_off") + F.row_number().over(w_in) - 1).cast("long"),
+        )
+    )
     if max_size is not None:
         vocab = vocab.filter(F.col("token_id") < max_size)
     return vocab.select("token_id", "token", "count", "n_docs")

@@ -1211,6 +1211,51 @@ register(
 )
 
 
+register(
+    "q_dedup_cross_spans",
+    lambda s, d: dedup.remove_cross_doc_spans(
+        _docs(s, d), boundary_mod=16, min_tokens=2
+    ),
+    _q_docs(
+        """
+        , tk AS (
+          SELECT doc_id, unnest([{'pos': i - 1, 'token': t[i]} for i in range(1, len(t) + 1)],
+                                recursive := true)
+          FROM toks),
+        fl AS (
+          SELECT doc_id, pos, token,
+                 CASE WHEN CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 16 = 0
+                      THEN 1 ELSE 0 END AS b
+          FROM tk),
+        ch AS MATERIALIZED (
+          SELECT doc_id, pos, token,
+                 COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+          FROM fl),
+        chunks AS MATERIALIZED (
+          SELECT doc_id, chunk_idx, COUNT(*) AS n_tokens,
+                 md5(string_agg(token, ' ' ORDER BY pos)) AS h
+          FROM ch GROUP BY doc_id, chunk_idx),
+        owner AS (SELECT h, MIN(doc_id) AS owner FROM chunks GROUP BY h),
+        doomed AS (
+          SELECT c.doc_id, c.chunk_idx FROM chunks c JOIN owner o USING (h)
+          WHERE c.doc_id > o.owner AND c.n_tokens >= 2),
+        kept AS (
+          SELECT c.doc_id, c.pos, c.token FROM ch c
+          ANTI JOIN doomed d ON c.doc_id = d.doc_id AND c.chunk_idx = d.chunk_idx),
+        reb AS (
+          SELECT doc_id, string_agg(token, ' ' ORDER BY pos) AS clean_text,
+                 COUNT(*) AS kept_n
+          FROM kept GROUP BY doc_id),
+        tot AS (SELECT doc_id, len(t) AS n FROM toks)
+        SELECT tot.doc_id, COALESCE(reb.clean_text, '') AS clean_text,
+               CAST(tot.n - COALESCE(reb.kept_n, 0) AS BIGINT) AS n_removed_tokens
+        FROM tot LEFT JOIN reb USING (doc_id)
+        """
+    ),
+)
+
+
 def _decontaminate_q(s: SparkSession, d: str) -> DataFrame:
     """Benchmark decontamination over a deterministic 10% eval split:
     docs in md5-bucket < 100k (seed 33) play the eval set, the rest the

@@ -731,6 +731,7 @@ def run_ingest_neardup_stream(
     corpus_path: str,
     index_path: str,
     checkpoint_dir: str,
+    compact_every: int = 0,
     **ingest_kwargs,
 ) -> None:
     """Streaming near-dup-aware ingest: each micro-batch runs the SAME
@@ -741,17 +742,38 @@ def run_ingest_neardup_stream(
     dedup.ingest_neardup_decisions). The fingerprint+signature index
     accumulates across micro-batches in ``index_path``; state lives in
     the index table, not the streaming engine, which keeps the stream
-    itself stateless and restart-safe (the checkpoint replays undelivered
-    batches; re-appending a batch is idempotent on the survivor set
-    because its dups are now in the index)."""
-    from ..operators.etl import ingest_neardup_append
+    itself stateless and restart-safe: the checkpoint replays
+    undelivered batches, and the append path publishes each batch's
+    corpus+index files under DETERMINISTIC batch_id-derived names
+    (operators/etl.py::_publish → sources/fsutil.py::publish_batch), so
+    a replayed batch replaces its own files — exactly-once even when the
+    previous attempt died between the two table writes (ADVICE r6).
+    ``compact_every`` > 0 compacts both tables after every N-th batch
+    (operators/etl.py::compact_after_append — safe at this call site by
+    construction: the batch's publish completed before its compaction
+    can run, so a post-compaction replay no-ops on the fingerprint
+    anti-join)."""
+    from ..operators.etl import compact_after_append, ingest_neardup_append
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         ingest_neardup_append(
-            batch_df.sparkSession, corpus_path, index_path, batch_df, **ingest_kwargs
+            batch_df.sparkSession,
+            corpus_path,
+            index_path,
+            batch_df,
+            batch_id=batch_id,
+            **ingest_kwargs,
         )
+        if compact_every:
+            compact_after_append(
+                batch_df.sparkSession,
+                corpus_path,
+                index_path,
+                batch_id,
+                every=compact_every,
+            )
 
     query = (
         docs_stream.writeStream.foreachBatch(_ingest)
