@@ -1635,6 +1635,76 @@ def cdc_shared_pairs(
     )
 
 
+def scrub_spans_against_index(
+    chunk_hashes: DataFrame,
+    incoming: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    boundary_mod: int = 16,
+    min_tokens: int = 2,
+) -> DataFrame:
+    """(doc_id, clean_text, n_removed_tokens) over INCOMING docs: the
+    ingest-time face of remove_cross_doc_spans — every content-defined
+    chunk (≥ ``min_tokens`` tokens) of an incoming document whose exact
+    token sequence already exists in the standing corpus is scrubbed;
+    the standing corpus is represented ONLY by its chunk-hash table
+    (one ``chunk_hash`` column), never rescanned as text — the same
+    index discipline as near-dup ingest (ingest_neardup_append): at
+    100 TB the chunk index is |chunks| md5 strings, and each batch
+    costs one equi-semi-join against it plus the batch's own
+    token-linear chunking.
+
+    Decisions are per-document against the index alone (no intra-batch
+    coupling), so any micro-batching of a stream admits identical
+    outputs; in-batch first-writer-wins between same-batch docs is the
+    offline operator's job (remove_cross_doc_spans), mirroring how
+    exact-ingest pairs with batch dedup.
+    """
+    chunked = _cdc_chunked(incoming, id_col, text_col, boundary_mod)
+    chunks = chunked.groupBy("doc_id", "chunk_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                    lambda x: x["token"],
+                ),
+            )
+        ).alias("chunk_hash"),
+    )
+    doomed = (
+        chunks.filter(F.col("n_tokens") >= min_tokens)
+        .join(chunk_hashes.select("chunk_hash").distinct(), "chunk_hash", "left_semi")
+        .select("doc_id", "chunk_idx")
+    )
+    kept = chunked.join(doomed, ["doc_id", "chunk_idx"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                lambda s: s["token"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("_kept"),
+    )
+    return (
+        incoming.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(tokens(F.col(text_col))).cast("long").alias("_n"),
+        )
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            (F.col("_n") - F.coalesce("_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed_tokens"),
+        )
+    )
+
+
 def remove_cross_doc_spans(
     documents: DataFrame,
     id_col: str = "doc_id",

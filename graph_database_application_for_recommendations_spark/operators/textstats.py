@@ -944,3 +944,57 @@ def paragraph_language_profile(
         F.round(F.col("c") / F.col("n_paras"), 6).alias("lang_consistency"),
         (F.col("c") < F.col("n_paras")).alias("is_mixed"),
     )
+
+
+def c4_paragraph_clean(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """(doc_id, clean_text, n_kept, n_dropped, n_sentences, keep_doc):
+    the C4 line/page cleanup heuristics (Raffel et al., "Exploring the
+    Limits of Transfer Learning with a Unified Text-to-Text
+    Transformer", JMLR 2020, §2.2), at blank-line paragraph granularity
+    (the corpus's line unit — same deviation split_paragraphs documents):
+
+    * a paragraph survives iff it ends in terminal punctuation
+      (``. ! ? "``), carries ≥ ``min_words`` whitespace words, and does
+      not mention "javascript" (case-insensitive);
+    * the document survives (``keep_doc``) iff its CLEANED text still
+      has ≥ ``min_sentences`` sentence terminators and the RAW text
+      contains neither "lorem ipsum" nor a curly brace (the code/
+      boilerplate page signals).
+
+    Rows are returned for every input document with the flag rather
+    than pre-filtered — callers pick the policy, and the stable row
+    count keeps the operator hash-checkable. Everything is per-row
+    array/string expressions inside codegen: one projection, no
+    shuffle, no UDF — the 100 TB plan is the scan itself.
+    """
+    raw = F.col(text_col)
+    paras = F.filter(
+        F.transform(F.split(raw, "\n\n"), lambda p: F.trim(p)),
+        lambda p: p != "",
+    )
+    kept = F.filter(
+        paras,
+        lambda p: p.rlike('[.!?"]$')
+        & (F.size(F.split(F.trim(F.regexp_replace(p, r"\s+", " ")), " ")) >= min_words)
+        & (F.instr(F.lower(p), "javascript") == 0),
+    )
+    clean = F.concat_ws("\n\n", kept)
+    n_sent = F.length(clean) - F.length(F.regexp_replace(clean, r"[.!?]", ""))
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        clean.alias("clean_text"),
+        F.size(kept).cast("long").alias("n_kept"),
+        (F.size(paras) - F.size(kept)).cast("long").alias("n_dropped"),
+        n_sent.cast("long").alias("n_sentences"),
+        (
+            (n_sent >= min_sentences)
+            & (F.instr(F.lower(raw), "lorem ipsum") == 0)
+            & (F.instr(raw, "{") == 0)
+        ).alias("keep_doc"),
+    )

@@ -1256,6 +1256,187 @@ register(
 )
 
 
+def _c4_pages(s: SparkSession, d: str) -> DataFrame:
+    """C4-shaped page fixture: the synthetic documents carry no sentence
+    punctuation, so every C4 rule would fire identically (degenerate
+    hash). Each doc becomes one 'line' with a deterministic doc_id%4
+    mutation — terminal '.', terminal '?', a 4-word stub (word-count
+    rule), or a trailing ' javascript.' (the js rule) — then groups of 8
+    concatenate into pages, with 'lorem ipsum' / curly-brace paragraphs
+    appended on sd_id%7 / sd_id%5 pages (the page-kill rules). Both
+    engines rebuild the construction deterministically."""
+    docs = _docs(s, d)
+    stub = F.concat_ws(
+        " ",
+        F.slice(F.split(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " "), 1, 3),
+    )
+    m = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.col("text"), F.lit(".")))
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.col("text"), F.lit("?")))
+        .when(F.col("doc_id") % 4 == 2, F.concat(stub, F.lit(" done.")))
+        .otherwise(F.concat(F.col("text"), F.lit(" javascript.")))
+        .alias("text"),
+    )
+    pages = (
+        m.groupBy(F.expr("doc_id div 8").alias("sd_id"))
+        .agg(
+            F.concat_ws(
+                "\n\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                    lambda x: x["text"],
+                ),
+            ).alias("page")
+        )
+    )
+    return pages.select(
+        F.col("sd_id").alias("doc_id"),
+        F.concat(
+            F.col("page"),
+            F.when(
+                F.col("sd_id") % 7 == 0, F.lit("\n\nlorem ipsum dolor sit.")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("sd_id") % 5 == 0, F.lit("\n\nthis page has a { brace }.")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+register(
+    "q_text_c4_clean",
+    lambda s, d: textstats.c4_paragraph_clean(_c4_pages(s, d)),
+    r"""
+    WITH m AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN text || '.'
+               WHEN 1 THEN text || '?'
+               WHEN 2 THEN array_to_string(list_slice(
+                             string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '),
+                             1, 3), ' ') || ' done.'
+               ELSE text || ' javascript.'
+             END AS text
+      FROM documents),
+    pg AS (
+      SELECT doc_id // 8 AS sd_id,
+             string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS page
+      FROM m GROUP BY doc_id // 8),
+    pages AS (
+      SELECT sd_id AS doc_id,
+             page
+             || CASE WHEN sd_id % 7 = 0
+                     THEN chr(10) || chr(10) || 'lorem ipsum dolor sit.'
+                     ELSE '' END
+             || CASE WHEN sd_id % 5 = 0
+                     THEN chr(10) || chr(10) || 'this page has a { brace }.'
+                     ELSE '' END AS text
+      FROM pg),
+    pr AS (
+      SELECT doc_id, text,
+             list_filter(list_transform(string_split(text, chr(10) || chr(10)),
+                                        p -> trim(p)),
+                         p -> p <> '') AS paras
+      FROM pages),
+    kp AS (
+      SELECT doc_id, text, paras,
+             list_filter(paras,
+                         p -> regexp_matches(p, '[.!?"]$')
+                              AND len(string_split(trim(regexp_replace(p, '\s+', ' ', 'g')), ' ')) >= 5
+                              AND strpos(lower(p), 'javascript') = 0) AS kept
+      FROM pr),
+    cl AS (
+      -- array_to_string of an EMPTY list is NULL in DuckDB (Spark's
+      -- concat_ws gives ''), so coalesce to keep the engines aligned
+      SELECT doc_id, text, paras, kept,
+             COALESCE(array_to_string(kept, chr(10) || chr(10)), '') AS clean_text
+      FROM kp)
+    SELECT doc_id, clean_text,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           CAST(len(paras) - len(kept) AS BIGINT) AS n_dropped,
+           CAST(length(clean_text) - length(regexp_replace(clean_text, '[.!?]', '', 'g')) AS BIGINT)
+             AS n_sentences,
+           (length(clean_text) - length(regexp_replace(clean_text, '[.!?]', '', 'g')) >= 3
+            AND strpos(lower(text), 'lorem ipsum') = 0
+            AND strpos(text, '{') = 0) AS keep_doc
+    FROM cl
+    """,
+)
+
+
+def _span_scrub_q(s: SparkSession, d: str) -> DataFrame:
+    """Ingest-time span scrub over a deterministic 30/70 split: docs in
+    md5-bucket < 300k (seed 7) play the standing corpus — reduced to its
+    chunk-hash INDEX — and the rest arrive as the incoming batch, each
+    scrubbed of every chunk the index already holds."""
+    from .operators.sampling import sample_bucket
+
+    docs = _docs(s, d)
+    b = sample_bucket("doc_id", seed=7)
+    idx = dedup.cdc_chunk_fingerprints(
+        docs.filter(b < 300_000), boundary_mod=16
+    ).select("chunk_hash")
+    return dedup.scrub_spans_against_index(
+        idx, docs.filter(b >= 300_000), boundary_mod=16, min_tokens=2
+    )
+
+
+register(
+    "q_dedup_span_scrub",
+    _span_scrub_q,
+    _q_docs(
+        r"""
+        , bk AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#7'), 1, 8)) AS BIGINT)
+                 % 1000000 AS bk
+          FROM documents),
+        tk AS (
+          SELECT toks.doc_id, bk,
+                 unnest([{'pos': i - 1, 'token': t[i]} for i in range(1, len(t) + 1)],
+                        recursive := true)
+          FROM toks JOIN bk USING (doc_id)),
+        fl AS (
+          SELECT doc_id, bk, pos, token,
+                 CASE WHEN CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 16 = 0
+                      THEN 1 ELSE 0 END AS b
+          FROM tk),
+        ch AS MATERIALIZED (
+          SELECT doc_id, bk, pos, token,
+                 COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+          FROM fl),
+        shash AS MATERIALIZED (
+          SELECT DISTINCT md5(string_agg(token, ' ' ORDER BY pos)) AS h
+          FROM ch WHERE bk < 300000 GROUP BY doc_id, chunk_idx),
+        ichunks AS MATERIALIZED (
+          SELECT doc_id, chunk_idx, COUNT(*) AS n_tokens,
+                 md5(string_agg(token, ' ' ORDER BY pos)) AS h
+          FROM ch WHERE bk >= 300000 GROUP BY doc_id, chunk_idx),
+        doomed AS (
+          SELECT c.doc_id, c.chunk_idx FROM ichunks c
+          SEMI JOIN shash s ON c.h = s.h
+          WHERE c.n_tokens >= 2),
+        kept AS (
+          SELECT c.doc_id, c.pos, c.token FROM ch c
+          ANTI JOIN doomed d ON c.doc_id = d.doc_id AND c.chunk_idx = d.chunk_idx
+          WHERE c.bk >= 300000),
+        reb AS (
+          SELECT doc_id, string_agg(token, ' ' ORDER BY pos) AS clean_text,
+                 COUNT(*) AS kept_n
+          FROM kept GROUP BY doc_id),
+        tot AS (
+          SELECT toks.doc_id, len(t) AS n FROM toks JOIN bk USING (doc_id)
+          WHERE bk >= 300000)
+        SELECT tot.doc_id, COALESCE(reb.clean_text, '') AS clean_text,
+               CAST(tot.n - COALESCE(reb.kept_n, 0) AS BIGINT) AS n_removed_tokens
+        FROM tot LEFT JOIN reb USING (doc_id)
+        """
+    ),
+)
+
+
 def _decontaminate_q(s: SparkSession, d: str) -> DataFrame:
     """Benchmark decontamination over a deterministic 10% eval split:
     docs in md5-bucket < 100k (seed 33) play the eval set, the rest the

@@ -2575,3 +2575,64 @@ def test_ingest_neardup_batching_invariance_across_compaction(spark, tmp_path):
     assert n == 0
     again = sorted((r["doc_id"], r["text"]) for r in spark.read.parquet(corpus).collect())
     assert again == want
+
+
+def test_scrub_spans_against_index_uses_index_only(spark):
+    """Ingest-time span scrub: an incoming doc embedding a STANDING
+    chunk loses it; chunks shared only between incoming docs are kept
+    (per-doc decisions against the index alone — the batching-invariant
+    contract); the standing corpus participates only via chunk hashes."""
+    from graph_database_application_for_recommendations_spark.operators.dedup import (
+        cdc_chunk_fingerprints,
+        scrub_spans_against_index,
+    )
+
+    # shared0..119 has CDC boundaries after 19, 49, 64, 103 (see
+    # test_remove_cross_doc_spans_scrubs_embedded_paragraph)
+    para = " ".join(f"shared{i}" for i in range(120))
+    standing = spark.createDataFrame([(1, para)], "doc_id long, text string")
+    idx = cdc_chunk_fingerprints(standing).select("chunk_hash")
+
+    own = " ".join(f"mine{i}" for i in range(30))
+    intra = " ".join(f"dup{i}" for i in range(60))  # shared between 11 and 12 only
+    incoming = spark.createDataFrame(
+        [(11, own + " " + para + " tail0 tail1"), (12, intra), (13, intra + " more0")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in scrub_spans_against_index(idx, incoming).collect()}
+    kept11 = set(got[11]["clean_text"].split())
+    assert {i for i in range(120) if f"shared{i}" not in kept11} == set(range(20, 104))
+    assert all(f"mine{i}" in kept11 for i in range(30))
+    # intra-batch duplication is NOT this operator's business
+    assert got[12]["n_removed_tokens"] == 0 and got[13]["n_removed_tokens"] == 0
+    assert got[12]["clean_text"] == intra
+
+
+def test_c4_paragraph_clean_rules(spark):
+    """C4 §2.2 heuristics on crafted pages: terminal-punctuation rule,
+    5-word minimum, javascript line drop, lorem-ipsum / curly-brace page
+    kill, 3-sentence survival threshold."""
+    from graph_database_application_for_recommendations_spark.operators.textstats import (
+        c4_paragraph_clean,
+    )
+
+    good = "This is a perfectly normal sentence for testing. It even has words!"
+    short = "Too short here."  # 3 words < 5
+    nopunct = "this paragraph never terminates with punctuation at all"
+    js = "Please enable javascript to view this page properly."
+    docs = spark.createDataFrame(
+        [
+            (1, good + "\n\n" + short + "\n\n" + nopunct + "\n\n" + js),
+            (2, good + " Extra sentence number three arrives here."),
+            (3, good.replace(".", "") + " lorem ipsum dolor sit amet."),
+            (4, "function f() { return 1; } " + good),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in c4_paragraph_clean(docs).collect()}
+    assert got[1]["clean_text"] == good
+    assert got[1]["n_kept"] == 1 and got[1]["n_dropped"] == 3
+    assert not got[1]["keep_doc"]  # only 2 sentences survive
+    assert got[2]["keep_doc"] and got[2]["n_sentences"] == 3
+    assert not got[3]["keep_doc"]  # lorem ipsum page
+    assert not got[4]["keep_doc"]  # curly-brace page
