@@ -145,6 +145,69 @@ def ngram_jaccard_pairs(
     return _jaccard_from_intersections(inter, sizes, threshold)
 
 
+def containment_pairs(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.6,
+    max_docs_per_shingle: int | None = 1000,
+) -> DataFrame:
+    """(doc_a, doc_b, containment): max-CONTAINMENT over n-gram shingle
+    sets — |A∩B| / min(|A|, |B|) (Broder 1997, "On the resemblance and
+    containment of documents": resemblance ≡ Jaccard, containment for
+    nested duplication). The asymmetric-dup face Jaccard structurally
+    misses: a 50-shingle doc fully embedded in a 5000-shingle doc scores
+    containment 1.0 but Jaccard 0.01 — below any useful threshold — so
+    quote-heavy pages, excerpts and wrapper boilerplate survive Jaccard
+    dedup while this kernel flags them. Complements the CDC shared-chunk
+    face (which needs the embedded span to be chunk-aligned; containment
+    sees scattered shared shingles too).
+
+    Same plan and the same scale discipline as ngram_jaccard_pairs: one
+    shingle self-join (pairs sharing no shingle never materialize), the
+    deterministic per-shingle doc cap DEFAULTS ON (the cap can only
+    lower an affected pair's intersection; per-doc set sizes — the
+    denominators — are computed before it, so containment never
+    over-counts); ``None`` is the exact kernel the SQL oracle twins.
+    """
+    sh = shingle_set(documents, id_col, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_docs_per_shingle is not None:
+        w = Window.partitionBy("shingle").orderBy("doc_id")
+        sh = (
+            sh.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_docs_per_shingle)
+            .drop("_rn")
+        )
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("i").cast("double") / F.least("na", "nb"), 6
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def jaccard_verify_pairs(
     documents: DataFrame,
     pairs: DataFrame,
@@ -1467,6 +1530,47 @@ def ingest_neardup_decisions(
         if not keep_inc:
             release_checkpoint(inc)
         release_checkpoint(idx)
+
+
+def semantic_decontaminate(
+    train: DataFrame,
+    evalset: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """(doc_id, max_eval_sim, contaminated): EMBEDDING-space benchmark
+    decontamination — the semantic companion of :func:`decontaminate`
+    (n-gram position overlap): a training item is flagged when its
+    nearest EVAL item exceeds ``threshold`` cosine. Catches the leakage
+    n-grams miss — paraphrased, translated or re-formatted eval items
+    (the eval-overlap use of embedding dedup, per SemDeDup's clustering
+    argument, Abbas et al. 2023; Brown et al. 2020 App. C motivates the
+    decontamination side). Threshold is corpus/encoder-calibrated, as
+    any embedding cutoff is.
+
+    Plan: an eval set is benchmark-sized BY DEFINITION (thousands of
+    rows, not corpus-scale), so it broadcasts; the train side — the
+    100 TB side — takes one map-side broadcast nested loop with a
+    per-train-row partial MAX aggregate keyed by id it already carries.
+    No shuffle of train beyond its scan; cost is |train|·|eval| dot
+    products, embarrassingly parallel, zero skew (every train row does
+    identical work).
+    """
+    from ..functions import vector as V
+
+    tn = train.select(
+        F.col(id_col).alias("doc_id"),
+        V.l2_normalize(V.as_double(F.col(vec_col))).alias("_t"),
+    )
+    ev = evalset.select(V.l2_normalize(V.as_double(F.col(vec_col))).alias("_e"))
+    sims = tn.join(F.broadcast(ev)).select(
+        "doc_id", F.round(V.dot(F.col("_t"), F.col("_e")), 6).alias("_s")
+    )
+    return sims.groupBy("doc_id").agg(
+        F.max("_s").alias("max_eval_sim"),
+        (F.max("_s") >= threshold).alias("contaminated"),
+    )
 
 
 def decontaminate(

@@ -998,3 +998,52 @@ def c4_paragraph_clean(
             & (F.instr(raw, "{") == 0)
         ).alias("keep_doc"),
     )
+
+
+def line_repetition_scores(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_lines, dup_line_fraction, dup_line_char_fraction): the
+    LINE members of Gopher's intra-document repetition rule family (Rae
+    et al. 2021, Appendix A) that repetition_scores' token/2-gram
+    signals deliberately left out for want of newline structure —
+    boilerplate navigation, headers and chat scaffolding repeat whole
+    lines, which token-level fractions dilute:
+
+    * dup_line_fraction — line positions whose (trimmed) line occurs
+      more than once in the document, over all line positions (the same
+      position-multiplicity convention as dup_2gram_fraction);
+    * dup_line_char_fraction — characters of those positions over all
+      line characters.
+
+    Blank/whitespace-only lines are not lines. Plan shape: one generate
+    (split + explode) → one (doc_id, line)-keyed count aggregate
+    (map-side combinable, doc_id in the key — no hotspot) → one per-doc
+    rollup. Linear in corpus characters, no joins.
+    """
+    lines = (
+        documents.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.col(text_col), "\n")).alias("_l"),
+        )
+        .select("doc_id", F.trim(F.col("_l")).alias("line"))
+        .filter(F.col("line") != "")
+    )
+    lc = lines.groupBy("doc_id", "line").agg(
+        F.count(F.lit(1)).alias("c"), F.length("line").alias("len")
+    )
+    return lc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_lines"),
+        F.round(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+            / F.sum("c"),
+            6,
+        ).alias("dup_line_fraction"),
+        F.round(
+            F.sum(F.when(F.col("c") > 1, F.col("c") * F.col("len")).otherwise(F.lit(0)))
+            / F.sum(F.col("c") * F.col("len")),
+            6,
+        ).alias("dup_line_char_fraction"),
+    )

@@ -498,6 +498,32 @@ register(
         """
     ),
 )
+register(
+    "q_dedup_containment",
+    # cap=None: the oracle twin is the fully exact kernel (scale default
+    # caps per-shingle doc frequency; see containment_pairs docstring)
+    lambda s, d: dedup.containment_pairs(
+        _docs(s, d), n=3, threshold=0.6, max_docs_per_shingle=None
+    ),
+    _q_docs(
+        """
+        , sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b, containment FROM (
+          SELECT doc_a, doc_b,
+                 ROUND(CAST(i AS DOUBLE) / least(sa.n_sh, sb.n_sh), 6) AS containment
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b)
+        WHERE containment >= 0.6
+        """
+    ),
+)
+
+
 _MINHASH_COEF_VALUES = ", ".join(
     f"({i}, {a}, {b})" for i, a, b in dedup.minhash_coefficients(32)
 )
@@ -1361,6 +1387,51 @@ register(
             AND strpos(lower(text), 'lorem ipsum') = 0
             AND strpos(text, '{') = 0) AS keep_doc
     FROM cl
+    """,
+)
+
+
+def _line_pages(s: SparkSession, d: str) -> DataFrame:
+    """Line-bearing pages for the line-repetition query: 8 docs per page
+    joined by newlines, with the page's FIRST doc re-appended — every
+    page then carries at least one guaranteed duplicated line, and the
+    corpus's planted exact/near-dup documents add naturally varying
+    ones. Both engines rebuild the construction deterministically."""
+    docs = _docs(s, d)
+    g = docs.groupBy(F.expr("doc_id div 8").alias("sd_id")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+            lambda x: x["text"],
+        ).alias("ls")
+    )
+    return g.select(
+        F.col("sd_id").alias("doc_id"),
+        F.concat(
+            F.concat_ws("\n", F.col("ls")), F.lit("\n"), F.element_at("ls", 1)
+        ).alias("text"),
+    )
+
+
+register(
+    "q_text_line_repetition",
+    lambda s, d: textstats.line_repetition_scores(_line_pages(s, d)),
+    r"""
+    WITH pg AS (
+      SELECT doc_id // 8 AS sd_id,
+             string_agg(text, chr(10) ORDER BY doc_id) || chr(10)
+               || arg_min(text, doc_id) AS text
+      FROM documents GROUP BY doc_id // 8),
+    ln0 AS (SELECT sd_id, trim(unnest(string_split(text, chr(10)))) AS line FROM pg),
+    ln AS (SELECT sd_id, line FROM ln0 WHERE line <> ''),
+    lc AS (SELECT sd_id, line, COUNT(*) AS c, length(line) AS len
+           FROM ln GROUP BY sd_id, line)
+    SELECT sd_id AS doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_lines,
+           ROUND(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) / CAST(SUM(c) AS DOUBLE), 6)
+             AS dup_line_fraction,
+           ROUND(SUM(CASE WHEN c > 1 THEN c * len ELSE 0 END)
+                 / CAST(SUM(c * len) AS DOUBLE), 6) AS dup_line_char_fraction
+    FROM lc GROUP BY sd_id
     """,
 )
 
@@ -3240,6 +3311,43 @@ register(
           GROUP BY 1, 2)
         WHERE similarity >= 0.35
         """
+    ),
+)
+
+
+def _semantic_decontaminate_q(s: SparkSession, d: str) -> DataFrame:
+    """Embedding-space decontamination over the same deterministic 10%
+    eval split as q_corpus_decontaminate (md5-bucket < 100k, seed 33),
+    here on vec_id: nearest-eval cosine per training embedding.
+    Threshold 0.35 is fixture-calibrated (cross-split max-sims span
+    ~0.16-0.49 in this corpus), exercising both flag values."""
+    from .operators.sampling import sample_bucket
+
+    emb = _ref(s, d).embeddings
+    b = sample_bucket("vec_id", seed=33)
+    return dedup.semantic_decontaminate(
+        emb.filter(b >= 100_000), emb.filter(b < 100_000), threshold=0.35
+    )
+
+
+register(
+    "q_corpus_semantic_decontaminate",
+    _semantic_decontaminate_q,
+    _q_vec(
+        f"""
+        , bkt AS (
+          SELECT vec_id, v,
+                 CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '#33'), 1, 8)) AS BIGINT)
+                 % 1000000 AS bk
+          FROM vec),
+        sims AS (
+          SELECT a.vec_id AS doc_id, {{_COS}} AS s
+          FROM bkt a, bkt b, range(1, 65) t(i)
+          WHERE a.bk >= 100000 AND b.bk < 100000
+          GROUP BY a.vec_id, b.vec_id)
+        SELECT doc_id, MAX(s) AS max_eval_sim, MAX(s) >= 0.35 AS contaminated
+        FROM sims GROUP BY doc_id
+        """.replace("{_COS}", _COS)
     ),
 )
 

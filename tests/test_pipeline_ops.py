@@ -2636,3 +2636,64 @@ def test_c4_paragraph_clean_rules(spark):
     assert got[2]["keep_doc"] and got[2]["n_sentences"] == 3
     assert not got[3]["keep_doc"]  # lorem ipsum page
     assert not got[4]["keep_doc"]  # curly-brace page
+
+
+def test_containment_catches_nested_dup_jaccard_misses(spark):
+    """Broder containment vs resemblance: a short doc fully embedded in
+    a long one scores containment 1.0 but Jaccard far below threshold —
+    the asymmetric-duplication face."""
+    from graph_database_application_for_recommendations_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    small = " ".join(f"w{i}" for i in range(20))
+    big = small + " " + " ".join(f"x{i}" for i in range(400))
+    docs = spark.createDataFrame([(1, small), (2, big)], "doc_id long, text string")
+    cont = containment_pairs(docs, threshold=0.6, max_docs_per_shingle=None).collect()
+    assert len(cont) == 1 and cont[0]["containment"] == 1.0
+    jac = ngram_jaccard_pairs(docs, threshold=0.5, max_docs_per_shingle=None).collect()
+    assert jac == []  # Jaccard ~18/420 — invisible to resemblance dedup
+
+
+def test_line_repetition_scores_crafted(spark):
+    """Gopher line-dedup fractions on a crafted page: 4 line positions,
+    one line duplicated (2 positions), exact char accounting; a page of
+    all-distinct lines scores 0."""
+    from graph_database_application_for_recommendations_spark.operators.textstats import (
+        line_repetition_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta\nunique one\nalpha beta\n\n  \nfinal line"),
+            (2, "a\nbb\nccc"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in line_repetition_scores(docs).collect()}
+    assert got[1]["n_lines"] == 4
+    assert got[1]["dup_line_fraction"] == 0.5  # 2 of 4 positions
+    dup_chars = 2 * len("alpha beta")
+    tot_chars = dup_chars + len("unique one") + len("final line")
+    assert got[1]["dup_line_char_fraction"] == round(dup_chars / tot_chars, 6)
+    assert got[2]["dup_line_fraction"] == 0.0 and got[2]["n_lines"] == 3
+
+
+def test_semantic_decontaminate_flags_nearest_eval(spark):
+    from graph_database_application_for_recommendations_spark.operators.dedup import (
+        semantic_decontaminate,
+    )
+
+    ev = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    tr = spark.createDataFrame(
+        [(1, [2.0, 0.0, 0.0]), (2, [0.0, 0.0, 5.0]), (3, [1.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["doc_id"]: r for r in semantic_decontaminate(tr, ev, threshold=0.9).collect()}
+    assert got[1]["contaminated"] and got[1]["max_eval_sim"] == 1.0
+    assert not got[2]["contaminated"] and got[2]["max_eval_sim"] == 0.0
+    assert not got[3]["contaminated"] and got[3]["max_eval_sim"] == 0.707107
