@@ -135,6 +135,11 @@ BENCH_QUERIES = [
     # second banded-Hamming face (1-D audio temporal dHash)
     "q_dedup_cdc_pairs",
     "q_multimodal_audiohash_dedup",
+    # round-7 additions: cross-document span removal (chunk min-owner +
+    # anti-join + ordered reassembly — a new physical pattern) and the
+    # C4 page cleanup (pure-scan column program, the cheap-filter shape)
+    "q_dedup_cross_spans",
+    "q_text_c4_clean",
 ]
 
 # the iterative pipeline (FastRP -> KNN -> LPA) is measured as one unit,

@@ -7,10 +7,10 @@ needs no imaging/audio library: real stdlib(+numpy) decoders cover binary
 PPM, uncompressed BMP, 8/16-bit PNG incl. Adam7 interlacing and palette
 (zlib inflate + scanline defilter), GIF87a/89a (full LZW), baseline AND
 progressive JPEG (Huffman entropy decode + IDCT, any sampling, restart
-intervals, spectral selection + successive approximation), and PCM WAV.
-Formats past those capabilities
-(arithmetic/lossless/12-bit JPEG, sub-8-bit PNG,
-compressed audio) raise NotImplementedError and route to deterministic
+intervals, spectral selection + successive approximation), and WAV in
+PCM, G.711 µ-law/A-law, and IMA ADPCM codings. Formats past those
+capabilities (arithmetic/lossless/12-bit JPEG, sub-8-bit PNG, MPEG-family
+audio) raise NotImplementedError and route to deterministic
 byte-level features (length, crc32, first/last byte), so the distributed
 pipeline shape is exercisable on any payload.
 """
@@ -1062,9 +1062,10 @@ def _decode_image(payload: bytes) -> dict:
     )
 
 
-def _decode_audio(payload: bytes) -> dict:
-    """Pure-stdlib PCM WAV decode (RIFF chunk walk + struct). Compressed
-    codecs raise NotImplementedError -> byte-level features."""
+def _wav_parse(payload: bytes):
+    """RIFF/WAVE chunk walk → (audio_fmt, channels, sample_rate, bits,
+    block_align, data). Raises NotImplementedError for non-RIFF payloads
+    and ValueError when fmt/data chunks are missing."""
     import struct
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -1079,22 +1080,162 @@ def _decode_audio(payload: bytes) -> dict:
         if cid == b"fmt ":
             audio_fmt, channels = struct.unpack_from("<HH", body, 0)
             (sample_rate,) = struct.unpack_from("<I", body, 4)
+            (block_align,) = struct.unpack_from("<H", body, 12)
             (bits,) = struct.unpack_from("<H", body, 14)
-            if audio_fmt != 1:
-                raise NotImplementedError("only PCM WAV decodable")
-            fmt = (channels, sample_rate, bits)
+            fmt = (audio_fmt, channels, sample_rate, bits, block_align)
         elif cid == b"data":
             data = body
         off += 8 + csize + (csize & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
-    channels, sample_rate, bits = fmt
-    n_samples = len(data) // max(1, (bits // 8) * channels)
+    return (*fmt, data)
+
+
+# G.711 decode (ITU-T G.711 / the public-domain Sun g711.c formulas):
+# 8-bit companded code -> 16-bit linear sample. Exact integer tables.
+def _ulaw_table():
+    out = []
+    for u in range(256):
+        v = ~u & 0xFF
+        t = (((v & 0x0F) << 3) + 0x84) << ((v & 0x70) >> 4)
+        out.append((0x84 - t) if (v & 0x80) else (t - 0x84))
+    return out
+
+
+def _alaw_table():
+    out = []
+    for a in range(256):
+        v = a ^ 0x55
+        t = (v & 0x0F) << 4
+        seg = (v & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        out.append(t if (v & 0x80) else -t)
+    return out
+
+
+_ULAW = _ulaw_table()
+_ALAW = _alaw_table()
+
+# IMA/DVI ADPCM (the public IMA spec; WAV format tag 0x11): 4-bit nibble
+# -> step-table delta with predictor + index state per block.
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_decode_nibble(nib: int, predictor: int, index: int) -> tuple[int, int]:
+    step = _IMA_STEPS[index]
+    diff = step >> 3
+    if nib & 4:
+        diff += step
+    if nib & 2:
+        diff += step >> 1
+    if nib & 1:
+        diff += step >> 2
+    predictor = predictor - diff if nib & 8 else predictor + diff
+    predictor = max(-32768, min(32767, predictor))
+    index = max(0, min(88, index + _IMA_INDEX[nib & 7]))
+    return predictor, index
+
+
+def _ima_decode_block(block: bytes, channels: int):
+    """One IMA ADPCM WAV block → per-channel sample lists. Block layout
+    (the WAV mapping of the IMA spec): a 4-byte header per channel
+    (int16 predictor, uint8 step index, reserved), then 4-byte words of
+    8 nibbles (low nibble first) interleaved channel-by-channel."""
+    import struct
+
+    chans = []
+    for c in range(channels):
+        pred, idx = struct.unpack_from("<hB", block, 4 * c)[0], block[4 * c + 2]
+        if idx > 88:
+            raise ValueError("IMA ADPCM step index out of range")
+        chans.append({"pred": pred, "idx": idx, "out": [pred]})
+    pos = 4 * channels
+    while pos + 4 * channels <= len(block):
+        for c in range(channels):
+            st = chans[c]
+            for b in block[pos + 4 * c : pos + 4 * c + 4]:
+                for nib in (b & 0x0F, b >> 4):
+                    st["pred"], st["idx"] = _ima_decode_nibble(nib, st["pred"], st["idx"])
+                    st["out"].append(st["pred"])
+        pos += 4 * channels
+    return [st["out"] for st in chans]
+
+
+def _wav_linear(audio_fmt, channels, bits, block_align, data):
+    """(n, channels) int64 linear samples for the decodable WAV codecs:
+    PCM (8-bit unsigned / 16-bit signed LE), G.711 µ-law (7) and A-law
+    (6), IMA ADPCM (17). Anything else raises NotImplementedError →
+    byte-feature fallback."""
+    import numpy as np
+
+    if channels < 1:
+        raise ValueError("WAV with zero channels")
+    if audio_fmt == 1:
+        if bits == 8:
+            arr = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+        elif bits == 16:
+            arr = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2").astype(np.int64)
+        else:
+            raise NotImplementedError("only 8/16-bit PCM decodable")
+    elif audio_fmt in (6, 7):
+        lut = np.asarray(_ALAW if audio_fmt == 6 else _ULAW, dtype=np.int64)
+        arr = lut[np.frombuffer(data, dtype=np.uint8)]
+    elif audio_fmt == 17:
+        if block_align < 4 * channels:
+            raise ValueError("IMA ADPCM block_align smaller than its headers")
+        per_chan: list[list[int]] = [[] for _ in range(channels)]
+        for base in range(0, len(data) - len(data) % block_align, block_align):
+            for c, smp in enumerate(_ima_decode_block(data[base : base + block_align], channels)):
+                per_chan[c].extend(smp)
+        if not per_chan[0]:
+            raise ValueError("empty IMA ADPCM data chunk")
+        arr = np.stack([np.asarray(c, dtype=np.int64) for c in per_chan], axis=1)
+        return arr
+    else:
+        raise NotImplementedError(f"WAV format tag {audio_fmt} not decodable")
+    n = len(arr) // channels
+    if n == 0:
+        raise ValueError("empty WAV data chunk")
+    return arr[: n * channels].reshape(n, channels)
+
+
+def _decode_audio(payload: bytes) -> dict:
+    """Pure-stdlib(+numpy) WAV decode (RIFF chunk walk): PCM, G.711
+    µ-law/A-law (ITU-T G.711), IMA ADPCM (format tag 0x11). Other codecs
+    raise NotImplementedError → byte-level features. ``mean_value`` for
+    PCM keeps the original raw-data-byte mean (the oracle-pinned
+    contract for the fixture assets); for the companded/ADPCM codecs it
+    is the mean of the DECODED linear samples (the raw bytes are code
+    words — averaging them would be meaningless)."""
+    audio_fmt, channels, sample_rate, bits, block_align, data = _wav_parse(payload)
+    if audio_fmt == 1:
+        if bits not in (8, 16):
+            raise NotImplementedError("only 8/16-bit PCM decodable")
+        n_samples = len(data) // max(1, (bits // 8) * channels)
+        mean = round(sum(data) / len(data), 6) if data else 0.0
+    else:
+        samples = _wav_linear(audio_fmt, channels, bits, block_align, data)
+        n_samples = samples.shape[0]
+        mean = round(float(samples.mean()), 6)
     return {
         "channels": channels,
         "sample_rate": sample_rate,
         "n_samples": n_samples,
-        "mean_value": round(sum(data) / len(data), 6) if data else 0.0,
+        "mean_value": mean,
     }
 
 
@@ -1507,44 +1648,14 @@ def _hamming_pairs_words(sig: DataFrame, max_hamming: int) -> DataFrame:
 
 
 def _decode_pcm_samples(payload: bytes):
-    """1-D int64 channel-sum sample vector from a PCM WAV — the audio
-    analog of _decode_gray3 (channels summed to stay integer-exact;
-    8-bit samples are unsigned, 16-bit little-endian signed)."""
-    import struct as _struct
-
-    import numpy as np
-
-    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-        raise NotImplementedError("only RIFF/WAVE audio decodable without an audio lib")
-    off = 12
-    fmt = None
-    data = None
-    while off + 8 <= len(payload):
-        cid = payload[off : off + 4]
-        (csize,) = _struct.unpack_from("<I", payload, off + 4)
-        body = payload[off + 8 : off + 8 + csize]
-        if cid == b"fmt ":
-            audio_fmt, channels = _struct.unpack_from("<HH", body, 0)
-            (bits,) = _struct.unpack_from("<H", body, 14)
-            if audio_fmt != 1:
-                raise NotImplementedError("only PCM WAV decodable")
-            fmt = (channels, bits)
-        elif cid == b"data":
-            data = body
-        off += 8 + csize + (csize & 1)
-    if fmt is None or data is None:
-        raise ValueError("WAV missing fmt/data chunk")
-    channels, bits = fmt
-    if bits == 8:
-        arr = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
-    elif bits == 16:
-        arr = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2").astype(np.int64)
-    else:
-        raise NotImplementedError("only 8/16-bit PCM decodable")
-    n = len(arr) // channels
-    if n == 0:
-        raise ValueError("empty WAV data chunk")
-    return arr[: n * channels].reshape(n, channels).sum(axis=1)
+    """1-D int64 channel-sum sample vector from a decodable WAV — the
+    audio analog of _decode_gray3 (channels summed to stay
+    integer-exact). Rides _wav_linear, so the dHash path hears G.711
+    µ-law/A-law and IMA ADPCM payloads as the same linear samples the
+    metadata decoder reports (8-bit PCM unsigned, 16-bit signed; the
+    companded/ADPCM codecs decode to 16-bit linear)."""
+    audio_fmt, channels, _sr, bits, block_align, data = _wav_parse(payload)
+    return _wav_linear(audio_fmt, channels, bits, block_align, data).sum(axis=1)
 
 
 def _audio_dhash_words(samples, hash_size: int = 8) -> tuple[int, int]:

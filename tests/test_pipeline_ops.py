@@ -2697,3 +2697,129 @@ def test_semantic_decontaminate_flags_nearest_eval(spark):
     assert got[1]["contaminated"] and got[1]["max_eval_sim"] == 1.0
     assert not got[2]["contaminated"] and got[2]["max_eval_sim"] == 0.0
     assert not got[3]["contaminated"] and got[3]["max_eval_sim"] == 0.707107
+
+
+def _wav(audio_fmt, channels, sample_rate, bits, block_align, data):
+    import struct
+
+    fmt = struct.pack(
+        "<HHIIHH", audio_fmt, channels, sample_rate,
+        sample_rate * max(1, bits // 8) * channels, block_align, bits,
+    )
+    return (
+        b"RIFF" + (20 + len(fmt) + len(data)).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + len(data).to_bytes(4, "little") + data
+    )
+
+
+def test_g711_wav_decode_anchors_and_symmetry():
+    """G.711 µ-law / A-law WAV decode: published ITU table anchors plus
+    the structural invariants (odd symmetry under the sign bit,
+    monotonicity within a sign), end-to-end through the WAV container."""
+    from graph_database_application_for_recommendations_spark.operators import multimodal
+
+    ul = multimodal._ULAW
+    al = multimodal._ALAW
+    # published 16-bit µ-law anchors (Sun g711.c convention)
+    assert ul[0x00] == -32124 and ul[0x80] == 32124
+    assert ul[0xFF] == 0 and ul[0x7F] == 0
+    # published A-law anchors: 0x55 -> -8, 0xD5 -> +8, extremes ±32256
+    assert al[0x55] == -8 and al[0xD5] == 8
+    assert al[0x2A] == -32256 and al[0xAA] == 32256
+    assert max(al) == 32256 and min(al) == -32256
+    for c in range(128):
+        assert ul[c] == -ul[c ^ 0x80]
+        assert al[c] == -al[c ^ 0x80]
+    # monotone decode over each sign half (injective quantizer levels)
+    assert sorted({ul[c] for c in range(0x80, 0x100)}) == sorted(
+        ul[c] for c in range(0x80, 0x100)
+    )
+
+    data = bytes(range(256))
+    for tag, lut in ((7, ul), (6, al)):
+        wav = _wav(tag, 1, 8000, 8, 1, data)
+        meta = multimodal._decode_audio(wav)
+        assert meta["n_samples"] == 256 and meta["channels"] == 1
+        import numpy as np
+
+        assert meta["mean_value"] == round(float(np.mean([lut[b] for b in data])), 6)
+        got = multimodal._decode_pcm_samples(wav)
+        assert [int(x) for x in got] == [lut[b] for b in data]
+
+
+def _ima_encode(samples, block_samples=505):
+    """Test-side IMA ADPCM mono encoder (the decoder's proof): standard
+    nibble search with tracked reconstruction; returns (blocks bytes,
+    reconstructed samples, block_align)."""
+    import struct
+
+    from graph_database_application_for_recommendations_spark.operators.multimodal import (
+        _IMA_STEPS, _ima_decode_nibble,
+    )
+
+    out = bytearray()
+    recon = []
+    i = 0
+    pred, idx = 0, 0
+    block_align = 4 + (block_samples - 1) // 2
+    while i < len(samples):
+        chunk = samples[i : i + block_samples]
+        pred = max(-32768, min(32767, chunk[0]))
+        out += struct.pack("<hBB", pred, idx, 0)
+        recon.append(pred)
+        nibs = []
+        for s in chunk[1:]:
+            step = _IMA_STEPS[idx]
+            diff = s - pred
+            nib = 8 if diff < 0 else 0
+            diff = abs(diff)
+            if diff >= step:
+                nib |= 4
+                diff -= step
+            if diff >= step >> 1:
+                nib |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                nib |= 1
+            pred, idx = _ima_decode_nibble(nib, pred, idx)
+            recon.append(pred)
+            nibs.append(nib)
+        # pad the nibble stream to full 4-byte words (decoder emits the
+        # padding's reconstruction too — mirror it)
+        word_nibs = -(-len(nibs) // 8) * 8
+        while len(nibs) < word_nibs:
+            step = _IMA_STEPS[idx]
+            pred, idx = _ima_decode_nibble(0, pred, idx)
+            recon.append(pred)
+            nibs.append(0)
+        for j in range(0, len(nibs), 2):
+            out.append(nibs[j] | (nibs[j + 1] << 4))
+        pad = block_align - 4 - len(nibs) // 2
+        out += b"\x00" * pad  # (only when block shorter than align)
+        for _ in range(pad * 2):
+            pred, idx = _ima_decode_nibble(0, pred, idx)
+            recon.append(pred)
+        i += block_samples
+    return bytes(out), recon, block_align
+
+
+def test_ima_adpcm_wav_decode_matches_encoder_reconstruction():
+    """IMA ADPCM decode == the test-side encoder's tracked reconstruction,
+    bit-for-bit, across multiple blocks."""
+    import math
+
+    from graph_database_application_for_recommendations_spark.operators import multimodal
+
+    samples = [int(12000 * math.sin(i / 9) + 3000 * math.sin(i / 2.3)) for i in range(1200)]
+    data, recon, block_align = _ima_encode(samples, block_samples=505)
+    wav = _wav(17, 1, 8000, 4, block_align, data)
+    got = multimodal._decode_pcm_samples(wav)
+    assert [int(x) for x in got] == recon
+    meta = multimodal._decode_audio(wav)
+    assert meta["n_samples"] == len(recon)
+    # decoded waveform tracks the source (quantization-bounded)
+    import numpy as np
+
+    err = np.abs(np.asarray(recon[: len(samples)]) - np.asarray(samples))
+    assert np.median(err) < 2000
