@@ -1739,6 +1739,105 @@ def cdc_shared_pairs(
     )
 
 
+def _cdc_chunk_table(
+    documents: DataFrame, id_col: str, text_col: str, boundary_mod: int
+) -> tuple[DataFrame, DataFrame]:
+    """(chunked tokens, per-chunk table): the shared CDC chunk pipeline —
+    _cdc_chunked plus its (doc_id, chunk_idx, n_tokens, chunk_hash)
+    aggregate, returned together so scrub operators hash and scrub the
+    SAME chunking."""
+    chunked = _cdc_chunked(documents, id_col, text_col, boundary_mod)
+    chunks = chunked.groupBy("doc_id", "chunk_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                    lambda x: x["token"],
+                ),
+            )
+        ).alias("chunk_hash"),
+    )
+    return chunked, chunks
+
+
+def _rebuild_after_scrub(
+    chunked: DataFrame,
+    doomed: DataFrame,
+    documents: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """(doc_id, clean_text, n_removed_tokens): drop the doomed
+    (doc_id, chunk_idx) instances and reassemble surviving tokens in
+    order — the shared tail of every span-scrub operator."""
+    kept = chunked.join(doomed.select("doc_id", "chunk_idx"), ["doc_id", "chunk_idx"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                lambda s: s["token"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("_kept"),
+    )
+    return (
+        documents.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(tokens(F.col(text_col))).cast("long").alias("_n"),
+        )
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            (F.col("_n") - F.coalesce("_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed_tokens"),
+        )
+    )
+
+
+def ingest_spanscrub_decisions(
+    index: DataFrame,
+    incoming: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    boundary_mod: int = 16,
+    min_tokens: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """(scrubbed docs, new index rows) for one ingest batch: a chunk
+    instance in incoming doc B is scrubbed iff its hash exists in the
+    standing ``index`` (one ``chunk_hash`` column) OR in a SMALLER-id
+    doc of the same batch — ownership is always judged on SUBMITTED
+    text, which is what makes the semantics batching-invariant with NO
+    iteration: for any micro-batching of an id-ordered stream, doc B's
+    doomed set is exactly {chunks of any earlier-id submitted doc or of
+    the pre-existing corpus}, because the index accumulates submitted
+    chunks and the in-batch min-owner rule covers same-batch
+    predecessors. (Indexing the submitted — not scrubbed — chunks is
+    conservative and sound: every first-owner instance survives in its
+    owner's stored text; seam chunks created by scrubbing are simply
+    not indexed.) New index rows are the batch's distinct ≥min_tokens
+    chunk hashes not already in the index.
+    """
+    chunked, chunks = _cdc_chunk_table(incoming, id_col, text_col, boundary_mod)
+    big = chunks.filter(F.col("n_tokens") >= min_tokens)
+    idx = index.select("chunk_hash").distinct()
+    in_index = big.join(idx, "chunk_hash", "left_semi").select("doc_id", "chunk_idx")
+    owner = big.groupBy("chunk_hash").agg(F.min("doc_id").alias("_owner"))
+    in_batch = (
+        big.join(owner, "chunk_hash")
+        .filter(F.col("doc_id") > F.col("_owner"))
+        .select("doc_id", "chunk_idx")
+    )
+    doomed = in_index.unionByName(in_batch).distinct()
+    scrubbed = _rebuild_after_scrub(chunked, doomed, incoming, id_col, text_col)
+    new_hashes = big.select("chunk_hash").distinct().join(idx, "chunk_hash", "left_anti")
+    return scrubbed, new_hashes
+
+
 def scrub_spans_against_index(
     chunk_hashes: DataFrame,
     incoming: DataFrame,
@@ -1764,49 +1863,13 @@ def scrub_spans_against_index(
     offline operator's job (remove_cross_doc_spans), mirroring how
     exact-ingest pairs with batch dedup.
     """
-    chunked = _cdc_chunked(incoming, id_col, text_col, boundary_mod)
-    chunks = chunked.groupBy("doc_id", "chunk_idx").agg(
-        F.count(F.lit(1)).cast("long").alias("n_tokens"),
-        F.md5(
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "token"))),
-                    lambda x: x["token"],
-                ),
-            )
-        ).alias("chunk_hash"),
-    )
+    chunked, chunks = _cdc_chunk_table(incoming, id_col, text_col, boundary_mod)
     doomed = (
         chunks.filter(F.col("n_tokens") >= min_tokens)
         .join(chunk_hashes.select("chunk_hash").distinct(), "chunk_hash", "left_semi")
         .select("doc_id", "chunk_idx")
     )
-    kept = chunked.join(doomed, ["doc_id", "chunk_idx"], "left_anti")
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "token"))),
-                lambda s: s["token"],
-            ),
-        ).alias("clean_text"),
-        F.count(F.lit(1)).alias("_kept"),
-    )
-    return (
-        incoming.select(
-            F.col(id_col).alias("doc_id"),
-            F.size(tokens(F.col(text_col))).cast("long").alias("_n"),
-        )
-        .join(rebuilt, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            (F.col("_n") - F.coalesce("_kept", F.lit(0)))
-            .cast("long")
-            .alias("n_removed_tokens"),
-        )
-    )
+    return _rebuild_after_scrub(chunked, doomed, incoming, id_col, text_col)
 
 
 def remove_cross_doc_spans(
@@ -1845,47 +1908,11 @@ def remove_cross_doc_spans(
     table is |distinct chunks| and stays a shuffle equi-join (never a
     broadcast assumption).
     """
-    chunked = _cdc_chunked(documents, id_col, text_col, boundary_mod)
-    chunks = chunked.groupBy("doc_id", "chunk_idx").agg(
-        F.count(F.lit(1)).cast("long").alias("n_tokens"),
-        F.md5(
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "token"))),
-                    lambda x: x["token"],
-                ),
-            )
-        ).alias("chunk_hash"),
-    )
+    chunked, chunks = _cdc_chunk_table(documents, id_col, text_col, boundary_mod)
     owner = chunks.groupBy("chunk_hash").agg(F.min("doc_id").alias("_owner"))
     doomed = (
         chunks.join(owner, "chunk_hash")
         .filter((F.col("doc_id") > F.col("_owner")) & (F.col("n_tokens") >= min_tokens))
         .select("doc_id", "chunk_idx")
     )
-    kept = chunked.join(doomed, ["doc_id", "chunk_idx"], "left_anti")
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "token"))),
-                lambda s: s["token"],
-            ),
-        ).alias("clean_text"),
-        F.count(F.lit(1)).alias("_kept"),
-    )
-    return (
-        documents.select(
-            F.col(id_col).alias("doc_id"),
-            F.size(tokens(F.col(text_col))).cast("long").alias("_n"),
-        )
-        .join(rebuilt, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            (F.col("_n") - F.coalesce("_kept", F.lit(0)))
-            .cast("long")
-            .alias("n_removed_tokens"),
-        )
-    )
+    return _rebuild_after_scrub(chunked, doomed, documents, id_col, text_col)

@@ -406,6 +406,64 @@ def ingest_neardup_append(
     return n
 
 
+def ingest_spanscrub_append(
+    spark,
+    corpus_path: str,
+    index_path: str,
+    incoming: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    boundary_mod: int = 16,
+    min_tokens: int = 2,
+    batch_id: int | None = None,
+) -> int:
+    """Span-scrub-aware append-only ingest: every incoming document is
+    stored, but first loses any content-defined chunk the corpus has
+    already seen — in the standing CHUNK-HASH INDEX at ``index_path``
+    or in a smaller-id doc of the same batch (dedup.
+    ingest_spanscrub_decisions; ownership on SUBMITTED text makes the
+    stored corpus independent of micro-batching, with no LFMIS rounds
+    needed). The index grows by the batch's distinct new ≥min_tokens
+    chunk hashes; corpus text is never rescanned. Returns the number of
+    appended documents (== the batch size; scrubbing edits, it does not
+    drop).
+
+    Same crash/replay contract as the sibling ingests: ``batch_id``
+    (the streaming path) → idempotent deterministic-name publications
+    with the index read AS OF BEFORE the batch; without it, index
+    before corpus (orphan hashes at worst — they can only cause extra
+    scrubbing of text the crashed batch already carried, never
+    duplicate corpus rows).
+    """
+    from ..plans import materialize, release_checkpoint
+    from .dedup import ingest_spanscrub_decisions
+
+    index = _read_index(spark, index_path, batch_id)
+    if index is None:
+        index = spark.createDataFrame([], "chunk_hash string")
+    scrubbed, new_hashes = ingest_spanscrub_decisions(
+        index, incoming, id_col, text_col, boundary_mod, min_tokens
+    )
+    scrubbed = materialize(scrubbed)
+    new_hashes = materialize(new_hashes)
+    try:
+        n = scrubbed.count()
+        if n:
+            _publish(spark, new_hashes.select("chunk_hash"), index_path, batch_id)
+            _publish(
+                spark,
+                scrubbed.select(
+                    F.col("doc_id").alias(id_col), F.col("clean_text").alias(text_col)
+                ),
+                corpus_path,
+                batch_id,
+            )
+    finally:
+        release_checkpoint(scrubbed)
+        release_checkpoint(new_hashes)
+    return n
+
+
 def compact_parquet(
     spark, path: str, target_files: int | None = None, target_bytes: int = 128 << 20
 ) -> tuple[int, int]:

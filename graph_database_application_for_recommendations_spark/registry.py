@@ -1391,6 +1391,84 @@ register(
 )
 
 
+def _ingest_spanscrub_q(s: SparkSession, d: str) -> DataFrame:
+    """Span-scrub ingest decisions over the seed-7 30/70 split: the
+    standing corpus contributes its chunk-hash index, the incoming 70%
+    arrives as ONE batch — which, by the batching-invariance contract
+    (ownership on submitted text: index ∪ smaller-id batch docs), is
+    exactly what any micro-batched or streamed ingest of the same docs
+    stores. The oracle re-derives the combined ownership rule in SQL."""
+    from .operators.sampling import sample_bucket
+
+    docs = _docs(s, d)
+    b = sample_bucket("doc_id", seed=7)
+    idx = dedup.cdc_chunk_fingerprints(
+        docs.filter(b < 300_000), boundary_mod=16
+    ).select("chunk_hash")
+    scrubbed, _new = dedup.ingest_spanscrub_decisions(
+        idx, docs.filter(b >= 300_000), boundary_mod=16, min_tokens=2
+    )
+    return scrubbed
+
+
+register(
+    "q_ingest_spanscrub",
+    _ingest_spanscrub_q,
+    _q_docs(
+        r"""
+        , bk AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#7'), 1, 8)) AS BIGINT)
+                 % 1000000 AS bk
+          FROM documents),
+        tk AS (
+          SELECT toks.doc_id, bk,
+                 unnest([{'pos': i - 1, 'token': t[i]} for i in range(1, len(t) + 1)],
+                        recursive := true)
+          FROM toks JOIN bk USING (doc_id)),
+        fl AS (
+          SELECT doc_id, bk, pos, token,
+                 CASE WHEN CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 16 = 0
+                      THEN 1 ELSE 0 END AS b
+          FROM tk),
+        ch AS MATERIALIZED (
+          SELECT doc_id, bk, pos, token,
+                 COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+          FROM fl),
+        shash AS MATERIALIZED (
+          SELECT DISTINCT md5(string_agg(token, ' ' ORDER BY pos)) AS h
+          FROM ch WHERE bk < 300000 GROUP BY doc_id, chunk_idx),
+        ichunks AS MATERIALIZED (
+          SELECT doc_id, chunk_idx, COUNT(*) AS n_tokens,
+                 md5(string_agg(token, ' ' ORDER BY pos)) AS h
+          FROM ch WHERE bk >= 300000 GROUP BY doc_id, chunk_idx),
+        owner AS (
+          SELECT h, MIN(doc_id) AS owner FROM ichunks WHERE n_tokens >= 2 GROUP BY h),
+        doomed AS (
+          SELECT c.doc_id, c.chunk_idx FROM ichunks c
+          LEFT JOIN shash s ON c.h = s.h
+          LEFT JOIN owner o ON c.h = o.h
+          WHERE c.n_tokens >= 2 AND (s.h IS NOT NULL OR c.doc_id > o.owner)),
+        kept AS (
+          SELECT c.doc_id, c.pos, c.token FROM ch c
+          ANTI JOIN doomed d ON c.doc_id = d.doc_id AND c.chunk_idx = d.chunk_idx
+          WHERE c.bk >= 300000),
+        reb AS (
+          SELECT doc_id, string_agg(token, ' ' ORDER BY pos) AS clean_text,
+                 COUNT(*) AS kept_n
+          FROM kept GROUP BY doc_id),
+        tot AS (
+          SELECT toks.doc_id, len(t) AS n FROM toks JOIN bk USING (doc_id)
+          WHERE bk >= 300000)
+        SELECT tot.doc_id, COALESCE(reb.clean_text, '') AS clean_text,
+               CAST(tot.n - COALESCE(reb.kept_n, 0) AS BIGINT) AS n_removed_tokens
+        FROM tot LEFT JOIN reb USING (doc_id)
+        """
+    ),
+)
+
+
 def _line_pages(s: SparkSession, d: str) -> DataFrame:
     """Line-bearing pages for the line-repetition query: 8 docs per page
     joined by newlines, with the page's FIRST doc re-appended — every

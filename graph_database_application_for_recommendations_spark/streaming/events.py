@@ -810,3 +810,47 @@ def dedup_paragraphs_stream(docs: DataFrame, max_paras: int = 1 << 16) -> DataFr
     return paras.withColumn(
         "fingerprint", canonical_fingerprint(F.col("text"))
     ).dropDuplicates(["fingerprint"])
+
+
+def run_ingest_spanscrub_stream(
+    docs_stream: DataFrame,
+    corpus_path: str,
+    index_path: str,
+    checkpoint_dir: str,
+    compact_every: int = 0,
+    **ingest_kwargs,
+) -> None:
+    """Streaming span-scrub ingest: each micro-batch runs the SAME
+    decision kernel + chunk-hash-index contract as the batch write path
+    (operators/etl.py::ingest_spanscrub_append) via ``foreachBatch``.
+    Because chunk ownership is judged on SUBMITTED text (standing index
+    ∪ smaller-id same-batch docs), an id-ordered stream stores exactly
+    the one-batch corpus under ANY micro-batching — with the same
+    batch_id-keyed exactly-once publication as the near-dup stream."""
+    from ..operators.etl import compact_after_append, ingest_spanscrub_append
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ingest_spanscrub_append(
+            batch_df.sparkSession,
+            corpus_path,
+            index_path,
+            batch_df,
+            batch_id=batch_id,
+            **ingest_kwargs,
+        )
+        if compact_every:
+            compact_after_append(
+                batch_df.sparkSession, corpus_path, index_path, batch_id,
+                every=compact_every,
+            )
+
+    query = (
+        docs_stream.writeStream.foreachBatch(_ingest)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()

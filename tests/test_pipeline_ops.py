@@ -2823,3 +2823,72 @@ def test_ima_adpcm_wav_decode_matches_encoder_reconstruction():
 
     err = np.abs(np.asarray(recon[: len(samples)]) - np.asarray(samples))
     assert np.median(err) < 2000
+
+
+def _spanscrub_test_docs():
+    """Docs with cross-batch AND in-batch shared spans: shared0..119 has
+    CDC boundaries after 19/49/64/103, so its interior chunks are the
+    shareable units. doc 1 owns the span; docs 11 (batch 2) and 21
+    (batch 3) embed it; docs 14 and 15 (same batch) share a second span
+    with each other only (in-batch first-writer case)."""
+    para = " ".join(f"shared{i}" for i in range(120))
+    para2 = " ".join(f"intra{i}" for i in range(120))
+    rows = []
+    for i in range(30):
+        base = " ".join(f"d{i}w{j}" for j in range(25))
+        if i == 1:
+            t = para
+        elif i in (11, 21):
+            t = base + " " + para + f" tail{i}"
+        elif i == 14:
+            t = para2
+        elif i == 15:
+            t = base + " " + para2 + " tailx"
+        else:
+            t = base
+        rows.append((i, t))
+    return rows
+
+
+def test_ingest_spanscrub_batching_invariance(spark, tmp_path):
+    """One-batch vs three id-ordered micro-batches (with batch_id
+    exactly-once publication) store the IDENTICAL scrubbed corpus, and
+    that corpus equals remove_cross_doc_spans over the whole set — the
+    submitted-text ownership rule that makes the kernel round-free."""
+    from graph_database_application_for_recommendations_spark.operators.dedup import (
+        remove_cross_doc_spans,
+    )
+    from graph_database_application_for_recommendations_spark.operators.etl import (
+        ingest_spanscrub_append,
+    )
+
+    rows = _spanscrub_test_docs()
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    one = tmp_path / "one"
+    n = ingest_spanscrub_append(spark, str(one / "c"), str(one / "i"), docs)
+    assert n == 30
+    got_one = {r["doc_id"]: r["text"] for r in spark.read.parquet(str(one / "c")).collect()}
+
+    multi = tmp_path / "multi"
+    for i, lo in enumerate((0, 10, 20)):
+        batch = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 10))
+        ingest_spanscrub_append(spark, str(multi / "c"), str(multi / "i"), batch, batch_id=i)
+    # replay of the last batch must be a no-op on the stored corpus
+    ingest_spanscrub_append(
+        spark, str(multi / "c"), str(multi / "i"),
+        docs.filter(F.col("doc_id") >= 20), batch_id=2,
+    )
+    got_multi = {r["doc_id"]: r["text"] for r in spark.read.parquet(str(multi / "c")).collect()}
+    assert got_one == got_multi
+
+    offline = {
+        r["doc_id"]: r["clean_text"] for r in remove_cross_doc_spans(docs).collect()
+    }
+    assert got_one == offline
+    # the embedded span's interior is gone from every later doc
+    for victim in (11, 21):
+        kept = set(got_one[victim].split())
+        assert {i for i in range(120) if f"shared{i}" not in kept} == set(range(20, 104))
+    assert "intra20" not in set(got_one[15].split())  # in-batch first-writer
+    assert got_one[14] == " ".join(f"intra{i}" for i in range(120))  # owner keeps

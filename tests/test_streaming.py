@@ -697,3 +697,47 @@ def test_streaming_paragraph_dedup_matches_batch(spark, tmp_path):
     assert set(fps) == set(members)   # exactly the batch fingerprint set
     for r in got_rows:                # each kept unit belongs to its group
         assert r["para_key"] in members[r["fingerprint"]]
+
+
+def test_streaming_ingest_spanscrub_matches_batch(spark, tmp_path):
+    """Streaming face of span-scrub ingest: an id-ordered file replay
+    (one file per micro-batch) through run_ingest_spanscrub_stream
+    stores exactly the one-shot batch corpus — submitted-text ownership
+    is batching-invariant, and the chunk-hash index carries the state."""
+    import os
+    import time
+
+    from graph_database_application_for_recommendations_spark.operators.etl import (
+        ingest_spanscrub_append,
+    )
+    from tests.test_pipeline_ops import _spanscrub_test_docs
+
+    rows = _spanscrub_test_docs()
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    one = tmp_path / "one"
+    ingest_spanscrub_append(spark, str(one / "c"), str(one / "i"), docs)
+    want = {r["doc_id"]: r["text"] for r in spark.read.parquet(str(one / "c")).collect()}
+
+    src = tmp_path / "src"
+    src.mkdir()
+    t0 = time.time() - 100
+    for i, lo in enumerate((0, 10, 20)):
+        part = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 10))
+        part.coalesce(1).write.parquet(str(tmp_path / f"stage{i}"))
+        pq = next(p for p in os.listdir(tmp_path / f"stage{i}") if p.endswith(".parquet"))
+        dst = src / f"{i:02d}.parquet"
+        os.rename(tmp_path / f"stage{i}" / pq, dst)
+        os.utime(dst, (t0 + i, t0 + i))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    multi = tmp_path / "multi"
+    stream_ops.run_ingest_spanscrub_stream(
+        stream, str(multi / "c"), str(multi / "i"), str(tmp_path / "ck_scrub")
+    )
+    got = {r["doc_id"]: r["text"] for r in spark.read.parquet(str(multi / "c")).collect()}
+    assert got == want
