@@ -2892,3 +2892,34 @@ def test_ingest_spanscrub_batching_invariance(spark, tmp_path):
         assert {i for i in range(120) if f"shared{i}" not in kept} == set(range(20, 104))
     assert "intra20" not in set(got_one[15].split())  # in-batch first-writer
     assert got_one[14] == " ".join(f"intra{i}" for i in range(120))  # owner keeps
+
+
+def test_ima_adpcm_stereo_interleave():
+    """Stereo IMA ADPCM: per-channel 4-byte headers then alternating
+    4-byte nibble words; the decoder must de-interleave into per-channel
+    streams whose reconstruction matches a per-channel mono decode of
+    the same nibbles."""
+    import struct
+
+    from graph_database_application_for_recommendations_spark.operators import multimodal
+
+    # two channels with distinct predictors/indexes and distinct nibbles
+    hdr = struct.pack("<hBB", 100, 10, 0) + struct.pack("<hBB", -200, 20, 0)
+    wl = bytes([0x10, 0x32, 0x54, 0x76])  # ch0 nibbles 0,1,2,3,4,5,6,7
+    wr = bytes([0x98, 0xBA, 0xDC, 0xFE])  # ch1 nibbles 8,9,...,15
+    block = hdr + wl + wr + wl + wr
+    chans = multimodal._ima_decode_block(block, 2)
+    assert len(chans) == 2 and len(chans[0]) == len(chans[1]) == 17
+
+    # mono twins: same nibbles through single-channel blocks
+    mono0 = multimodal._ima_decode_block(struct.pack("<hBB", 100, 10, 0) + wl + wl, 1)[0]
+    mono1 = multimodal._ima_decode_block(struct.pack("<hBB", -200, 20, 0) + wr + wr, 1)[0]
+    assert chans[0] == mono0 and chans[1] == mono1
+
+    # end-to-end through the WAV container: channel-sum vector
+    data = block
+    wav = _wav(17, 2, 8000, 4, len(block), data)
+    got = multimodal._decode_pcm_samples(wav)
+    assert [int(x) for x in got] == [a + b for a, b in zip(mono0, mono1)]
+    meta = multimodal._decode_audio(wav)
+    assert meta["channels"] == 2 and meta["n_samples"] == 17
