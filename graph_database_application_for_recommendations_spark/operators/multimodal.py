@@ -9,7 +9,7 @@ PPM, uncompressed BMP, 8/16-bit PNG incl. Adam7 interlacing and palette
 progressive JPEG (Huffman entropy decode + IDCT, any sampling, restart
 intervals, spectral selection + successive approximation), and WAV in
 PCM, G.711 µ-law/A-law, and IMA ADPCM codings. Formats past those
-capabilities (arithmetic/lossless/12-bit JPEG, sub-8-bit PNG, MPEG-family
+capabilities (arithmetic/lossless JPEG, sub-8-bit PNG, MPEG-family
 audio) raise NotImplementedError and route to deterministic
 byte-level features (length, crc32, first/last byte), so the distributed
 pipeline shape is exercisable on any payload.
@@ -461,11 +461,12 @@ def _decode_jpeg(payload: bytes, _pixels_out: list | None = None) -> dict:
     entropy decode with byte unstuffing and restart-interval resets,
     dequantize + de-zigzag, matrix IDCT per 8×8 block, per-component
     planes with nearest-neighbor chroma upsampling, BT.601 YCbCr→RGB
-    with clamping. Supports 8-bit sequential Huffman scans at any
+    with clamping. Supports 8- and 12-bit sequential Huffman scans
+    (12-bit: 16-bit DQT entries, 2048 level shift, 0..4095 clamp) at any
     sampling (4:4:4/4:2:2/4:2:0) and grayscale; SOF2 routes to the
-    progressive decoder (_decode_jpeg_progressive); arithmetic,
-    hierarchical, and 12-bit modes raise NotImplementedError →
-    byte-feature fallback."""
+    progressive decoder (_decode_jpeg_progressive); arithmetic and
+    hierarchical modes raise NotImplementedError → byte-feature
+    fallback."""
     import struct
 
     import numpy as np
@@ -493,12 +494,18 @@ def _decode_jpeg(payload: bytes, _pixels_out: list | None = None) -> dict:
             i = 0
             while i < len(body):
                 pq, tq = body[i] >> 4, body[i] & 0x0F
-                if pq != 0:
-                    raise NotImplementedError("16-bit JPEG quant tables")
-                qt[tq] = np.frombuffer(
-                    body[i + 1 : i + 65], dtype=np.uint8
-                ).astype(np.float64)
-                i += 65
+                if pq == 0:
+                    qt[tq] = np.frombuffer(
+                        body[i + 1 : i + 65], dtype=np.uint8
+                    ).astype(np.float64)
+                    i += 65
+                elif pq == 1:  # 16-bit entries (the 12-bit-sample tables)
+                    qt[tq] = np.frombuffer(
+                        body[i + 1 : i + 129], dtype=">u2"
+                    ).astype(np.float64)
+                    i += 129
+                else:
+                    raise ValueError(f"bad DQT precision {pq}")
         elif marker == 0xC4:  # DHT: canonical code assignment (T.81 C.2)
             i = 0
             while i < len(body):
@@ -517,13 +524,13 @@ def _decode_jpeg(payload: bytes, _pixels_out: list | None = None) -> dict:
                 i += 17 + nsym
         elif marker in (0xC0, 0xC1):  # baseline / extended sequential
             prec, hh, ww, nc = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8:
-                raise NotImplementedError("only 8-bit JPEG decodable")
+            if prec not in (8, 12):
+                raise NotImplementedError("only 8/12-bit JPEG decodable")
             comps = []
             for c in range(nc):
                 cid, hv, tq_id = body[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq_id))
-            frame = (ww, hh, comps)
+            frame = (ww, hh, comps, prec)
         elif marker == 0xC2:  # progressive: its own multi-scan walk
             return _decode_jpeg_progressive(payload, _pixels_out)
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -543,7 +550,9 @@ def _decode_jpeg(payload: bytes, _pixels_out: list | None = None) -> dict:
         pos += seglen
     if frame is None or scan is None:
         raise ValueError("JPEG missing SOF/SOS")
-    w, h, comps = frame
+    w, h, comps, prec = frame
+    center = float(1 << (prec - 1))
+    maxv = float((1 << prec) - 1)
     if w == 0 or h == 0:
         raise ValueError("empty JPEG frame")
 
@@ -616,11 +625,11 @@ def _decode_jpeg(payload: bytes, _pixels_out: list | None = None) -> dict:
                         k += 1
                     blk = np.zeros(64)
                     blk[zz] = coef * q  # dequantize + de-zigzag
-                    spatial = basis @ blk.reshape(8, 8) @ basis.T + 128.0
+                    spatial = basis @ blk.reshape(8, 8) @ basis.T + center
                     y0 = (my * cv + by) * 8
                     x0 = (mx * ch + bx) * 8
                     planes[cid][y0 : y0 + 8, x0 : x0 + 8] = np.clip(
-                        spatial, 0.0, 255.0
+                        spatial, 0.0, maxv
                     )
 
     # upsample to full resolution (sample replication), crop to (h, w)
@@ -638,7 +647,7 @@ def _decode_jpeg(payload: bytes, _pixels_out: list | None = None) -> dict:
         return {"width": w, "height": h, "channels": 1, "mean_value": round(mean, 6)}
     if len(full) != 3:
         raise NotImplementedError("only 1- or 3-component JPEG decodable")
-    r, g, b = _jpeg_rgb(full)
+    r, g, b = _jpeg_rgb(full, center, maxv)
     if _pixels_out is not None:
         _pixels_out.append((r + g + b).astype(np.int64))
     mean = float((r.sum() + g.sum() + b.sum()) / (3 * w * h))
@@ -705,12 +714,18 @@ def _decode_jpeg_progressive(payload: bytes, _pixels_out: list | None = None) ->
             i = 0
             while i < len(body):
                 pq, tq = body[i] >> 4, body[i] & 0x0F
-                if pq != 0:
-                    raise NotImplementedError("16-bit JPEG quant tables")
-                qt[tq] = np.frombuffer(
-                    body[i + 1 : i + 65], dtype=np.uint8
-                ).astype(np.float64)
-                i += 65
+                if pq == 0:
+                    qt[tq] = np.frombuffer(
+                        body[i + 1 : i + 65], dtype=np.uint8
+                    ).astype(np.float64)
+                    i += 65
+                elif pq == 1:  # 16-bit entries (the 12-bit-sample tables)
+                    qt[tq] = np.frombuffer(
+                        body[i + 1 : i + 129], dtype=">u2"
+                    ).astype(np.float64)
+                    i += 129
+                else:
+                    raise ValueError(f"bad DQT precision {pq}")
         elif marker == 0xC4:
             i = 0
             while i < len(body):
@@ -729,13 +744,13 @@ def _decode_jpeg_progressive(payload: bytes, _pixels_out: list | None = None) ->
                 i += 17 + nsym
         elif marker == 0xC2:
             prec, hh, ww, nc = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8:
-                raise NotImplementedError("only 8-bit JPEG decodable")
+            if prec not in (8, 12):
+                raise NotImplementedError("only 8/12-bit JPEG decodable")
             comps = []
             for c in range(nc):
                 cid, hv, tq_id = body[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq_id))
-            frame = (ww, hh, comps)
+            frame = (ww, hh, comps, prec)
         elif marker == 0xDD:
             (restart,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:
@@ -761,7 +776,9 @@ def _decode_jpeg_progressive(payload: bytes, _pixels_out: list | None = None) ->
         pos += seglen
     if frame is None or not scans:
         raise ValueError("JPEG missing SOF2/SOS")
-    w, h, comps = frame
+    w, h, comps, prec = frame
+    center = float(1 << (prec - 1))
+    maxv = float((1 << prec) - 1)
     if w == 0 or h == 0:
         raise ValueError("empty JPEG frame")
 
@@ -961,9 +978,9 @@ def _decode_jpeg_progressive(payload: bytes, _pixels_out: list | None = None) ->
             for bx in range(mcus_x * ch):
                 blk = np.zeros(64)
                 blk[zz] = cf_plane[by, bx].astype(np.float64) * q
-                spatial = basis @ blk.reshape(8, 8) @ basis.T + 128.0
+                spatial = basis @ blk.reshape(8, 8) @ basis.T + center
                 plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
-                    spatial, 0.0, 255.0
+                    spatial, 0.0, maxv
                 )
         planes[cid] = plane
     full = []
@@ -978,25 +995,27 @@ def _decode_jpeg_progressive(payload: bytes, _pixels_out: list | None = None) ->
         return {"width": w, "height": h, "channels": 1, "mean_value": round(mean, 6)}
     if len(full) != 3:
         raise NotImplementedError("only 1- or 3-component JPEG decodable")
-    r, g, b = _jpeg_rgb(full)
+    r, g, b = _jpeg_rgb(full, center, maxv)
     if _pixels_out is not None:
         _pixels_out.append((r + g + b).astype(np.int64))
     mean = float((r.sum() + g.sum() + b.sum()) / (3 * w * h))
     return {"width": w, "height": h, "channels": 3, "mean_value": round(mean, 6)}
 
 
-def _jpeg_rgb(full):
+def _jpeg_rgb(full, center: float = 128.0, maxv: float = 255.0):
     """BT.601 YCbCr→RGB with the decoder's exact round/clip discipline —
     shared by the metadata path and the pixel path so a hash computed
-    over pixels agrees with the attested mean_value math."""
+    over pixels agrees with the attested mean_value math. ``center``/
+    ``maxv`` follow the frame's sample precision (128/255 at 8 bits,
+    2048/4095 at 12)."""
     import numpy as np
 
     y, cb, cr = full
-    r = np.clip(np.round(y + 1.402 * (cr - 128.0)), 0, 255)
+    r = np.clip(np.round(y + 1.402 * (cr - center)), 0, maxv)
     g = np.clip(
-        np.round(y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)), 0, 255
+        np.round(y - 0.344136 * (cb - center) - 0.714136 * (cr - center)), 0, maxv
     )
-    b = np.clip(np.round(y + 1.772 * (cb - 128.0)), 0, 255)
+    b = np.clip(np.round(y + 1.772 * (cb - center)), 0, maxv)
     return r, g, b
 
 

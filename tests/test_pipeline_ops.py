@@ -1332,20 +1332,23 @@ class _JpegBitWriter:
             self.write(1, 1)  # pad with 1s
 
 
-def _jpeg_tables():
-    """(dc_syms, ac_syms, code_of): every symbol at canonical length 9."""
-    dc_syms = list(range(12))
-    ac_syms = [0x00, 0xF0] + [r * 16 + s for r in range(16) for s in range(1, 11)]
+def _jpeg_tables(max_s=10):
+    """(dc_syms, ac_syms, code_of x2, code_len): every symbol at one
+    canonical length (9 bits; 10 when the 12-bit symbol set overflows
+    9-bit code space)."""
+    dc_syms = list(range(16 if max_s > 10 else 12))
+    ac_syms = [0x00, 0xF0] + [r * 16 + s for r in range(16) for s in range(1, max_s + 1)]
+    ln = 9 if len(ac_syms) < 250 else 10
 
     def canonical(symbols):
-        return {sym: (9, i) for i, sym in enumerate(symbols)}
+        return {sym: (ln, i) for i, sym in enumerate(symbols)}
 
-    return dc_syms, ac_syms, canonical(dc_syms), canonical(ac_syms)
+    return dc_syms, ac_syms, canonical(dc_syms), canonical(ac_syms), ln
 
 
-def _dht_segment(tc, th, symbols):
+def _dht_segment(tc, th, symbols, ln=9):
     counts = [0] * 16
-    counts[8] = len(symbols)  # all codes 9 bits long
+    counts[ln - 1] = len(symbols)  # all codes the same length
     body = bytes([tc << 4 | th]) + bytes(counts) + bytes(symbols)
     return b"\xff\xc4" + (len(body) + 2).to_bytes(2, "big") + body
 
@@ -1356,8 +1359,11 @@ def _category(v: int):
     return t, raw
 
 
-def _make_jpeg(img, subsample=False, restart=0):
-    """Baseline-encode an (h, w[, 3]) uint8 numpy image."""
+def _make_jpeg(img, subsample=False, restart=0, prec=8):
+    """Baseline-encode an (h, w[, 3]) numpy image; ``prec=12`` emits an
+    extended-sequential (SOF1) 12-bit frame with a 16-bit (pq=1) DQT —
+    the decoder's 12-bit proof."""
+    center = float(1 << (prec - 1))
     import numpy as np
 
     from graph_database_application_for_recommendations_spark.operators.multimodal import (
@@ -1374,8 +1380,8 @@ def _make_jpeg(img, subsample=False, restart=0):
     else:
         r, g, b = img[..., 0], img[..., 1], img[..., 2]
         y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
-        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        cb = center - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = center + 0.5 * r - 0.418688 * g - 0.081312 * b
         if subsample:
             # 2x2 mean chroma downsample (pad to even first)
             def down(p):
@@ -1400,7 +1406,8 @@ def _make_jpeg(img, subsample=False, restart=0):
             np.pad(p, ((0, th_ - p.shape[0]), (0, tw_ - p.shape[1])), mode="edge")
         )
 
-    dc_syms, ac_syms, dc_code, ac_code = _jpeg_tables()
+    max_s = 10 if prec == 8 else 15
+    dc_syms, ac_syms, dc_code, ac_code, code_len = _jpeg_tables(max_s)
     wtr = _JpegBitWriter()
     preds = [0] * len(planes)
     zz = list(_JPEG_ZIGZAG)
@@ -1408,7 +1415,7 @@ def _make_jpeg(img, subsample=False, restart=0):
     nrst = 0
 
     def encode_block(plane, by, bx, ci):
-        blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+        blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - center
         coef2 = basis.T @ blk @ basis  # forward DCT (Q == 1: no scaling)
         zig = [int(round(coef2.flat[zz[k]])) for k in range(64)]
         t, raw = _category(zig[0] - preds[ci])
@@ -1428,7 +1435,7 @@ def _make_jpeg(img, subsample=False, restart=0):
                 wtr.write(code, ln)
                 run -= 16
             t, raw = _category(v)
-            assert t <= 10
+            assert t <= max_s
             ln, code = ac_code[run * 16 + t]
             wtr.write(code, ln)
             wtr.write(raw, t)
@@ -1455,15 +1462,19 @@ def _make_jpeg(img, subsample=False, restart=0):
 
     # markers
     head = bytearray(b"\xff\xd8")
-    qbody = bytes([0x00]) + bytes([1] * 64)  # table 0, all ones, zigzag
+    if prec == 8:
+        qbody = bytes([0x00]) + bytes([1] * 64)  # table 0, all ones, zigzag
+    else:  # 16-bit entries (pq=1), still all ones
+        qbody = bytes([0x10]) + b"".join((1).to_bytes(2, "big") for _ in range(64))
     head += b"\xff\xdb" + (len(qbody) + 2).to_bytes(2, "big") + qbody
     nc = len(planes)
-    sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nc])
+    sof = bytearray([prec]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nc])
     for ci, (sh, sv) in enumerate(samp):
         sof += bytes([ci + 1, sh << 4 | sv, 0])
-    head += b"\xff\xc0" + (len(sof) + 2).to_bytes(2, "big") + bytes(sof)
-    head += _dht_segment(0, 0, dc_syms)
-    head += _dht_segment(1, 0, ac_syms)
+    sof_marker = b"\xff\xc0" if prec == 8 else b"\xff\xc1"
+    head += sof_marker + (len(sof) + 2).to_bytes(2, "big") + bytes(sof)
+    head += _dht_segment(0, 0, dc_syms, code_len)
+    head += _dht_segment(1, 0, ac_syms, code_len)
     if restart:
         head += b"\xff\xdd\x00\x04" + restart.to_bytes(2, "big")
     sos = bytearray([nc])
@@ -1888,7 +1899,7 @@ def _make_progressive_jpeg(img, subsample=False):
     the stream round-trips bit-exactly against the decoder semantics)."""
     coefs, samp, (w, h, mcus_x, mcus_y, hmax, vmax) = _jpeg_plane_coefs(img, subsample)
     nc = len(coefs)
-    dc_syms, ac_syms, dc_code, ac_code = _jpeg_tables()
+    dc_syms, ac_syms, dc_code, ac_code, _ln9 = _jpeg_tables()
 
     out = bytearray(b"\xff\xd8")
     qbody = bytes([0x00]) + bytes([1] * 64)
@@ -2923,3 +2934,32 @@ def test_ima_adpcm_stereo_interleave():
     assert [int(x) for x in got] == [a + b for a, b in zip(mono0, mono1)]
     meta = multimodal._decode_audio(wav)
     assert meta["channels"] == 2 and meta["n_samples"] == 17
+
+
+def test_jpeg_12bit_extended_sequential():
+    """12-bit JPEG (SOF1, 16-bit pq=1 DQT, 2048 level shift): the same
+    gradient encoded at 8 and at 12 bits (samples ×16) decodes to the
+    same image at 16× the scale, and the 12-bit mean matches the source
+    within the same rounding budget ×16. Gray and RGB."""
+    import numpy as np
+
+    img8 = _gradient(24, 40)
+    img12 = img8.astype(np.int64) * 16  # 0..4080, the 8->12 bit expansion
+    meta = multimodal._decode_image(_make_jpeg(img12, prec=12))
+    assert (meta["width"], meta["height"], meta["channels"]) == (40, 24, 3)
+    assert abs(meta["mean_value"] - float(np.mean(img12))) < 1.5 * 16
+
+    ref8 = multimodal._decode_image(_make_jpeg(img8))
+    assert abs(meta["mean_value"] - 16 * ref8["mean_value"]) < 1.5 * 16
+
+    g8 = _gradient(13, 19, color=False)
+    meta_g = multimodal._decode_image(_make_jpeg(g8.astype(np.int64) * 16, prec=12))
+    assert (meta_g["width"], meta_g["height"], meta_g["channels"]) == (19, 13, 1)
+    assert abs(meta_g["mean_value"] - 16 * float(np.mean(g8))) < 1.5 * 16
+
+    # pixel path: gray3 grids scale by 16 within the rounding budget
+    px12, px8 = [], []
+    multimodal._decode_png  # noqa: B018 (keep import surface obvious)
+    multimodal._decode_jpeg(_make_jpeg(img12, prec=12), _pixels_out=px12)
+    multimodal._decode_jpeg(_make_jpeg(img8), _pixels_out=px8)
+    assert np.abs(px12[0] - 16 * px8[0]).max() <= 3 * 16 * 3
