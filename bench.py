@@ -329,6 +329,7 @@ def main() -> None:
         sig: int,
         width: int | None,
         tags: bool = False,
+        extras: bool = True,
     ) -> str:
         if tags:
             keys = [_tag(k) for k in times]
@@ -349,7 +350,7 @@ def main() -> None:
             "queries": q,
             "sf": _sf_of(sf_dir),
         }
-        if width is None:  # the metadata extras go first when space is tight
+        if width is None and extras:  # metadata goes first when space is tight
             rec["cpus"] = cpus
             # max measurement passes any query received (heavy queries get
             # a third post-reset pass; h3 says how many did) — ADVICE r6
@@ -369,12 +370,18 @@ def main() -> None:
         dict(strip_prefix=True, sig=2, width=None),
         dict(strip_prefix=True, sig=3, width=None, tags=True),
         dict(strip_prefix=True, sig=2, width=None, tags=True),
+        # human-matchable tags with the metadata extras shed — preferred
+        # over ANY name truncation (the r7 99-query mix crossed the old
+        # 1850 cutoff by a few bytes and fell all the way to width=14)
+        dict(strip_prefix=True, sig=2, width=None, tags=True, extras=False),
         dict(strip_prefix=True, sig=2, width=14),
         dict(strip_prefix=True, sig=2, width=10),
     )
     for kw in attempts:
         line = _compact(timings, **kw)
-        if len(line) <= 1850:
+        # the driver archives the LAST 2000 stdout chars; the record is the
+        # final line, so anything <= ~1990 survives whole
+        if len(line) <= 1985:
             break
     print(line, flush=True)
 

@@ -851,8 +851,8 @@ def test_multimodal_png_decoder():
         assert (img["width"], img["height"], img["channels"]) == (w, h, channels)
         assert img["mean_value"] == pytest.approx(sum(raster) / len(raster), abs=1e-6)
 
-    # sub-8-bit depth: honest NotImplementedError, not a wrong answer
-    bad_ihdr = struct.pack(">IIBBBBB", 8, 2, 4, 0, 0, 0, 0)
+    # spec-forbidden combination (4-bit RGB): honest NotImplementedError
+    bad_ihdr = struct.pack(">IIBBBBB", 8, 2, 4, 2, 0, 0, 0)
     bad = (
         b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", bad_ihdr)
         + chunk(b"IDAT", zlib.compress(b"\x00" * 10)) + chunk(b"IEND", b"")
@@ -2456,21 +2456,39 @@ def _encode_png_ex(width, height, channels, samples, bit_depth=8, interlace=0):
     import zlib
 
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
-    bps = bit_depth // 8
-    bpp = channels * bps
+    if bit_depth < 8:
+        assert channels == 1
+        bpp = 1
 
-    def sample_bytes(v):
-        return v.to_bytes(bps, "big")
+        def grid(x0, y0, xs, ys):
+            per = 8 // bit_depth
+            rows = []
+            for y in range(y0, height, ys):
+                vals = [samples[y * width + x] for x in range(x0, width, xs)]
+                row = bytearray()
+                for i in range(0, len(vals), per):
+                    b = 0
+                    for j, v in enumerate(vals[i : i + per]):
+                        b |= v << (8 - (j + 1) * bit_depth)
+                    row.append(b)
+                rows.append(bytes(row))
+            return rows
+    else:
+        bps = bit_depth // 8
+        bpp = channels * bps
 
-    def grid(x0, y0, xs, ys):
-        rows = []
-        for y in range(y0, height, ys):
-            row = bytearray()
-            for x in range(x0, width, xs):
-                for c in range(channels):
-                    row += sample_bytes(samples[(y * width + x) * channels + c])
-            rows.append(bytes(row))
-        return rows
+        def sample_bytes(v):
+            return v.to_bytes(bps, "big")
+
+        def grid(x0, y0, xs, ys):
+            rows = []
+            for y in range(y0, height, ys):
+                row = bytearray()
+                for x in range(x0, width, xs):
+                    for c in range(channels):
+                        row += sample_bytes(samples[(y * width + x) * channels + c])
+                rows.append(bytes(row))
+            return rows
 
     def filter_rows(rows):
         out = bytearray()
@@ -2963,3 +2981,70 @@ def test_jpeg_12bit_extended_sequential():
     multimodal._decode_jpeg(_make_jpeg(img12, prec=12), _pixels_out=px12)
     multimodal._decode_jpeg(_make_jpeg(img8), _pixels_out=px8)
     assert np.abs(px12[0] - 16 * px8[0]).max() <= 3 * 16 * 3
+
+
+def test_png_sub8bit_gray_and_adam7():
+    """1/2/4-bit packed grayscale PNG (MSB-first bit packing, byte-wise
+    bpp=1 filters): the same small-value raster at depth d and at depth
+    8 decodes to identical raw samples — sequential and Adam7."""
+    import numpy as np
+
+    from graph_database_application_for_recommendations_spark.operators import multimodal
+
+    w, h = 13, 7  # width not a multiple of any packing unit: pad bits in play
+    for depth in (1, 2, 4):
+        vals = [(i * 5 + 3) % (1 << depth) for i in range(w * h)]
+        ref = multimodal._decode_image(_encode_png_ex(w, h, 1, vals, 8, 0))
+        for interlace in (0, 1):
+            png = _encode_png_ex(w, h, 1, vals, depth, interlace)
+            meta = multimodal._decode_image(png)
+            assert (meta["width"], meta["height"], meta["channels"]) == (w, h, 1)
+            assert meta["mean_value"] == ref["mean_value"]
+            out_d, out_8 = [], []
+            multimodal._decode_png(png, _pixels_out=out_d)
+            multimodal._decode_png(_encode_png_ex(w, h, 1, vals, 8, 0), _pixels_out=out_8)
+            assert (out_d[0] == out_8[0]).all()
+
+
+def test_png_4bit_palette_decode():
+    """4-bit palette PNG: packed indexes map through PLTE; metadata and
+    gray3 pixels match the equivalent 8-bit palette encoding."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from graph_database_application_for_recommendations_spark.operators import multimodal
+
+    def chunk(ctype, body):
+        return (
+            len(body).to_bytes(4, "big") + ctype + body
+            + zlib.crc32(ctype + body).to_bytes(4, "big")
+        )
+
+    plte = bytes([10, 20, 30, 200, 100, 0, 0, 0, 255, 77, 77, 77])
+    idx = [[0, 1, 2], [3, 2, 1]]  # 3x2, odd width: pad bits in play
+    # 4-bit: two indexes per byte, MSB first; scanline filter 0
+    raster4 = b"".join(
+        b"\x00" + bytes([(r[0] << 4) | r[1], r[2] << 4]) for r in idx
+    )
+    png4 = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 4, 3, 0, 0, 0))
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(raster4))
+        + chunk(b"IEND", b"")
+    )
+    raster8 = b"".join(b"\x00" + bytes(r) for r in idx)
+    png8 = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(raster8))
+        + chunk(b"IEND", b"")
+    )
+    assert multimodal._decode_image(png4) == multimodal._decode_image(png8)
+    a, b = [], []
+    multimodal._decode_png(png4, _pixels_out=a)
+    multimodal._decode_png(png8, _pixels_out=b)
+    assert (a[0] == b[0]).all()
