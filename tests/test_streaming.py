@@ -741,3 +741,34 @@ def test_streaming_ingest_spanscrub_matches_batch(spark, tmp_path):
     )
     got = {r["doc_id"]: r["text"] for r in spark.read.parquet(str(multi / "c")).collect()}
     assert got == want
+
+
+def test_streaming_c4_clean_is_stateless_and_matches_batch(spark, tmp_path):
+    """c4_paragraph_clean is a pure per-row column program, so it works
+    on a streaming frame as-is (no state, append-safe); the replayed
+    stream emits exactly the batch rows."""
+    from graph_database_application_for_recommendations_spark.operators.textstats import (
+        c4_paragraph_clean,
+    )
+
+    good = "This is a perfectly fine sentence for the stream. And one more!"
+    docs = spark.createDataFrame(
+        [(1, good), (2, "no terminal punctuation here at all"), (3, good + " Third one.")],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "src")
+    docs.write.parquet(src)
+    want = sorted(map(tuple, c4_paragraph_clean(spark.read.parquet(src)).collect()))
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    out = []
+    q = (
+        c4_paragraph_clean(stream)
+        .writeStream.foreachBatch(lambda df, _id: out.extend(map(tuple, df.collect())))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(out) == want
