@@ -464,6 +464,58 @@ def ingest_spanscrub_append(
     return n
 
 
+def vocab_delta_append(
+    spark,
+    counts_path: str,
+    incoming: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_id: int | None = None,
+) -> int:
+    """Incremental tokenizer-vocabulary maintenance, append side: write
+    the batch's (token, count, n_docs) partial aggregate as one more
+    delta file set under ``counts_path``. Token counts are additive and
+    — in an append-only ingest where a document belongs to exactly one
+    batch — so are per-token distinct-doc counts, so the standing corpus
+    is NEVER rescanned to rebuild the vocabulary: re-deriving it costs
+    the batch's tokens plus a |vocab|-sized consolidation sum
+    (consolidated_vocabulary). With ``batch_id`` the delta publishes
+    under deterministic names (replay replaces, exactly-once); the delta
+    table is pure-additive state, so no read-exclusion is needed.
+    Returns the delta's row count (distinct tokens in the batch).
+    """
+    from ..plans import materialize, release_checkpoint
+    from .textstats import token_count_table
+
+    delta = materialize(token_count_table(incoming, id_col, text_col))
+    try:
+        n = delta.count()
+        if n:
+            _publish(spark, delta, counts_path, batch_id)
+    finally:
+        release_checkpoint(delta)
+    return n
+
+
+def consolidated_vocabulary(
+    spark, counts_path: str, max_size: int | None = None, min_count: int = 1
+) -> DataFrame:
+    """The tokenizer table from the accumulated delta files: sum-merge
+    the deltas (consolidate_token_counts) and rank through the SAME
+    two-level plan as build_vocabulary — so a vocabulary maintained
+    incrementally is bit-identical to one rebuilt from the full corpus
+    (the parity the tests and q_ingest_vocab's oracle pin). The deltas
+    directory compacts like any other ingest table (compact_parquet:
+    row-content equality is the contract, and sums don't care about
+    file layout)."""
+    from .textstats import consolidate_token_counts, rank_vocabulary
+
+    deltas = spark.read.parquet(counts_path)
+    return rank_vocabulary(
+        consolidate_token_counts(deltas), max_size=max_size, min_count=min_count
+    )
+
+
 def compact_parquet(
     spark, path: str, target_files: int | None = None, target_bytes: int = 128 << 20
 ) -> tuple[int, int]:

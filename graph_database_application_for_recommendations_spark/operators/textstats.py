@@ -298,8 +298,20 @@ def build_vocabulary(
     prefixes, and prefix truncation is order-monotonic so the composed
     rank is bit-identical to the global one.
     """
+    counts = token_count_table(documents, id_col, text_col)
+    return rank_vocabulary(counts, max_size=max_size, min_count=min_count)
+
+
+def token_count_table(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(token, count, n_docs): the corpus token-count table — one explode
+    + one hash aggregate (map-side combinable). The additive half of
+    vocabulary building: count tables from disjoint document sets SUM
+    into the whole-corpus table, which is what incremental maintenance
+    (vocab_delta_append) exploits."""
     par = documents.sparkSession.sparkContext.defaultParallelism
-    counts = (
+    return (
         documents.repartition(par)
         .select(F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("token"))
         .groupBy("token")
@@ -307,8 +319,19 @@ def build_vocabulary(
             F.count(F.lit(1)).alias("count"),
             F.countDistinct("doc_id").alias("n_docs"),
         )
-        .filter(F.col("count") >= min_count)
     )
+
+
+def rank_vocabulary(
+    counts: DataFrame,
+    max_size: int | None = None,
+    min_count: int = 1,
+) -> DataFrame:
+    """Dense deterministic ids over a (token, count, n_docs) table — the
+    two-level (count, prefix-bucket) rank documented on
+    build_vocabulary, exposed separately so consolidated incremental
+    counts rank through the identical plan."""
+    counts = counts.filter(F.col("count") >= min_count)
     pfx = F.substring("token", 1, 2)
     hist = counts.groupBy(F.col("count").alias("count"), pfx.alias("_pfx")).agg(
         F.count(F.lit(1)).alias("_n")
@@ -1046,4 +1069,18 @@ def line_repetition_scores(
             / F.sum(F.col("c") * F.col("len")),
             6,
         ).alias("dup_line_char_fraction"),
+    )
+
+
+def consolidate_token_counts(deltas: DataFrame) -> DataFrame:
+    """Whole-corpus (token, count, n_docs) from a union/append of
+    per-batch delta tables: counts are ADDITIVE and, for an
+    append-only ingest where a document belongs to exactly one batch,
+    so are per-token distinct-doc counts — one sum aggregate
+    consolidates any number of batches. This is the algebra that makes
+    vocabulary maintenance incremental: re-deriving the tokenizer table
+    after a batch costs the BATCH's tokens plus a |vocab|-sized merge,
+    never a corpus rescan."""
+    return deltas.groupBy("token").agg(
+        F.sum("count").alias("count"), F.sum("n_docs").alias("n_docs")
     )

@@ -1867,6 +1867,42 @@ register(
     ),
 )
 
+def _ingest_vocab_q(s: SparkSession, d: str) -> DataFrame:
+    """Incremental vocabulary maintenance: the corpus arrives as three
+    disjoint batches (doc_id % 3), each contributing only its own
+    (token, count, n_docs) delta; consolidation + the shared two-level
+    rank must reproduce the direct whole-corpus vocabulary bit-for-bit
+    (counts and — since each doc is in exactly one batch — distinct-doc
+    counts are additive). Oracle = the direct derivation."""
+    docs = _docs(s, d)
+    deltas = None
+    for i in range(3):
+        delta = textstats.token_count_table(docs.filter(F.col("doc_id") % 3 == i))
+        deltas = delta if deltas is None else deltas.unionByName(delta)
+    return textstats.rank_vocabulary(
+        textstats.consolidate_token_counts(deltas), max_size=2000, min_count=2
+    )
+
+
+register(
+    "q_ingest_vocab",
+    _ingest_vocab_q,
+    _q_docs(
+        """
+        , tokd AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS token FROM norm),
+        counts AS (
+          SELECT token, COUNT(*) AS count, COUNT(DISTINCT doc_id) AS n_docs
+          FROM tokd GROUP BY token HAVING COUNT(*) >= 2)
+        SELECT token_id, token, count, n_docs FROM (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY count DESC, token) - 1 AS BIGINT) AS token_id,
+                 token, count, n_docs
+          FROM counts)
+        WHERE token_id < 2000
+        """
+    ),
+)
+
+
 # tokenized training corpus: vocab-mapped (doc_id, pos, token_id) stream
 register(
     "q_corpus_encode",

@@ -3048,3 +3048,39 @@ def test_png_4bit_palette_decode():
     multimodal._decode_png(png4, _pixels_out=a)
     multimodal._decode_png(png8, _pixels_out=b)
     assert (a[0] == b[0]).all()
+
+
+def test_vocab_delta_append_matches_full_rebuild(spark, tmp_path):
+    """Incremental vocabulary through parquet deltas: three id-disjoint
+    batches appended with batch_ids, consolidated vocabulary ==
+    build_vocabulary over the full corpus, bit-for-bit — including after
+    a replayed batch (exactly-once) and a compaction of the delta dir."""
+    from graph_database_application_for_recommendations_spark.operators.etl import (
+        compact_parquet,
+        consolidated_vocabulary,
+        vocab_delta_append,
+    )
+    from graph_database_application_for_recommendations_spark.operators.textstats import (
+        build_vocabulary,
+    )
+
+    rows = [(i, " ".join(f"tok{(i * 7 + j) % 13}" for j in range(10))) for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    want = sorted(map(tuple, build_vocabulary(docs, min_count=2).collect()))
+
+    path = str(tmp_path / "deltas")
+    for i, lo in enumerate((0, 10, 20)):
+        batch = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 10))
+        n = vocab_delta_append(spark, path, batch, batch_id=i)
+        assert n > 0
+    # replay of batch 1 must replace, not double-count
+    vocab_delta_append(
+        spark, path, docs.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 20)),
+        batch_id=1,
+    )
+    got = sorted(map(tuple, consolidated_vocabulary(spark, path, min_count=2).collect()))
+    assert got == want
+
+    compact_parquet(spark, path, target_files=1)
+    again = sorted(map(tuple, consolidated_vocabulary(spark, path, min_count=2).collect()))
+    assert again == want
