@@ -516,6 +516,58 @@ def consolidated_vocabulary(
     )
 
 
+def dsir_hist_delta_append(
+    spark,
+    hist_path: str,
+    incoming: DataFrame,
+    num_buckets: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_id: int | None = None,
+) -> int:
+    """Incremental DSIR raw-corpus statistics: append the batch's hashed-
+    unigram bucket histogram (b, rc) as a delta file set — the same
+    additive-state discipline as vocab_delta_append, for the DSIR
+    model's raw side (the target histogram is a fixed benchmark-sized
+    artifact). Returns the delta's distinct-bucket count."""
+    from ..plans import materialize, release_checkpoint
+    from .textstats import _dsir_buckets
+
+    delta = materialize(
+        _dsir_buckets(incoming, num_buckets, id_col, text_col)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("rc"))
+    )
+    try:
+        n = delta.count()
+        if n:
+            _publish(spark, delta, hist_path, batch_id)
+    finally:
+        release_checkpoint(delta)
+    return n
+
+
+def consolidated_dsir_model(
+    spark, hist_path: str, target: DataFrame, num_buckets: int = 4096,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """(b, lr): the DSIR ratio table from the accumulated raw-histogram
+    deltas plus the target corpus — bit-identical to retraining
+    dsir_log_ratio over the full raw corpus (bucket counts and their
+    totals are additive; q_ingest_dsir_model's oracle pins it)."""
+    from .textstats import _dsir_buckets, dsir_log_ratio_from_hists
+
+    raw_hist = (
+        spark.read.parquet(hist_path).groupBy("b").agg(F.sum("rc").alias("rc"))
+    )
+    tgt_hist = (
+        _dsir_buckets(target, num_buckets, id_col, text_col)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    return dsir_log_ratio_from_hists(spark, raw_hist, tgt_hist, num_buckets)
+
+
 def compact_parquet(
     spark, path: str, target_files: int | None = None, target_bytes: int = 128 << 20
 ) -> tuple[int, int]:

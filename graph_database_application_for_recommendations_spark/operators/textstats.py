@@ -866,10 +866,29 @@ def dsir_log_ratio(
     tgt_tok = _dsir_buckets(target, B, id_col, text_col)
     raw_hist = raw_tok.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
     tgt_hist = tgt_tok.groupBy("b").agg(F.count(F.lit(1)).alias("tc"))
-    totals = raw_tok.agg(F.count(F.lit(1)).alias("rn")).crossJoin(
-        tgt_tok.agg(F.count(F.lit(1)).alias("tn"))
+    return dsir_log_ratio_from_hists(
+        documents.sparkSession, raw_hist, tgt_hist, num_buckets
     )
-    spark = documents.sparkSession
+
+
+def dsir_log_ratio_from_hists(
+    spark: SparkSession,
+    raw_hist: DataFrame,
+    tgt_hist: DataFrame,
+    num_buckets: int = 4096,
+) -> DataFrame:
+    """The DSIR ratio table from already-aggregated bucket histograms
+    (raw: (b, rc); target: (b, tc)) — the consolidation face: bucket
+    counts are ADDITIVE, so per-batch raw-corpus histograms appended by
+    an ingest loop sum into exactly the whole-corpus histogram, and the
+    model retrains after a batch for the cost of the BATCH's tokens plus
+    a num_buckets-sized merge (never a corpus rescan). Totals are
+    derived from the histograms themselves, keeping the two faces
+    bit-identical."""
+    B = num_buckets
+    totals = raw_hist.agg(F.sum("rc").cast("long").alias("rn")).crossJoin(
+        tgt_hist.agg(F.sum("tc").cast("long").alias("tn"))
+    )
     # Dense bucket spine: B is bounded (default 4096), one driver-side
     # range() row per bucket — broadcast-sized by construction.
     spine = spark.range(B).select(F.col("id").cast("int").alias("b"))

@@ -2389,6 +2389,62 @@ register(
 )
 
 
+def _ingest_dsir_model_q(s: SparkSession, d: str) -> DataFrame:
+    """Incrementally-maintained DSIR model: the raw corpus arrives as
+    three disjoint batches (doc_id % 3), each contributing only its own
+    bucket histogram delta; consolidation + the shared ratio math must
+    reproduce the direct whole-corpus dsir_log_ratio bit-for-bit
+    (bucket counts and totals are additive). Dense num_buckets rows."""
+    docs = _docs(s, d)
+    deltas = None
+    for i in range(3):
+        h = (
+            textstats._dsir_buckets(
+                docs.filter(F.col("doc_id") % 3 == i), 4096, "doc_id", "text"
+            )
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).alias("rc"))
+        )
+        deltas = h if deltas is None else deltas.unionByName(h)
+    raw_hist = deltas.groupBy("b").agg(F.sum("rc").alias("rc"))
+    tgt_hist = (
+        textstats._dsir_buckets(
+            docs.filter(F.col("lang") == "en"), 4096, "doc_id", "text"
+        )
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    return textstats.dsir_log_ratio_from_hists(s, raw_hist, tgt_hist, 4096).select(
+        "b", F.round("lr", 6).alias("lr")
+    )
+
+
+register(
+    "q_ingest_dsir_model",
+    _ingest_dsir_model_q,
+    _q_docs(
+        """
+        , tok AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS token FROM norm),
+        bt AS (
+          SELECT t.doc_id, CAST(('0x' || substr(md5(t.token), 1, 8)) AS BIGINT) % 4096 AS b,
+                 d.lang
+          FROM tok t JOIN documents d USING (doc_id)),
+        rh AS (SELECT b, COUNT(*) AS rc FROM bt GROUP BY b),
+        th AS (SELECT b, COUNT(*) AS tc FROM bt WHERE lang = 'en' GROUP BY b),
+        tot AS (SELECT (SELECT COUNT(*) FROM bt) AS rn,
+                       (SELECT COUNT(*) FROM bt WHERE lang = 'en') AS tn)
+        SELECT sp.b,
+               ROUND(ln((COALESCE(th.tc, 0) + 1.0) / (tot.tn + 4096))
+                     - ln((COALESCE(rh.rc, 0) + 1.0) / (tot.rn + 4096)), 6) AS lr
+        FROM range(4096) sp(b)
+        LEFT JOIN rh ON sp.b = rh.b
+        LEFT JOIN th ON sp.b = th.b
+        CROSS JOIN tot
+        """
+    ),
+)
+
+
 def _dsir_sample_q(s: SparkSession, d: str) -> DataFrame:
     """Gumbel-top-k DSIR resampling (log-space A-ES over the 6dp-rounded
     importance weights — a pure function of (doc_id, seed), so the draw

@@ -3084,3 +3084,34 @@ def test_vocab_delta_append_matches_full_rebuild(spark, tmp_path):
     compact_parquet(spark, path, target_files=1)
     again = sorted(map(tuple, consolidated_vocabulary(spark, path, min_count=2).collect()))
     assert again == want
+
+
+def test_dsir_hist_delta_append_matches_full_retrain(spark, tmp_path):
+    """Incremental DSIR raw histograms through parquet deltas: three
+    id-disjoint batches consolidated == dsir_log_ratio over the full raw
+    corpus, bit-for-bit, including after a replayed batch."""
+    from graph_database_application_for_recommendations_spark.operators.etl import (
+        consolidated_dsir_model,
+        dsir_hist_delta_append,
+    )
+    from graph_database_application_for_recommendations_spark.operators.textstats import (
+        dsir_log_ratio,
+    )
+
+    rows = [(i, " ".join(f"w{(i * 11 + j) % 37}" for j in range(12))) for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = docs.filter(F.col("doc_id") % 5 == 0)
+    want = {r["b"]: r["lr"] for r in dsir_log_ratio(docs, target, num_buckets=256).collect()}
+
+    path = str(tmp_path / "hists")
+    for i, lo in enumerate((0, 10, 20)):
+        batch = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 10))
+        dsir_hist_delta_append(spark, path, batch, num_buckets=256, batch_id=i)
+    dsir_hist_delta_append(  # replay: replaces, never double-counts
+        spark, path, docs.filter((F.col("doc_id") >= 20)), num_buckets=256, batch_id=2
+    )
+    got = {
+        r["b"]: r["lr"]
+        for r in consolidated_dsir_model(spark, path, target, num_buckets=256).collect()
+    }
+    assert got == want and len(got) == 256
