@@ -516,6 +516,110 @@ def consolidated_vocabulary(
     )
 
 
+def corpus_stats_delta_append(
+    spark,
+    stats_path: str,
+    incoming: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_id: int | None = None,
+) -> int:
+    """Incremental corpus-scalar maintenance: append the batch's one-row
+    (n_docs, n_tokens) delta — the additive scalars behind every
+    corpus-normalized statistic (BM25's N and avgdl, mixture fractions,
+    per-source budgets). Same exactly-once publication discipline as
+    vocab_delta_append; consolidation is a two-column SUM. Returns the
+    batch's document count."""
+    from ..functions.text import tokens as _tokens
+    from ..plans import materialize, release_checkpoint
+
+    delta = materialize(
+        incoming.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.size(_tokens(F.col(text_col)))).cast("long").alias("n_tokens"),
+        )
+    )
+    try:
+        n = delta.first()["n_docs"]
+        if n:
+            _publish(spark, delta, stats_path, batch_id)
+    finally:
+        release_checkpoint(delta)
+    return int(n)
+
+
+def consolidated_corpus_stats(spark, stats_path: str) -> DataFrame:
+    """One row (n_docs, n_tokens) summed over the accumulated deltas —
+    bit-identical to a full-corpus count/sum because integer addition is
+    associative (the algebra's scalar instance)."""
+    return spark.read.parquet(stats_path).agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+def consolidated_bm25_scores(
+    spark,
+    counts_path: str,
+    stats_path: str,
+    documents: DataFrame,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 against the maintained model: df from the vocabulary-count
+    sidecar (counts_path — the SAME deltas vocab maintenance appends,
+    reused: n_docs per token IS document frequency), N/avgdl from the
+    corpus-scalar sidecar. Scoring a batch of documents costs the batch
+    plus two sidecar reads — never a corpus rescan — and equals
+    bm25_scores over the full corpus bit-for-bit
+    (textstats.bm25_scores_from_stats documents why)."""
+    from .textstats import bm25_scores_from_stats, consolidate_token_counts
+
+    token_stats = consolidate_token_counts(spark.read.parquet(counts_path))
+    corpus_stats = consolidated_corpus_stats(spark, stats_path)
+    return bm25_scores_from_stats(
+        documents, token_stats, corpus_stats, terms, k1, b, top_n, id_col, text_col
+    )
+
+
+def quality_hist_delta_append(
+    spark,
+    hist_path: str,
+    incoming: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    batch_id: int | None = None,
+) -> int:
+    """Incremental quality monitoring: append the batch's per-source
+    stop-word-decile histogram (textstats.quality_hist_table) as a delta
+    file set — additive-state discipline, exactly-once with a batch_id.
+    Returns the delta's row count."""
+    from ..plans import materialize, release_checkpoint
+    from .textstats import quality_hist_table
+
+    delta = materialize(quality_hist_table(incoming, id_col, text_col, source_col))
+    try:
+        n = delta.count()
+        if n:
+            _publish(spark, delta, hist_path, batch_id)
+    finally:
+        release_checkpoint(delta)
+    return n
+
+
+def consolidated_quality_hist(spark, hist_path: str) -> DataFrame:
+    """(source, q_bucket, n_docs) summed over the accumulated deltas —
+    bit-identical to quality_hist_table over the full corpus."""
+    from .textstats import consolidate_quality_hist
+
+    return consolidate_quality_hist(spark.read.parquet(hist_path))
+
+
 def dsir_hist_delta_append(
     spark,
     hist_path: str,

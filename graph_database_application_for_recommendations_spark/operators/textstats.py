@@ -116,6 +116,103 @@ def quality_scores(
     )
 
 
+# Gopher's "contains at least 2 of ..." stop-word rule set (Rae et al.
+# 2021, Appendix A — public). Frozen: part of the deterministic contract.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_signals(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """The remaining members of Gopher's quality-filter rule family (Rae
+    et al. 2021, "Scaling Language Models", Appendix A) that
+    quality_scores / repetition_scores / line_repetition_scores don't
+    cover — the symbol, bullet/ellipsis-line, alphabetic-word and
+    required-stop-word rules — plus the combined pass verdict:
+
+    (doc_id, n_words, mean_word_len, symbol_word_ratio,
+     bullet_line_fraction, ellipsis_line_fraction, alpha_word_ratio,
+     n_required_stopwords, gopher_pass)
+
+    * symbol_word_ratio — '#' and '...' occurrences per word (Gopher
+      drops > 0.1). Counted by exact substring arithmetic
+      (length − length(replace(...))), never regex, so both engines
+      agree on overlap semantics.
+    * bullet_line_fraction — trimmed non-empty raw lines starting with
+      '•', '- ' or '* ' (Gopher drops > 0.9).
+    * ellipsis_line_fraction — lines ending with '...' or '…' (drops
+      > 0.3).
+    * alpha_word_ratio — words containing at least one [a-z] after
+      normalization (drops < 0.8).
+    * n_required_stopwords — DISTINCT hits among GOPHER_STOPWORDS
+      (drops < 2).
+    * gopher_pass — the conjunction, including the word-count and
+      mean-word-length interval rules (word-count bounds are
+      parameters; the paper's 50..100k defaults).
+
+    Plan shape: ONE projection — every signal is a native column
+    expression over the row's own text (array filter/size, substring
+    arithmetic), no explode, no join, no window. At 100 TB this runs
+    inside the scan stage at I/O speed, the same ideal as
+    c4_paragraph_clean.
+    """
+    raw = F.col(text_col)
+    toks = tokens(raw)
+    n_words = F.size(toks)
+    total_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    mean_word_len = total_len.cast("double") / n_words
+    n_hash = F.length(raw) - F.length(F.replace(raw, F.lit("#"), F.lit("")))
+    n_ellipsis = (F.length(raw) - F.length(F.replace(raw, F.lit("..."), F.lit("")))) / 3
+    lines = F.filter(
+        F.transform(F.split(raw, "\n"), lambda l: F.trim(l)), lambda l: l != ""
+    )
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: l.startswith("•") | l.startswith("- ") | l.startswith("* "),
+        )
+    )
+    n_ell_lines = F.size(
+        F.filter(lines, lambda l: l.endswith("...") | l.endswith("…"))
+    )
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    n_req_sw = F.size(
+        F.array_distinct(F.filter(toks, lambda t: t.isin(GOPHER_STOPWORDS)))
+    )
+    line_frac = lambda n: F.when(  # noqa: E731 — tiny local expr builder
+        n_lines > 0, F.round(n.cast("double") / n_lines, 6)
+    ).otherwise(F.lit(0.0))
+    symbol_ratio = F.round((n_hash + n_ellipsis).cast("double") / n_words, 6)
+    alpha_ratio = F.round(n_alpha.cast("double") / n_words, 6)
+    out = documents.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        symbol_ratio.alias("symbol_word_ratio"),
+        line_frac(n_bullet).alias("bullet_line_fraction"),
+        line_frac(n_ell_lines).alias("ellipsis_line_fraction"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        n_req_sw.cast("long").alias("n_required_stopwords"),
+    )
+    return out.withColumn(
+        "gopher_pass",
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= 3.0)
+        & (F.col("mean_word_len") <= 10.0)
+        & (F.col("symbol_word_ratio") <= 0.1)
+        & (F.col("bullet_line_fraction") <= 0.9)
+        & (F.col("ellipsis_line_fraction") <= 0.3)
+        & (F.col("alpha_word_ratio") >= 0.8)
+        & (F.col("n_required_stopwords") >= 2),
+    )
+
+
 def language_id(
     spark: SparkSession, documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -619,6 +716,110 @@ def bm25_scores(
     hits = toks.filter(F.col("token").isin(terms))
     tf = hits.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     df_t = tf.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    contrib = idf * (F.col("tf") * (k1 + 1.0)) / denom
+    return (
+        tf.join(F.broadcast(df_t), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.round(F.sum(contrib), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(top_n)
+    )
+
+
+def quality_hist_table(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """(source, q_bucket, n_docs): per-source histogram of the stop-word
+    quality signal in integer deciles — q_bucket = min(⌊10·stop_hits/
+    n_tokens⌋, 9). The distribution profile behind mixture/threshold
+    decisions ("what fraction of source X clears quality θ"), and the
+    ADDITIVE half of incremental quality monitoring: histograms from
+    disjoint batches sum (quality_hist_delta_append).
+
+    The bucket is derived from the two INTEGER counts, so it is exact
+    cross-engine: for a,b ≤ 2^31 the correctly-rounded double a·10/b
+    can't land on the wrong side of an integer (the nearest rational
+    gap 1/b dwarfs the ulp), so floor equals integer division in both
+    engines. One explode + two aggregates, doc_id keyed then
+    (source, bucket) keyed — never wider than the corpus scan."""
+    en = STOPWORDS["en"]
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(en)))
+    bucket = F.least(
+        F.floor(F.lit(10.0) * stop_hits / n_tok), F.lit(9)
+    ).cast("long")
+    return (
+        documents.select(F.col(source_col).alias("source"), bucket.alias("q_bucket"))
+        .groupBy("source", "q_bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def consolidate_quality_hist(deltas: DataFrame) -> DataFrame:
+    """Whole-corpus (source, q_bucket, n_docs) from per-batch histogram
+    deltas — one sum aggregate; counts are additive."""
+    return deltas.groupBy("source", "q_bucket").agg(F.sum("n_docs").alias("n_docs"))
+
+
+def bm25_scores_from_stats(
+    documents: DataFrame,
+    token_stats: DataFrame,
+    corpus_stats: DataFrame,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 scoring with the MODEL statistics read from maintained
+    sidecars instead of a corpus rescan — the retrieval face of the
+    incremental-maintenance algebra (DESIGN.md round 7): ``token_stats``
+    is the consolidated (token, count, n_docs) table (n_docs = per-term
+    document frequency, additive across append-only batches) and
+    ``corpus_stats`` the consolidated one-row (n_docs, n_tokens) scalar
+    delta sum (N and avgdl = n_tokens/n_docs).
+
+    Bit-identical to :func:`bm25_scores` over the same corpus: df and N
+    are integers either way, and avgdl — Spark's avg being sum/count —
+    sums integer-valued doubles, which is EXACT in IEEE double up to
+    2^53 tokens, so the division yields the same double as the sidecar's
+    Σn_tokens/Σn_docs (q_ingest_bm25's oracle pins it). The scoring
+    expression is shared verbatim.
+
+    Scale shape: the docs being scored explode/aggregate exactly as in
+    bm25_scores; the model joins are a broadcast (term set) and a 1-row
+    cross join. What the sidecar buys at 100 TB: scoring a NEW batch
+    against corpus-accurate statistics costs the batch, never the corpus.
+    """
+    t = tokens(F.col(text_col))
+    toks = documents.select(F.col(id_col).alias("doc_id"), F.explode(t).alias("token"))
+    dl = documents.select(
+        F.col(id_col).alias("doc_id"), F.size(t).cast("double").alias("dl")
+    )
+    stats = corpus_stats.select(
+        F.col("n_docs").cast("double").alias("n_docs"),
+        (F.col("n_tokens").cast("double") / F.col("n_docs").cast("double")).alias("avgdl"),
+    )
+    hits = toks.filter(F.col("token").isin(terms))
+    tf = hits.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = token_stats.filter(F.col("token").isin(terms)).select(
+        "token", F.col("n_docs").cast("double").alias("df")
+    )
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)

@@ -6134,6 +6134,174 @@ register(
 )
 
 
+def _gopher_pages(s: SparkSession, d: str) -> DataFrame:
+    """Line-bearing pages for the Gopher quality rules: the synthetic
+    corpus carries no bullets/ellipses/symbols, so every rule would fire
+    identically (degenerate hash). Each doc becomes one line with a
+    deterministic doc_id-keyed mutation — bullet prefix, terminal '...',
+    appended '#' symbols, letters→digits (alpha-word rule), appended
+    required-stop-words — then groups of 8 join into pages, giving every
+    signal a spread of fractional values. Both engines rebuild the
+    construction deterministically (chained CASE, first match wins)."""
+    docs = _docs(s, d)
+    t = F.col("text")
+    m = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("- "), t))
+        .when(F.col("doc_id") % 5 == 1, F.concat(t, F.lit("...")))
+        .when(F.col("doc_id") % 7 == 2, F.concat(t, F.lit(" ## #")))
+        .when(F.col("doc_id") % 11 == 3, F.regexp_replace(t, "[a-z]", "7"))
+        .when(F.col("doc_id") % 13 == 4, F.concat(t, F.lit(" of that have")))
+        .otherwise(t)
+        .alias("text"),
+    )
+    return (
+        m.groupBy(F.expr("doc_id div 8").alias("sd_id"))
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                    lambda x: x["text"],
+                ),
+            ).alias("text")
+        )
+        .select(F.col("sd_id").alias("doc_id"), "text")
+    )
+
+
+_GOPHER_SW_SQL = ", ".join(f"'{w}'" for w in textstats.GOPHER_STOPWORDS)
+
+register(
+    "q_text_gopher",
+    lambda s, d: textstats.gopher_quality_signals(_gopher_pages(s, d), min_words=50),
+    rf"""
+    WITH m AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN '- ' || text
+                  WHEN doc_id % 5 = 1 THEN text || '...'
+                  WHEN doc_id % 7 = 2 THEN text || ' ## #'
+                  WHEN doc_id % 11 = 3 THEN regexp_replace(text, '[a-z]', '7', 'g')
+                  WHEN doc_id % 13 = 4 THEN text || ' of that have'
+                  ELSE text END AS text
+      FROM documents),
+    pg AS (
+      SELECT doc_id // 8 AS sd_id,
+             string_agg(text, chr(10) ORDER BY doc_id) AS text
+      FROM m GROUP BY doc_id // 8),
+    sig AS (
+      SELECT sd_id AS doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w,
+             list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                         l -> l <> '') AS ls,
+             (length(text) - length(replace(text, '#', '')))
+               + (length(text) - length(replace(text, '...', ''))) / 3 AS sym
+      FROM pg),
+    base AS (
+      SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_words,
+             ROUND(CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE) / len(w), 6)
+               AS mean_word_len,
+             ROUND(sym / len(w), 6) AS symbol_word_ratio,
+             CASE WHEN len(ls) > 0
+                  THEN ROUND(CAST(len(list_filter(ls,
+                         l -> starts_with(l, '•') OR starts_with(l, '- ')
+                              OR starts_with(l, '* '))) AS DOUBLE) / len(ls), 6)
+                  ELSE 0.0 END AS bullet_line_fraction,
+             CASE WHEN len(ls) > 0
+                  THEN ROUND(CAST(len(list_filter(ls,
+                         l -> ends_with(l, '...') OR ends_with(l, '…'))) AS DOUBLE)
+                       / len(ls), 6)
+                  ELSE 0.0 END AS ellipsis_line_fraction,
+             ROUND(CAST(len(list_filter(w, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+                   / len(w), 6) AS alpha_word_ratio,
+             CAST(len(list_distinct(list_filter(w,
+                    t -> list_contains([{_GOPHER_SW_SQL}], t)))) AS BIGINT)
+               AS n_required_stopwords
+      FROM sig)
+    SELECT *,
+           (n_words >= 50 AND n_words <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND symbol_word_ratio <= 0.1
+            AND bullet_line_fraction <= 0.9
+            AND ellipsis_line_fraction <= 0.3
+            AND alpha_word_ratio >= 0.8
+            AND n_required_stopwords >= 2) AS gopher_pass
+    FROM base
+    """,
+)
+
+
+def _ingest_bm25_q(s: SparkSession, d: str) -> DataFrame:
+    """Incremental BM25 model maintenance: the corpus arrives as three
+    disjoint batches (doc_id % 3), each contributing a (token, count,
+    n_docs) vocabulary delta (df = n_docs is additive in an append-only
+    ingest) and a one-row (n_docs, n_tokens) scalar delta (N, avgdl);
+    scoring the corpus against the consolidated model must equal direct
+    bm25_scores bit-for-bit. Oracle = the direct whole-corpus BM25
+    derivation (the same SQL as q_text_bm25)."""
+    docs = _docs(s, d)
+    tok_deltas, stat_deltas = None, None
+    for i in range(3):
+        batch = docs.filter(F.col("doc_id") % 3 == i)
+        td = textstats.token_count_table(batch)
+        sd = batch.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.size(F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+        tok_deltas = td if tok_deltas is None else tok_deltas.unionByName(td)
+        stat_deltas = sd if stat_deltas is None else stat_deltas.unionByName(sd)
+    model = textstats.consolidate_token_counts(tok_deltas)
+    stats = stat_deltas.agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
+    return textstats.bm25_scores_from_stats(
+        docs, model, stats, _BM25_TERMS, _BM25_K1, _BM25_B, top_n=100
+    )
+
+
+register(
+    "q_ingest_bm25",
+    _ingest_bm25_q,
+    _bm25_oracle(_BM25_TERMS, _BM25_K1, _BM25_B),
+)
+
+
+def _ingest_quality_hist_q(s: SparkSession, d: str) -> DataFrame:
+    """Incremental quality monitoring: three disjoint batches each
+    contribute a per-source stop-word-decile histogram delta; the
+    consolidated sum must equal the direct whole-corpus histogram."""
+    docs = _docs(s, d)
+    deltas = None
+    for i in range(3):
+        delta = textstats.quality_hist_table(docs.filter(F.col("doc_id") % 3 == i))
+        deltas = delta if deltas is None else deltas.unionByName(delta)
+    return textstats.consolidate_quality_hist(deltas)
+
+
+register(
+    "q_ingest_quality_hist",
+    _ingest_quality_hist_q,
+    _q_docs(
+        f"""
+        , tokd AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS token FROM norm),
+        agg AS (
+          SELECT doc_id, COUNT(*) AS n,
+                 SUM(CASE WHEN token IN ({_SW_EN}) THEN 1 ELSE 0 END) AS s
+          FROM tokd GROUP BY doc_id)
+        SELECT d.source,
+               LEAST(CAST(floor(10.0 * a.s / a.n) AS BIGINT), 9) AS q_bucket,
+               COUNT(*) AS n_docs
+        FROM agg a JOIN documents d USING (doc_id)
+        GROUP BY 1, 2
+        """
+    ),
+)
+
+
 # --- rows-only -> attestable-twin map (round-4 discipline) ------------------
 #
 # Every rows-only query must name an oracle-backed companion that value-

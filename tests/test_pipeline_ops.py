@@ -3115,3 +3115,122 @@ def test_dsir_hist_delta_append_matches_full_retrain(spark, tmp_path):
         for r in consolidated_dsir_model(spark, path, target, num_buckets=256).collect()
     }
     assert got == want and len(got) == 256
+
+
+def test_gopher_quality_signals_rules(spark):
+    """Each Gopher App-A rule discriminates on a crafted page: bullet and
+    ellipsis line fractions count trimmed non-empty lines, symbols count
+    '#' and non-overlapping '...', alpha/stop-word ratios come off the
+    normalized token stream, and the pass verdict is the conjunction."""
+    from graph_database_application_for_recommendations_spark.operators.textstats import (
+        gopher_quality_signals,
+    )
+
+    body = "the cat sat on of that have with a mat and more words here "
+    good = (body * 5).strip()  # 70 words, all alpha, plenty of stopwords
+    bullets = "- one line here\n* second bullet\nplain third line"
+    ellipses = "first line...\nsecond line\nthird keeps going…"
+    symbols = good + " # ## ... ..."
+    digits = " ".join(["123 456"] * 40)
+    docs = spark.createDataFrame(
+        [(1, good), (2, bullets), (3, ellipses), (4, symbols), (5, digits)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in gopher_quality_signals(docs, min_words=10).collect()
+    }
+    g = got[1]
+    assert g["gopher_pass"] and g["n_words"] == 70
+    assert g["bullet_line_fraction"] == 0.0 and g["symbol_word_ratio"] == 0.0
+    assert g["alpha_word_ratio"] == 1.0 and g["n_required_stopwords"] >= 2
+    b = got[2]
+    assert b["bullet_line_fraction"] == round(2 / 3, 6)
+    e = got[3]
+    assert e["ellipsis_line_fraction"] == round(2 / 3, 6)
+    s = got[4]
+    # 3 '#' chars + 2 '...' occurrences over 70 + 4 appended words
+    assert s["symbol_word_ratio"] == round(5 / 74, 6)
+    assert not s["gopher_pass"]
+    d = got[5]
+    assert d["alpha_word_ratio"] == 0.0 and d["n_required_stopwords"] == 0
+    assert not d["gopher_pass"]
+
+
+def test_bm25_sidecar_matches_full_rescan(spark, tmp_path):
+    """Incremental BM25 model through parquet sidecars: vocabulary-count
+    deltas (df) + corpus-scalar deltas (N, avgdl) from three id-disjoint
+    batches; consolidated scoring == bm25_scores over the full corpus,
+    bit-for-bit — including after a replayed batch (exactly-once) and a
+    compaction of the scalar delta dir."""
+    from graph_database_application_for_recommendations_spark.operators.etl import (
+        compact_parquet,
+        consolidated_bm25_scores,
+        corpus_stats_delta_append,
+        vocab_delta_append,
+    )
+    from graph_database_application_for_recommendations_spark.operators.textstats import (
+        bm25_scores,
+    )
+
+    rows = [
+        (i, " ".join(f"tok{(i * 7 + j) % 13}" for j in range(4 + i % 5)))
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    terms = ["tok0", "tok3", "tok7"]
+    want = sorted(map(tuple, bm25_scores(docs, terms, top_n=100).collect()))
+
+    counts = str(tmp_path / "counts")
+    stats = str(tmp_path / "stats")
+    for i, lo in enumerate((0, 10, 20)):
+        batch = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 10))
+        assert vocab_delta_append(spark, counts, batch, batch_id=i) > 0
+        assert corpus_stats_delta_append(spark, stats, batch, batch_id=i) == 10
+    # replay of batch 2 must replace, not double-count
+    replay = docs.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 30))
+    vocab_delta_append(spark, counts, replay, batch_id=2)
+    corpus_stats_delta_append(spark, stats, replay, batch_id=2)
+
+    got = sorted(
+        map(tuple, consolidated_bm25_scores(spark, counts, stats, docs, terms).collect())
+    )
+    assert got == want and len(got) > 0
+
+    compact_parquet(spark, stats, target_files=1)
+    again = sorted(
+        map(tuple, consolidated_bm25_scores(spark, counts, stats, docs, terms).collect())
+    )
+    assert again == want
+
+
+def test_quality_hist_sidecar_matches_full_scan(spark, tmp_path):
+    """Incremental per-source quality histograms through parquet deltas:
+    three id-disjoint batches consolidated == the direct whole-corpus
+    histogram, including after a replayed batch (exactly-once)."""
+    from graph_database_application_for_recommendations_spark.operators.etl import (
+        consolidated_quality_hist,
+        quality_hist_delta_append,
+    )
+    from graph_database_application_for_recommendations_spark.operators.textstats import (
+        quality_hist_table,
+    )
+
+    rows = [
+        (i, ("the and of " * (i % 4)) + " ".join(f"w{j}" for j in range(6)), f"src{i % 3}")
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    want = sorted(map(tuple, quality_hist_table(docs).collect()))
+    assert len({b for (_, b, _) in want}) > 1  # buckets actually spread
+
+    path = str(tmp_path / "qhist")
+    for i, lo in enumerate((0, 10, 20)):
+        batch = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 10))
+        assert quality_hist_delta_append(spark, path, batch, batch_id=i) > 0
+    quality_hist_delta_append(
+        spark, path, docs.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 20)),
+        batch_id=1,
+    )
+    got = sorted(map(tuple, consolidated_quality_hist(spark, path).collect()))
+    assert got == want
