@@ -300,3 +300,131 @@ def topk_hyperplane_lsh(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("similarity"), F.asc("neighbor_id"))
     return pairs.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")
+
+
+def mmr_rerank(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    pool: int = 10,
+    lam: float = 0.7,
+    lam_c: float = 0.3,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998 — public): per query, greedily select ``k`` of the top-
+    ``pool`` cosine candidates maximizing
+
+        lam * sim(query, c)  -  lam_c * max_{s in selected} sim(c, s)
+
+    — relevance traded against redundancy, THE standard diversification
+    pass between ANN retrieval and a RAG prompt. (query_id, rank,
+    neighbor_id, similarity, mmr_score); ``lam_c`` is an explicit
+    parameter rather than 1-lam so both engines of the oracle pair parse
+    the exact same double literal.
+
+    Determinism contract: every similarity that enters a comparison is
+    first rounded to V.SIM_SCALE (6dp) — query-candidate sims arrive
+    rounded from topk_bruteforce, candidate-candidate sims round inside
+    the fold — and argmax ties break on ascending neighbor_id, so the
+    greedy path is engine-independent (the same discipline as every
+    top-k boundary in this module).
+
+    Plan shape: candidate generation is topk_bruteforce (or swap in any
+    ANN kernel); the greedy runs as ONE Catalyst expression — an
+    aggregate over sequence(1, k) folding a selected-array, with the
+    candidate pool (pool ≤ tens of rows) collected per query — so the
+    whole re-rank is JVM-side column work on a (|Q|, pool·(dim+2))-sized
+    frame: no Python, no extra shuffle beyond the pool aggregation,
+    per-query cost O(k·pool·dim). At 100 TB the corpus cost lives
+    entirely in the candidate kernel; MMR touches only pools.
+    """
+    cand = topk_bruteforce(queries, corpus, id_col, vec_col, k=pool)
+    cvec = _normed(corpus, id_col, vec_col, "neighbor_id")
+    pooled = (
+        cand.join(cvec, "neighbor_id")
+        .select(
+            "query_id",
+            F.struct(
+                F.col("neighbor_id").alias("neighbor_id"),
+                F.col("similarity").alias("simq"),
+                F.col("_neighbor_id_v").alias("v"),
+            ).alias("c"),
+        )
+        .groupBy("query_id")
+        .agg(F.array_sort(F.collect_list("c")).alias("cs"))
+    )
+
+    def dot6(a, b):
+        return F.round(
+            F.aggregate(
+                F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+            ),
+            V.SIM_SCALE,
+        )
+
+    def sel(neighbor_id, simq, score, v):
+        return F.struct(
+            neighbor_id.alias("neighbor_id"),
+            simq.alias("simq"),
+            score.alias("score"),
+            v.alias("v"),
+        )
+
+    def step(acc, _i):
+        remaining = F.filter(
+            F.col("cs"),
+            lambda c: ~F.exists(acc, lambda s: s["neighbor_id"] == c["neighbor_id"]),
+        )
+        scored = F.transform(
+            remaining,
+            lambda c: sel(
+                c["neighbor_id"],
+                c["simq"],
+                F.lit(lam) * c["simq"]
+                - F.lit(lam_c)
+                * F.coalesce(
+                    F.array_max(F.transform(acc, lambda s: dot6(c["v"], s["v"]))),
+                    F.lit(0.0),
+                ),
+                c["v"],
+            ),
+        )
+        ranked = F.array_sort(
+            F.transform(
+                scored,
+                lambda x: F.struct(
+                    (-x["score"]).alias("negscore"),
+                    x["neighbor_id"].alias("neighbor_id"),
+                    x["simq"].alias("simq"),
+                    x["score"].alias("score"),
+                    x["v"].alias("v"),
+                ),
+            )
+        )
+        best = F.element_at(ranked, 1)
+        return F.concat(
+            acc,
+            F.array(sel(best["neighbor_id"], best["simq"], best["score"], best["v"])),
+        )
+
+    empty = F.slice(
+        F.transform(
+            F.col("cs"), lambda c: sel(c["neighbor_id"], c["simq"], F.lit(0.0), c["v"])
+        ),
+        1,
+        0,
+    )
+    selected = F.aggregate(F.sequence(F.lit(1), F.lit(k)), empty, step)
+    return (
+        pooled.select("query_id", F.posexplode(selected).alias("pos", "s"))
+        .select(
+            "query_id",
+            (F.col("pos") + 1).cast("int").alias("rank"),
+            F.col("s.neighbor_id").alias("neighbor_id"),
+            F.col("s.simq").alias("similarity"),
+            F.round(F.col("s.score"), V.SIM_SCALE).alias("mmr_score"),
+        )
+        .filter(F.col("neighbor_id").isNotNull())
+    )

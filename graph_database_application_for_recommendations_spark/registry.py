@@ -6302,6 +6302,81 @@ register(
 )
 
 
+# MMR-diversified top-k: greedy selection is sequential by nature, so the
+# oracle unrolls the k=3 rounds explicitly — round 1 is the plain relevance
+# argmax, later rounds subtract the max candidate-to-selected similarity
+# (all sims 6dp-rounded BEFORE any comparison, ties on neighbor_id — the
+# same determinism discipline as every other top-k boundary here).
+register(
+    "q_simsearch_mmr",
+    lambda s, d: simsearch.mmr_rerank(
+        _ref(s, d).embeddings.filter(F.col("vec_id") < 10),
+        _ref(s, d).embeddings,
+        k=3,
+        pool=10,
+        lam=0.7,
+        lam_c=0.3,
+    ),
+    _q_vec(
+        f"""
+        , pairsq AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS} AS simq
+          FROM vec a, vec b, range(1, 65) t(i)
+          WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+          GROUP BY 1, 2),
+        pool AS (
+          SELECT query_id, neighbor_id, simq FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY simq DESC, neighbor_id) AS rn
+            FROM pairsq) WHERE rn <= 10),
+        cc AS (
+          SELECT p1.query_id, p1.neighbor_id AS id_a, p2.neighbor_id AS id_b, {_COS} AS sim
+          FROM pool p1
+          JOIN pool p2 ON p1.query_id = p2.query_id AND p1.neighbor_id <> p2.neighbor_id
+          JOIN vec a ON a.vec_id = p1.neighbor_id
+          JOIN vec b ON b.vec_id = p2.neighbor_id
+          CROSS JOIN range(1, 65) t(i)
+          GROUP BY 1, 2, 3),
+        s1 AS (SELECT query_id, neighbor_id, simq, 0.7 * simq AS score FROM pool),
+        p1 AS (SELECT query_id, neighbor_id, simq, score FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                              ORDER BY score DESC, neighbor_id) AS rn
+                 FROM s1) WHERE rn = 1),
+        s2 AS (
+          SELECT p.query_id, p.neighbor_id, p.simq, 0.7 * p.simq - 0.3 * cc.sim AS score
+          FROM pool p
+          JOIN p1 ON p1.query_id = p.query_id AND p.neighbor_id <> p1.neighbor_id
+          JOIN cc ON cc.query_id = p.query_id AND cc.id_a = p.neighbor_id
+                 AND cc.id_b = p1.neighbor_id),
+        p2 AS (SELECT query_id, neighbor_id, simq, score FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                              ORDER BY score DESC, neighbor_id) AS rn
+                 FROM s2) WHERE rn = 1),
+        s3 AS (
+          SELECT p.query_id, p.neighbor_id, p.simq,
+                 0.7 * p.simq - 0.3 * GREATEST(c1.sim, c2.sim) AS score
+          FROM pool p
+          JOIN p1 ON p1.query_id = p.query_id AND p.neighbor_id <> p1.neighbor_id
+          JOIN p2 ON p2.query_id = p.query_id AND p.neighbor_id <> p2.neighbor_id
+          JOIN cc c1 ON c1.query_id = p.query_id AND c1.id_a = p.neighbor_id
+                    AND c1.id_b = p1.neighbor_id
+          JOIN cc c2 ON c2.query_id = p.query_id AND c2.id_a = p.neighbor_id
+                    AND c2.id_b = p2.neighbor_id),
+        p3 AS (SELECT query_id, neighbor_id, simq, score FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                              ORDER BY score DESC, neighbor_id) AS rn
+                 FROM s3) WHERE rn = 1)
+        SELECT query_id, 1 AS rank, neighbor_id, simq AS similarity,
+               ROUND(score, 6) AS mmr_score FROM p1
+        UNION ALL
+        SELECT query_id, 2, neighbor_id, simq, ROUND(score, 6) FROM p2
+        UNION ALL
+        SELECT query_id, 3, neighbor_id, simq, ROUND(score, 6) FROM p3
+        """
+    ),
+)
+
+
 # --- rows-only -> attestable-twin map (round-4 discipline) ------------------
 #
 # Every rows-only query must name an oracle-backed companion that value-

@@ -3234,3 +3234,39 @@ def test_quality_hist_sidecar_matches_full_scan(spark, tmp_path):
     )
     got = sorted(map(tuple, consolidated_quality_hist(spark, path).collect()))
     assert got == want
+
+
+def test_mmr_rerank_diversifies(spark):
+    """MMR vs plain top-k on a crafted corpus: two near-identical highly
+    relevant vectors and one moderately relevant orthogonal one — plain
+    top-2 takes the redundant pair, MMR(lam=0.5) swaps the duplicate for
+    the diverse vector; rank 1 is always the pure relevance argmax, and
+    lam=1 degrades MMR to plain top-k order."""
+    from graph_database_application_for_recommendations_spark.operators.simsearch import (
+        mmr_rerank,
+        topk_bruteforce,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),    # query
+        (1, [0.9, 0.1, 0.0]),    # relevant
+        (2, [0.9, 0.11, 0.0]),   # near-duplicate of 1
+        (3, [0.5, 0.0, 0.5]),    # diverse, less relevant
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") == 0)
+    plain = [
+        r["neighbor_id"]
+        for r in topk_bruteforce(q, emb, k=2).orderBy("similarity", ascending=False).collect()
+    ]
+    assert plain == [1, 2]
+    mmr = {
+        r["rank"]: r["neighbor_id"]
+        for r in mmr_rerank(q, emb, k=2, pool=3, lam=0.5, lam_c=0.5).collect()
+    }
+    assert mmr[1] == 1 and mmr[2] == 3  # duplicate displaced
+    degraded = {
+        r["rank"]: r["neighbor_id"]
+        for r in mmr_rerank(q, emb, k=3, pool=3, lam=1.0, lam_c=0.0).collect()
+    }
+    assert [degraded[i] for i in (1, 2, 3)] == [1, 2, 3]
