@@ -620,6 +620,44 @@ def consolidated_quality_hist(spark, hist_path: str) -> DataFrame:
     return consolidate_quality_hist(spark.read.parquet(hist_path))
 
 
+def centroid_delta_append(
+    spark,
+    moments_path: str,
+    incoming_vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch_id: int | None = None,
+) -> int:
+    """Incremental centroid maintenance, append side: assign the batch
+    against the FROZEN ``centroids`` table (cid, cv) and publish its
+    fixed-point first-moment delta (simsearch.centroid_delta_table) —
+    integer state, so consolidation is exact under any batching. Returns
+    the delta's (cid, dim) row count."""
+    from ..plans import materialize, release_checkpoint
+    from .simsearch import centroid_delta_table
+
+    delta = materialize(
+        centroid_delta_table(incoming_vectors, centroids, id_col, vec_col)
+    )
+    try:
+        n = delta.count()
+        if n:
+            _publish(spark, delta, moments_path, batch_id)
+    finally:
+        release_checkpoint(delta)
+    return n
+
+
+def consolidated_centroids(spark, moments_path: str) -> DataFrame:
+    """(cid, dim, centroid, n_vecs) from the accumulated moment deltas —
+    one mini-batch k-means centroid update, bit-identical to a
+    single-pass mean over all assigned members."""
+    from .simsearch import consolidate_centroids
+
+    return consolidate_centroids(spark.read.parquet(moments_path))
+
+
 def dsir_hist_delta_append(
     spark,
     hist_path: str,

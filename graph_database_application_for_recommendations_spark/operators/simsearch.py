@@ -428,3 +428,97 @@ def mmr_rerank(
         )
         .filter(F.col("neighbor_id").isNotNull())
     )
+
+
+# Fixed-point scale for additive centroid maintenance: embedding values are
+# float32-exact doubles, so round(x * 2^20) is an integer whose sums are
+# EXACT (and therefore associative) in any batch grouping — the property the
+# incremental-maintenance algebra needs. 2^20 keeps full float32 precision
+# for unit-scale embeddings while bounding per-(cid, dim) sums far below 2^53.
+CENTROID_FP_SCALE = 1 << 20
+
+
+def assign_to_centroids(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cid_col: str = "cid",
+    cvec_col: str = "cv",
+) -> DataFrame:
+    """(vec_id, cid): argmin squared-L2 assignment of every vector to a
+    FROZEN centroid table — the deterministic-assignment half of
+    mini-batch centroid maintenance (assignments against pinned
+    centroids are a pure per-row function, so batches can be assigned
+    independently and their moment sums consolidated later). Distances
+    are 6dp-rounded before the argmin and ties break on ascending cid
+    (the module's standard cross-engine discipline). The centroid table
+    broadcasts; the vector side never shuffles beyond its scan."""
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"), V.as_double(F.col(vec_col)).alias("_v")
+    )
+    c = centroids.select(
+        F.col(cid_col).alias("cid"), V.as_double(F.col(cvec_col)).alias("_cv")
+    )
+    dist = F.round(
+        F.aggregate(
+            F.zip_with(F.col("_v"), F.col("_cv"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        ),
+        V.SIM_SCALE,
+    )
+    scored = v.crossJoin(F.broadcast(c)).select("vec_id", "cid", dist.alias("_d"), "_v")
+    w = Window.partitionBy("vec_id").orderBy(F.asc("_d"), F.asc("cid"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "cid", "_v")
+    )
+
+
+def centroid_delta_table(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cid_col: str = "cid",
+    cvec_col: str = "cv",
+) -> DataFrame:
+    """(cid, dim, isum, n_vecs): a batch's per-cluster first-moment table
+    in FIXED POINT — isum = Σ round(x·2^20) over the batch's members,
+    exact integers, so deltas from disjoint batches consolidate by plain
+    addition with NO float-order sensitivity (consolidate_centroids
+    divides back out). One broadcast-assign + one (cid, dim) aggregate."""
+    assigned = assign_to_centroids(
+        vectors, centroids, id_col, vec_col, cid_col, cvec_col
+    )
+    return (
+        assigned.select("cid", F.posexplode("_v").alias("dim", "_x"))
+        .groupBy("cid", "dim")
+        .agg(
+            F.sum(F.round(F.col("_x") * CENTROID_FP_SCALE).cast("long")).alias("isum"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+    )
+
+
+def consolidate_centroids(deltas: DataFrame) -> DataFrame:
+    """(cid, dim, centroid, n_vecs): the updated centroid table from any
+    union/append of centroid_delta_table outputs — integer sums merge
+    associatively, then ONE division recovers the mean:
+    (Σisum / 2^20) / n, 6dp-rounded. Bit-identical to a single-pass
+    computation over all members (q_ingest_centroids' oracle pins it)."""
+    g = deltas.groupBy("cid", "dim").agg(
+        F.sum("isum").alias("isum"), F.sum("n_vecs").alias("n_vecs")
+    )
+    return g.select(
+        "cid",
+        "dim",
+        F.round(
+            (F.col("isum").cast("double") / F.lit(float(CENTROID_FP_SCALE)))
+            / F.col("n_vecs"),
+            V.SIM_SCALE,
+        ).alias("centroid"),
+        F.col("n_vecs").cast("long").alias("n_vecs"),
+    )

@@ -6377,6 +6377,55 @@ register(
 )
 
 
+def _ingest_centroids_q(s: SparkSession, d: str) -> DataFrame:
+    """Incremental centroid maintenance (mini-batch k-means step with
+    frozen assignment centroids): the embedding table arrives as three
+    disjoint batches (vec_id % 3), each assigned against the SAME frozen
+    centroids (the 4 smallest vec_ids) and contributing a fixed-point
+    first-moment delta; consolidation must equal a single-pass mean,
+    bit-for-bit (integer sums are associative). Oracle = the direct
+    assignment + mean derivation."""
+    emb = _ref(s, d).embeddings
+    cent = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    deltas = None
+    for i in range(3):
+        delta = simsearch.centroid_delta_table(
+            emb.filter(F.col("vec_id") % 3 == i), cent
+        )
+        deltas = delta if deltas is None else deltas.unionByName(delta)
+    return simsearch.consolidate_centroids(deltas)
+
+
+register(
+    "q_ingest_centroids",
+    _ingest_centroids_q,
+    _q_vec(
+        f"""
+        , cent AS (SELECT vec_id AS cid, v AS cv FROM vec WHERE vec_id < 4),
+        d AS (
+          SELECT v.vec_id, c.cid,
+                 ROUND(SUM((v.v[t.i] - c.cv[t.i]) * (v.v[t.i] - c.cv[t.i])), 6) AS dist
+          FROM vec v, cent c, range(1, 65) t(i)
+          GROUP BY 1, 2),
+        asg AS (
+          SELECT vec_id, cid FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, cid) AS rn
+            FROM d) WHERE rn = 1)
+        SELECT a.cid, CAST(t.i - 1 AS INT) AS dim,
+               ROUND(SUM(ROUND(v.v[t.i] * {1 << 20}.0)) / {1 << 20}.0 / COUNT(*), 6)
+                 AS centroid,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs
+        FROM asg a JOIN vec v USING (vec_id)
+        CROSS JOIN range(1, 65) t(i)
+        GROUP BY 1, 2
+        """
+    ),
+)
+
+
 # --- rows-only -> attestable-twin map (round-4 discipline) ------------------
 #
 # Every rows-only query must name an oracle-backed companion that value-

@@ -3270,3 +3270,46 @@ def test_mmr_rerank_diversifies(spark):
         for r in mmr_rerank(q, emb, k=3, pool=3, lam=1.0, lam_c=0.0).collect()
     }
     assert [degraded[i] for i in (1, 2, 3)] == [1, 2, 3]
+
+
+def test_centroid_sidecar_matches_single_pass(spark, tmp_path):
+    """Incremental centroid maintenance through parquet moment deltas:
+    three id-disjoint batches assigned against frozen centroids,
+    consolidated == a one-shot delta over the full table, bit-for-bit
+    (fixed-point sums are associative), including after a replayed
+    batch; assignment itself picks the nearest centroid."""
+    from graph_database_application_for_recommendations_spark.operators.etl import (
+        centroid_delta_append,
+        consolidated_centroids,
+    )
+    from graph_database_application_for_recommendations_spark.operators.simsearch import (
+        assign_to_centroids,
+        centroid_delta_table,
+        consolidate_centroids,
+    )
+
+    rows = [
+        (i, [float((i % 3) * 10) + (i % 7) * 0.125, float(i % 5) * 0.25])
+        for i in range(30)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cent = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [10.0, 0.0]), (2, [20.0, 0.0])],
+        "cid long, cv array<double>",
+    )
+    got_assign = {r["vec_id"]: r["cid"] for r in assign_to_centroids(emb, cent).collect()}
+    assert got_assign[0] == 0 and got_assign[1] == 1 and got_assign[2] == 2
+
+    want = sorted(
+        map(tuple, consolidate_centroids(centroid_delta_table(emb, cent)).collect())
+    )
+    path = str(tmp_path / "moments")
+    for i, lo in enumerate((0, 10, 20)):
+        batch = emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 10))
+        assert centroid_delta_append(spark, path, batch, cent, batch_id=i) > 0
+    centroid_delta_append(
+        spark, path, emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 20)),
+        cent, batch_id=1,
+    )
+    got = sorted(map(tuple, consolidated_centroids(spark, path).collect()))
+    assert got == want and len(got) == 6
