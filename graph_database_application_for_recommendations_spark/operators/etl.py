@@ -464,6 +464,26 @@ def ingest_spanscrub_append(
     return n
 
 
+def _negate(delta: DataFrame, cols: tuple[str, ...]) -> DataFrame:
+    """Negate the additive measure columns of a delta table — the
+    RETRACTION half of the incremental-maintenance algebra: removing an
+    already-ingested batch (takedown, GDPR erasure, bad-source rollback)
+    appends the NEGATIVE of the delta it once contributed, and the
+    unchanged consolidation sums it away — bit-identically, because
+    integer addition forms a group, not just a monoid. At 100 TB this is
+    the difference between "delete = retrain every sidecar from the
+    corpus" and "delete = re-derive the outgoing batch's deltas only".
+    Contract: the retracted rows must actually be in the standing state
+    (retracting a never-ingested doc drives counts negative — callers own
+    that invariant, exactly as they own append-once)."""
+    return delta.select(
+        *[
+            (-F.col(c)).cast(dict(delta.dtypes)[c]).alias(c) if c in cols else F.col(c)
+            for c in delta.columns
+        ]
+    )
+
+
 def vocab_delta_append(
     spark,
     counts_path: str,
@@ -471,6 +491,7 @@ def vocab_delta_append(
     id_col: str = "doc_id",
     text_col: str = "text",
     batch_id: int | None = None,
+    retract: bool = False,
 ) -> int:
     """Incremental tokenizer-vocabulary maintenance, append side: write
     the batch's (token, count, n_docs) partial aggregate as one more
@@ -483,11 +504,18 @@ def vocab_delta_append(
     under deterministic names (replay replaces, exactly-once); the delta
     table is pure-additive state, so no read-exclusion is needed.
     Returns the delta's row count (distinct tokens in the batch).
+
+    With ``retract=True`` the delta is NEGATED before publishing —
+    removing a previously-ingested batch from the vocabulary without a
+    corpus rescan (see _negate for the algebra and the caller contract).
     """
     from ..plans import materialize, release_checkpoint
     from .textstats import token_count_table
 
-    delta = materialize(token_count_table(incoming, id_col, text_col))
+    delta = token_count_table(incoming, id_col, text_col)
+    if retract:
+        delta = _negate(delta, ("count", "n_docs"))
+    delta = materialize(delta)
     try:
         n = delta.count()
         if n:
@@ -523,22 +551,28 @@ def corpus_stats_delta_append(
     id_col: str = "doc_id",
     text_col: str = "text",
     batch_id: int | None = None,
+    retract: bool = False,
 ) -> int:
     """Incremental corpus-scalar maintenance: append the batch's one-row
     (n_docs, n_tokens) delta — the additive scalars behind every
     corpus-normalized statistic (BM25's N and avgdl, mixture fractions,
     per-source budgets). Same exactly-once publication discipline as
     vocab_delta_append; consolidation is a two-column SUM. Returns the
-    batch's document count."""
+    batch's document count (negative for a retraction; ``retract=True``
+    negates the delta — see _negate; retractions must publish under
+    their OWN batch_id, never the original append's, or the
+    deterministic-name replay protocol would replace the append instead
+    of offsetting it)."""
     from ..functions.text import tokens as _tokens
     from ..plans import materialize, release_checkpoint
 
-    delta = materialize(
-        incoming.agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum(F.size(_tokens(F.col(text_col)))).cast("long").alias("n_tokens"),
-        )
+    delta = incoming.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(_tokens(F.col(text_col)))).cast("long").alias("n_tokens"),
     )
+    if retract:
+        delta = _negate(delta, ("n_docs", "n_tokens"))
+    delta = materialize(delta)
     try:
         n = delta.first()["n_docs"]
         if n:
@@ -594,15 +628,20 @@ def quality_hist_delta_append(
     text_col: str = "text",
     source_col: str = "source",
     batch_id: int | None = None,
+    retract: bool = False,
 ) -> int:
     """Incremental quality monitoring: append the batch's per-source
     stop-word-decile histogram (textstats.quality_hist_table) as a delta
     file set — additive-state discipline, exactly-once with a batch_id.
-    Returns the delta's row count."""
+    Returns the delta's row count. ``retract=True`` negates the counts
+    (batch removal without rescan — see _negate; use a fresh batch_id)."""
     from ..plans import materialize, release_checkpoint
     from .textstats import quality_hist_table
 
-    delta = materialize(quality_hist_table(incoming, id_col, text_col, source_col))
+    delta = quality_hist_table(incoming, id_col, text_col, source_col)
+    if retract:
+        delta = _negate(delta, ("n_docs",))
+    delta = materialize(delta)
     try:
         n = delta.count()
         if n:
@@ -628,18 +667,23 @@ def centroid_delta_append(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     batch_id: int | None = None,
+    retract: bool = False,
 ) -> int:
     """Incremental centroid maintenance, append side: assign the batch
     against the FROZEN ``centroids`` table (cid, cv) and publish its
     fixed-point first-moment delta (simsearch.centroid_delta_table) —
     integer state, so consolidation is exact under any batching. Returns
-    the delta's (cid, dim) row count."""
+    the delta's (cid, dim) row count. ``retract=True`` negates the
+    moments (vector removal without rescan: frozen assignment is a pure
+    per-row function, so the outgoing batch re-derives exactly the delta
+    it once added — see _negate; use a fresh batch_id)."""
     from ..plans import materialize, release_checkpoint
     from .simsearch import centroid_delta_table
 
-    delta = materialize(
-        centroid_delta_table(incoming_vectors, centroids, id_col, vec_col)
-    )
+    delta = centroid_delta_table(incoming_vectors, centroids, id_col, vec_col)
+    if retract:
+        delta = _negate(delta, ("isum", "n_vecs"))
+    delta = materialize(delta)
     try:
         n = delta.count()
         if n:
@@ -666,20 +710,26 @@ def dsir_hist_delta_append(
     id_col: str = "doc_id",
     text_col: str = "text",
     batch_id: int | None = None,
+    retract: bool = False,
 ) -> int:
     """Incremental DSIR raw-corpus statistics: append the batch's hashed-
     unigram bucket histogram (b, rc) as a delta file set — the same
     additive-state discipline as vocab_delta_append, for the DSIR
     model's raw side (the target histogram is a fixed benchmark-sized
-    artifact). Returns the delta's distinct-bucket count."""
+    artifact). Returns the delta's distinct-bucket count.
+    ``retract=True`` negates the histogram (batch removal — see _negate;
+    use a fresh batch_id)."""
     from ..plans import materialize, release_checkpoint
     from .textstats import _dsir_buckets
 
-    delta = materialize(
+    delta = (
         _dsir_buckets(incoming, num_buckets, id_col, text_col)
         .groupBy("b")
         .agg(F.count(F.lit(1)).alias("rc"))
     )
+    if retract:
+        delta = _negate(delta, ("rc",))
+    delta = materialize(delta)
     try:
         n = delta.count()
         if n:

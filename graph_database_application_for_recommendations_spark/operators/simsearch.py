@@ -509,8 +509,12 @@ def consolidate_centroids(deltas: DataFrame) -> DataFrame:
     associatively, then ONE division recovers the mean:
     (Σisum / 2^20) / n, 6dp-rounded. Bit-identical to a single-pass
     computation over all members (q_ingest_centroids' oracle pins it)."""
-    g = deltas.groupBy("cid", "dim").agg(
-        F.sum("isum").alias("isum"), F.sum("n_vecs").alias("n_vecs")
+    g = (
+        deltas.groupBy("cid", "dim")
+        .agg(F.sum("isum").alias("isum"), F.sum("n_vecs").alias("n_vecs"))
+        # clusters whose membership sums to zero (fully retracted) drop —
+        # the direct single-pass over the surviving vectors has no row
+        .filter(F.col("n_vecs") > 0)
     )
     return g.select(
         "cid",

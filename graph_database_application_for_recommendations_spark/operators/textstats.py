@@ -771,8 +771,14 @@ def quality_hist_table(
 
 def consolidate_quality_hist(deltas: DataFrame) -> DataFrame:
     """Whole-corpus (source, q_bucket, n_docs) from per-batch histogram
-    deltas — one sum aggregate; counts are additive."""
-    return deltas.groupBy("source", "q_bucket").agg(F.sum("n_docs").alias("n_docs"))
+    deltas — one sum aggregate; counts are additive. Cells summing to
+    zero (every member retracted) drop, so the consolidated table equals
+    the direct histogram over the surviving corpus."""
+    return (
+        deltas.groupBy("source", "q_bucket")
+        .agg(F.sum("n_docs").alias("n_docs"))
+        .filter(F.col("n_docs") > 0)
+    )
 
 
 def bm25_scores_from_stats(
@@ -1300,7 +1306,11 @@ def consolidate_token_counts(deltas: DataFrame) -> DataFrame:
     consolidates any number of batches. This is the algebra that makes
     vocabulary maintenance incremental: re-deriving the tokenizer table
     after a batch costs the BATCH's tokens plus a |vocab|-sized merge,
-    never a corpus rescan."""
-    return deltas.groupBy("token").agg(
-        F.sum("count").alias("count"), F.sum("n_docs").alias("n_docs")
+    never a corpus rescan. Tokens whose counts sum to zero (fully
+    retracted — etl._negate) drop, so the consolidated table equals the
+    direct count table over the surviving corpus."""
+    return (
+        deltas.groupBy("token")
+        .agg(F.sum("count").alias("count"), F.sum("n_docs").alias("n_docs"))
+        .filter(F.col("count") > 0)
     )

@@ -6426,6 +6426,51 @@ register(
 )
 
 
+def _ingest_retract_q(s: SparkSession, d: str) -> DataFrame:
+    """Retraction face of the incremental-maintenance algebra: all three
+    batches are appended, then batch 1 is RETRACTED by appending its
+    negated delta (etl._negate — integer counts form a group, so removal
+    needs no corpus rescan); the consolidated vocabulary must equal a
+    direct rebuild over the surviving documents bit-for-bit. Oracle =
+    the direct derivation with batch 1's documents excluded."""
+    docs = _docs(s, d)
+    deltas = None
+    for i in range(3):
+        delta = textstats.token_count_table(docs.filter(F.col("doc_id") % 3 == i))
+        deltas = delta if deltas is None else deltas.unionByName(delta)
+    # the retraction delta: batch 1's counts, negated (same table the
+    # etl.vocab_delta_append(retract=True) face publishes)
+    neg = textstats.token_count_table(docs.filter(F.col("doc_id") % 3 == 1)).select(
+        "token", (-F.col("count")).alias("count"), (-F.col("n_docs")).alias("n_docs")
+    )
+    return textstats.rank_vocabulary(
+        textstats.consolidate_token_counts(deltas.unionByName(neg)),
+        max_size=2000,
+        min_count=2,
+    )
+
+
+register(
+    "q_ingest_retract",
+    _ingest_retract_q,
+    """
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+      FROM documents WHERE doc_id % 3 <> 1
+    ),
+    tokd AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS token FROM norm),
+    counts AS (
+      SELECT token, COUNT(*) AS count, COUNT(DISTINCT doc_id) AS n_docs
+      FROM tokd GROUP BY token HAVING COUNT(*) >= 2)
+    SELECT token_id, token, count, n_docs FROM (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY count DESC, token) - 1 AS BIGINT) AS token_id,
+             token, count, n_docs
+      FROM counts)
+    WHERE token_id < 2000
+    """,
+)
+
+
 # --- rows-only -> attestable-twin map (round-4 discipline) ------------------
 #
 # Every rows-only query must name an oracle-backed companion that value-

@@ -3313,3 +3313,78 @@ def test_centroid_sidecar_matches_single_pass(spark, tmp_path):
     )
     got = sorted(map(tuple, consolidated_centroids(spark, path).collect()))
     assert got == want and len(got) == 6
+
+
+def test_sidecar_retraction_matches_rebuild_without_batch(spark, tmp_path):
+    """Deletion without rescan: append three batches to every sidecar,
+    retract batch 1 by appending its negated delta under a fresh
+    batch_id, and check each consolidated artifact equals a direct
+    derivation over the surviving documents/vectors, bit-for-bit."""
+    from graph_database_application_for_recommendations_spark.operators.etl import (
+        centroid_delta_append,
+        consolidated_centroids,
+        consolidated_corpus_stats,
+        consolidated_quality_hist,
+        consolidated_vocabulary,
+        corpus_stats_delta_append,
+        quality_hist_delta_append,
+        vocab_delta_append,
+    )
+    from graph_database_application_for_recommendations_spark.operators.simsearch import (
+        centroid_delta_table,
+        consolidate_centroids,
+    )
+    from graph_database_application_for_recommendations_spark.operators.textstats import (
+        build_vocabulary,
+        quality_hist_table,
+    )
+
+    rows = [
+        (i, ("the and of " * (i % 3)) + " ".join(f"tok{(i * 7 + j) % 13}" for j in range(8)),
+         f"src{i % 2}")
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    surviving = docs.filter(F.col("doc_id") % 3 != 1)
+    batches = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+
+    vp, sp, qp = (str(tmp_path / n) for n in ("vocab", "stats", "qhist"))
+    for i, b in enumerate(batches):
+        vocab_delta_append(spark, vp, b, batch_id=i)
+        corpus_stats_delta_append(spark, sp, b, batch_id=i)
+        quality_hist_delta_append(spark, qp, b, batch_id=i)
+    # retraction of batch 1 under a FRESH batch_id
+    vocab_delta_append(spark, vp, batches[1], batch_id=100, retract=True)
+    assert corpus_stats_delta_append(spark, sp, batches[1], batch_id=100, retract=True) == -10
+    quality_hist_delta_append(spark, qp, batches[1], batch_id=100, retract=True)
+
+    want_vocab = sorted(map(tuple, build_vocabulary(surviving, min_count=2).collect()))
+    got_vocab = sorted(map(tuple, consolidated_vocabulary(spark, vp, min_count=2).collect()))
+    assert got_vocab == want_vocab
+
+    st = consolidated_corpus_stats(spark, sp).first()
+    direct = surviving.count()
+    assert st["n_docs"] == direct == 20
+
+    want_q = sorted(map(tuple, quality_hist_table(surviving).collect()))
+    got_q = sorted(map(tuple, consolidated_quality_hist(spark, qp).collect()))
+    assert got_q == want_q
+
+    # centroid moments: integer fixed-point retraction is exact
+    emb = spark.createDataFrame(
+        [(i, [float(i % 4) + 0.0625 * (i % 9), float(i % 5)]) for i in range(24)],
+        "vec_id long, embedding array<double>",
+    )
+    cent = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [3.0, 3.0])], "cid long, cv array<double>"
+    )
+    mp = str(tmp_path / "moments")
+    ebatches = [emb.filter(F.col("vec_id") % 3 == i) for i in range(3)]
+    for i, b in enumerate(ebatches):
+        centroid_delta_append(spark, mp, b, cent, batch_id=i)
+    centroid_delta_append(spark, mp, ebatches[1], cent, batch_id=100, retract=True)
+    want_c = sorted(map(tuple, consolidate_centroids(
+        centroid_delta_table(emb.filter(F.col("vec_id") % 3 != 1), cent)
+    ).collect()))
+    got_c = sorted(map(tuple, consolidated_centroids(spark, mp).collect()))
+    assert got_c == want_c
