@@ -854,3 +854,53 @@ def run_ingest_spanscrub_stream(
         .start()
     )
     query.awaitTermination()
+
+
+def run_ingest_stats_stream(
+    docs_stream: DataFrame,
+    vocab_path: str,
+    stats_path: str,
+    qhist_path: str,
+    checkpoint_dir: str,
+    dsir_path: str | None = None,
+    num_buckets: int = 4096,
+) -> None:
+    """Streaming statistics-sidecar maintenance: each micro-batch appends
+    its vocabulary-count, corpus-scalar, quality-histogram (and
+    optionally DSIR-histogram) deltas via ``foreachBatch`` — the
+    streaming face of the incremental-maintenance algebra (DESIGN.md
+    round 7). All four sidecars are pure-additive state published under
+    deterministic batch_id names, so the checkpoint's replay semantics
+    give exactly-once for free (a replayed batch REPLACES its own delta
+    files); no cross-write atomicity is needed because deltas are
+    independent tables that each individually equal their full-corpus
+    derivation when consolidated. The stream itself is stateless — model
+    state lives in the delta tables, readable mid-stream by any
+    consolidated_* reader."""
+    from ..operators.etl import (
+        corpus_stats_delta_append,
+        dsir_hist_delta_append,
+        quality_hist_delta_append,
+        vocab_delta_append,
+    )
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        vocab_delta_append(s, vocab_path, batch_df, batch_id=batch_id)
+        corpus_stats_delta_append(s, stats_path, batch_df, batch_id=batch_id)
+        quality_hist_delta_append(s, qhist_path, batch_df, batch_id=batch_id)
+        if dsir_path is not None:
+            dsir_hist_delta_append(
+                s, dsir_path, batch_df, num_buckets=num_buckets, batch_id=batch_id
+            )
+
+    query = (
+        docs_stream.writeStream.foreachBatch(_append)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()

@@ -772,3 +772,59 @@ def test_streaming_c4_clean_is_stateless_and_matches_batch(spark, tmp_path):
     )
     q.awaitTermination()
     assert sorted(out) == want
+
+
+def test_streaming_stats_sidecars_match_full_scan(spark, tmp_path):
+    """Streaming statistics-sidecar maintenance: an id-ordered file
+    replay (one file per micro-batch) through run_ingest_stats_stream
+    leaves delta tables whose consolidations equal the direct
+    whole-corpus vocabulary, corpus scalars and quality histogram,
+    bit-for-bit — model state rides in the sidecar tables, the stream
+    itself is stateless."""
+    import os
+    import time
+
+    from graph_database_application_for_recommendations_spark.operators.etl import (
+        consolidated_corpus_stats,
+        consolidated_quality_hist,
+        consolidated_vocabulary,
+    )
+    from graph_database_application_for_recommendations_spark.operators.textstats import (
+        build_vocabulary,
+        quality_hist_table,
+    )
+
+    rows = [
+        (i, ("the and of " * (i % 3)) + " ".join(f"tok{(i * 5 + j) % 11}" for j in range(7)),
+         f"src{i % 2}")
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    want_vocab = sorted(map(tuple, build_vocabulary(docs, min_count=2).collect()))
+    want_hist = sorted(map(tuple, quality_hist_table(docs).collect()))
+
+    src = tmp_path / "src"
+    src.mkdir()
+    t0 = time.time() - 100
+    for i, lo in enumerate((0, 10, 20)):
+        part = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 10))
+        part.coalesce(1).write.parquet(str(tmp_path / f"stage{i}"))
+        pq = next(p for p in os.listdir(tmp_path / f"stage{i}") if p.endswith(".parquet"))
+        dst = src / f"{i:02d}.parquet"
+        os.rename(tmp_path / f"stage{i}" / pq, dst)
+        os.utime(dst, (t0 + i, t0 + i))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    vp, sp, qp = (str(tmp_path / n) for n in ("vocab", "stats", "qhist"))
+    stream_ops.run_ingest_stats_stream(stream, vp, sp, qp, str(tmp_path / "ck_stats"))
+
+    got_vocab = sorted(map(tuple, consolidated_vocabulary(spark, vp, min_count=2).collect()))
+    assert got_vocab == want_vocab
+    st = consolidated_corpus_stats(spark, sp).first()
+    assert st["n_docs"] == 30
+    got_hist = sorted(map(tuple, consolidated_quality_hist(spark, qp).collect()))
+    assert got_hist == want_hist
