@@ -140,6 +140,15 @@ BENCH_QUERIES = [
     # C4 page cleanup (pure-scan column program, the cheap-filter shape)
     "q_dedup_cross_spans",
     "q_text_c4_clean",
+    # round-7 additions (second wave): the MMR greedy Catalyst fold (a new
+    # physical pattern — aggregate over sequence with nested vector HOFs),
+    # the sidecar-consolidation scoring path (union of per-batch aggregates
+    # + broadcast model join), the broadcast frozen-centroid assign, and
+    # the Gopher page-rule projection
+    "q_simsearch_mmr",
+    "q_ingest_bm25",
+    "q_ingest_centroids",
+    "q_text_gopher",
 ]
 
 # the iterative pipeline (FastRP -> KNN -> LPA) is measured as one unit,

@@ -760,6 +760,78 @@ def consolidated_dsir_model(
     return dsir_log_ratio_from_hists(spark, raw_hist, tgt_hist, num_buckets)
 
 
+def cms_delta_append(
+    spark,
+    sketch_path: str,
+    incoming: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_id: int | None = None,
+    retract: bool = False,
+) -> int:
+    """Incremental count-min maintenance: append the batch's (row,
+    bucket, c) sketch delta (operators/sketches.py — bounded depth×width
+    state). Additive-group discipline: sums consolidate, ``retract=True``
+    negates (frequency-state deletion without rescan; fresh batch_id).
+    Returns the delta's cell count."""
+    from ..plans import materialize, release_checkpoint
+    from .sketches import cms_delta_table
+
+    delta = cms_delta_table(incoming, id_col, text_col)
+    if retract:
+        delta = _negate(delta, ("c",))
+    delta = materialize(delta)
+    try:
+        n = delta.count()
+        if n:
+            _publish(spark, delta, sketch_path, batch_id)
+    finally:
+        release_checkpoint(delta)
+    return n
+
+
+def consolidated_cms_sketch(spark, sketch_path: str) -> DataFrame:
+    """(row, bucket, c) summed over the accumulated deltas — equals the
+    single-pass sketch bit-for-bit (integer cells)."""
+    from .sketches import consolidate_cms
+
+    return consolidate_cms(spark.read.parquet(sketch_path))
+
+
+def hll_delta_append(
+    spark,
+    registers_path: str,
+    incoming: DataFrame,
+    key_col: str,
+    batch_id: int | None = None,
+) -> int:
+    """Incremental HyperLogLog maintenance: append the batch's (bucket,
+    max_rho) register table. Max-monoid discipline: consolidation is a
+    cellwise MAX (idempotent — replay and even double-append are
+    harmless), but there is deliberately NO ``retract`` parameter: max
+    forgets who set it, so deletion from an HLL requires a rebuild over
+    the surviving keys. Returns the delta's register count."""
+    from ..plans import materialize, release_checkpoint
+    from .sketches import hll_register_table
+
+    delta = materialize(hll_register_table(incoming, key_col))
+    try:
+        n = delta.count()
+        if n:
+            _publish(spark, delta, registers_path, batch_id)
+    finally:
+        release_checkpoint(delta)
+    return n
+
+
+def consolidated_hll(spark, registers_path: str) -> DataFrame:
+    """(bucket, max_rho) max-merged over the accumulated register deltas
+    — equals the single-pass register table under any batching."""
+    from .sketches import hll_merge
+
+    return hll_merge(spark.read.parquet(registers_path))
+
+
 def compact_parquet(
     spark, path: str, target_files: int | None = None, target_bytes: int = 128 << 20
 ) -> tuple[int, int]:

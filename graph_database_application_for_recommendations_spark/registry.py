@@ -6471,6 +6471,89 @@ register(
 )
 
 
+_CMS_TERMS = ["the", "join", "window", "hash", "data", "sort", "merge", "zz_absent"]
+
+
+def _ingest_cms_q(s: SparkSession, d: str) -> DataFrame:
+    """Incremental count-min sketch: three disjoint batches each append a
+    bounded (row, bucket, c) delta; point estimates off the consolidated
+    sketch must equal the single-pass sketch's (integer cells sum
+    associatively). Oracle = the sketch built directly in SQL and probed
+    with the same md5 bucket arithmetic."""
+    from .operators import sketches
+
+    docs = _docs(s, d)
+    deltas = None
+    for i in range(3):
+        delta = sketches.cms_delta_table(docs.filter(F.col("doc_id") % 3 == i))
+        deltas = delta if deltas is None else deltas.unionByName(delta)
+    return sketches.cms_point_estimates(sketches.consolidate_cms(deltas), _CMS_TERMS)
+
+
+_CMS_TERM_VALUES = ", ".join(f"('{t}')" for t in _CMS_TERMS)
+
+register(
+    "q_ingest_cms",
+    _ingest_cms_q,
+    _q_docs(
+        f"""
+        , tokd AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS token FROM norm),
+        sk AS (
+          SELECT t.r AS row,
+                 CAST(('0x' || substr(md5(token || '#' || CAST(t.r + 1 AS VARCHAR)), 1, 8))
+                      AS BIGINT) % 1024 AS bucket,
+                 COUNT(*) AS c
+          FROM tokd, range(0, 4) t(r) GROUP BY 1, 2),
+        terms(token) AS (VALUES {_CMS_TERM_VALUES}),
+        probe AS (
+          SELECT token, t.r AS row,
+                 CAST(('0x' || substr(md5(token || '#' || CAST(t.r + 1 AS VARCHAR)), 1, 8))
+                      AS BIGINT) % 1024 AS bucket
+          FROM terms, range(0, 4) t(r))
+        SELECT token, CAST(MIN(COALESCE(s.c, 0)) AS BIGINT) AS est
+        FROM probe p LEFT JOIN sk s USING (row, bucket)
+        GROUP BY token
+        """
+    ),
+)
+
+
+def _ingest_hll_q(s: SparkSession, d: str) -> DataFrame:
+    """Incremental HyperLogLog registers over the event stream's user
+    ids: three disjoint batches max-merged must equal the single-pass
+    register table (max is associative/commutative/idempotent — the
+    monoid face of the sidecar algebra; retraction is impossible here
+    and the API says so). Oracle = the direct register derivation."""
+    from .operators import sketches
+
+    ev = _ref(s, d).events
+    deltas = None
+    for i in range(3):
+        delta = sketches.hll_register_table(
+            ev.filter(F.col("event_id") % 3 == i), "user_id"
+        )
+        deltas = delta if deltas is None else deltas.unionByName(delta)
+    return sketches.hll_merge(deltas)
+
+
+register(
+    "q_ingest_hll",
+    _ingest_hll_q,
+    """
+    WITH h AS (
+      SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM events),
+    r AS (
+      SELECT h % 1024 AS bucket,
+             CASE WHEN (h >> 10) = 0 THEN 51
+                  ELSE 51 - length(bin(h >> 10)) END AS rho
+      FROM h)
+    SELECT CAST(bucket AS BIGINT) AS bucket, CAST(MAX(rho) AS BIGINT) AS max_rho
+    FROM r GROUP BY bucket
+    """,
+)
+
+
 # --- rows-only -> attestable-twin map (round-4 discipline) ------------------
 #
 # Every rows-only query must name an oracle-backed companion that value-

@@ -3388,3 +3388,76 @@ def test_sidecar_retraction_matches_rebuild_without_batch(spark, tmp_path):
     ).collect()))
     got_c = sorted(map(tuple, consolidated_centroids(spark, mp).collect()))
     assert got_c == want_c
+
+
+def test_cms_sketch_properties_and_retraction(spark, tmp_path):
+    """Count-min invariants: estimates are one-sided (est >= true count,
+    exact on this tiny vocab at width 1024), consolidation over batches
+    equals the single-pass sketch, and retracting a batch restores the
+    surviving corpus's sketch bit-for-bit."""
+    from graph_database_application_for_recommendations_spark.operators.etl import (
+        cms_delta_append,
+        consolidated_cms_sketch,
+    )
+    from graph_database_application_for_recommendations_spark.operators.sketches import (
+        cms_delta_table,
+        cms_point_estimates,
+        consolidate_cms,
+    )
+
+    rows = [(i, " ".join(f"tok{(i + j) % 9}" for j in range(6))) for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sketch = consolidate_cms(cms_delta_table(docs))
+    true_counts = {
+        r["token"]: r["n"]
+        for r in docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    est = {
+        r["token"]: r["est"]
+        for r in cms_point_estimates(sketch, list(true_counts) + ["zz_absent"]).collect()
+    }
+    for t, n in true_counts.items():
+        assert est[t] >= n, (t, est[t], n)
+    assert est["zz_absent"] >= 0
+
+    path = str(tmp_path / "cms")
+    batches = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    for i, b in enumerate(batches):
+        assert cms_delta_append(spark, path, b, batch_id=i) > 0
+    cms_delta_append(spark, path, batches[1], batch_id=100, retract=True)
+    want = sorted(map(tuple, consolidate_cms(
+        cms_delta_table(docs.filter(F.col("doc_id") % 3 != 1))
+    ).collect()))
+    got = sorted(map(tuple, consolidated_cms_sketch(spark, path).collect()))
+    assert got == want
+
+
+def test_hll_registers_merge_and_estimate(spark, tmp_path):
+    """HLL invariants: batch-merged registers equal the single-pass
+    table (max-monoid), double-append is idempotent, and the estimate
+    lands within 15% of the true distinct count at p=10."""
+    from graph_database_application_for_recommendations_spark.operators.etl import (
+        consolidated_hll,
+        hll_delta_append,
+    )
+    from graph_database_application_for_recommendations_spark.operators.sketches import (
+        hll_estimate,
+        hll_register_table,
+    )
+
+    n_true = 5000
+    df = spark.range(n_true * 3).select((F.col("id") % n_true).alias("uid"))
+    want = sorted(map(tuple, hll_register_table(df, "uid").collect()))
+
+    path = str(tmp_path / "hll")
+    for i in range(3):
+        b = df.filter(F.col("uid") % 3 == i)
+        assert hll_delta_append(spark, path, b, "uid", batch_id=i) > 0
+    # idempotence: re-appending a batch under a new id changes nothing
+    hll_delta_append(spark, path, df.filter(F.col("uid") % 3 == 0), "uid", batch_id=100)
+    merged = consolidated_hll(spark, path)
+    assert sorted(map(tuple, merged.collect())) == want
+
+    est = hll_estimate(merged)
+    assert abs(est - n_true) / n_true < 0.15, est
