@@ -261,6 +261,7 @@ def ingest_dedup_append(
     id_col: str = "doc_id",
     text_col: str = "text",
     batch_id: int | None = None,
+    bloom_path: str | None = None,
 ) -> int:
     """Append-only ingest dedup: survivors of ``incoming`` whose
     canonical fingerprint is new — not already in the fingerprint INDEX
@@ -268,6 +269,19 @@ def ingest_dedup_append(
     (first-writer-wins: smallest id) — are appended to the corpus
     parquet, and their fingerprints to the index. Returns the number of
     appended documents.
+
+    ``bloom_path`` (optional) maintains a Bloom-filter sidecar over the
+    admitted fingerprints (operators/sketches.py) and uses it as a
+    map-side pre-filter: keys the broadcast filter answers FALSE for are
+    DEFINITIVELY new (Bloom has no false negatives) and skip the
+    index anti-join entirely; only the maybe-present residue — at
+    steady state ≈ the true duplicates plus the false-positive rate —
+    joins the |corpus|-sized index. At 100 TB that turns the per-batch
+    dedup shuffle from |batch| rows into |dups| + ε rows. Replay safety
+    needs NO as-of exclusion here (unlike the index read): a stale-OR-
+    self-polluted filter only ever routes MORE keys to the exact
+    anti-join, never fewer, so the survivor set is unchanged — the
+    one-sidedness absorbs every crash/replay interleaving.
 
     The index is the scale trick: dedup of a new batch never rescans the
     corpus text — it anti-joins the batch's fingerprints (md5 strings)
@@ -298,9 +312,36 @@ def ingest_dedup_append(
     )
     index = _read_index(spark, index_path, batch_id)
     if index is not None:
-        fresh = batch_first.join(
-            index.withColumnRenamed("fingerprint", "_fp"), "_fp", "left_anti"
-        )
+        candidates = batch_first
+        if bloom_path is not None:
+            from ..sources.fsutil import fs_exists
+            from .sketches import bloom_maybe_contains, bloom_merge
+
+            if fs_exists(spark, bloom_path):
+                bloom = bloom_merge(spark.read.parquet(bloom_path))
+                flags = bloom_maybe_contains(bloom, batch_first.select("_fp"), "_fp")
+                flagged = batch_first.join(
+                    flags.withColumnRenamed("key", "_fp"), "_fp"
+                )
+                definite_new = flagged.filter(~F.col("maybe_present")).drop(
+                    "maybe_present"
+                )
+                candidates = flagged.filter(F.col("maybe_present")).drop(
+                    "maybe_present"
+                )
+                fresh = definite_new.unionByName(
+                    candidates.join(
+                        index.withColumnRenamed("fingerprint", "_fp"), "_fp", "left_anti"
+                    )
+                )
+            else:
+                fresh = batch_first.join(
+                    index.withColumnRenamed("fingerprint", "_fp"), "_fp", "left_anti"
+                )
+        else:
+            fresh = candidates.join(
+                index.withColumnRenamed("fingerprint", "_fp"), "_fp", "left_anti"
+            )
     else:
         fresh = batch_first
     # materialize before the two appends so the survivors compute once
@@ -315,6 +356,17 @@ def ingest_dedup_append(
                 spark, fresh.select(F.col("_fp").alias("fingerprint")), index_path, batch_id
             )
             _publish(spark, fresh.select(id_col, text_col), corpus_path, batch_id)
+            if bloom_path is not None:
+                from .sketches import bloom_delta_table
+
+                _publish(
+                    spark,
+                    bloom_delta_table(
+                        fresh.select(F.col("_fp").alias("fingerprint")), "fingerprint"
+                    ),
+                    bloom_path,
+                    batch_id,
+                )
     finally:
         release_checkpoint(fresh)
     return n

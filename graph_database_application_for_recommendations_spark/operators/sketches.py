@@ -163,3 +163,91 @@ def hll_estimate(registers: DataFrame, p: int = HLL_P) -> float:
 
         est = m * math.log(m / zeros)
     return est
+
+
+BLOOM_BITS = 1 << 16
+BLOOM_HASHES = 4
+_BLOOM_WORD = 63  # bits packed per BIGINT word: bit 63 stays clear so
+# every mask is non-negative and 1 << bit never overflows in either engine
+
+
+def _bloom_positions(key: Column, num_bits: int, num_hashes: int) -> Column:
+    """Array of the key's ``num_hashes`` bit positions — md5_hash32 with
+    seeds 11.. (disjoint from the CMS row seeds)."""
+    return F.array(
+        *[md5_hash32(key, seed=11 + r) % num_bits for r in range(num_hashes)]
+    )
+
+
+def bloom_delta_table(
+    df: DataFrame,
+    key_col: str,
+    num_bits: int = BLOOM_BITS,
+    num_hashes: int = BLOOM_HASHES,
+) -> DataFrame:
+    """(word, bits): a batch's Bloom filter over ``key_col`` (Bloom 1970,
+    public), packed 63 bits per BIGINT word. The OR-monoid instance of
+    the sidecar algebra: merge = cellwise bitwise OR — associative,
+    commutative, IDEMPOTENT (replay/double-append free), and like HLL
+    not invertible: no retraction, deletion rebuilds (or use a counting
+    variant — the CMS sidecar IS one). Bounded state: num_bits/63 + 1
+    words regardless of batch size; membership is one-sided (false
+    positives only, rate ≈ (1 − e^{−kn/m})^k), which is exactly what an
+    ingest pre-filter needs — a 'no' is definitive."""
+    pos = df.select(
+        F.explode(
+            _bloom_positions(F.col(key_col).cast("string"), num_bits, num_hashes)
+        ).alias("pos")
+    )
+    return (
+        pos.select(
+            (F.col("pos") / _BLOOM_WORD).cast("long").alias("word"),
+            (F.col("pos") % _BLOOM_WORD).cast("int").alias("bit"),
+        )
+        .groupBy("word")
+        # shiftleft with a COLUMN shift amount needs the SQL form (the
+        # PySpark wrapper only takes a literal numBits)
+        .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).alias("bits"))
+    )
+
+
+def bloom_merge(deltas: DataFrame) -> DataFrame:
+    """(word, bits) OR-merged over any union/append of bloom_delta_table
+    outputs — equals the single-pass filter under any batching."""
+    return deltas.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_maybe_contains(
+    bloom: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    num_bits: int = BLOOM_BITS,
+    num_hashes: int = BLOOM_HASHES,
+) -> DataFrame:
+    """(key, maybe_present): Bloom membership for every probe key —
+    maybe_present is TRUE iff all ``num_hashes`` bits are set (one-sided:
+    false ⇒ definitively absent). Plan shape: |probes|·k rows joined
+    against the bounded word table (broadcast by size), then a per-key
+    conjunction — the probe side never shuffles wider than its own keys;
+    at ingest scale this is the map-side gate that keeps non-duplicate
+    batches from ever joining the full fingerprint index."""
+    pr = probes.select(F.col(key_col).cast("string").alias("key")).select(
+        "key",
+        F.explode(_bloom_positions(F.col("key"), num_bits, num_hashes)).alias("pos"),
+    )
+    pr = pr.select(
+        "key",
+        (F.col("pos") / _BLOOM_WORD).cast("long").alias("word"),
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {_BLOOM_WORD} AS INT))").alias(
+            "mask"
+        ),
+    )
+    return (
+        pr.join(F.broadcast(bloom), "word", "left")
+        .groupBy("key")
+        .agg(
+            F.min(
+                (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask")) != 0).cast("int")
+            ).cast("boolean").alias("maybe_present")
+        )
+    )

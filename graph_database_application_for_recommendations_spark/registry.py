@@ -6554,6 +6554,79 @@ register(
 )
 
 
+def _ingest_bloom_q(s: SparkSession, d: str) -> DataFrame:
+    """Incremental Bloom-filter maintenance over document fingerprints
+    (the ingest-dedup pre-filter): three disjoint batches OR-merged must
+    answer membership exactly like a single-pass filter — probed with
+    every 10th document's fingerprint (present ⇒ TRUE, Bloom has no
+    false negatives) plus 20 synthetic absent keys (almost surely FALSE
+    at this fill factor; whatever the filter answers, the oracle answers
+    identically because the bit arithmetic is shared md5)."""
+    from .functions.text import canonical_fingerprint
+    from .operators import sketches
+
+    docs = _docs(s, d).select(
+        "doc_id", canonical_fingerprint(F.col("text")).alias("fingerprint")
+    )
+    deltas = None
+    for i in range(3):
+        delta = sketches.bloom_delta_table(
+            docs.filter(F.col("doc_id") % 3 == i), "fingerprint"
+        )
+        deltas = delta if deltas is None else deltas.unionByName(delta)
+    bloom = sketches.bloom_merge(deltas)
+    probes = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select("fingerprint")
+        .unionByName(
+            s.range(20).select(
+                F.concat(F.lit("absent-"), F.col("id").cast("string")).alias(
+                    "fingerprint"
+                )
+            )
+        )
+    )
+    return sketches.bloom_maybe_contains(bloom, probes, "fingerprint")
+
+
+register(
+    "q_ingest_bloom",
+    _ingest_bloom_q,
+    _q_docs(
+        """
+        , fp AS (
+          SELECT doc_id,
+                 md5(array_to_string(list_sort(list_distinct(string_split(norm, ' '))), ' '))
+                   AS fingerprint
+          FROM norm),
+        pos AS (
+          SELECT CAST(('0x' || substr(md5(fingerprint || '#' || CAST(t.r + 11 AS VARCHAR)), 1, 8))
+                      AS BIGINT) % 65536 AS pos
+          FROM fp, range(0, 4) t(r)),
+        bloom AS (
+          SELECT pos // 63 AS word,
+                 bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS bits
+          FROM pos GROUP BY 1),
+        probes AS (
+          SELECT fingerprint AS key FROM fp WHERE doc_id % 10 = 0
+          UNION ALL
+          SELECT 'absent-' || CAST(g.i AS VARCHAR) FROM range(0, 20) g(i)),
+        pp AS (
+          SELECT key,
+                 CAST(('0x' || substr(md5(key || '#' || CAST(t.r + 11 AS VARCHAR)), 1, 8))
+                      AS BIGINT) % 65536 AS pos
+          FROM probes, range(0, 4) t(r))
+        SELECT key,
+               CAST(MIN(CASE WHEN (COALESCE(b.bits, 0)
+                                   & (1::BIGINT << CAST(pp.pos % 63 AS INT))) <> 0
+                             THEN 1 ELSE 0 END) AS BOOLEAN) AS maybe_present
+        FROM pp LEFT JOIN bloom b ON b.word = pp.pos // 63
+        GROUP BY key
+        """
+    ),
+)
+
+
 # --- rows-only -> attestable-twin map (round-4 discipline) ------------------
 #
 # Every rows-only query must name an oracle-backed companion that value-

@@ -551,3 +551,47 @@ def test_ingest_dedup_append_matches_batch_dedup(spark, tmp_path):
     assert {r["doc_id"] for r in stored.collect()} == want == {1, 2, 5, 7}
     # the index holds exactly one fingerprint per survivor
     assert spark.read.parquet(index).distinct().count() == 4
+
+
+def test_ingest_dedup_bloom_prefilter_is_transparent(spark, tmp_path):
+    """The Bloom pre-filter changes the PLAN, never the survivor set:
+    the same overlapping batches through the bloom_path variant store
+    exactly the plain-path corpus and index; the filter answers TRUE for
+    every admitted fingerprint (no false negatives) and the sidecar
+    accumulates one delta per non-empty batch."""
+    from graph_database_application_for_recommendations_spark.operators.etl import (
+        ingest_dedup_append,
+    )
+    from graph_database_application_for_recommendations_spark.operators.sketches import (
+        bloom_maybe_contains,
+        bloom_merge,
+    )
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon"), (3, "beta  GAMMA alpha")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(4, "delta epsilon"), (5, "zeta eta"), (6, "zeta eta"), (7, "theta")],
+        "doc_id long, text string",
+    )
+    plain_c, plain_i = str(tmp_path / "pc"), str(tmp_path / "pi")
+    ingest_dedup_append(spark, plain_c, plain_i, b1, batch_id=0)
+    ingest_dedup_append(spark, plain_c, plain_i, b2, batch_id=1)
+
+    c, i, bl = str(tmp_path / "c"), str(tmp_path / "i"), str(tmp_path / "bloom")
+    n1 = ingest_dedup_append(spark, c, i, b1, batch_id=0, bloom_path=bl)
+    n2 = ingest_dedup_append(spark, c, i, b2, batch_id=1, bloom_path=bl)
+    assert (n1, n2) == (2, 2)
+    assert sorted(map(tuple, spark.read.parquet(c).collect())) == sorted(
+        map(tuple, spark.read.parquet(plain_c).collect())
+    )
+    # replay of batch 1 with the (self-polluted) filter: still a no-op set
+    ingest_dedup_append(spark, c, i, b2, batch_id=1, bloom_path=bl)
+    assert sorted(map(tuple, spark.read.parquet(c).collect())) == sorted(
+        map(tuple, spark.read.parquet(plain_c).collect())
+    )
+    bloom = bloom_merge(spark.read.parquet(bl))
+    admitted = spark.read.parquet(i).select(F.col("fingerprint"))
+    flags = bloom_maybe_contains(bloom, admitted, "fingerprint")
+    assert all(r["maybe_present"] for r in flags.collect())
