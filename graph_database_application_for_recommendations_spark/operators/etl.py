@@ -812,6 +812,34 @@ def consolidated_dsir_model(
     return dsir_log_ratio_from_hists(spark, raw_hist, tgt_hist, num_buckets)
 
 
+def read_table_asof(spark, path: str, batch_id: int) -> DataFrame:
+    """Time travel on an ingest-maintained table: the rows AS OF the end
+    of ``batch_id`` — i.e. only the files published by batches ≤ it.
+    Free byproduct of the exactly-once protocol: publish_batch names
+    every file ``batch-{id:010d}-{seq}``, so a historical snapshot is a
+    filename filter, no transaction log needed ("which corpus did the
+    model trained last week actually see?" becomes a read).
+
+    Loud contract: raises if the directory holds any non-batch-named
+    parquet (ad-hoc appends without a batch_id, or a compacted layout —
+    compact_parquet rewrites into part-* files, intentionally trading
+    history for file count; snapshot reads need the uncompacted dir).
+    """
+    from ..sources.fsutil import list_parquet
+
+    names = [n for n, _ in list_parquet(spark, path)]
+    strays = [n for n in names if not n.startswith("batch-")]
+    if strays:
+        raise ValueError(
+            f"read_table_asof({path!r}): non-batch files present (compacted or "
+            f"ad-hoc appends) — history unavailable: {strays[:3]}"
+        )
+    keep = [n for n in names if int(n.split("-")[1]) <= int(batch_id)]
+    if not keep:
+        return spark.read.parquet(path).limit(0)
+    return spark.read.parquet(*[f"{path}/{n}" for n in keep])
+
+
 def cms_delta_append(
     spark,
     sketch_path: str,

@@ -736,6 +736,35 @@ def bm25_scores(
     )
 
 
+SENTENCE_RE = "[^.!?]+[.!?]*"  # no lookarounds: RE2 (DuckDB) and Java agree
+
+
+def split_sentences(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, sent_idx, sentence): rule-based sentence segmentation —
+    maximal runs of non-terminal characters plus their trailing
+    [.!?]-run, trimmed, whitespace-only runs dropped (the C4/Gopher
+    sentence-count convention turned into an exploder; the unit every
+    sentence-level filter/packer downstream consumes).
+
+    Deliberately regex-minimal: ``[^.!?]+[.!?]*`` has no lookarounds or
+    backreferences, so RE2 (the oracle engine) and Java regex tokenize
+    identically. Plan shape: one regexp_extract_all + posexplode —
+    per-row, no shuffle, linear in corpus characters."""
+    sents = F.filter(
+        F.transform(
+            F.regexp_extract_all(F.col(text_col), F.lit(SENTENCE_RE), 0),
+            lambda x: F.trim(x),
+        ),
+        lambda x: x != "",
+    )
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(sents).alias("sent_idx", "sentence"),
+    ).select("doc_id", F.col("sent_idx").cast("long").alias("sent_idx"), "sentence")
+
+
 def quality_hist_table(
     documents: DataFrame,
     id_col: str = "doc_id",

@@ -6627,6 +6627,50 @@ register(
 )
 
 
+# sentence segmentation over the punctuation-bearing C4 page fixture (the
+# raw synthetic corpus has no terminals — every doc would be one sentence,
+# a degenerate hash)
+register(
+    "q_text_sentences",
+    lambda s, d: textstats.split_sentences(_c4_pages(s, d)),
+    r"""
+    WITH m AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN text || '.'
+               WHEN 1 THEN text || '?'
+               WHEN 2 THEN array_to_string(list_slice(
+                             string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '),
+                             1, 3), ' ') || ' done.'
+               ELSE text || ' javascript.'
+             END AS text
+      FROM documents),
+    pg AS (
+      SELECT doc_id // 8 AS sd_id,
+             string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS page
+      FROM m GROUP BY doc_id // 8),
+    pages AS (
+      SELECT sd_id AS doc_id,
+             page
+             || CASE WHEN sd_id % 7 = 0
+                     THEN chr(10) || chr(10) || 'lorem ipsum dolor sit.'
+                     ELSE '' END
+             || CASE WHEN sd_id % 5 = 0
+                     THEN chr(10) || chr(10) || 'this page has a { brace }.'
+                     ELSE '' END AS text
+      FROM pg),
+    sents AS (
+      SELECT doc_id,
+             list_filter(list_transform(regexp_extract_all(text, '[^.!?]+[.!?]*'),
+                                        x -> trim(x)),
+                         x -> x <> '') AS ss
+      FROM pages)
+    SELECT doc_id, CAST(g.i - 1 AS BIGINT) AS sent_idx, ss[g.i] AS sentence
+    FROM sents, LATERAL unnest(generate_series(1, len(ss))) g(i)
+    """,
+)
+
+
 # --- rows-only -> attestable-twin map (round-4 discipline) ------------------
 #
 # Every rows-only query must name an oracle-backed companion that value-

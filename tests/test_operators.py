@@ -595,3 +595,41 @@ def test_ingest_dedup_bloom_prefilter_is_transparent(spark, tmp_path):
     admitted = spark.read.parquet(i).select(F.col("fingerprint"))
     flags = bloom_maybe_contains(bloom, admitted, "fingerprint")
     assert all(r["maybe_present"] for r in flags.collect())
+
+
+def test_read_table_asof_snapshots_ingest_history(spark, tmp_path):
+    """The batch-file protocol gives time travel for free: asof(N) reads
+    exactly the corpus as it stood after batch N — including through a
+    replayed (replaced) batch — and refuses loudly once compaction has
+    traded history for file count."""
+    from graph_database_application_for_recommendations_spark.operators.etl import (
+        compact_parquet,
+        ingest_dedup_append,
+        read_table_asof,
+    )
+
+    corpus, index = str(tmp_path / "c"), str(tmp_path / "i")
+    batches = [
+        [(1, "alpha beta"), (2, "gamma delta")],
+        [(3, "epsilon zeta"), (4, "alpha  BETA")],  # 4 dups 1
+        [(5, "eta theta")],
+    ]
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        ingest_dedup_append(spark, corpus, index, df, batch_id=i)
+    # replay batch 1: snapshot must not double-count
+    ingest_dedup_append(
+        spark, corpus, index,
+        spark.createDataFrame(batches[1], "doc_id long, text string"), batch_id=1,
+    )
+    asof = lambda b: {r["doc_id"] for r in read_table_asof(spark, corpus, b).collect()}
+    assert asof(0) == {1, 2}
+    assert asof(1) == {1, 2, 3}
+    assert asof(2) == {1, 2, 3, 5}
+    assert read_table_asof(spark, corpus, -1).count() == 0
+
+    compact_parquet(spark, corpus, target_files=1)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="history unavailable"):
+        read_table_asof(spark, corpus, 1)
