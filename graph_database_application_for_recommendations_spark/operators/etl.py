@@ -812,6 +812,52 @@ def consolidated_dsir_model(
     return dsir_log_ratio_from_hists(spark, raw_hist, tgt_hist, num_buckets)
 
 
+def lm_delta_append(
+    spark,
+    counts_path: str,
+    incoming: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_id: int | None = None,
+    retract: bool = False,
+) -> int:
+    """Incremental CCNet-proxy LM maintenance: append the batch's
+    character-bigram count delta (textstats.bigram_count_table) —
+    additive-group discipline like every count sidecar (retract=True
+    negates; fresh batch_id). Returns the delta's row count."""
+    from ..plans import materialize, release_checkpoint
+    from .textstats import bigram_count_table
+
+    delta = bigram_count_table(incoming, id_col, text_col)
+    if retract:
+        delta = _negate(delta, ("_cnt",))
+    delta = materialize(delta)
+    try:
+        n = delta.count()
+        if n:
+            _publish(spark, delta, counts_path, batch_id)
+    finally:
+        release_checkpoint(delta)
+    return n
+
+
+def consolidated_lm_scores(
+    spark,
+    counts_path: str,
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LM typicality scoring against the maintained bigram model —
+    scoring a batch costs the batch plus a |charset|²-bounded model
+    read, never a corpus rescan, and equals lm_bigram_scores over the
+    full corpus (integer counts; q_ingest_lm's oracle pins it)."""
+    from .textstats import consolidate_bigram_counts, lm_scores_from_counts
+
+    counts = consolidate_bigram_counts(spark.read.parquet(counts_path))
+    return lm_scores_from_counts(documents, counts, id_col, text_col)
+
+
 def read_table_asof(spark, path: str, batch_id: int) -> DataFrame:
     """Time travel on an ingest-maintained table: the rows AS OF the end
     of ``batch_id`` — i.e. only the files published by batches ≤ it.

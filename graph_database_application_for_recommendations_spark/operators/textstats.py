@@ -599,13 +599,17 @@ def lm_bigram_scores(
     the per-doc bigram stream regardless of corpus size. Per-doc mean is
     a doc_id-keyed aggregate. No UDFs, no windows; linear at 100 TB.
     """
+    return lm_scores_from_counts(documents, bigram_count_table(documents, id_col, text_col), id_col, text_col)
+
+
+def _char_bigrams(documents: DataFrame, id_col: str, text_col: str) -> DataFrame:
     from ..functions.text import normalize
 
     norm = normalize(F.col(text_col))
     base = documents.select(F.col(id_col).alias("doc_id"), norm.alias("_n")).filter(
         F.char_length("_n") >= 2
     )
-    grams = base.select(
+    return base.select(
         "doc_id",
         F.explode(
             F.transform(
@@ -614,7 +618,45 @@ def lm_bigram_scores(
             )
         ).alias("bigram"),
     )
-    big = grams.groupBy("bigram").agg(F.count(F.lit(1)).alias("_cnt"))
+
+
+def bigram_count_table(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(bigram, _cnt): the character-bigram count table — the ADDITIVE
+    half of the CCNet-proxy LM (lm_bigram_scores): counts from disjoint
+    batches sum into the whole-corpus table, so the filtering model is
+    maintainable incrementally (etl.lm_delta_append) and retractable —
+    another group-algebra sidecar; the first-char totals (the
+    conditional's denominator) are DERIVED from this table at
+    consolidation, never stored, so the two can't drift."""
+    return (
+        _char_bigrams(documents, id_col, text_col)
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+
+
+def consolidate_bigram_counts(deltas: DataFrame) -> DataFrame:
+    """(bigram, _cnt) summed over per-batch deltas; zero-sum rows (fully
+    retracted) drop."""
+    return (
+        deltas.groupBy("bigram")
+        .agg(F.sum("_cnt").alias("_cnt"))
+        .filter(F.col("_cnt") > 0)
+    )
+
+
+def lm_scores_from_counts(
+    documents: DataFrame,
+    big: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """lm_bigram_scores with the MODEL counts supplied (direct or
+    consolidated from sidecar deltas — integer counts, so the derived
+    log-probabilities are identical either way; q_ingest_lm pins it)."""
+    grams = _char_bigrams(documents, id_col, text_col)
     pre = (
         big.groupBy(F.substring("bigram", 1, 1).alias("_c1"))
         .agg(F.sum("_cnt").alias("_tot"))

@@ -6671,6 +6671,44 @@ register(
 )
 
 
+def _ingest_lm_q(s: SparkSession, d: str) -> DataFrame:
+    """Incremental LM-filter model: three disjoint batches contribute
+    character-bigram count deltas; scoring the corpus against the
+    consolidated model must equal direct lm_bigram_scores (integer
+    counts → identical log-probabilities). Oracle = the direct
+    whole-corpus derivation (same SQL as q_text_lm_score)."""
+    docs = _docs(s, d)
+    deltas = None
+    for i in range(3):
+        delta = textstats.bigram_count_table(docs.filter(F.col("doc_id") % 3 == i))
+        deltas = delta if deltas is None else deltas.unionByName(delta)
+    return textstats.lm_scores_from_counts(
+        docs, textstats.consolidate_bigram_counts(deltas)
+    )
+
+
+register(
+    "q_ingest_lm",
+    _ingest_lm_q,
+    _q_docs(
+        """
+        , base AS (SELECT doc_id, norm FROM norm WHERE length(norm) >= 2),
+        grams AS (
+          SELECT doc_id, unnest([substr(norm, i, 2) for i in range(1, length(norm))]) AS bigram
+          FROM base),
+        big AS (SELECT bigram, COUNT(*) AS cnt FROM grams GROUP BY bigram),
+        pre AS (SELECT substr(bigram, 1, 1) AS c1, SUM(cnt) AS tot FROM big GROUP BY 1),
+        model AS (
+          SELECT bigram, log2(CAST(cnt AS DOUBLE) / tot) AS lp
+          FROM big JOIN pre ON substr(big.bigram, 1, 1) = pre.c1)
+        SELECT doc_id, COUNT(*) AS n_bigrams, ROUND(AVG(lp), 6) AS lm_score
+        FROM grams JOIN model USING (bigram)
+        GROUP BY doc_id
+        """
+    ),
+)
+
+
 # --- rows-only -> attestable-twin map (round-4 discipline) ------------------
 #
 # Every rows-only query must name an oracle-backed companion that value-

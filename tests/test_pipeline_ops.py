@@ -3461,3 +3461,34 @@ def test_hll_registers_merge_and_estimate(spark, tmp_path):
 
     est = hll_estimate(merged)
     assert abs(est - n_true) / n_true < 0.15, est
+
+
+def test_lm_sidecar_matches_full_rescan_and_retraction(spark, tmp_path):
+    """Incremental LM-filter model through parquet bigram deltas:
+    consolidated scoring == lm_bigram_scores over the full corpus; after
+    retracting batch 1, scoring the survivors == a direct rescan of the
+    survivors."""
+    from graph_database_application_for_recommendations_spark.operators.etl import (
+        consolidated_lm_scores,
+        lm_delta_append,
+    )
+    from graph_database_application_for_recommendations_spark.operators.textstats import (
+        lm_bigram_scores,
+    )
+
+    rows = [(i, f"som{i % 5}e text abou{i % 3}t things {i % 7}") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    want = sorted(map(tuple, lm_bigram_scores(docs).collect()))
+
+    path = str(tmp_path / "lm")
+    batches = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    for i, b in enumerate(batches):
+        assert lm_delta_append(spark, path, b, batch_id=i) > 0
+    got = sorted(map(tuple, consolidated_lm_scores(spark, path, docs).collect()))
+    assert got == want
+
+    lm_delta_append(spark, path, batches[1], batch_id=100, retract=True)
+    surviving = docs.filter(F.col("doc_id") % 3 != 1)
+    want2 = sorted(map(tuple, lm_bigram_scores(surviving).collect()))
+    got2 = sorted(map(tuple, consolidated_lm_scores(spark, path, surviving).collect()))
+    assert got2 == want2
