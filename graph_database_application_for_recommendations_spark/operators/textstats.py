@@ -840,6 +840,74 @@ def quality_hist_table(
     )
 
 
+def quality_drift_report(
+    batch_docs: DataFrame,
+    baseline_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    num_buckets: int = 10,
+) -> DataFrame:
+    """(source, n_docs, kl): per-source data-drift score for an incoming
+    batch — KL(batch ‖ baseline) over the stop-word-decile quality
+    histogram (quality_hist_table) with add-1 smoothing on the fixed
+    ``num_buckets`` domain. The ingest-monitoring primitive: a source
+    whose new crawl slice suddenly ships different-quality text shows a
+    KL spike batches before any downstream metric moves.
+
+    Sources with no batch rows score against the uniform smoothed
+    distribution (coalesce-0 counts) — deterministic, and a large KL
+    there is itself the signal ("this source went silent"). Plan shape:
+    two bounded histograms (the corpus side can equally come from the
+    consolidated sidecar — consolidate_quality_hist — never a rescan), a
+    |sources|×num_buckets dense spine, one per-source sum. Everything
+    after the histograms is broadcast-sized."""
+    bh = quality_hist_table(batch_docs, id_col, text_col, source_col)
+    ch = quality_hist_table(baseline_docs, id_col, text_col, source_col)
+    return quality_drift_from_hists(bh, ch, num_buckets)
+
+
+def quality_drift_from_hists(
+    batch_hist: DataFrame, baseline_hist: DataFrame, num_buckets: int = 10
+) -> DataFrame:
+    """The consolidation face of quality_drift_report: KL from two
+    already-aggregated (source, q_bucket, n_docs) histograms — the batch
+    side is one bounded delta, the baseline side the maintained sidecar."""
+    spark = batch_hist.sparkSession
+    spine = (
+        baseline_hist.select("source")
+        .distinct()
+        .crossJoin(
+            spark.range(num_buckets).select(F.col("id").cast("long").alias("q_bucket"))
+        )
+    )
+    bt = batch_hist.groupBy("source").agg(F.sum("n_docs").alias("_nb"))
+    ct = baseline_hist.groupBy("source").agg(F.sum("n_docs").alias("_nc"))
+    j = (
+        spine.join(batch_hist.withColumnRenamed("n_docs", "_cb"), ["source", "q_bucket"], "left")
+        .join(baseline_hist.withColumnRenamed("n_docs", "_cc"), ["source", "q_bucket"], "left")
+        .join(bt, "source", "left")
+        .join(ct, "source")
+        .select(
+            "source",
+            F.coalesce("_cb", F.lit(0)).alias("_cb"),
+            F.coalesce("_cc", F.lit(0)).alias("_cc"),
+            F.coalesce("_nb", F.lit(0)).alias("_nb"),
+            "_nc",
+        )
+    )
+    p_b = (F.col("_cb") + 1).cast("double") / (F.col("_nb") + num_buckets)
+    p_c = (F.col("_cc") + 1).cast("double") / (F.col("_nc") + num_buckets)
+    return (
+        j.select("source", "_nb", (p_b * F.log(p_b / p_c)).alias("_t"))
+        .groupBy("source")
+        .agg(
+            F.max("_nb").cast("long").alias("n_docs"),
+            F.round(F.sum("_t"), 6).alias("kl"),
+        )
+    )
+
+
 def consolidate_quality_hist(deltas: DataFrame) -> DataFrame:
     """Whole-corpus (source, q_bucket, n_docs) from per-batch histogram
     deltas — one sum aggregate; counts are additive. Cells summing to

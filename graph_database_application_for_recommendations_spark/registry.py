@@ -6709,6 +6709,51 @@ register(
 )
 
 
+register(
+    "q_ingest_drift",
+    # the doc_id%3==0 slice plays the incoming batch, the full corpus the
+    # maintained baseline — per-source KL over the quality-decile histogram
+    lambda s, d: textstats.quality_drift_report(
+        _docs(s, d).filter(F.col("doc_id") % 3 == 0), _docs(s, d)
+    ),
+    _q_docs(
+        f"""
+        , tokd AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS token FROM norm),
+        agg AS (
+          SELECT doc_id, COUNT(*) AS n,
+                 SUM(CASE WHEN token IN ({_SW_EN}) THEN 1 ELSE 0 END) AS s
+          FROM tokd GROUP BY doc_id),
+        hist AS (
+          SELECT d.source, d.doc_id,
+                 LEAST(CAST(floor(10.0 * a.s / a.n) AS BIGINT), 9) AS q_bucket
+          FROM agg a JOIN documents d USING (doc_id)),
+        bh AS (SELECT source, q_bucket, COUNT(*) AS cb FROM hist
+               WHERE doc_id % 3 = 0 GROUP BY 1, 2),
+        ch AS (SELECT source, q_bucket, COUNT(*) AS cc FROM hist GROUP BY 1, 2),
+        bt AS (SELECT source, SUM(cb) AS nb FROM bh GROUP BY source),
+        ct AS (SELECT source, SUM(cc) AS nc FROM ch GROUP BY source),
+        spine AS (
+          SELECT DISTINCT ch.source, g.i AS q_bucket
+          FROM ch, range(0, 10) g(i)),
+        j AS (
+          SELECT sp.source,
+                 COALESCE(bh.cb, 0) AS cb, COALESCE(ch.cc, 0) AS cc,
+                 COALESCE(bt.nb, 0) AS nb, ct.nc AS nc
+          FROM spine sp
+          LEFT JOIN bh ON bh.source = sp.source AND bh.q_bucket = sp.q_bucket
+          LEFT JOIN ch ON ch.source = sp.source AND ch.q_bucket = sp.q_bucket
+          LEFT JOIN bt ON bt.source = sp.source
+          JOIN ct ON ct.source = sp.source)
+        SELECT source, CAST(MAX(nb) AS BIGINT) AS n_docs,
+               ROUND(SUM((CAST(cb + 1 AS DOUBLE) / (nb + 10))
+                         * ln((CAST(cb + 1 AS DOUBLE) / (nb + 10))
+                              / (CAST(cc + 1 AS DOUBLE) / (nc + 10)))), 6) AS kl
+        FROM j GROUP BY source
+        """
+    ),
+)
+
+
 # --- rows-only -> attestable-twin map (round-4 discipline) ------------------
 #
 # Every rows-only query must name an oracle-backed companion that value-

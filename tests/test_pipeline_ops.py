@@ -3492,3 +3492,29 @@ def test_lm_sidecar_matches_full_rescan_and_retraction(spark, tmp_path):
     want2 = sorted(map(tuple, lm_bigram_scores(surviving).collect()))
     got2 = sorted(map(tuple, consolidated_lm_scores(spark, path, surviving).collect()))
     assert got2 == want2
+
+
+def test_quality_drift_report_flags_shifted_source(spark):
+    """A source whose batch slice shifts quality (stopword-stuffed docs)
+    scores a larger KL than a source whose batch is distribution-typical;
+    identical batch == baseline scores ~0."""
+    from graph_database_application_for_recommendations_spark.operators.textstats import (
+        quality_drift_report,
+    )
+
+    base = [
+        (i, "plain words here without stopwords at all", "steady") for i in range(20)
+    ] + [
+        (100 + i, "plain words here without stopwords at all", "shifty") for i in range(20)
+    ]
+    docs = spark.createDataFrame(base, "doc_id long, text string, source string")
+    # batch: steady keeps the same text; shifty suddenly ships stopword soup
+    batch = spark.createDataFrame(
+        [(200 + i, "plain words here without stopwords at all", "steady") for i in range(5)]
+        + [(300 + i, "the and of the and of the and of", "shifty") for i in range(5)],
+        "doc_id long, text string, source string",
+    )
+    got = {r["source"]: r for r in quality_drift_report(batch, docs).collect()}
+    assert got["shifty"]["kl"] > got["steady"]["kl"] >= 0.0
+    same = {r["source"]: r["kl"] for r in quality_drift_report(docs, docs).collect()}
+    assert all(abs(v) < 0.01 for v in same.values())
