@@ -840,6 +840,65 @@ def quality_hist_table(
     )
 
 
+def filter_ablation_report(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 15,
+    max_tokens: int = 300,
+    min_stopword_ratio: float = 0.05,
+    max_top_token_fraction: float = 0.2,
+    max_dup_2gram_fraction: float = 0.3,
+) -> DataFrame:
+    """(rule, n_failed, fail_rate): the per-rule kill count of the
+    standard quality-filter stack over a corpus — the ablation report
+    every pipeline team produces before committing to thresholds ("which
+    rule is doing the work, which is dead weight, which would nuke a
+    third of the corpus"). Rules: token-count bounds, mean-word-length
+    interval (Gopher), stop-word floor, most-common-token and duplicate-
+    2-gram ceilings (Gopher repetition), plus the 'any' conjunction row.
+
+    Plan shape: quality_scores + repetition_scores (each one explode +
+    doc-keyed aggregates) joined once, then ONE pass of boolean sums —
+    the report is |rules| rows regardless of corpus size."""
+    q = quality_scores(documents, id_col, text_col)
+    r = repetition_scores(documents, id_col, text_col).drop("n_tokens")
+    j = q.join(r, "doc_id")
+    rules = [
+        ("too_short", F.col("n_tokens") < min_tokens),
+        ("too_long", F.col("n_tokens") > max_tokens),
+        ("word_len", (F.col("mean_token_len") < 3.0) | (F.col("mean_token_len") > 10.0)),
+        ("stopword_floor", F.col("stopword_ratio") < min_stopword_ratio),
+        ("top_token", F.col("top_token_fraction") > max_top_token_fraction),
+        ("dup_2gram", F.col("dup_2gram_fraction") > max_dup_2gram_fraction),
+    ]
+    any_fail = rules[0][1]
+    for _, c in rules[1:]:
+        any_fail = any_fail | c
+    n = F.count(F.lit(1))
+    aggs = [
+        F.sum(c.cast("long")).alias(f"_{name}") for name, c in rules + [("any", any_fail)]
+    ]
+    wide = j.agg(n.alias("_n"), *aggs)
+    # unpivot the one-row wide aggregate into (rule, n_failed, fail_rate)
+    names = [name for name, _ in rules] + ["any"]
+    stacked = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("rule"),
+                        F.col(f"_{name}").alias("n_failed"),
+                        F.round(F.col(f"_{name}") / F.col("_n"), 6).alias("fail_rate"),
+                    )
+                    for name in names
+                ]
+            )
+        ).alias("s")
+    )
+    return stacked.select("s.rule", "s.n_failed", "s.fail_rate")
+
+
 def quality_drift_report(
     batch_docs: DataFrame,
     baseline_docs: DataFrame,

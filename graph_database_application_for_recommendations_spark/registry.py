@@ -6754,6 +6754,59 @@ register(
 )
 
 
+register(
+    "q_corpus_filter_report",
+    lambda s, d: textstats.filter_ablation_report(_docs(s, d)),
+    _q_docs(
+        f"""
+        , tok AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS token FROM norm),
+        q AS (
+          SELECT doc_id, COUNT(*) AS n_tokens,
+                 ROUND(AVG(CASE WHEN token IN ({_SW_EN}) THEN 1.0 ELSE 0.0 END), 6) AS sw,
+                 ROUND(AVG(CAST(length(token) AS DOUBLE)), 6) AS mwl
+          FROM tok GROUP BY doc_id),
+        tc AS (SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        tt AS (SELECT doc_id, ROUND(MAX(c) * 1.0 / SUM(c), 6) AS top_tok FROM tc GROUP BY doc_id),
+        g2 AS (
+          SELECT doc_id,
+                 unnest([array_to_string(list_slice(t, i, i + 1), ' ')
+                         for i in range(1, greatest(len(t) - 1, 1) + 1)]) AS gram
+          FROM toks),
+        gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+        gg AS (SELECT doc_id,
+                      ROUND(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / SUM(c), 6) AS dup2
+               FROM gc GROUP BY doc_id),
+        j AS (
+          SELECT q.doc_id,
+                 q.n_tokens < 15 AS too_short,
+                 q.n_tokens > 300 AS too_long,
+                 (q.mwl < 3.0 OR q.mwl > 10.0) AS word_len,
+                 q.sw < 0.05 AS stopword_floor,
+                 tt.top_tok > 0.2 AS top_token,
+                 gg.dup2 > 0.3 AS dup_2gram
+          FROM q JOIN tt USING (doc_id) JOIN gg USING (doc_id)),
+        wide AS (
+          SELECT COUNT(*) AS n,
+                 SUM(CASE WHEN too_short THEN 1 ELSE 0 END) AS f_too_short,
+                 SUM(CASE WHEN too_long THEN 1 ELSE 0 END) AS f_too_long,
+                 SUM(CASE WHEN word_len THEN 1 ELSE 0 END) AS f_word_len,
+                 SUM(CASE WHEN stopword_floor THEN 1 ELSE 0 END) AS f_stopword_floor,
+                 SUM(CASE WHEN top_token THEN 1 ELSE 0 END) AS f_top_token,
+                 SUM(CASE WHEN dup_2gram THEN 1 ELSE 0 END) AS f_dup_2gram,
+                 SUM(CASE WHEN too_short OR too_long OR word_len OR stopword_floor
+                          OR top_token OR dup_2gram THEN 1 ELSE 0 END) AS f_any
+          FROM j)
+        SELECT u.rule, u.n_failed, ROUND(u.n_failed * 1.0 / n, 6) AS fail_rate
+        FROM wide, LATERAL (VALUES
+          ('too_short', f_too_short), ('too_long', f_too_long),
+          ('word_len', f_word_len), ('stopword_floor', f_stopword_floor),
+          ('top_token', f_top_token), ('dup_2gram', f_dup_2gram),
+          ('any', f_any)) u(rule, n_failed)
+        """
+    ),
+)
+
+
 # --- rows-only -> attestable-twin map (round-4 discipline) ------------------
 #
 # Every rows-only query must name an oracle-backed companion that value-

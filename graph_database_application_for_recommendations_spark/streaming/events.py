@@ -864,6 +864,7 @@ def run_ingest_stats_stream(
     checkpoint_dir: str,
     dsir_path: str | None = None,
     num_buckets: int = 4096,
+    drift_path: str | None = None,
 ) -> None:
     """Streaming statistics-sidecar maintenance: each micro-batch appends
     its vocabulary-count, corpus-scalar, quality-histogram (and
@@ -876,7 +877,10 @@ def run_ingest_stats_stream(
     independent tables that each individually equal their full-corpus
     derivation when consolidated. The stream itself is stateless — model
     state lives in the delta tables, readable mid-stream by any
-    consolidated_* reader."""
+    consolidated_* reader. ``drift_path`` additionally publishes a
+    per-batch quality-drift report (KL vs the pre-batch baseline —
+    textstats.quality_drift_from_hists), so distribution shift in a
+    source is visible batch-by-batch without any extra corpus read."""
     from ..operators.etl import (
         corpus_stats_delta_append,
         dsir_hist_delta_append,
@@ -895,6 +899,25 @@ def run_ingest_stats_stream(
             dsir_hist_delta_append(
                 s, dsir_path, batch_df, num_buckets=num_buckets, batch_id=batch_id
             )
+        if drift_path is not None:
+            # drift monitoring rides the loop: KL of THIS batch against the
+            # baseline AS OF BEFORE it (the as-of read keeps a replayed
+            # batch from scoring against its own earlier delta); the first
+            # batch has no baseline and emits nothing. The report itself is
+            # published like any delta — idempotent under replay.
+            from ..operators.etl import _publish, _read_index
+            from ..operators.textstats import (
+                consolidate_quality_hist,
+                quality_drift_from_hists,
+                quality_hist_table,
+            )
+
+            prior = _read_index(s, qhist_path, batch_id)
+            if prior is not None:
+                report = quality_drift_from_hists(
+                    quality_hist_table(batch_df), consolidate_quality_hist(prior)
+                )
+                _publish(s, report, drift_path, batch_id)
 
     query = (
         docs_stream.writeStream.foreachBatch(_append)

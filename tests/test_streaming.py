@@ -819,8 +819,10 @@ def test_streaming_stats_sidecars_match_full_scan(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(str(src))
     )
-    vp, sp, qp = (str(tmp_path / n) for n in ("vocab", "stats", "qhist"))
-    stream_ops.run_ingest_stats_stream(stream, vp, sp, qp, str(tmp_path / "ck_stats"))
+    vp, sp, qp, dp = (str(tmp_path / n) for n in ("vocab", "stats", "qhist", "drift"))
+    stream_ops.run_ingest_stats_stream(
+        stream, vp, sp, qp, str(tmp_path / "ck_stats"), drift_path=dp
+    )
 
     got_vocab = sorted(map(tuple, consolidated_vocabulary(spark, vp, min_count=2).collect()))
     assert got_vocab == want_vocab
@@ -828,3 +830,9 @@ def test_streaming_stats_sidecars_match_full_scan(spark, tmp_path):
     assert st["n_docs"] == 30
     got_hist = sorted(map(tuple, consolidated_quality_hist(spark, qp).collect()))
     assert got_hist == want_hist
+    # drift reports: batches 2 and 3 score against their pre-batch baseline
+    # (batch 1 has none); every KL is finite and the per-source rows exist
+    drift = spark.read.parquet(dp).collect()
+    assert {r["source"] for r in drift} == {"src0", "src1"}
+    assert len(drift) == 4  # 2 sources x 2 scoring batches
+    assert all(r["kl"] is not None and r["kl"] >= 0.0 for r in drift)
