@@ -149,6 +149,12 @@ BENCH_QUERIES = [
     "q_ingest_bm25",
     "q_ingest_centroids",
     "q_text_gopher",
+    # round-7 third wave: the bounded-sketch build (posexplode + cell
+    # aggregate), the multi-signal join report, and the regexp_extract_all
+    # sentence exploder — each a distinct kernel not otherwise in the mix
+    "q_ingest_cms",
+    "q_corpus_filter_report",
+    "q_text_sentences",
 ]
 
 # the iterative pipeline (FastRP -> KNN -> LPA) is measured as one unit,

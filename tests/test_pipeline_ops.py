@@ -3518,3 +3518,37 @@ def test_quality_drift_report_flags_shifted_source(spark):
     assert got["shifty"]["kl"] > got["steady"]["kl"] >= 0.0
     same = {r["source"]: r["kl"] for r in quality_drift_report(docs, docs).collect()}
     assert all(abs(v) < 0.01 for v in same.values())
+
+
+def test_dsir_sidecar_retraction_matches_survivor_retrain(spark, tmp_path):
+    """DSIR raw-histogram retraction: appending batch 1's negated
+    histogram leaves a consolidated model equal to a full retrain over
+    the surviving documents, bit-for-bit (dense spine treats a zero-sum
+    bucket exactly like a missing one)."""
+    from graph_database_application_for_recommendations_spark.operators.etl import (
+        consolidated_dsir_model,
+        dsir_hist_delta_append,
+    )
+    from graph_database_application_for_recommendations_spark.operators.textstats import (
+        dsir_log_ratio,
+    )
+
+    rows = [(i, " ".join(f"w{(i * 3 + j) % 17}" for j in range(9))) for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = docs.filter(F.col("doc_id") % 7 == 0)
+    path = str(tmp_path / "dsir")
+    batches = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    for i, b in enumerate(batches):
+        assert dsir_hist_delta_append(spark, path, b, num_buckets=256, batch_id=i) > 0
+    dsir_hist_delta_append(spark, path, batches[1], num_buckets=256, batch_id=100, retract=True)
+
+    surviving = docs.filter(F.col("doc_id") % 3 != 1)
+    want = {
+        r["b"]: r["lr"]
+        for r in dsir_log_ratio(surviving, target, num_buckets=256).collect()
+    }
+    got = {
+        r["b"]: r["lr"]
+        for r in consolidated_dsir_model(spark, path, target, num_buckets=256).collect()
+    }
+    assert got == want and len(got) == 256
