@@ -526,3 +526,31 @@ def consolidate_centroids(deltas: DataFrame) -> DataFrame:
         ).alias("centroid"),
         F.col("n_vecs").cast("long").alias("n_vecs"),
     )
+
+
+def ann_recall(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """(query_id, n_exact, n_hit, recall): per-query recall of an
+    approximate top-k result against the exact one — THE acceptance
+    metric for every ANN scale path in this module (how much of the true
+    neighborhood the bucketed/quantized variant actually returned).
+    Queries the approx path missed entirely still appear (n_hit = 0):
+    the exact side is the spine. Both inputs are (query_id, neighbor_id,
+    ...) top-k tables; plan shape is one equi-join + two query-keyed
+    aggregates over |Q|·k rows — evaluation never touches the corpus."""
+    e = exact.select("query_id", "neighbor_id")
+    a = approx.select("query_id", "neighbor_id")
+    hits = e.join(a, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    totals = e.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        totals.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0)).cast("double") / F.col("n_exact"), 6
+            ).alias("recall"),
+        )
+    )

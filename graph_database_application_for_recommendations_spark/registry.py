@@ -6807,6 +6807,110 @@ register(
 )
 
 
+# ANN recall evaluation: the acceptance metric for every approximate
+# similarity path — hyperplane-LSH top-10 scored against the exact top-10
+# (the same parameterizations q_simsearch_topk / q_simsearch_lsh attest
+# individually; this query value-hashes their AGREEMENT per query)
+register(
+    "q_simsearch_recall",
+    lambda s, d: simsearch.ann_recall(
+        simsearch.topk_bruteforce(
+            _ref(s, d).embeddings.filter(F.col("vec_id") < 10),
+            _ref(s, d).embeddings,
+            k=10,
+        ),
+        simsearch.topk_hyperplane_lsh(
+            _ref(s, d).embeddings.filter(F.col("vec_id") < 10),
+            _ref(s, d).embeddings,
+            k=10,
+            num_planes=4,
+            num_tables=4,
+            seed=123,
+            dim=64,
+        ),
+    ),
+    _q_vec(
+        f"""
+        , pairs AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS} AS similarity
+          FROM vec a, vec b, range(1, 65) t(i)
+          WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+          GROUP BY 1, 2),
+        exact AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY similarity DESC, neighbor_id) AS rn
+            FROM pairs) WHERE rn <= 10),
+        planes(tid, pid, pv) AS (VALUES {_PLANES_VALUES}),
+        dots AS (
+          SELECT v.vec_id, p.tid, p.pid, SUM(v.v[t.i] * p.pv[t.i]) AS d
+          FROM vec v, planes p, range(1, 65) t(i)
+          GROUP BY 1, 2, 3),
+        buckets AS (
+          SELECT vec_id, tid,
+                 CAST(SUM(CASE WHEN d >= 0 THEN (1 << pid) ELSE 0 END) AS BIGINT) AS bucket
+          FROM dots GROUP BY vec_id, tid),
+        cand AS (
+          SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+          FROM buckets q
+          JOIN buckets c ON q.tid = c.tid AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
+          WHERE q.vec_id < 10),
+        cpairs AS (
+          SELECT cand.query_id, cand.neighbor_id, {_COS} AS similarity
+          FROM cand
+          JOIN vec a ON a.vec_id = cand.query_id
+          JOIN vec b ON b.vec_id = cand.neighbor_id
+          CROSS JOIN range(1, 65) t(i)
+          GROUP BY 1, 2),
+        approx AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY similarity DESC, neighbor_id) AS rn
+            FROM cpairs) WHERE rn <= 10),
+        hits AS (
+          SELECT e.query_id, COUNT(*) AS n_hit
+          FROM exact e JOIN approx a USING (query_id, neighbor_id)
+          GROUP BY e.query_id),
+        totals AS (SELECT query_id, COUNT(*) AS n_exact FROM exact GROUP BY query_id)
+        SELECT t.query_id, CAST(t.n_exact AS BIGINT) AS n_exact,
+               CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+               ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / t.n_exact, 6) AS recall
+        FROM totals t LEFT JOIN hits h USING (query_id)
+        """
+    ),
+)
+
+
+def _ingest_events_q(s: SparkSession, d: str) -> DataFrame:
+    """The events-table instance of the additive sidecar algebra: hourly
+    (window, event_type) counts from three disjoint batches consolidate
+    into exactly the whole-stream rollup (counts only — value sums are
+    floats, whose addition is NOT associative, so they stay out of the
+    bit-identical contract by design; see the centroid sidecar's
+    fixed-point trick for when a float sum must ride along)."""
+    ev = _ref(s, d).events
+    deltas = None
+    for i in range(3):
+        delta = events.tumbling_counts(
+            ev.filter(F.col("event_id") % 3 == i), minutes=60
+        ).select("window_start_us", "event_type", "n")
+        deltas = delta if deltas is None else deltas.unionByName(delta)
+    return deltas.groupBy("window_start_us", "event_type").agg(
+        F.sum("n").cast("long").alias("n")
+    )
+
+
+register(
+    "q_ingest_events",
+    _ingest_events_q,
+    """
+    SELECT (epoch_us(ts) - epoch_us(ts) % 3600000000) AS window_start_us,
+           event_type, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+
+
 # --- rows-only -> attestable-twin map (round-4 discipline) ------------------
 #
 # Every rows-only query must name an oracle-backed companion that value-
