@@ -554,3 +554,53 @@ def ann_recall(exact: DataFrame, approx: DataFrame) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    k: int = 5,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009 —
+    public; the standard hybrid-retrieval merge, e.g. lexical BM25 ×
+    vector ANN): fused(d) = Σ_lists 1/(c + rank_d), candidates ranked in
+    neither list contribute nothing from it. Inputs are (query_id,
+    neighbor_id, similarity) top-k tables; ranks are derived HERE from
+    (similarity desc, neighbor_id) so both lists use the module's
+    deterministic ordering. (query_id, rank, neighbor_id, rrf_score):
+    the top-``k`` fused per query, score 6dp, ties on neighbor_id.
+
+    Cross-engine exactness: ranks are integers, each contribution
+    1/(c+r) is one correctly-rounded double, and the fused score adds
+    exactly two of them — no order sensitivity. Plan shape: two |Q|·k
+    rank windows (query-keyed), one full-outer merge on (query, doc),
+    one top-k window — evaluation-sized, never corpus-sized."""
+
+    def ranked(df: DataFrame, out: str) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("similarity"), F.asc("neighbor_id")
+        )
+        return df.select("query_id", "neighbor_id", F.row_number().over(w).alias(out))
+
+    a = ranked(ranked_a, "_ra")
+    b = ranked(ranked_b, "_rb")
+    merged = a.join(b, ["query_id", "neighbor_id"], "full_outer").select(
+        "query_id",
+        "neighbor_id",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("_ra")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("_rb")), F.lit(0.0))
+        ).alias("_s"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_s"), F.asc("neighbor_id"))
+    return (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(
+            "query_id",
+            F.col("_rn").cast("int").alias("rank"),
+            "neighbor_id",
+            F.round("_s", V.SIM_SCALE).alias("rrf_score"),
+        )
+    )

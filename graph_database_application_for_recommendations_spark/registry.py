@@ -6911,6 +6911,85 @@ register(
 )
 
 
+# Reciprocal-rank fusion of the exact and LSH retrievers — the hybrid-
+# retrieval merge; ranks are integers so the fused score is two
+# correctly-rounded doubles added once, bit-identical cross-engine.
+register(
+    "q_simsearch_rrf",
+    lambda s, d: simsearch.rrf_fuse(
+        simsearch.topk_bruteforce(
+            _ref(s, d).embeddings.filter(F.col("vec_id") < 10),
+            _ref(s, d).embeddings,
+            k=10,
+        ),
+        simsearch.topk_hyperplane_lsh(
+            _ref(s, d).embeddings.filter(F.col("vec_id") < 10),
+            _ref(s, d).embeddings,
+            k=10,
+            num_planes=4,
+            num_tables=4,
+            seed=123,
+            dim=64,
+        ),
+        k=5,
+        c=60,
+    ),
+    _q_vec(
+        f"""
+        , pairs AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS} AS similarity
+          FROM vec a, vec b, range(1, 65) t(i)
+          WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+          GROUP BY 1, 2),
+        exact AS (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY similarity DESC, neighbor_id) AS ra
+          FROM pairs QUALIFY ra <= 10),
+        planes(tid, pid, pv) AS (VALUES {_PLANES_VALUES}),
+        dots AS (
+          SELECT v.vec_id, p.tid, p.pid, SUM(v.v[t.i] * p.pv[t.i]) AS d
+          FROM vec v, planes p, range(1, 65) t(i)
+          GROUP BY 1, 2, 3),
+        buckets AS (
+          SELECT vec_id, tid,
+                 CAST(SUM(CASE WHEN d >= 0 THEN (1 << pid) ELSE 0 END) AS BIGINT) AS bucket
+          FROM dots GROUP BY vec_id, tid),
+        cand AS (
+          SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+          FROM buckets q
+          JOIN buckets c ON q.tid = c.tid AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
+          WHERE q.vec_id < 10),
+        cpairs AS (
+          SELECT cand.query_id, cand.neighbor_id, {_COS} AS similarity
+          FROM cand
+          JOIN vec a ON a.vec_id = cand.query_id
+          JOIN vec b ON b.vec_id = cand.neighbor_id
+          CROSS JOIN range(1, 65) t(i)
+          GROUP BY 1, 2),
+        approx AS (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY similarity DESC, neighbor_id) AS rb
+          FROM cpairs QUALIFY rb <= 10),
+        merged AS (
+          SELECT COALESCE(e.query_id, a.query_id) AS query_id,
+                 COALESCE(e.neighbor_id, a.neighbor_id) AS neighbor_id,
+                 COALESCE(CAST(1.0 AS DOUBLE) / (60 + e.ra), 0.0)
+                 + COALESCE(CAST(1.0 AS DOUBLE) / (60 + a.rb), 0.0) AS s
+          FROM exact e FULL OUTER JOIN approx a
+            ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id)
+        SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id,
+               ROUND(s, 6) AS rrf_score
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY s DESC, neighbor_id) AS rn
+          FROM merged) WHERE rn <= 5
+        """
+    ),
+)
+
+
 # --- rows-only -> attestable-twin map (round-4 discipline) ------------------
 #
 # Every rows-only query must name an oracle-backed companion that value-

@@ -3552,3 +3552,24 @@ def test_dsir_sidecar_retraction_matches_survivor_retrain(spark, tmp_path):
         for r in consolidated_dsir_model(spark, path, target, num_buckets=256).collect()
     }
     assert got == want and len(got) == 256
+
+
+def test_rrf_fuse_promotes_consensus(spark):
+    """RRF fundamentals on crafted lists: a doc ranked mid-list by BOTH
+    retrievers outranks one ranked first by a single list
+    (1/(c+2)+1/(c+2) > 1/(c+1)); single-list docs still surface."""
+    from graph_database_application_for_recommendations_spark.operators.simsearch import (
+        rrf_fuse,
+    )
+
+    a = spark.createDataFrame(
+        [(1, 10, 0.9), (1, 20, 0.8), (1, 30, 0.7)],
+        "query_id long, neighbor_id long, similarity double",
+    )
+    b = spark.createDataFrame(
+        [(1, 40, 0.95), (1, 20, 0.85), (1, 50, 0.75)],
+        "query_id long, neighbor_id long, similarity double",
+    )
+    got = {r["rank"]: r["neighbor_id"] for r in rrf_fuse(a, b, k=5, c=60).collect()}
+    assert got[1] == 20  # consensus doc (rank 2 in both) wins
+    assert set(got.values()) == {10, 20, 30, 40, 50}
