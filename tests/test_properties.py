@@ -508,3 +508,57 @@ def test_ingest_spanscrub_invariant_under_random_batching(
         ingest_spanscrub_append(spark, str(multi / "c"), str(multi / "i"), part, batch_id=bi)
     got = {r["doc_id"]: r["text"] for r in spark.read.parquet(str(multi / "c")).collect()}
     assert got == want
+
+
+@given(
+    docs=st.lists(texts, min_size=4, max_size=10),
+    cuts=st.lists(st.integers(0, 9), min_size=0, max_size=3),
+    retract=st.booleans(),
+    data=st.data(),
+)
+@SLOW
+def test_sidecar_algebra_invariant_under_random_batching(
+    spark, docs, cuts, retract, data
+):
+    """The group-algebra law, randomized: for ANY partition of a random
+    corpus into ordered batches, sum-consolidated deltas equal the
+    direct single-pass table — for token counts AND count-min cells —
+    and retracting a random batch equals a direct rebuild without it."""
+    from graph_database_application_for_recommendations_spark.operators.sketches import (
+        cms_delta_table,
+        consolidate_cms,
+    )
+    from graph_database_application_for_recommendations_spark.operators.textstats import (
+        consolidate_token_counts,
+        token_count_table,
+    )
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id LONG, text STRING")
+    n = len(docs)
+    bounds = sorted({0, n, *[min(c, n) for c in cuts]})
+    batches = [
+        df.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        for lo, hi in zip(bounds, bounds[1:])
+        if lo < hi
+    ]
+    tok_deltas, cms_deltas = None, None
+    for b in batches:
+        td, cd = token_count_table(b), cms_delta_table(b, width=64)
+        tok_deltas = td if tok_deltas is None else tok_deltas.unionByName(td)
+        cms_deltas = cd if cms_deltas is None else cms_deltas.unionByName(cd)
+    assert sorted(map(tuple, consolidate_token_counts(tok_deltas).collect())) == sorted(
+        map(tuple, token_count_table(df).collect())
+    )
+    assert sorted(map(tuple, consolidate_cms(cms_deltas).collect())) == sorted(
+        map(tuple, consolidate_cms(cms_delta_table(df, width=64)).collect())
+    )
+    if retract and len(batches) > 1:
+        kill = data.draw(st.integers(0, len(batches) - 1))
+        neg = token_count_table(batches[kill]).select(
+            "token", (-F.col("count")).alias("count"), (-F.col("n_docs")).alias("n_docs")
+        )
+        lo, hi = bounds[kill], bounds[kill + 1]
+        surviving = df.filter((F.col("doc_id") < lo) | (F.col("doc_id") >= hi))
+        assert sorted(
+            map(tuple, consolidate_token_counts(tok_deltas.unionByName(neg)).collect())
+        ) == sorted(map(tuple, token_count_table(surviving).collect()))
