@@ -604,3 +604,52 @@ def rrf_fuse(
             F.round("_s", V.SIM_SCALE).alias("rrf_score"),
         )
     )
+
+
+def ann_ndcg(exact: DataFrame, approx: DataFrame, k: int = 10) -> DataFrame:
+    """(query_id, dcg, idcg, ndcg): rank-weighted retrieval quality of an
+    approximate top-k against the exact one (Järvelin & Kekäläinen 2002)
+    — recall's blind spot is WHERE the hits land; nDCG charges misses at
+    the top more than misses at the tail. Gains are the EXACT list's 6dp
+    similarities (graded relevance); the approx list earns gain only for
+    neighbors the exact top-k also contains, discounted by 1/log2(1+its
+    own rank); idcg is the exact list's self-DCG, so ndcg ∈ [0, 1] with
+    1 = perfect order agreement.
+
+    Determinism: ranks are integers from the module's (similarity desc,
+    neighbor_id) ordering; each term is gain/log2(1+r) — one division of
+    a 6dp-rounded double by a correctly-rounded log of an integer — and
+    per-query sums of ≤ k such terms land identically under the shared
+    6dp output rounding. Evaluation-sized plan: two rank windows, one
+    join, one query-keyed sum."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("similarity"), F.asc("neighbor_id")
+    )
+    e = exact.select(
+        "query_id",
+        "neighbor_id",
+        F.col("similarity").alias("_gain"),
+        F.row_number().over(w).alias("_re"),
+    ).filter(F.col("_re") <= k)
+    a = approx.select(
+        "query_id", "neighbor_id", F.row_number().over(w).alias("_ra")
+    ).filter(F.col("_ra") <= k)
+    idcg = e.groupBy("query_id").agg(
+        F.sum(F.col("_gain") / F.log2(F.col("_re") + 1)).alias("_idcg")
+    )
+    dcg = (
+        e.join(a, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.sum(F.col("_gain") / F.log2(F.col("_ra") + 1)).alias("_dcg"))
+    )
+    return (
+        idcg.join(dcg, "query_id", "left")
+        .select(
+            "query_id",
+            F.round(F.coalesce("_dcg", F.lit(0.0)), V.SIM_SCALE).alias("dcg"),
+            F.round("_idcg", V.SIM_SCALE).alias("idcg"),
+            F.round(
+                F.coalesce("_dcg", F.lit(0.0)) / F.col("_idcg"), V.SIM_SCALE
+            ).alias("ndcg"),
+        )
+    )

@@ -778,6 +778,101 @@ def bm25_scores(
     )
 
 
+def span_corruption(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mask_percent: int = 15,
+    span_len: int = 3,
+    seed: int = 7,
+) -> DataFrame:
+    """(doc_id, corrupted_text, targets, n_masked): the T5/UL2 span-
+    corruption training objective (Raffel et al. JMLR 2020 §3.1.4,
+    public) built as a deterministic corpus transform: the token stream
+    splits into ``span_len`` blocks, each block masks iff
+    md5(doc_id|block, seed) % 100 < mask_percent, the k-th masked block
+    becomes sentinel ``<extra_id_k>`` in the input and contributes
+    ``<extra_id_k> tokens…`` to the target, which ends with the final
+    sentinel ``<extra_id_{n_masked}>`` (T5's convention; unlike T5,
+    adjacent masked blocks keep separate sentinels — documented
+    deviation, deterministic either way).
+
+    md5-derived masking makes the objective REPRODUCIBLE: re-running the
+    pipeline regenerates byte-identical training pairs (and the DuckDB
+    oracle re-derives them — q_corpus_span_corrupt). Plan shape: one
+    block explode, one per-DOC running-count window (the sentinel
+    index), one per-doc ordered reassembly — |tokens|-linear, the same
+    shape as the CDC chunker."""
+    from ..functions.text import md5_hash32
+
+    t = tokens(F.col(text_col))
+    nb = F.ceil(F.size(t) / F.lit(span_len)).cast("int")
+    blocks = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nb - 1),
+                lambda j: F.concat_ws(" ", F.slice(t, j * span_len + 1, span_len)),
+            )
+        ).alias("j", "btext"),
+    )
+    masked = (
+        md5_hash32(
+            F.concat(F.col("doc_id").cast("string"), F.lit("|"), F.col("j").cast("string")),
+            seed=seed,
+        )
+        % 100
+        < mask_percent
+    )
+    w = Window.partitionBy("doc_id").orderBy("j").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    kk = blocks.select(
+        "doc_id",
+        "j",
+        "btext",
+        masked.alias("_m"),
+    ).withColumn(
+        "_k",
+        F.coalesce(F.sum(F.col("_m").cast("int")).over(w), F.lit(0)).cast("long"),
+    )
+    sentinel = F.concat(F.lit("<extra_id_"), F.col("_k").cast("string"), F.lit(">"))
+    piece = F.when(F.col("_m"), sentinel).otherwise(F.col("btext"))
+    target_part = F.when(
+        F.col("_m"), F.concat(sentinel, F.lit(" "), F.col("btext"))
+    )  # null (dropped by collect_list) for unmasked blocks
+    agg = kk.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("j"), piece.alias("p")))),
+                lambda x: x["p"],
+            ),
+        ).alias("corrupted_text"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("j"), target_part.alias("p")))
+                ),
+                lambda x: x["p"],
+            ),
+        ).alias("_t"),
+        F.sum(F.col("_m").cast("long")).alias("n_masked"),
+    )
+    final_sentinel = F.concat(
+        F.lit("<extra_id_"), F.col("n_masked").cast("string"), F.lit(">")
+    )
+    return agg.select(
+        "doc_id",
+        "corrupted_text",
+        F.when(F.col("n_masked") == 0, F.lit("<extra_id_0>"))
+        .otherwise(F.concat(F.col("_t"), F.lit(" "), final_sentinel))
+        .alias("targets"),
+        "n_masked",
+    )
+
+
 SENTENCE_RE = "[^.!?]+[.!?]*"  # no lookarounds: RE2 (DuckDB) and Java agree
 
 

@@ -6990,6 +6990,125 @@ register(
 )
 
 
+# nDCG of the LSH retriever against the exact one — recall's positional
+# companion (misses at rank 1 cost more than at rank 10)
+register(
+    "q_simsearch_ndcg",
+    lambda s, d: simsearch.ann_ndcg(
+        simsearch.topk_bruteforce(
+            _ref(s, d).embeddings.filter(F.col("vec_id") < 10),
+            _ref(s, d).embeddings,
+            k=10,
+        ),
+        simsearch.topk_hyperplane_lsh(
+            _ref(s, d).embeddings.filter(F.col("vec_id") < 10),
+            _ref(s, d).embeddings,
+            k=10,
+            num_planes=4,
+            num_tables=4,
+            seed=123,
+            dim=64,
+        ),
+        k=10,
+    ),
+    _q_vec(
+        f"""
+        , pairs AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS} AS similarity
+          FROM vec a, vec b, range(1, 65) t(i)
+          WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+          GROUP BY 1, 2),
+        exact AS (
+          SELECT query_id, neighbor_id, similarity AS gain,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY similarity DESC, neighbor_id) AS re
+          FROM pairs QUALIFY re <= 10),
+        planes(tid, pid, pv) AS (VALUES {_PLANES_VALUES}),
+        dots AS (
+          SELECT v.vec_id, p.tid, p.pid, SUM(v.v[t.i] * p.pv[t.i]) AS d
+          FROM vec v, planes p, range(1, 65) t(i)
+          GROUP BY 1, 2, 3),
+        buckets AS (
+          SELECT vec_id, tid,
+                 CAST(SUM(CASE WHEN d >= 0 THEN (1 << pid) ELSE 0 END) AS BIGINT) AS bucket
+          FROM dots GROUP BY vec_id, tid),
+        cand AS (
+          SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+          FROM buckets q
+          JOIN buckets c ON q.tid = c.tid AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
+          WHERE q.vec_id < 10),
+        cpairs AS (
+          SELECT cand.query_id, cand.neighbor_id, {_COS} AS similarity
+          FROM cand
+          JOIN vec a ON a.vec_id = cand.query_id
+          JOIN vec b ON b.vec_id = cand.neighbor_id
+          CROSS JOIN range(1, 65) t(i)
+          GROUP BY 1, 2),
+        approx AS (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY similarity DESC, neighbor_id) AS ra
+          FROM cpairs QUALIFY ra <= 10),
+        idcg AS (
+          SELECT query_id, SUM(gain / log2(re + 1)) AS idcg
+          FROM exact GROUP BY query_id),
+        dcg AS (
+          SELECT e.query_id, SUM(e.gain / log2(a.ra + 1)) AS dcg
+          FROM exact e JOIN approx a USING (query_id, neighbor_id)
+          GROUP BY e.query_id)
+        SELECT i.query_id,
+               ROUND(COALESCE(d.dcg, 0.0), 6) AS dcg,
+               ROUND(i.idcg, 6) AS idcg,
+               ROUND(COALESCE(d.dcg, 0.0) / i.idcg, 6) AS ndcg
+        FROM idcg i LEFT JOIN dcg d USING (query_id)
+        """
+    ),
+)
+
+
+# T5/UL2 span corruption: md5-derived masking makes the training pairs
+# byte-reproducible — the oracle re-derives input/target strings exactly
+register(
+    "q_corpus_span_corrupt",
+    lambda s, d: textstats.span_corruption(
+        _docs(s, d), mask_percent=15, span_len=3, seed=7
+    ),
+    _q_docs(
+        """
+        , blk AS (
+          SELECT doc_id, g.j AS j,
+                 array_to_string(list_slice(t, g.j * 3 + 1, g.j * 3 + 3), ' ') AS btext,
+                 (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|'
+                                           || CAST(g.j AS VARCHAR) || '#7'), 1, 8))
+                       AS BIGINT) % 100) < 15 AS masked
+          FROM toks,
+               LATERAL unnest(generate_series(0, CAST(ceiling(len(t) / 3.0) AS INT) - 1)) g(j)),
+        kk AS (
+          SELECT *,
+                 COALESCE(SUM(CASE WHEN masked THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY doc_id ORDER BY j
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS k
+          FROM blk),
+        cor AS (
+          SELECT doc_id,
+                 string_agg(CASE WHEN masked THEN '<extra_id_' || k || '>'
+                                 ELSE btext END, ' ' ORDER BY j) AS corrupted_text,
+                 SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS n_masked
+          FROM kk GROUP BY doc_id),
+        tg AS (
+          SELECT doc_id,
+                 string_agg('<extra_id_' || k || '> ' || btext, ' ' ORDER BY j) AS t
+          FROM kk WHERE masked GROUP BY doc_id)
+        SELECT c.doc_id, c.corrupted_text,
+               CASE WHEN t.t IS NULL THEN '<extra_id_0>'
+                    ELSE t.t || ' <extra_id_' || c.n_masked || '>' END AS targets,
+               CAST(c.n_masked AS BIGINT) AS n_masked
+        FROM cor c LEFT JOIN tg t USING (doc_id)
+        """
+    ),
+)
+
+
 # --- rows-only -> attestable-twin map (round-4 discipline) ------------------
 #
 # Every rows-only query must name an oracle-backed companion that value-

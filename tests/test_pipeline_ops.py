@@ -3573,3 +3573,36 @@ def test_rrf_fuse_promotes_consensus(spark):
     got = {r["rank"]: r["neighbor_id"] for r in rrf_fuse(a, b, k=5, c=60).collect()}
     assert got[1] == 20  # consensus doc (rank 2 in both) wins
     assert set(got.values()) == {10, 20, 30, 40, 50}
+
+
+def test_span_corruption_roundtrip_and_conventions(spark):
+    """Span-corruption invariants: sentinels are dense 0..n-1 in input
+    order, the target carries exactly the masked tokens plus the final
+    sentinel, and splicing the target's spans back into the corrupted
+    input reconstructs the normalized original text."""
+    import re
+
+    from graph_database_application_for_recommendations_spark.operators.textstats import (
+        span_corruption,
+    )
+
+    rows = [(i, " ".join(f"w{i}x{j}" for j in range(20))) for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in span_corruption(docs, mask_percent=40).collect()}
+    originals = dict(rows)
+    reconstructed_any = 0
+    for doc_id, r in got.items():
+        sents = re.findall(r"<extra_id_(\d+)>", r["corrupted_text"])
+        assert [int(s) for s in sents] == list(range(r["n_masked"]))
+        # parse targets: '<extra_id_k> tok tok ... <extra_id_n>'
+        spans = {}
+        parts = re.split(r"<extra_id_(\d+)>", r["targets"])
+        for k, chunk in zip(parts[1::2], parts[2::2]):
+            if chunk.strip():
+                spans[int(k)] = chunk.strip()
+        text = r["corrupted_text"]
+        for k, chunk in spans.items():
+            text = text.replace(f"<extra_id_{k}>", chunk, 1)
+        assert text == originals[doc_id]
+        reconstructed_any += r["n_masked"]
+    assert reconstructed_any > 0  # masking actually fired somewhere
