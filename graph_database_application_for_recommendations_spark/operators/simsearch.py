@@ -329,7 +329,14 @@ def mmr_rerank(
     rounded from topk_bruteforce, candidate-candidate sims round inside
     the fold — and argmax ties break on ascending neighbor_id, so the
     greedy path is engine-independent (the same discipline as every
-    top-k boundary in this module).
+    top-k boundary in this module). The OUTPUT score rounds at 7dp, not
+    6: with one-decimal lam/lam_c the exact score lam·x − lam_c·y over
+    6dp multiples is itself an exact 1e-7 multiple, so 7dp rounding has
+    no half-ties — whereas 6dp rounding of e.g. 0.7·0.371485 =
+    0.2600395 sits EXACTLY on a tie, where Spark (BigDecimal HALF_UP on
+    the shortest decimal string) and DuckDB (binary-double arithmetic)
+    disagree. Caught by the round-7 full-sweep; lam/lam_c must carry at
+    most one decimal digit for this guarantee.
 
     Plan shape: candidate generation is topk_bruteforce (or swap in any
     ANN kernel); the greedy runs as ONE Catalyst expression — an
@@ -424,7 +431,7 @@ def mmr_rerank(
             (F.col("pos") + 1).cast("int").alias("rank"),
             F.col("s.neighbor_id").alias("neighbor_id"),
             F.col("s.simq").alias("similarity"),
-            F.round(F.col("s.score"), V.SIM_SCALE).alias("mmr_score"),
+            F.round(F.col("s.score"), V.SIM_SCALE + 1).alias("mmr_score"),
         )
         .filter(F.col("neighbor_id").isNotNull())
     )

@@ -6367,11 +6367,11 @@ register(
                                               ORDER BY score DESC, neighbor_id) AS rn
                  FROM s3) WHERE rn = 1)
         SELECT query_id, 1 AS rank, neighbor_id, simq AS similarity,
-               ROUND(score, 6) AS mmr_score FROM p1
+               ROUND(score, 7) AS mmr_score FROM p1
         UNION ALL
-        SELECT query_id, 2, neighbor_id, simq, ROUND(score, 6) FROM p2
+        SELECT query_id, 2, neighbor_id, simq, ROUND(score, 7) FROM p2
         UNION ALL
-        SELECT query_id, 3, neighbor_id, simq, ROUND(score, 6) FROM p3
+        SELECT query_id, 3, neighbor_id, simq, ROUND(score, 7) FROM p3
         """
     ),
 )
