@@ -660,3 +660,43 @@ def ann_ndcg(exact: DataFrame, approx: DataFrame, k: int = 10) -> DataFrame:
             ).alias("ndcg"),
         )
     )
+
+
+def contrastive_pairs(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_negatives: int = 3,
+    neg_lo: float = 0.05,
+    neg_hi: float = 0.35,
+) -> DataFrame:
+    """(query_id, neighbor_id, similarity, label, rank): training pairs
+    for a contrastive embedding objective — per anchor, its nearest
+    neighbor as the positive (label 'pos', rank 1) plus the top
+    ``n_negatives`` hard negatives from the [neg_lo, neg_hi) annulus
+    (label 'neg', ranks 1..n) — the DPR/SimCSE batch-construction recipe
+    composed from this module's attested kernels (topk_bruteforce,
+    hard_negatives), inheriting their determinism contract wholesale.
+    Anchors whose annulus is empty still emit their positive — a
+    training loader drops or resamples those, so the builder must not
+    silently drop the anchor."""
+    pos = topk_bruteforce(queries, corpus, id_col, vec_col, k=1).select(
+        "query_id",
+        "neighbor_id",
+        "similarity",
+        F.lit("pos").alias("label"),
+        F.lit(1).cast("int").alias("rank"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("similarity"), F.asc("neighbor_id"))
+    neg = (
+        hard_negatives(queries, corpus, id_col, vec_col, lo=neg_lo, hi=neg_hi, k=n_negatives)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "similarity",
+            F.lit("neg").alias("label"),
+            F.row_number().over(w).cast("int").alias("rank"),
+        )
+    )
+    return pos.unionByName(neg)

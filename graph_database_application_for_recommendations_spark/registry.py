@@ -7109,6 +7109,42 @@ register(
 )
 
 
+# contrastive training pairs: positive = exact rank-1 neighbor, negatives =
+# top-3 of the [0.05, 0.35) hard-negative annulus (DPR/SimCSE recipe)
+register(
+    "q_emb_contrastive",
+    lambda s, d: simsearch.contrastive_pairs(
+        _ref(s, d).embeddings.filter(F.col("vec_id") < 10),
+        _ref(s, d).embeddings,
+        n_negatives=3,
+    ),
+    _q_vec(
+        f"""
+        , pairs AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS} AS similarity
+          FROM vec a, vec b, range(1, 65) t(i)
+          WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+          GROUP BY 1, 2),
+        pos AS (
+          SELECT query_id, neighbor_id, similarity, 'pos' AS label, 1 AS rank FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY similarity DESC, neighbor_id) AS rn
+            FROM pairs) WHERE rn = 1),
+        neg AS (
+          SELECT query_id, neighbor_id, similarity, 'neg' AS label, CAST(rn AS INT) AS rank
+          FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY similarity DESC, neighbor_id) AS rn
+            FROM pairs WHERE similarity >= 0.05 AND similarity < 0.35)
+          WHERE rn <= 3)
+        SELECT query_id, neighbor_id, similarity, label, CAST(rank AS INT) AS rank FROM pos
+        UNION ALL
+        SELECT query_id, neighbor_id, similarity, label, rank FROM neg
+        """
+    ),
+)
+
+
 # --- rows-only -> attestable-twin map (round-4 discipline) ------------------
 #
 # Every rows-only query must name an oracle-backed companion that value-
