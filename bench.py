@@ -155,6 +155,9 @@ BENCH_QUERIES = [
     "q_ingest_cms",
     "q_corpus_filter_report",
     "q_text_sentences",
+    # the span-corruption objective builder: block explode + per-doc
+    # running-sentinel window + ordered string reassembly
+    "q_corpus_span_corrupt",
 ]
 
 # the iterative pipeline (FastRP -> KNN -> LPA) is measured as one unit,
