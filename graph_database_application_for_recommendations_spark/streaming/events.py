@@ -927,3 +927,53 @@ def run_ingest_stats_stream(
         .start()
     )
     query.awaitTermination()
+
+
+def run_ingest_dedup_stream(
+    docs_stream: DataFrame,
+    corpus_path: str,
+    index_path: str,
+    checkpoint_dir: str,
+    bloom_path: str | None = None,
+    compact_every: int = 0,
+    **ingest_kwargs,
+) -> None:
+    """Streaming exact-fingerprint ingest dedup: each micro-batch runs
+    the batch write path (operators/etl.py::ingest_dedup_append) via
+    ``foreachBatch`` — same survivor set as any batching (first-writer-
+    wins on canonical fingerprints is batching-invariant), same
+    batch_id-keyed exactly-once publication. ``bloom_path`` threads the
+    broadcast pre-filter through: at steady state each micro-batch's
+    dedup join shrinks from |batch| to ~|dups| rows, and the filter's
+    one-sidedness makes it replay-proof WITHOUT as-of reconstruction
+    (a self-polluted filter only routes more keys to the exact join —
+    see the append path's docstring). ``compact_every`` as in the
+    near-dup stream."""
+    from ..operators.etl import compact_after_append, ingest_dedup_append
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ingest_dedup_append(
+            batch_df.sparkSession,
+            corpus_path,
+            index_path,
+            batch_df,
+            batch_id=batch_id,
+            bloom_path=bloom_path,
+            **ingest_kwargs,
+        )
+        if compact_every:
+            compact_after_append(
+                batch_df.sparkSession, corpus_path, index_path, batch_id,
+                every=compact_every,
+            )
+
+    query = (
+        docs_stream.writeStream.foreachBatch(_ingest)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()

@@ -836,3 +836,43 @@ def test_streaming_stats_sidecars_match_full_scan(spark, tmp_path):
     assert {r["source"] for r in drift} == {"src0", "src1"}
     assert len(drift) == 4  # 2 sources x 2 scoring batches
     assert all(r["kl"] is not None and r["kl"] >= 0.0 for r in drift)
+
+
+def test_streaming_ingest_dedup_bloom_matches_batch(spark, tmp_path):
+    """Streaming exact-dedup ingest with the Bloom pre-filter: an
+    id-ordered file replay stores exactly the one-shot dedup survivor
+    set, and the filter sidecar accumulates alongside."""
+    import os
+    import time
+
+    from graph_database_application_for_recommendations_spark.operators.dedup import (
+        dedup_fingerprint,
+    )
+
+    rows = [(i, f"text number {i % 7} with words") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {r["keep_id"] for r in dedup_fingerprint(docs).collect()}
+
+    src = tmp_path / "src"
+    src.mkdir()
+    t0 = time.time() - 100
+    for i, lo in enumerate((0, 10, 20)):
+        part = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 10))
+        part.coalesce(1).write.parquet(str(tmp_path / f"stage{i}"))
+        pq = next(p for p in os.listdir(tmp_path / f"stage{i}") if p.endswith(".parquet"))
+        dst = src / f"{i:02d}.parquet"
+        os.rename(tmp_path / f"stage{i}" / pq, dst)
+        os.utime(dst, (t0 + i, t0 + i))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    stream_ops.run_ingest_dedup_stream(
+        stream, str(tmp_path / "c"), str(tmp_path / "i"), str(tmp_path / "ck"),
+        bloom_path=str(tmp_path / "bloom"),
+    )
+    got = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "c")).collect()}
+    assert got == want == set(range(7))
+    assert spark.read.parquet(str(tmp_path / "bloom")).count() > 0
