@@ -392,6 +392,11 @@ def main() -> None:
         # over ANY name truncation (the r7 99-query mix crossed the old
         # 1850 cutoff by a few bytes and fell all the way to width=14)
         dict(strip_prefix=True, sig=2, width=None, tags=True, extras=False),
+        # truncate the TAGGED names next: the category prefix plus a long
+        # stem head stays baseline-matchable ("mm:audiohash_d"), unlike the
+        # blind untagged cuts below (the r7 106-query mix needed this)
+        dict(strip_prefix=True, sig=2, width=16, tags=True, extras=False),
+        dict(strip_prefix=True, sig=2, width=12, tags=True, extras=False),
         dict(strip_prefix=True, sig=2, width=14),
         dict(strip_prefix=True, sig=2, width=10),
     )
