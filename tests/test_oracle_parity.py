@@ -145,7 +145,10 @@ def test_all_registered_queries_are_driver_canonicalizable(spark):
     assert not cartesian, f"non-broadcast cartesian products: {sorted(cartesian)}"
 
 
-@pytest.mark.parametrize("name", [n for n in CASES if n.startswith("q_events")])
+@pytest.mark.parametrize(
+    "name",
+    [n for n in CASES if n.startswith("q_events") or n == "q_ingest_events"],
+)
 def test_events_parity_is_session_timezone_proof(spark, name):
     """The driver's session timezone is unknown; every event-time output is
     epoch-micros arithmetic, so parity must hold under any session tz."""
