@@ -1916,3 +1916,33 @@ def remove_cross_doc_spans(
         .select("doc_id", "chunk_idx")
     )
     return _rebuild_after_scrub(chunked, doomed, documents, id_col, text_col)
+
+
+def lsh_tuning_curve(
+    spark,
+    num_hashes: int = 32,
+    similarities: int = 19,
+) -> DataFrame:
+    """(b, r, s, p_detect): the MinHash-LSH S-curve — the probability
+    that a pair with Jaccard ``s`` shares at least one band bucket,
+    p = 1 − (1 − s^r)^b, for every (bands b, rows r) factorization of
+    ``num_hashes`` and s on the 0.05 grid (Leskovec/Rajaraman/Ullman,
+    "Mining of Massive Datasets" §3.4, public). This is the tuning
+    table behind every band/row choice in this module: pick the
+    factorization whose curve crosses 0.5 nearest the target threshold
+    (the module's defaults, 8×4 at θ=0.5, come from exactly this
+    table). Driver-literal spine (|divisors|·|grid| rows), one
+    projection — evaluation-sized."""
+    factorizations = [
+        (num_hashes // r, r)
+        for r in range(1, num_hashes + 1)
+        if num_hashes % r == 0
+    ]
+    rows = [
+        (b, r, round(i * 0.05, 2))
+        for (b, r) in factorizations
+        for i in range(1, similarities + 1)
+    ]
+    base = spark.createDataFrame(rows, "b int, r int, s double")
+    p = 1.0 - F.pow(1.0 - F.pow(F.col("s"), F.col("r")), F.col("b"))
+    return base.select("b", "r", "s", F.round(p, 6).alias("p_detect"))

@@ -7145,6 +7145,22 @@ register(
 )
 
 
+# MinHash-LSH S-curve tuning table: p = 1 - (1 - s^r)^b over every
+# factorization of the signature length — the math behind the module's
+# band/row defaults, exposed as a query so parameter choices are auditable
+register(
+    "q_dedup_lsh_curve",
+    lambda s, d: dedup.lsh_tuning_curve(s, num_hashes=32),
+    """
+    WITH f(b, r) AS (VALUES (32, 1), (16, 2), (8, 4), (4, 8), (2, 16), (1, 32)),
+    grid AS (SELECT CAST(g.i AS INT) AS i FROM range(1, 20) g(i))
+    SELECT f.b, f.r, ROUND(i * 0.05, 2) AS s,
+           ROUND(1.0 - pow(1.0 - pow(ROUND(i * 0.05, 2), f.r), f.b), 6) AS p_detect
+    FROM f, grid
+    """,
+)
+
+
 # --- rows-only -> attestable-twin map (round-4 discipline) ------------------
 #
 # Every rows-only query must name an oracle-backed companion that value-
