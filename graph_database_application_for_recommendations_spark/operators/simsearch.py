@@ -700,3 +700,76 @@ def contrastive_pairs(
         )
     )
     return pos.unionByName(neg)
+
+
+def topk_hyperplane_lsh_multiprobe(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    num_planes: int = 4,
+    num_tables: int = 4,
+    seed: int = 123,
+    dim: int | None = None,
+) -> DataFrame:
+    """Multi-probe hyperplane LSH (Lv et al., VLDB 2007 — public): each
+    QUERY probes, besides its own bucket, the ``num_planes`` neighboring
+    buckets differing in exactly one hyperplane sign — the buckets a
+    near-miss neighbor most likely landed in. Recall rises toward exact
+    at a FIXED table count, which is the 100 TB trade that matters:
+    probing is query-side only (the corpus-side signatures, bucket
+    table and its partitioning are byte-identical to the single-probe
+    index — index once, probe more), and the candidate join stays an
+    equi-join on (table, bucket) whose left side merely has
+    (num_planes+1)× more probe rows. Exact re-rank and determinism
+    contract as in topk_hyperplane_lsh."""
+    from ..plans import estimated_row_count, materialize
+
+    if dim is None:
+        dim = len(queries.select(vec_col).first()[0])
+    planes = hyperplanes(num_planes * num_tables, dim, seed)
+    probe_masks = [0] + [1 << p for p in range(num_planes)]
+    qb = (
+        multi_bucket_ids(queries, planes, num_tables, id_col, vec_col)
+        .withColumnRenamed("id", "query_id")
+        .select(
+            "query_id",
+            "table",
+            F.explode(
+                F.array(
+                    *[
+                        F.col("bucket").bitwiseXOR(F.lit(m)).cast("long")
+                        for m in probe_masks
+                    ]
+                )
+            ).alias("bucket"),
+        )
+    )
+    cb = multi_bucket_ids(corpus, planes, num_tables, id_col, vec_col).withColumnRenamed(
+        "id", "neighbor_id"
+    )
+    cand = materialize(
+        qb.join(cb, ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = _normed(queries, id_col, vec_col, "query_id")
+    c = _normed(corpus, id_col, vec_col, "neighbor_id")
+    vec_bytes = dim * 8 + 24
+    n_q = estimated_row_count(queries)
+    n_c = estimated_row_count(corpus)
+    if n_q is not None and n_q * vec_bytes < 256 * 1024 * 1024:
+        q = F.broadcast(q)
+    if n_c is not None and n_c * vec_bytes < 256 * 1024 * 1024:
+        c = F.broadcast(c)
+    pairs = cand.join(q, "query_id").join(c, "neighbor_id").select(
+        "query_id",
+        "neighbor_id",
+        F.round(V.dot(F.col("_query_id_v"), F.col("_neighbor_id_v")), V.SIM_SCALE).alias(
+            "similarity"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("similarity"), F.asc("neighbor_id"))
+    return pairs.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")

@@ -7161,6 +7161,57 @@ register(
 )
 
 
+# Multi-probe LSH (Lv et al. 2007): query-side probing of the one-bit-
+# flip neighbor buckets — recall toward exact at a fixed table count,
+# with the corpus-side index byte-identical to the single-probe one
+register(
+    "q_simsearch_lsh_multiprobe",
+    lambda s, d: simsearch.topk_hyperplane_lsh_multiprobe(
+        _ref(s, d).embeddings.filter(F.col("vec_id") < 10),
+        _ref(s, d).embeddings,
+        k=10,
+        num_planes=4,
+        num_tables=4,
+        seed=123,
+        dim=64,
+    ),
+    _q_vec(
+        f"""
+        , planes(tid, pid, pv) AS (VALUES {_PLANES_VALUES}),
+        dots AS (
+          SELECT v.vec_id, p.tid, p.pid, SUM(v.v[t.i] * p.pv[t.i]) AS d
+          FROM vec v, planes p, range(1, 65) t(i)
+          GROUP BY 1, 2, 3),
+        buckets AS (
+          SELECT vec_id, tid,
+                 CAST(SUM(CASE WHEN d >= 0 THEN (1 << pid) ELSE 0 END) AS BIGINT) AS bucket
+          FROM dots GROUP BY vec_id, tid),
+        probes AS (
+          SELECT vec_id, tid,
+                 CAST(xor(bucket, CASE WHEN g.p = 0 THEN 0
+                                       ELSE (1 << (g.p - 1)) END) AS BIGINT) AS bucket
+          FROM buckets, range(0, 5) g(p)
+          WHERE vec_id < 10),
+        cand AS (
+          SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+          FROM probes q
+          JOIN buckets c ON q.tid = c.tid AND q.bucket = c.bucket AND q.vec_id <> c.vec_id),
+        pairs AS (
+          SELECT cand.query_id, cand.neighbor_id, {_COS} AS similarity
+          FROM cand
+          JOIN vec a ON a.vec_id = cand.query_id
+          JOIN vec b ON b.vec_id = cand.neighbor_id
+          CROSS JOIN range(1, 65) t(i)
+          GROUP BY 1, 2)
+        SELECT query_id, neighbor_id, similarity FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY similarity DESC, neighbor_id) AS rn
+          FROM pairs) WHERE rn <= 10
+        """
+    ),
+)
+
+
 # --- rows-only -> attestable-twin map (round-4 discipline) ------------------
 #
 # Every rows-only query must name an oracle-backed companion that value-

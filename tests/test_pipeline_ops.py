@@ -3606,3 +3606,24 @@ def test_span_corruption_roundtrip_and_conventions(spark):
         assert text == originals[doc_id]
         reconstructed_any += r["n_masked"]
     assert reconstructed_any > 0  # masking actually fired somewhere
+
+
+def test_multiprobe_lsh_recall_dominates_single_probe(spark):
+    """Multi-probe's whole point: at a fixed table count its recall
+    against the exact top-k is >= the single-probe retriever's (the
+    probe set strictly contains the single-probe buckets)."""
+    from graph_database_application_for_recommendations_spark.operators.simsearch import (
+        ann_recall,
+        topk_bruteforce,
+        topk_hyperplane_lsh,
+        topk_hyperplane_lsh_multiprobe,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    kw = dict(k=10, num_planes=4, num_tables=2, seed=123, dim=64)
+    exact = topk_bruteforce(q, emb, k=10)
+    r1 = {r["query_id"]: r["recall"] for r in ann_recall(exact, topk_hyperplane_lsh(q, emb, **kw)).collect()}
+    rm = {r["query_id"]: r["recall"] for r in ann_recall(exact, topk_hyperplane_lsh_multiprobe(q, emb, **kw)).collect()}
+    assert all(rm[qid] >= r1[qid] for qid in r1)
+    assert sum(rm.values()) > sum(r1.values())  # strictly better somewhere
