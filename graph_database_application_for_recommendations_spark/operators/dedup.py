@@ -1946,3 +1946,54 @@ def lsh_tuning_curve(
     base = spark.createDataFrame(rows, "b int, r int, s double")
     p = 1.0 - F.pow(1.0 - F.pow(F.col("s"), F.col("r")), F.col("b"))
     return base.select("b", "r", "s", F.round(p, 6).alias("p_detect"))
+
+
+def duplication_profile(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """(source, n_docs, n_dup_docs, dup_doc_fraction, n_tokens,
+    n_dup_tokens, dup_token_fraction): per-source duplication accounting —
+    a doc is 'dup' if its canonical fingerprint occurs more than once
+    ANYWHERE in the corpus and it is not the group's keeper (min id), so
+    dup counts are exactly what exact dedup would delete. Token fractions
+    matter more than doc fractions for training budgets (duplicates skew
+    long), and the per-source split shows WHERE the duplication lives —
+    the report that decides whether a source needs near-dup treatment or
+    exact dedup suffices.
+
+    Plan shape: one fingerprint aggregate over (fingerprint) — the exact-
+    dedup shuffle — joined back to per-doc token counts, then a source-
+    keyed rollup. No pairwise anything; linear at 100 TB."""
+    from ..functions.text import canonical_fingerprint, tokens
+
+    per_doc = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        canonical_fingerprint(F.col(text_col)).alias("_fp"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("_nt"),
+    )
+    groups = per_doc.groupBy("_fp").agg(
+        F.min("doc_id").alias("_keep"), F.count(F.lit(1)).alias("_gs")
+    )
+    tagged = per_doc.join(groups, "_fp").withColumn(
+        "_dup", (F.col("_gs") > 1) & (F.col("doc_id") != F.col("_keep"))
+    )
+    return tagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("_dup").cast("long")).alias("n_dup_docs"),
+        F.round(F.sum(F.col("_dup").cast("int")) / F.count(F.lit(1)), 6).alias(
+            "dup_doc_fraction"
+        ),
+        F.sum("_nt").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("_dup"), F.col("_nt")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_dup_tokens"),
+        F.round(
+            F.sum(F.when(F.col("_dup"), F.col("_nt")).otherwise(F.lit(0)))
+            / F.sum("_nt"),
+            6,
+        ).alias("dup_token_fraction"),
+    )

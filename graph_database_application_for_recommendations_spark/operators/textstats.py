@@ -674,6 +674,50 @@ def lm_scores_from_counts(
     )
 
 
+def length_quantiles_by_source(
+    documents: DataFrame,
+    quantiles: list[tuple[int, int]] = [(1, 2), (9, 10)],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """(source, q, n_tokens_at_q): per-source EXACT token-length
+    quantiles — the profiling table behind per-source length filters and
+    packing bucket choices. Quantiles are given as rationals (num, den)
+    so the rank threshold ceil(q·n) computes in INTEGER arithmetic —
+    (num·n + den − 1) div den — never a float product whose ceil can sit
+    on a representation boundary; the answer is the smallest length
+    whose cumulative count reaches the threshold (percentile_disc
+    semantics, no interpolation — engine-exact).
+
+    Plan shape: per-doc counts → per-(source, length) histogram →
+    ONE cumulative window PARTITIONED BY SOURCE over the histogram
+    (bounded: |distinct lengths| rows per source, never the corpus) →
+    a quantile-literal cross join + min aggregate."""
+    tc = documents.select(
+        F.col(source_col).alias("source"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    hist = tc.groupBy("source", "n_tokens").agg(F.count(F.lit(1)).alias("_c"))
+    totals = tc.groupBy("source").agg(F.count(F.lit(1)).alias("_n"))
+    w = Window.partitionBy("source").orderBy("n_tokens")
+    cum = hist.withColumn("_cum", F.sum("_c").over(w)).join(totals, "source")
+    spark = documents.sparkSession
+    qdim = spark.createDataFrame(quantiles, "num int, den int")
+    thresh = (F.col("num") * F.col("_n") + F.col("den") - 1) / F.col("den")
+    return (
+        cum.crossJoin(F.broadcast(qdim))
+        .filter(F.col("_cum") >= F.floor(thresh))
+        .groupBy("source", "num", "den")
+        .agg(F.min("n_tokens").alias("n_tokens_at_q"))
+        .select(
+            "source",
+            F.round(F.col("num").cast("double") / F.col("den"), 6).alias("q"),
+            "n_tokens_at_q",
+        )
+    )
+
+
 def length_quantile_keep(
     documents: DataFrame,
     q: float = 0.25,

@@ -7212,6 +7212,61 @@ register(
 )
 
 
+register(
+    "q_corpus_dup_profile",
+    lambda s, d: dedup.duplication_profile(_docs(s, d)),
+    _q_docs(
+        """
+        , pd AS (
+          SELECT d.doc_id, d.source,
+                 md5(array_to_string(list_sort(list_distinct(string_split(n.norm, ' '))), ' '))
+                   AS fp,
+                 CAST(len(string_split(n.norm, ' ')) AS BIGINT) AS nt
+          FROM documents d JOIN norm n USING (doc_id)),
+        g AS (SELECT fp, MIN(doc_id) AS keep, COUNT(*) AS gs FROM pd GROUP BY fp),
+        tg AS (
+          SELECT pd.*, (g.gs > 1 AND pd.doc_id <> g.keep) AS dup
+          FROM pd JOIN g USING (fp))
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+               ROUND(SUM(CASE WHEN dup THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+                 AS dup_doc_fraction,
+               CAST(SUM(nt) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN dup THEN nt ELSE 0 END) AS BIGINT) AS n_dup_tokens,
+               ROUND(SUM(CASE WHEN dup THEN nt ELSE 0 END) * 1.0 / SUM(nt), 6)
+                 AS dup_token_fraction
+        FROM tg GROUP BY source
+        """
+    ),
+)
+
+
+register(
+    "q_text_length_quantiles",
+    lambda s, d: textstats.length_quantiles_by_source(_docs(s, d)),
+    _q_docs(
+        """
+        , tc AS (
+          SELECT d.source, CAST(len(string_split(n.norm, ' ')) AS BIGINT) AS n_tokens
+          FROM documents d JOIN norm n USING (doc_id)),
+        hist AS (SELECT source, n_tokens, COUNT(*) AS c FROM tc GROUP BY 1, 2),
+        tot AS (SELECT source, COUNT(*) AS n FROM tc GROUP BY source),
+        cum AS (
+          SELECT h.source, h.n_tokens, t.n,
+                 SUM(h.c) OVER (PARTITION BY h.source ORDER BY h.n_tokens) AS cumc
+          FROM hist h JOIN tot t USING (source)),
+        q(num, den) AS (VALUES (1, 2), (9, 10))
+        SELECT source, ROUND(num * 1.0 / den, 6) AS q,
+               MIN(n_tokens) AS n_tokens_at_q
+        FROM cum, q
+        WHERE cumc >= (num * n + den - 1) // den
+        GROUP BY source, num, den
+        """
+    ),
+)
+
+
 # --- rows-only -> attestable-twin map (round-4 discipline) ------------------
 #
 # Every rows-only query must name an oracle-backed companion that value-
