@@ -7267,6 +7267,88 @@ register(
 )
 
 
+def _minhash_calibration_q(s: SparkSession, d: str) -> DataFrame:
+    """Estimator-calibration curve for the MinHash pipeline: every LSH
+    candidate pair's (estimated, exact) Jaccard rolled up by exact-
+    Jaccard decile — the audit that justifies trusting est-Jaccard gates
+    (like the near-dup ingest's verify step) at a given signature
+    length. Thresholds at 0 so the whole candidate population is
+    scored."""
+    v = dedup.neardup_lsh_verified(
+        _docs(s, d), num_hashes=32, bands=8, shingle_n=3, threshold=0.0
+    )
+    b = F.least(F.floor(F.lit(10.0) * F.col("jaccard")), F.lit(9)).cast("long")
+    return (
+        v.select(b.alias("j_bucket"), "est_jaccard", "jaccard")
+        .groupBy("j_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(F.avg("est_jaccard"), 6).alias("mean_est"),
+            F.round(F.avg("jaccard"), 6).alias("mean_exact"),
+            F.round(F.avg(F.abs(F.col("est_jaccard") - F.col("jaccard"))), 6).alias(
+                "mean_abs_err"
+            ),
+        )
+    )
+
+
+register(
+    "q_dedup_minhash_calibration",
+    _minhash_calibration_q,
+    _q_docs(
+        f"""
+        , coef(seed, a, b) AS (VALUES {{_MINHASH_COEF_VALUES}}),
+        base AS (
+          SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+          FROM sh),
+        sig AS (
+          SELECT doc_id, seed, MIN((a * h + b) % {{_MINHASH_PRIME}}) AS mh
+          FROM base CROSS JOIN coef
+          GROUP BY doc_id, seed),
+        bands AS (
+          SELECT doc_id, seed // 4 AS band,
+                 string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS band_key
+          FROM sig GROUP BY doc_id, seed // 4),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        est AS (
+          SELECT c.doc_a, c.doc_b,
+                 ROUND(AVG(CASE WHEN sa.mh = sb.mh THEN 1.0 ELSE 0.0 END), 6) AS est_jaccard
+          FROM cand c
+          JOIN sig sa ON sa.doc_id = c.doc_a
+          JOIN sig sb ON sb.doc_id = c.doc_b AND sb.seed = sa.seed
+          GROUP BY 1, 2),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.doc_a
+          JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+          GROUP BY 1, 2),
+        verified AS (
+          SELECT doc_a, doc_b,
+                 ROUND(CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b),
+        joined AS (
+          SELECT LEAST(CAST(floor(10.0 * v.jaccard) AS BIGINT), 9) AS j_bucket,
+                 e.est_jaccard, v.jaccard
+          FROM verified v JOIN est e ON e.doc_a = v.doc_a AND e.doc_b = v.doc_b)
+        SELECT j_bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               ROUND(AVG(est_jaccard), 6) AS mean_est,
+               ROUND(AVG(jaccard), 6) AS mean_exact,
+               ROUND(AVG(ABS(est_jaccard - jaccard)), 6) AS mean_abs_err
+        FROM joined GROUP BY j_bucket
+        """
+    ).replace("{_MINHASH_COEF_VALUES}", _MINHASH_COEF_VALUES).replace(
+        "{_MINHASH_PRIME}", str(dedup.MINHASH_PRIME)
+    ),
+)
+
+
 # --- rows-only -> attestable-twin map (round-4 discipline) ------------------
 #
 # Every rows-only query must name an oracle-backed companion that value-
