@@ -3627,3 +3627,47 @@ def test_multiprobe_lsh_recall_dominates_single_probe(spark):
     rm = {r["query_id"]: r["recall"] for r in ann_recall(exact, topk_hyperplane_lsh_multiprobe(q, emb, **kw)).collect()}
     assert all(rm[qid] >= r1[qid] for qid in r1)
     assert sum(rm.values()) > sum(r1.values())  # strictly better somewhere
+
+
+def test_duplication_profile_accounts_tokens(spark):
+    """Crafted corpus: source A carries one duplicated pair (the longer
+    text), source B none — doc and token fractions match hand counts,
+    and keepers are not counted as duplicates."""
+    from graph_database_application_for_recommendations_spark.operators.dedup import (
+        duplication_profile,
+    )
+
+    long = " ".join(f"w{j}" for j in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, long, "A"),
+            (2, long + " ", "A"),   # canonical dup of 1 (whitespace)
+            (3, "unique text here", "A"),
+            (4, "other words", "B"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {r["source"]: r for r in duplication_profile(docs).collect()}
+    a = got["A"]
+    assert (a["n_docs"], a["n_dup_docs"]) == (3, 1)
+    assert a["n_tokens"] == 10 + 10 + 3 and a["n_dup_tokens"] == 10
+    assert a["dup_token_fraction"] == round(10 / 23, 6)
+    b = got["B"]
+    assert b["n_dup_docs"] == 0 and b["dup_token_fraction"] == 0.0
+
+
+def test_length_quantiles_by_source_exact_ranks(spark):
+    """percentile_disc semantics by hand: 10 docs of lengths 1..10 in one
+    source — p50 = 5th smallest = 5, p90 = 9th = 9; a single-doc source
+    returns its own length for every quantile."""
+    from graph_database_application_for_recommendations_spark.operators.textstats import (
+        length_quantiles_by_source,
+    )
+
+    rows = [(i, " ".join(["w"] * i), "big") for i in range(1, 11)]
+    rows.append((100, "a b c", "tiny"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {(r["source"], r["q"]): r["n_tokens_at_q"]
+           for r in length_quantiles_by_source(docs).collect()}
+    assert got[("big", 0.5)] == 5 and got[("big", 0.9)] == 9
+    assert got[("tiny", 0.5)] == 3 and got[("tiny", 0.9)] == 3
