@@ -172,6 +172,115 @@ def _sf_of(sf_dir: str) -> float:
         return -1.0
 
 
+# The driver archives only a ~2000-char tail of stdout (round-3 VERDICT
+# item 2a), so the LAST line must be a complete, compact JSON record that
+# fits in the tail. format_record implements the progressive-compaction
+# ladder (module-level so tests can pin that the CURRENT mix always fits):
+# full names -> stripped q_ prefix -> 2-sig times -> category-tagged names
+# (still human-matchable) -> TAGGED truncation -> blind truncation last.
+
+_PREFIX_TAGS = [
+    ("q_dedup_", "d:"), ("q_simsearch_", "s:"), ("q_corpus_", "c:"),
+    ("q_events_", "e:"), ("q_text_", "t:"), ("q_graph_", "g:"),
+    ("q_emb_", "m:"), ("q_pipeline_", "p:"), ("q_recsys_", "r:"),
+    ("q_multimodal_", "mm:"), ("q_node_", "n:"), ("q_knn_", "k:"),
+    ("q_", ""),
+]
+
+RECORD_BUDGET = 1985  # the record is the final stdout line; the driver
+# keeps the last ~2000 chars, so anything <= ~1990 survives whole
+
+
+def _shorten(names: list[str], width: int) -> dict[str, str]:
+    """Deterministic unique abbreviations: first ``width`` chars, a
+    numeric suffix on collision (registration order)."""
+    out: dict[str, str] = {}
+    seen: dict[str, int] = {}
+    for k in names:
+        base = k[:width]
+        n = seen.get(base, 0)
+        seen[base] = n + 1
+        out[k] = base if n == 0 else f"{base}~{n}"
+    return out
+
+
+def _tag(k: str) -> str:
+    for p, r in _PREFIX_TAGS:
+        if k.startswith(p):
+            return r + k[len(p):]
+    return k
+
+
+def format_record(
+    timings: dict[str, float],
+    total: float,
+    sf: float,
+    cpus: int,
+    n_heavy: int,
+) -> str:
+    """ONE JSON line for the driver, progressively compacted to fit
+    RECORD_BUDGET. Every per-query time survives in all modes."""
+
+    def _compact(
+        times: dict[str, float],
+        strip_prefix: bool,
+        sig: int,
+        width: int | None,
+        tags: bool = False,
+        extras: bool = True,
+    ) -> str:
+        if tags:
+            keys = [_tag(k) for k in times]
+        else:
+            keys = [
+                (k[2:] if strip_prefix and k.startswith("q_") else k) for k in times
+            ]
+        if width is not None:
+            m = _shorten(keys, width)
+            keys = [m[k] for k in keys]
+        q = {
+            kk: float(f"{v:.{sig}g}") for kk, v in zip(keys, times.values())
+        }
+        rec = {
+            "metric": "headline_queries_wall_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": q,
+            "sf": sf,
+        }
+        if width is None and extras:  # metadata goes first when space is tight
+            rec["cpus"] = cpus
+            # max measurement passes any query received (heavy queries get
+            # a third post-reset pass; h3 says how many did) — ADVICE r6
+            rec["passes"] = 3 if n_heavy else 2
+            rec["h3"] = n_heavy  # queries given the third (heavy) pass
+        return json.dumps(rec, separators=(",", ":"))
+
+    attempts = (
+        dict(strip_prefix=False, sig=3, width=None),
+        dict(strip_prefix=True, sig=3, width=None),
+        dict(strip_prefix=True, sig=2, width=None),
+        dict(strip_prefix=True, sig=3, width=None, tags=True),
+        dict(strip_prefix=True, sig=2, width=None, tags=True),
+        # human-matchable tags with the metadata extras shed — preferred
+        # over ANY name truncation (the r7 99-query mix crossed the old
+        # 1850 cutoff by a few bytes and fell all the way to width=14)
+        dict(strip_prefix=True, sig=2, width=None, tags=True, extras=False),
+        # truncate the TAGGED names next: the category prefix plus a long
+        # stem head stays baseline-matchable ("mm:audiohash_d"), unlike the
+        # blind untagged cuts below (the r7 106-query mix needed this)
+        dict(strip_prefix=True, sig=2, width=16, tags=True, extras=False),
+        dict(strip_prefix=True, sig=2, width=12, tags=True, extras=False),
+        dict(strip_prefix=True, sig=2, width=14),
+        dict(strip_prefix=True, sig=2, width=10),
+    )
+    for kw in attempts:
+        line = _compact(timings, **kw)
+        if len(line) <= RECORD_BUDGET:
+            break
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -307,106 +416,11 @@ def main() -> None:
         flush=True,
     )
 
-    # The driver archives only a ~2000-char tail of this output (round-3
-    # VERDICT item 2a), so the LAST line must be a complete, compact JSON
-    # record that fits in the tail: 3-significant-digit times, no spaces.
-    # If a grown mix ever pushes it past the tail budget, drop the "q_"
-    # prefix from the query keys rather than dropping queries.
-    def _shorten(names: list[str], width: int) -> dict[str, str]:
-        """Deterministic unique abbreviations: first ``width`` chars, a
-        numeric suffix on collision (registration order)."""
-        out: dict[str, str] = {}
-        seen: dict[str, int] = {}
-        for k in names:
-            base = k[:width]
-            n = seen.get(base, 0)
-            seen[base] = n + 1
-            out[k] = base if n == 0 else f"{base}~{n}"
-        return out
-
-    # category prefixes -> 1-2 letter tags: names stay human-matchable
-    # against BASELINE/earlier rounds ("s:ivfpq", "d:paragraphs"), unlike
-    # blind truncation
-    _PREFIX_TAGS = [
-        ("q_dedup_", "d:"), ("q_simsearch_", "s:"), ("q_corpus_", "c:"),
-        ("q_events_", "e:"), ("q_text_", "t:"), ("q_graph_", "g:"),
-        ("q_emb_", "m:"), ("q_pipeline_", "p:"), ("q_recsys_", "r:"),
-        ("q_multimodal_", "mm:"), ("q_node_", "n:"), ("q_knn_", "k:"),
-        ("q_", ""),
-    ]
-
-    def _tag(k: str) -> str:
-        for p, r in _PREFIX_TAGS:
-            if k.startswith(p):
-                return r + k[len(p):]
-        return k
-
-    def _compact(
-        times: dict[str, float],
-        strip_prefix: bool,
-        sig: int,
-        width: int | None,
-        tags: bool = False,
-        extras: bool = True,
-    ) -> str:
-        if tags:
-            keys = [_tag(k) for k in times]
-        else:
-            keys = [
-                (k[2:] if strip_prefix and k.startswith("q_") else k) for k in times
-            ]
-        if width is not None:
-            m = _shorten(keys, width)
-            keys = [m[k] for k in keys]
-        q = {
-            kk: float(f"{v:.{sig}g}") for kk, v in zip(keys, times.values())
-        }
-        rec = {
-            "metric": "headline_queries_wall_sec",
-            "value": total,
-            "unit": "sec",
-            "queries": q,
-            "sf": _sf_of(sf_dir),
-        }
-        if width is None and extras:  # metadata goes first when space is tight
-            rec["cpus"] = cpus
-            # max measurement passes any query received (heavy queries get
-            # a third post-reset pass; h3 says how many did) — ADVICE r6
-            rec["passes"] = 3 if heavy else 2
-            rec["h3"] = len(heavy)  # queries given the third (heavy) pass
-        return json.dumps(rec, separators=(",", ":"))
-
     print(json.dumps({"rows": rows}, separators=(",", ":")), file=sys.stderr, flush=True)
-    # progressively compact until the record fits the driver's ~2000-char
-    # stdout tail with margin: full names -> stripped q_ prefix -> 2-sig
-    # times -> category-tagged names (still human-matchable) -> blind
-    # truncation as the very last resort. Every per-query time survives
-    # in all modes.
-    attempts = (
-        dict(strip_prefix=False, sig=3, width=None),
-        dict(strip_prefix=True, sig=3, width=None),
-        dict(strip_prefix=True, sig=2, width=None),
-        dict(strip_prefix=True, sig=3, width=None, tags=True),
-        dict(strip_prefix=True, sig=2, width=None, tags=True),
-        # human-matchable tags with the metadata extras shed — preferred
-        # over ANY name truncation (the r7 99-query mix crossed the old
-        # 1850 cutoff by a few bytes and fell all the way to width=14)
-        dict(strip_prefix=True, sig=2, width=None, tags=True, extras=False),
-        # truncate the TAGGED names next: the category prefix plus a long
-        # stem head stays baseline-matchable ("mm:audiohash_d"), unlike the
-        # blind untagged cuts below (the r7 106-query mix needed this)
-        dict(strip_prefix=True, sig=2, width=16, tags=True, extras=False),
-        dict(strip_prefix=True, sig=2, width=12, tags=True, extras=False),
-        dict(strip_prefix=True, sig=2, width=14),
-        dict(strip_prefix=True, sig=2, width=10),
+    print(
+        format_record(timings, total, _sf_of(sf_dir), cpus, len(heavy)),
+        flush=True,
     )
-    for kw in attempts:
-        line = _compact(timings, **kw)
-        # the driver archives the LAST 2000 stdout chars; the record is the
-        # final line, so anything <= ~1990 survives whole
-        if len(line) <= 1985:
-            break
-    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -633,3 +633,26 @@ def test_read_table_asof_snapshots_ingest_history(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="history unavailable"):
         read_table_asof(spark, corpus, 1)
+
+
+def test_bench_record_fits_driver_tail_budget():
+    """The driver archives only the last ~2000 stdout chars; the bench
+    record must fit whole. Pin the CURRENT mix against the compaction
+    ladder with worst-case-width synthetic timings (4-char 2-sig values
+    like 173.4 after g-formatting) so a grown mix fails HERE, not in the
+    round artifact."""
+    import bench
+
+    mix = bench.BENCH_QUERIES + [bench.PIPELINE_QUERY]
+    timings = {name: 17.35 for name in mix}  # 2-sig -> '17' ; stress longer too
+    line = bench.format_record(timings, 1734.945, 0.1, 32, 12)
+    assert len(line) <= bench.RECORD_BUDGET, len(line)
+    import json
+
+    rec = json.loads(line)
+    assert len(rec["queries"]) == len(mix)  # every query survives compaction
+    # worst case: every value renders at max 2-sig width with a decimal
+    timings = {name: 9.85 for name in mix}
+    line = bench.format_record(timings, 999.985, 0.1, 32, 12)
+    assert len(line) <= bench.RECORD_BUDGET, len(line)
+    assert len(json.loads(line)["queries"]) == len(mix)
