@@ -505,3 +505,38 @@ def type_transitions(events: DataFrame) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def decayed_activity(
+    events: DataFrame,
+    half_life_hours: float = 24.0,
+) -> DataFrame:
+    """(user_id, n_events, decay_score): exponentially time-decayed
+    activity per user at the stream's reference instant (its max
+    timestamp) — the recency-weighted engagement score behind churn/
+    ranking features: each event contributes value · 0.5^(Δt/half_life).
+
+    Cross-engine determinism: Δt is integer microseconds (unix_micros),
+    the exponent Δus / half_life_us is one double division, and the
+    contribution one pow(0.5, ·) — the same three correctly-rounded ops
+    in both engines; the per-user sum rounds to 6dp (log-free scores are
+    irrational in practice, never on a rounding tie). Plan shape: a
+    1-row max-ts aggregate broadcast onto the scan, one user-keyed sum —
+    linear, and incrementally maintainable in the additive algebra IF
+    the reference instant is pinned (decay factors then never change;
+    with a moving reference the whole table rescales by a constant,
+    which a consumer can apply at read time instead of rewriting
+    state)."""
+    ref = events.agg(F.max(F.unix_micros("ts")).alias("_ref"))
+    half_us = half_life_hours * 3600.0 * 1_000_000.0
+    contrib = F.col("value") * F.pow(
+        F.lit(0.5), (F.col("_ref") - F.unix_micros("ts")) / F.lit(half_us)
+    )
+    return (
+        events.crossJoin(F.broadcast(ref))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum(contrib), 6).alias("decay_score"),
+        )
+    )

@@ -7349,6 +7349,20 @@ register(
 )
 
 
+register(
+    "q_events_decay",
+    lambda s, d: events.decayed_activity(_ref(s, d).events, half_life_hours=24.0),
+    """
+    WITH ref AS (SELECT MAX(epoch_us(ts)) AS r FROM events)
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value * pow(0.5, (ref.r - epoch_us(ts)) / 86400000000.0)), 6)
+             AS decay_score
+    FROM events, ref
+    GROUP BY user_id
+    """,
+)
+
+
 # --- rows-only -> attestable-twin map (round-4 discipline) ------------------
 #
 # Every rows-only query must name an oracle-backed companion that value-
