@@ -977,3 +977,47 @@ def run_ingest_dedup_stream(
         .start()
     )
     query.awaitTermination()
+
+
+def run_ingest_sketch_stream(
+    docs_stream: DataFrame,
+    cms_path: str,
+    hll_path: str,
+    bloom_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Streaming sketch maintenance: each micro-batch appends its
+    count-min delta (token frequencies), HyperLogLog registers (distinct
+    doc ids) and Bloom words (canonical fingerprints) under
+    batch_id-deterministic names — the sketch family riding the same
+    stateless foreachBatch discipline as the statistics sidecars. All
+    three merges are replay-safe by their algebra alone: CMS replay
+    REPLACES its own delta files (exactly-once), HLL max and Bloom OR
+    are idempotent so even a double-append is harmless."""
+    from ..operators.etl import cms_delta_append, hll_delta_append
+    from ..operators.etl import _publish
+    from ..operators.sketches import bloom_delta_table
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        cms_delta_append(s, cms_path, batch_df, id_col, text_col, batch_id=batch_id)
+        hll_delta_append(s, hll_path, batch_df, id_col, batch_id=batch_id)
+        from ..functions.text import canonical_fingerprint
+
+        fps = batch_df.select(
+            canonical_fingerprint(F.col(text_col)).alias("fingerprint")
+        )
+        _publish(s, bloom_delta_table(fps, "fingerprint"), bloom_path, batch_id)
+
+    query = (
+        docs_stream.writeStream.foreachBatch(_append)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()

@@ -876,3 +876,57 @@ def test_streaming_ingest_dedup_bloom_matches_batch(spark, tmp_path):
     got = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "c")).collect()}
     assert got == want == set(range(7))
     assert spark.read.parquet(str(tmp_path / "bloom")).count() > 0
+
+
+def test_streaming_sketches_match_single_pass(spark, tmp_path):
+    """Streaming sketch maintenance: a file replay leaves CMS/HLL/Bloom
+    states whose merges equal the single-pass builds over the same
+    corpus (sum / max / or algebras respectively)."""
+    import os
+    import time
+
+    from graph_database_application_for_recommendations_spark.operators.etl import (
+        consolidated_cms_sketch,
+        consolidated_hll,
+    )
+    from graph_database_application_for_recommendations_spark.operators.sketches import (
+        bloom_delta_table,
+        bloom_merge,
+        cms_delta_table,
+        consolidate_cms,
+        hll_register_table,
+    )
+    from graph_database_application_for_recommendations_spark.functions.text import (
+        canonical_fingerprint,
+    )
+
+    rows = [(i, " ".join(f"tok{(i + j) % 9}" for j in range(6))) for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    want_cms = sorted(map(tuple, consolidate_cms(cms_delta_table(docs)).collect()))
+    want_hll = sorted(map(tuple, hll_register_table(docs, "doc_id").collect()))
+    fps = docs.select(canonical_fingerprint(F.col("text")).alias("fingerprint"))
+    want_bloom = sorted(map(tuple, bloom_merge(bloom_delta_table(fps, "fingerprint")).collect()))
+
+    src = tmp_path / "src"
+    src.mkdir()
+    t0 = time.time() - 100
+    for i, lo in enumerate((0, 10, 20)):
+        part = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 10))
+        part.coalesce(1).write.parquet(str(tmp_path / f"stage{i}"))
+        pq = next(p for p in os.listdir(tmp_path / f"stage{i}") if p.endswith(".parquet"))
+        dst = src / f"{i:02d}.parquet"
+        os.rename(tmp_path / f"stage{i}" / pq, dst)
+        os.utime(dst, (t0 + i, t0 + i))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    cp, hp, bp = (str(tmp_path / n) for n in ("cms", "hll", "bloom"))
+    stream_ops.run_ingest_sketch_stream(stream, cp, hp, bp, str(tmp_path / "ck_sk"))
+
+    assert sorted(map(tuple, consolidated_cms_sketch(spark, cp).collect())) == want_cms
+    assert sorted(map(tuple, consolidated_hll(spark, hp).collect())) == want_hll
+    got_bloom = sorted(map(tuple, bloom_merge(spark.read.parquet(bp)).collect()))
+    assert got_bloom == want_bloom
