@@ -1997,3 +1997,79 @@ def duplication_profile(
             6,
         ).alias("dup_token_fraction"),
     )
+
+
+def weighted_jaccard_pairs(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_docs_per_token: int | None = 64,
+) -> DataFrame:
+    """(doc_a, doc_b, wjaccard): exact WEIGHTED Jaccard near-duplicates —
+    J_w(A,B) = Σ_k min(a_k, b_k) / Σ_k max(a_k, b_k) over ``shingle_n``-
+    gram OCCURRENCE counts (the multiset/bag generalization; Ioffe,
+    ICDM 2010 §1, public; shingle_n=1 gives token-level bags — same
+    short-doc degenerate-gram convention as repetition_scores). Set-based resemblance treats 'spam spam spam … spam' and
+    one 'spam' as identical; the weighted form distinguishes repetition
+    mass — the right metric for boilerplate-heavy web text.
+
+    Identity used: Σmax = W_A + W_B − Σmin, so only the INTERSECTION'S
+    min-weights and two per-doc totals are ever computed — the join is
+    an equi-join on shared tokens (never a union-space expansion), with
+    the same per-token document cap as the set kernel
+    (``max_docs_per_token``, loud sort-free blocking: a stop-token
+    shared by 10⁵ docs is the 10¹⁰-row join the cap exists to prevent;
+    pass None to disable for oracle-exact small corpora). Scores round
+    to 6dp; integer weights make Σmin/W exact, so the ratio is one
+    correctly-rounded division in both engines.
+
+    Scale note: the known sub-quadratic path for weighted Jaccard is an
+    ICWS/consistent-weighted-sampling sketch (Ioffe 2010) feeding the
+    same banded-LSH blocking as MinHash; the capped exact kernel here is
+    the semantic anchor (and the verify step such a sketch would rerank
+    against), exactly as ngram_jaccard_pairs anchors the set pipeline."""
+    from ..functions.text import tokens
+
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    t = tokens(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(t) - (shingle_n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(t, i, shingle_n)),
+    )
+    tw = (
+        documents.repartition(par)
+        .select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    if max_docs_per_token is not None:
+        df_counts = tw.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
+        tw = tw.join(
+            F.broadcast(df_counts.filter(F.col("_df") <= max_docs_per_token)), "token"
+        ).drop("_df")
+    totals = tw.groupBy("doc_id").agg(F.sum("w").alias("_wt"))
+    inter = (
+        tw.alias("a")
+        .join(tw.alias("b"), "token")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.sum(F.least(F.col("a.w"), F.col("b.w"))).alias("_imin"))
+    )
+    return (
+        inter.join(totals.select(F.col("doc_id").alias("doc_a"), F.col("_wt").alias("_wa")), "doc_a")
+        .join(totals.select(F.col("doc_id").alias("doc_b"), F.col("_wt").alias("_wb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("_imin").cast("double")
+                / (F.col("_wa") + F.col("_wb") - F.col("_imin")),
+                6,
+            ).alias("wjaccard"),
+        )
+        .filter(F.col("wjaccard") >= threshold)
+    )

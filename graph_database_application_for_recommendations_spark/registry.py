@@ -7363,6 +7363,40 @@ register(
 )
 
 
+# Weighted (bag) Jaccard near-dup: distinguishes repetition MASS where
+# set-resemblance can't — uncapped here (3-gram df is tiny on this corpus;
+# the cap is the production default for web-scale token skew)
+register(
+    "q_dedup_weighted_jaccard",
+    lambda s, d: dedup.weighted_jaccard_pairs(
+        _docs(s, d), shingle_n=3, threshold=0.3, max_docs_per_token=None
+    ),
+    _q_docs(
+        """
+        , g AS (
+          SELECT doc_id,
+                 unnest([array_to_string(list_slice(t, i, i + 2), ' ')
+                         for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS gram
+          FROM toks),
+        tw AS (SELECT doc_id, gram, COUNT(*) AS w FROM g GROUP BY 1, 2),
+        tot AS (SELECT doc_id, SUM(w) AS wt FROM tw GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 SUM(LEAST(a.w, b.w)) AS imin
+          FROM tw a JOIN tw b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b, wjaccard FROM (
+          SELECT doc_a, doc_b,
+                 ROUND(CAST(imin AS DOUBLE) / (ta.wt + tb.wt - imin), 6) AS wjaccard
+          FROM inter
+          JOIN tot ta ON ta.doc_id = doc_a
+          JOIN tot tb ON tb.doc_id = doc_b)
+        WHERE wjaccard >= 0.3
+        """
+    ),
+)
+
+
 # --- rows-only -> attestable-twin map (round-4 discipline) ------------------
 #
 # Every rows-only query must name an oracle-backed companion that value-

@@ -3671,3 +3671,35 @@ def test_length_quantiles_by_source_exact_ranks(spark):
            for r in length_quantiles_by_source(docs).collect()}
     assert got[("big", 0.5)] == 5 and got[("big", 0.9)] == 9
     assert got[("tiny", 0.5)] == 3 and got[("tiny", 0.9)] == 3
+
+
+def test_weighted_jaccard_distinguishes_repetition_mass(spark):
+    """The bag metric's reason to exist: a doc and its 3x-repeated copy
+    score far below 1.0 on weighted Jaccard (mass differs) while SET
+    n-gram Jaccard calls them near-identical; true duplicates score 1.0;
+    the per-token cap blocks a stop-gram hub."""
+    from graph_database_application_for_recommendations_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        weighted_jaccard_pairs,
+    )
+
+    base = " ".join(f"w{j}" for j in range(12))
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, (base + " ") * 3)],
+        "doc_id long, text string",
+    )
+    wj = {
+        (r["doc_a"], r["doc_b"]): r["wjaccard"]
+        for r in weighted_jaccard_pairs(
+            docs, threshold=0.0, max_docs_per_token=None
+        ).collect()
+    }
+    assert wj[(1, 2)] == 1.0
+    assert wj[(1, 3)] < 0.45  # ~10/(10+32-10): repetition mass visible
+    sj = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, n=3, threshold=0.0, max_docs_per_shingle=None
+        ).collect()
+    }
+    assert sj[(1, 3)] > 0.8  # set resemblance is blind to the repetition
