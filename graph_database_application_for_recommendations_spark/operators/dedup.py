@@ -2073,3 +2073,148 @@ def weighted_jaccard_pairs(
         )
         .filter(F.col("wjaccard") >= threshold)
     )
+
+
+ICWS_SEED_BASE = 7000  # md5 salt namespace: seeds 7000.. (disjoint from
+# MinHash coefficient seeds, CMS rows 1..4, Bloom 11..14)
+
+
+def icws_signatures(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(doc_id, seed, gram, t): Improved Consistent Weighted Sampling
+    signatures (Ioffe, ICDM 2010 — public), the weighted-Jaccard analog
+    of MinHash: P[sample_i(A) = sample_i(B)] = J_w(A, B) exactly, so
+    signature agreement estimates the bag metric the same way MinHash
+    agreement estimates resemblance — THE sub-quadratic scale path for
+    weighted near-dup (weighted_jaccard_pairs is its exact anchor).
+
+    Per element k (an n-gram with occurrence count S_k) and hash i, five
+    md5-derived uniforms drive Ioffe's construction: r, c ~ Gamma(2,1)
+    via −(ln u + ln u′), β ~ U[0,1), t_k = ⌊ln S_k / r + β⌋, and the
+    argmin runs in the LOG domain — ln a = ln c − r·(t−β) − r — which is
+    argmin-equivalent (ln monotone) and needs no exp at all: fewer
+    transcendentals, no overflow, and cross-engine divergence limited to
+    ulps on ln (an argmin flip needs two elements within ~1e-15 — the
+    same negligible tie class as every rounded boundary here). The
+    sample is the PAIR (k, t_k), per the theorem. Everything is
+    md5-derived, so the DuckDB oracle re-derives the signature table
+    value-for-value.
+
+    Plan shape: (doc, gram, w) bag table × a num_hashes literal spine →
+    per-(doc, seed) min-struct aggregate — one shuffle keyed by doc_id,
+    |docs|·num_hashes output rows."""
+    from ..functions.text import tokens
+
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    t = tokens(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(t) - (shingle_n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(t, i, shingle_n)),
+    )
+    tw = (
+        documents.repartition(par)
+        .select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    spark = documents.sparkSession
+    seeds = spark.range(num_hashes).select(F.col("id").cast("int").alias("seed"))
+    x = tw.crossJoin(F.broadcast(seeds))
+
+    def u(j: int):  # uniform in (0, 1]: (h + 1) / 2^32, h in [0, 2^32)
+        salt = F.concat(
+            F.col("gram"),
+            F.lit("#"),
+            (F.lit(ICWS_SEED_BASE) + F.col("seed") * 5 + F.lit(j)).cast("string"),
+        )
+        h = F.conv(F.substring(F.md5(salt), 1, 8), 16, 10).cast("long")
+        return (h + 1).cast("double") / F.lit(4294967296.0)
+
+    r = -(F.log(u(1)) + F.log(u(2)))
+    c = -(F.log(u(3)) + F.log(u(4)))
+    beta = (u(5) * 4294967296.0 - 1.0) / F.lit(4294967296.0)  # back to [0,1)
+    tt = F.floor(F.log(F.col("w").cast("double")) / r + beta)
+    lna = F.log(c) - r * (tt - beta) - r
+    scored = x.select(
+        "doc_id",
+        "seed",
+        F.struct(
+            lna.alias("lna"), F.col("gram").alias("gram"), tt.cast("long").alias("t")
+        ).alias("s"),
+    )
+    best = scored.groupBy("doc_id", "seed").agg(F.min("s").alias("m"))
+    return best.select(
+        "doc_id", "seed", F.col("m.gram").alias("gram"), F.col("m.t").alias("t")
+    )
+
+
+def icws_est_pairs(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """(doc_a, doc_b, est_wjaccard): weighted-Jaccard estimates from ICWS
+    signature agreement — candidates are docs colliding on any
+    (seed, gram, t) sample (an equi-join on the sample key, the banded-
+    LSH discipline: cost follows collision occupancy, never |docs|²),
+    estimate = matching samples / num_hashes. Unbiased by Ioffe's
+    theorem; verify against weighted_jaccard_pairs exactly as the set
+    pipeline verifies MinHash candidates."""
+    sig = icws_signatures(documents, id_col, text_col, num_hashes, shingle_n)
+    from ..plans import materialize, release_checkpoint
+
+    sig = materialize(sig)
+    try:
+        cand = (
+            sig.alias("a")
+            .join(sig.alias("b"), ["seed", "gram", "t"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .distinct()
+        )
+        est = (
+            cand.join(
+                sig.select(
+                    F.col("doc_id").alias("doc_a"), "seed",
+                    F.col("gram").alias("_ga"), F.col("t").alias("_ta"),
+                ),
+                "doc_a",
+            )
+            .join(
+                sig.select(
+                    F.col("doc_id").alias("doc_b"), "seed",
+                    F.col("gram").alias("_gb"), F.col("t").alias("_tb"),
+                ),
+                ["doc_b", "seed"],
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(
+                F.round(
+                    F.avg(
+                        F.when(
+                            (F.col("_ga") == F.col("_gb"))
+                            & (F.col("_ta") == F.col("_tb")),
+                            1.0,
+                        ).otherwise(0.0)
+                    ),
+                    6,
+                ).alias("est_wjaccard")
+            )
+        )
+        out = est.filter(F.col("est_wjaccard") >= threshold)
+        # materialize the result before releasing the signature pin
+        from ..plans import materialize as _mat
+
+        return _mat(out)
+    finally:
+        release_checkpoint(sig)

@@ -7397,6 +7397,77 @@ register(
 )
 
 
+# ICWS weighted MinHash: the signature table itself is md5-derived and
+# value-hash checkable (argmin runs in the log domain — no exp anywhere)
+_ICWS_U = (
+    "(CAST(('0x' || substr(md5(gram || '#' || CAST(7000 + seed * 5 + {j} AS VARCHAR)), 1, 8)) "
+    "AS BIGINT) + 1) / 4294967296.0"
+)
+_ICWS_SIG_CTES = f"""
+    , g AS (
+      SELECT doc_id,
+             unnest([array_to_string(list_slice(t, i, i + 2), ' ')
+                     for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS gram
+      FROM toks),
+    tw AS (SELECT doc_id, gram, COUNT(*) AS w FROM g GROUP BY 1, 2),
+    x AS (SELECT doc_id, gram, w, CAST(s.seed AS INT) AS seed
+          FROM tw, range(0, 8) s(seed)),
+    uu AS (
+      SELECT doc_id, gram, w, seed,
+             {_ICWS_U.format(j=1)} AS u1, {_ICWS_U.format(j=2)} AS u2,
+             {_ICWS_U.format(j=3)} AS u3, {_ICWS_U.format(j=4)} AS u4,
+             {_ICWS_U.format(j=5)} AS u5
+      FROM x),
+    sc AS (
+      SELECT doc_id, seed, gram, w,
+             -(ln(u1) + ln(u2)) AS r, -(ln(u3) + ln(u4)) AS c,
+             (u5 * 4294967296.0 - 1.0) / 4294967296.0 AS beta
+      FROM uu),
+    tc2 AS (
+      SELECT doc_id, seed, gram,
+             floor(ln(CAST(w AS DOUBLE)) / r + beta) AS t,
+             ln(c) - r * (floor(ln(CAST(w AS DOUBLE)) / r + beta) - beta) - r AS lna
+      FROM sc),
+    sig AS (
+      SELECT doc_id, seed, gram, CAST(t AS BIGINT) AS t FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, seed
+                                     ORDER BY lna, gram, t) AS rn
+        FROM tc2) WHERE rn = 1)
+""".strip()
+
+register(
+    "q_dedup_icws_sigs",
+    lambda s, d: dedup.icws_signatures(_docs(s, d), num_hashes=8, shingle_n=3),
+    _q_docs(_ICWS_SIG_CTES + "\n    SELECT doc_id, seed, gram, t FROM sig"),
+)
+
+register(
+    "q_dedup_icws_pairs",
+    lambda s, d: dedup.icws_est_pairs(
+        _docs(s, d), num_hashes=8, shingle_n=3, threshold=0.3
+    ),
+    _q_docs(
+        _ICWS_SIG_CTES
+        + """,
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b
+        ON a.seed = b.seed AND a.gram = b.gram AND a.t = b.t
+       AND a.doc_id < b.doc_id),
+    est AS (
+      SELECT c.doc_a, c.doc_b,
+             ROUND(AVG(CASE WHEN sa.gram = sb.gram AND sa.t = sb.t
+                            THEN 1.0 ELSE 0.0 END), 6) AS est_wjaccard
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.doc_a
+      JOIN sig sb ON sb.doc_id = c.doc_b AND sb.seed = sa.seed
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, est_wjaccard FROM est WHERE est_wjaccard >= 0.3
+    """
+    ),
+)
+
+
 # --- rows-only -> attestable-twin map (round-4 discipline) ------------------
 #
 # Every rows-only query must name an oracle-backed companion that value-

@@ -3703,3 +3703,34 @@ def test_weighted_jaccard_distinguishes_repetition_mass(spark):
         ).collect()
     }
     assert sj[(1, 3)] > 0.8  # set resemblance is blind to the repetition
+
+
+def test_icws_estimates_track_weighted_jaccard(spark):
+    """Ioffe's theorem, empirically: identical bags agree on every
+    sample (est 1.0); a 3x-repeated copy's ICWS agreement at 64 hashes
+    lands within 0.25 of its exact weighted Jaccard; disjoint docs never
+    become candidates."""
+    from graph_database_application_for_recommendations_spark.operators.dedup import (
+        icws_est_pairs,
+        weighted_jaccard_pairs,
+    )
+
+    base = " ".join(f"w{j}" for j in range(12))
+    other = " ".join(f"z{j}" for j in range(12))
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, (base + " ") * 3), (4, other)],
+        "doc_id long, text string",
+    )
+    est = {
+        (r["doc_a"], r["doc_b"]): r["est_wjaccard"]
+        for r in icws_est_pairs(docs, num_hashes=64, threshold=0.0).collect()
+    }
+    assert est[(1, 2)] == 1.0
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["wjaccard"]
+        for r in weighted_jaccard_pairs(
+            docs, threshold=0.0, max_docs_per_token=None
+        ).collect()
+    }
+    assert abs(est[(1, 3)] - exact[(1, 3)]) < 0.25
+    assert not any(4 in p for p in est)  # disjoint: no sample collision
