@@ -158,6 +158,10 @@ BENCH_QUERIES = [
     # the span-corruption objective builder: block explode + per-doc
     # running-sentinel window + ordered string reassembly
     "q_corpus_span_corrupt",
+    # weighted near-dup: the ICWS sampling kernel (5 md5 uniforms + ln per
+    # (gram, hash)) and its sample-collision join — a transcendental-heavy
+    # per-row shape no other bench query exercises
+    "q_dedup_icws_pairs",
 ]
 
 # the iterative pipeline (FastRP -> KNN -> LPA) is measured as one unit,
