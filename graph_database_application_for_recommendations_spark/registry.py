@@ -7399,9 +7399,9 @@ register(
 
 # ICWS weighted MinHash: the signature table itself is md5-derived and
 # value-hash checkable (argmin runs in the log domain — no exp anywhere)
-_ICWS_U = (
-    "(CAST(('0x' || substr(md5(gram || '#' || CAST(7000 + seed * 5 + {j} AS VARCHAR)), 1, 8)) "
-    "AS BIGINT) + 1) / 4294967296.0"
+_ICWS_U = (  # slice k (0-based) of digest `which` as a uniform in (0, 1]
+    "(CAST(('0x' || substr(md5(gram || '#' || CAST(7000 + seed * 2 + {which} AS VARCHAR)), "
+    "{start}, 8)) AS BIGINT) + 1) / 4294967296.0"
 )
 _ICWS_SIG_CTES = f"""
     , g AS (
@@ -7414,9 +7414,11 @@ _ICWS_SIG_CTES = f"""
           FROM tw, range(0, 8) s(seed)),
     uu AS (
       SELECT doc_id, gram, w, seed,
-             {_ICWS_U.format(j=1)} AS u1, {_ICWS_U.format(j=2)} AS u2,
-             {_ICWS_U.format(j=3)} AS u3, {_ICWS_U.format(j=4)} AS u4,
-             {_ICWS_U.format(j=5)} AS u5
+             {_ICWS_U.format(which=0, start=1)} AS u1,
+             {_ICWS_U.format(which=0, start=9)} AS u2,
+             {_ICWS_U.format(which=0, start=17)} AS u3,
+             {_ICWS_U.format(which=0, start=25)} AS u4,
+             {_ICWS_U.format(which=1, start=1)} AS u5
       FROM x),
     sc AS (
       SELECT doc_id, seed, gram, w,
