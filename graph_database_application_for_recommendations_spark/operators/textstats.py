@@ -1651,3 +1651,65 @@ def consolidate_token_counts(deltas: DataFrame) -> DataFrame:
         .agg(F.sum("count").alias("count"), F.sum("n_docs").alias("n_docs"))
         .filter(F.col("count") > 0)
     )
+
+
+def lexical_diversity(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_tokens, n_types, ttr, hapax_fraction): lexical-
+    diversity signals — type-token ratio (distinct/total) and hapax
+    fraction (types occurring once / types). Near-zero TTR marks
+    keyword-stuffed or looping text that length/stop-word rules pass;
+    near-one TTR on long docs marks word-salad. One (doc, token) count
+    aggregate + one per-doc rollup; integer-derived ratios rounded 6dp."""
+    tok = documents.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    tc = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("_c"))
+    return tc.groupBy("doc_id").agg(
+        F.sum("_c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.round(F.count(F.lit(1)) / F.sum("_c"), 6).alias("ttr"),
+        F.round(
+            F.sum(F.when(F.col("_c") == 1, 1).otherwise(0)) / F.count(F.lit(1)), 6
+        ).alias("hapax_fraction"),
+    )
+
+
+def zipf_fit(
+    documents: DataFrame,
+    top_k: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One row (n_tokens_fit, slope, intercept): least-squares fit of
+    ln(count) against ln(rank) over the top-``top_k`` vocabulary entries
+    — the Zipf profile (natural language ≈ −1; a slope collapsing toward
+    0 marks templated/generated text, a cliff marks truncated vocab).
+    Ranks come from the SAME two-level vocabulary rank as the tokenizer
+    (token_id + 1), so the fit is reproducible bit-for-bit against the
+    SQL derivation up to the 6dp rounding of the closed-form sums.
+    Everything after the vocab aggregate is top_k rows — driver-trivial,
+    corpus-linear before it."""
+    vocab = build_vocabulary(documents, id_col=id_col, text_col=text_col, max_size=top_k)
+    pts = vocab.select(
+        F.log(F.col("token_id").cast("double") + 1).alias("_x"),
+        F.log(F.col("count").cast("double")).alias("_y"),
+    )
+    agg = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+    )
+    slope = (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / (
+        F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    )
+    return agg.select(
+        F.col("_n").cast("long").alias("n_tokens_fit"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("_sy") - slope * F.col("_sx")) / F.col("_n"), 6).alias(
+            "intercept"
+        ),
+    )

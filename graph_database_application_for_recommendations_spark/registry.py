@@ -7470,6 +7470,54 @@ register(
 )
 
 
+register(
+    "q_text_lexical",
+    lambda s, d: textstats.lexical_diversity(_docs(s, d)),
+    _q_docs(
+        """
+        , tok AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS token FROM norm),
+        tc AS (SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY 1, 2)
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               ROUND(COUNT(*) * 1.0 / SUM(c), 6) AS ttr,
+               ROUND(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+                 AS hapax_fraction
+        FROM tc GROUP BY doc_id
+        """
+    ),
+)
+
+# Zipf profile of the corpus vocabulary: least-squares ln(count) ~ ln(rank)
+# over the tokenizer's own two-level ranks — natural text ~ -1
+register(
+    "q_corpus_zipf",
+    lambda s, d: textstats.zipf_fit(_docs(s, d), top_k=1000),
+    _q_docs(
+        """
+        , tokd AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS token FROM norm),
+        counts AS (SELECT token, COUNT(*) AS count FROM tokd GROUP BY token),
+        vocab AS (
+          SELECT token, count,
+                 ROW_NUMBER() OVER (ORDER BY count DESC, token) - 1 AS token_id
+          FROM counts QUALIFY token_id < 1000),
+        pts AS (SELECT ln(CAST(token_id AS DOUBLE) + 1) AS x,
+                       ln(CAST(count AS DOUBLE)) AS y
+                FROM vocab),
+        a AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * y) AS sxy, SUM(x * x) AS sxx
+          FROM pts)
+        SELECT CAST(n AS BIGINT) AS n_tokens_fit,
+               ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+               ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+                 AS intercept
+        FROM a
+        """
+    ),
+)
+
+
 # --- rows-only -> attestable-twin map (round-4 discipline) ------------------
 #
 # Every rows-only query must name an oracle-backed companion that value-
