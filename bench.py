@@ -162,6 +162,10 @@ BENCH_QUERIES = [
     # (gram, hash)) and its sample-collision join — a transcendental-heavy
     # per-row shape no other bench query exercises
     "q_dedup_icws_pairs",
+    # lakehouse layout audit: bit-interleave expression tree + two-level
+    # rank over the bounded cell histogram + double zone-map aggregate —
+    # the data-layout physical pattern (OPTIMIZE ZORDER audit)
+    "q_layout_pruning",
 ]
 
 # the iterative pipeline (FastRP -> KNN -> LPA) is measured as one unit,

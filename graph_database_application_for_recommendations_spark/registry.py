@@ -7518,6 +7518,123 @@ register(
 )
 
 
+# --- lakehouse layout optimization (operators/layout.py) --------------------
+#
+# Z-order (Morton) clustering audit over the events table: x = event time
+# in epoch micros, y = user_id — the classic "time range AND user range"
+# two-dimensional scan problem. Both queries are pure integer arithmetic
+# end to end (bucketize -> interleave -> two-level rank -> zone maps), so
+# they value-hash across engines with no float hazards.
+
+from .operators import layout  # noqa: E402
+
+_LAYOUT_BITS = 8
+_LAYOUT_NB = 1 << _LAYOUT_BITS
+_LAYOUT_RPB = 128
+
+
+def _morton_sql(xb: str, yb: str, bits: int) -> str:
+    """The same interleave expression morton_key() builds column-wise,
+    generated as SQL text — disjoint bit positions, so + is bitwise OR."""
+    return " + ".join(
+        f"((({xb} >> {i}) & 1) << {2 * i + 1}) + ((({yb} >> {i}) & 1) << {2 * i})"
+        for i in range(bits)
+    )
+
+
+_LAYOUT_CTES = f"""
+base AS (
+  SELECT epoch_us(ts) AS x, user_id AS y, event_id AS rid
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+bnd AS (SELECT MIN(x) AS minx, MAX(x) AS maxx, MIN(y) AS miny, MAX(y) AS maxy
+        FROM base),
+bk AS (
+  SELECT x, y, rid,
+         (x - minx) * {_LAYOUT_NB} // (maxx - minx + 1) AS xb,
+         (y - miny) * {_LAYOUT_NB} // (maxy - miny + 1) AS yb
+  FROM base, bnd),
+cells AS (
+  SELECT x, y, rid, xb, yb,
+         xb * {_LAYOUT_NB} + yb AS cell_linear,
+         {_morton_sql("xb", "yb", _LAYOUT_BITS)} AS cell_z
+  FROM bk),
+lay AS (
+  SELECT 'linear' AS layout, cell_linear AS cell, x, y, rid, xb, yb FROM cells
+  UNION ALL
+  SELECT 'zorder' AS layout, cell_z AS cell, x, y, rid, xb, yb FROM cells),
+blocks AS (
+  SELECT layout, xb, yb,
+         (ROW_NUMBER() OVER (PARTITION BY layout ORDER BY cell, x, y, rid) - 1)
+           // {_LAYOUT_RPB} AS block_id
+  FROM lay),
+zm AS (
+  SELECT layout, block_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         MIN(xb) AS min_xb, MAX(xb) AS max_xb,
+         MIN(yb) AS min_yb, MAX(yb) AS max_yb
+  FROM blocks GROUP BY layout, block_id)
+""".strip()
+
+register(
+    "q_layout_zonemaps",
+    lambda s, d: layout.layout_zonemaps(
+        _ref(s, d).events.select(
+            F.unix_micros("ts").alias("ts_us"), "user_id", "event_id"
+        ),
+        "ts_us",
+        "user_id",
+        "event_id",
+        bits=_LAYOUT_BITS,
+        rows_per_block=_LAYOUT_RPB,
+    ),
+    f"""
+    WITH {_LAYOUT_CTES}
+    SELECT layout, block_id, n_rows, min_xb, max_xb, min_yb, max_yb FROM zm
+    """,
+)
+
+register(
+    "q_layout_pruning",
+    lambda s, d: layout.layout_pruning(
+        _ref(s, d).events.select(
+            F.unix_micros("ts").alias("ts_us"), "user_id", "event_id"
+        ),
+        "ts_us",
+        "user_id",
+        "event_id",
+        bits=_LAYOUT_BITS,
+        rows_per_block=_LAYOUT_RPB,
+        x_lo=64,
+        x_hi=127,
+        y_lo=64,
+        y_hi=127,
+    ),
+    f"""
+    WITH {_LAYOUT_CTES.replace(
+        "MIN(yb) AS min_yb, MAX(yb) AS max_yb",
+        "MIN(yb) AS min_yb, MAX(yb) AS max_yb, "
+        "CAST(SUM(CASE WHEN xb BETWEEN 64 AND 127 AND yb BETWEEN 64 AND 127 "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_matched",
+    )},
+    sc AS (
+      SELECT *, (min_xb <= 127 AND max_xb >= 64 AND min_yb <= 127 AND max_yb >= 64)
+                AS scanned
+      FROM zm)
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(SUM(CASE WHEN scanned THEN 1 ELSE 0 END) AS BIGINT)
+             AS blocks_scanned,
+           CAST(SUM(CASE WHEN scanned THEN n_rows ELSE 0 END) AS BIGINT)
+             AS rows_scanned,
+           CAST(SUM(n_matched) AS BIGINT) AS rows_matched,
+           ROUND(SUM(CASE WHEN scanned THEN n_rows ELSE 0 END) * 1.0 / SUM(n_rows), 6)
+             AS scan_fraction,
+           ROUND(AVG(max_xb - min_xb + 1), 6) AS avg_x_span,
+           ROUND(AVG(max_yb - min_yb + 1), 6) AS avg_y_span
+    FROM sc GROUP BY layout
+    """,
+)
+
+
 # --- rows-only -> attestable-twin map (round-4 discipline) ------------------
 #
 # Every rows-only query must name an oracle-backed companion that value-

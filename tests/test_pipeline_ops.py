@@ -3734,3 +3734,60 @@ def test_icws_estimates_track_weighted_jaccard(spark):
     }
     assert abs(est[(1, 3)] - exact[(1, 3)]) < 0.25
     assert not any(4 in p for p in est)  # disjoint: no sample collision
+
+
+def test_morton_key_bit_interleave(spark):
+    """morton_key(3, 5): x bits {0,1} -> z bits {1,3}; y bits {0,2} ->
+    z bits {0,4}; z = 2+8+1+16 = 27. Plus the locality sanity that makes
+    Z-order work: the 2x2 cell block {(0,0),(0,1),(1,0),(1,1)} maps to
+    the contiguous z range 0..3."""
+    from pyspark.sql import functions as F
+
+    from graph_database_application_for_recommendations_spark.operators.layout import (
+        morton_key,
+    )
+
+    grid = spark.createDataFrame(
+        [(3, 5)] + [(x, y) for x in (0, 1) for y in (0, 1)], "x long, y long"
+    )
+    z = {
+        (r["x"], r["y"]): r["z"]
+        for r in grid.select("x", "y", morton_key(F.col("x"), F.col("y"), 8).alias("z")).collect()
+    }
+    assert z[(3, 5)] == 27
+    assert sorted(z[(x, y)] for x in (0, 1) for y in (0, 1)) == [0, 1, 2, 3]
+
+
+def test_layout_pruning_zorder_beats_linear_on_uniform_grid(spark):
+    """On a uniform 2^7 x 2^7 grid, a quarter-rectangle predicate under the
+    linear (x-major) layout must scan every block (each block spans the
+    full y range), while Z-order bounds both dims per block and scans ~1/4
+    of them. rows_matched is layout-invariant by construction."""
+    from graph_database_application_for_recommendations_spark.operators.layout import (
+        layout_pruning,
+        layout_zonemaps,
+    )
+
+    n = 128
+    grid = spark.range(n * n).selectExpr(
+        "id DIV 128 AS x", "id % 128 AS y", "id AS rid"
+    )
+    rep = {
+        r["layout"]: r.asDict()
+        for r in layout_pruning(
+            grid, "x", "y", "rid", bits=7, rows_per_block=512
+        ).collect()
+    }
+    lin, zo = rep["linear"], rep["zorder"]
+    assert lin["rows_matched"] == zo["rows_matched"] == 64 * 64
+    assert lin["n_blocks"] == zo["n_blocks"] == n * n // 512
+    # x-major blocks: 512 consecutive rows = 4 full x-columns -> y spans all
+    assert lin["avg_y_span"] == 128.0
+    # x prunes linear to its x-half; the y predicate prunes NOTHING inside
+    # it (every surviving block still spans all 128 y values)
+    assert lin["blocks_scanned"] == lin["n_blocks"] // 2
+    assert zo["blocks_scanned"] * 2 <= lin["blocks_scanned"]
+    assert zo["rows_scanned"] < lin["rows_scanned"]
+    zm = layout_zonemaps(grid, "x", "y", "rid", bits=7, rows_per_block=512)
+    total = sum(r["n_rows"] for r in zm.collect())
+    assert total == 2 * n * n  # both layouts account for every row
