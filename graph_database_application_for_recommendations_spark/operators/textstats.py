@@ -1713,3 +1713,70 @@ def zipf_fit(
             "intercept"
         ),
     )
+
+
+def readability(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_words, n_sentences, n_syllables, flesch, fk_grade):
+    Flesch Reading Ease (Flesch 1948) and Flesch-Kincaid grade level
+    (Kincaid et al. 1975) from rule-based integer counts — the classic
+    pedagogical-difficulty axis of corpus quality filtering (complements
+    the stopword/length signals in ``quality_signals``; RefinedWeb and
+    FineWeb both report readability-style difficulty profiles).
+
+    Counting rules, chosen so both engines agree bit-for-bit:
+    - sentences: non-whitespace ``SENTENCE_RE`` runs over the RAW text —
+      exactly the ``split_sentences`` convention;
+    - words: non-empty whitespace tokens of the lowercased,
+      whitespace-collapsed text;
+    - syllables: per word, number of maximal vowel-group runs
+      ``[aeiouy]+`` with a floor of 1 (the standard heuristic: every
+      word carries at least one syllable).
+
+    flesch   = 206.835 - 1.015·(W/S) - 84.6·(Y/W)
+    fk_grade = 0.39·(W/S) + 11.8·(Y/W) - 15.59
+
+    The ratios are double divisions of exact integers and the constant
+    folds evaluate in the same literal order on both engines; outputs
+    rounded 6dp. Rows with zero words or zero sentences are dropped
+    (ratios undefined). Plan: one projection with higher-order
+    aggregates — per-row JVM work, no shuffle."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    words = F.filter(F.split(norm, " "), lambda w: w != F.lit(""))
+    syll = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc
+        + F.greatest(
+            F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), F.lit(0))),
+            F.lit(1),
+        ).cast("long"),
+    )
+    sents = F.filter(
+        F.transform(
+            F.regexp_extract_all(F.col(text_col), F.lit(SENTENCE_RE), 0),
+            lambda x: F.trim(x),
+        ),
+        lambda x: x != "",
+    )
+    counted = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(words).cast("long").alias("n_words"),
+        F.size(sents).cast("long").alias("n_sentences"),
+        syll.alias("n_syllables"),
+    ).where((F.col("n_words") > 0) & (F.col("n_sentences") > 0))
+    wps = F.col("n_words") / F.col("n_sentences")
+    ypw = F.col("n_syllables") / F.col("n_words")
+    return counted.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round(F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * ypw, 6).alias(
+            "flesch"
+        ),
+        F.round(F.lit(0.39) * wps + F.lit(11.8) * ypw - F.lit(15.59), 6).alias(
+            "fk_grade"
+        ),
+    )

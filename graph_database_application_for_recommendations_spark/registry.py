@@ -7635,6 +7635,68 @@ register(
 )
 
 
+# Readability (Flesch / Flesch-Kincaid) over the punctuation-bearing C4
+# page fixture — the raw synthetic corpus has no sentence terminals, so
+# every doc would be exactly one sentence (degenerate, same reason as
+# q_text_sentences). Pure integer counts + two double ratios.
+register(
+    "q_text_readability",
+    lambda s, d: textstats.readability(_c4_pages(s, d)),
+    r"""
+    WITH m AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN text || '.'
+               WHEN 1 THEN text || '?'
+               WHEN 2 THEN array_to_string(list_slice(
+                             string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '),
+                             1, 3), ' ') || ' done.'
+               ELSE text || ' javascript.'
+             END AS text
+      FROM documents),
+    pg AS (
+      SELECT doc_id // 8 AS sd_id,
+             string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS page
+      FROM m GROUP BY doc_id // 8),
+    pages AS (
+      SELECT sd_id AS doc_id,
+             page
+             || CASE WHEN sd_id % 7 = 0
+                     THEN chr(10) || chr(10) || 'lorem ipsum dolor sit.'
+                     ELSE '' END
+             || CASE WHEN sd_id % 5 = 0
+                     THEN chr(10) || chr(10) || 'this page has a { brace }.'
+                     ELSE '' END AS text
+      FROM pg),
+    w AS (
+      SELECT doc_id,
+             unnest(list_filter(
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+               x -> x <> '')) AS word
+      FROM pages),
+    ws AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(greatest(len(regexp_extract_all(word, '[aeiouy]+')), 1))
+                  AS BIGINT) AS n_syllables
+      FROM w GROUP BY doc_id),
+    sc AS (
+      SELECT doc_id,
+             CAST(len(list_filter(
+               list_transform(regexp_extract_all(text, '[^.!?]+[.!?]*'),
+                              x -> trim(x)),
+               x -> x <> '')) AS BIGINT) AS n_sentences
+      FROM pages)
+    SELECT ws.doc_id, n_words, n_sentences, n_syllables,
+           ROUND(206.835 - 1.015 * (n_words / n_sentences)
+                         - 84.6 * (n_syllables / n_words), 6) AS flesch,
+           ROUND(0.39 * (n_words / n_sentences)
+                 + 11.8 * (n_syllables / n_words) - 15.59, 6) AS fk_grade
+    FROM ws JOIN sc ON ws.doc_id = sc.doc_id
+    WHERE n_words > 0 AND n_sentences > 0
+    """,
+)
+
+
 # --- rows-only -> attestable-twin map (round-4 discipline) ------------------
 #
 # Every rows-only query must name an oracle-backed companion that value-

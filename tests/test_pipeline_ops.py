@@ -3791,3 +3791,25 @@ def test_layout_pruning_zorder_beats_linear_on_uniform_grid(spark):
     zm = layout_zonemaps(grid, "x", "y", "rid", bits=7, rows_per_block=512)
     total = sum(r["n_rows"] for r in zm.collect())
     assert total == 2 * n * n  # both layouts account for every row
+
+
+def test_readability_hand_computed(spark):
+    """'the cat sat. the dog ran!' -> W=6, S=2, Y=6 (one vowel group per
+    word): flesch = 206.835 - 1.015*3 - 84.6*1 = 119.19, fk = 0.39*3 +
+    11.8*1 - 15.59 = -2.62. A vowel-less word still counts 1 syllable,
+    and a doc with no words is dropped."""
+    from graph_database_application_for_recommendations_spark.operators.textstats import (
+        readability,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat. the dog ran!"), (2, "tv hmm."), (3, "  ")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r.asDict() for r in readability(docs).collect()}
+    assert set(rows) == {1, 2}
+    r1 = rows[1]
+    assert (r1["n_words"], r1["n_sentences"], r1["n_syllables"]) == (6, 2, 6)
+    assert abs(r1["flesch"] - 119.19) < 1e-9
+    assert abs(r1["fk_grade"] - (-2.62)) < 1e-9
+    assert rows[2]["n_syllables"] == 2  # 'tv' floors at 1, 'hmm' at 1
