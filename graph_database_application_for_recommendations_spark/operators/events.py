@@ -64,18 +64,18 @@ def sliding_counts(events: DataFrame, width_minutes: int = 60, slide_minutes: in
     )
 
 
-def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
-    """Gaps-and-islands sessionization per user.
-
-    (user_id, session_start_us, n_events, duration_s): a new session starts
-    when the gap to the user's previous event exceeds ``gap_minutes``.
-    """
+def _session_ids(events: DataFrame, gap_minutes: int) -> DataFrame:
+    """Per-event session assignment shared by ``sessionize`` and
+    ``session_paths``: (user_id, ts_us, event_id, event_type,
+    session_seq) via the gaps-and-islands cumulative-flag sum. All
+    windows partition by user — never corpus-wide."""
     by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = gap_minutes * US_PER_MIN
     with_flag = events.select(
         "user_id",
         F.unix_micros("ts").alias("ts_us"),
         "event_id",
+        "event_type",
         F.when(
             F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(by_user)) > gap_us, F.lit(1)
         )
@@ -85,9 +85,18 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     cum = Window.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(
         Window.unboundedPreceding, 0
     )
-    with_sid = with_flag.withColumn("session_seq", F.sum("new_session").over(cum))
+    return with_flag.withColumn("session_seq", F.sum("new_session").over(cum))
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gaps-and-islands sessionization per user.
+
+    (user_id, session_start_us, n_events, duration_s): a new session starts
+    when the gap to the user's previous event exceeds ``gap_minutes``.
+    """
     return (
-        with_sid.groupBy("user_id", "session_seq")
+        _session_ids(events, gap_minutes)
+        .groupBy("user_id", "session_seq")
         .agg(
             F.min("ts_us").alias("session_start_us"),
             F.count(F.lit(1)).alias("n_events"),
@@ -539,4 +548,33 @@ def decayed_activity(
             F.count(F.lit(1)).cast("long").alias("n_events"),
             F.round(F.sum(contrib), 6).alias("decay_score"),
         )
+    )
+
+
+def session_paths(
+    events: DataFrame, gap_minutes: int = 30, n: int = 3, top_k: int = 20
+) -> DataFrame:
+    """(path, n_occurrences): the ``top_k`` most frequent within-session
+    event-type n-gram paths — funnel *discovery* (the existing ``funnel``
+    operator measures a GIVEN path; this mines which paths are worth
+    measuring, the product-analytics path/flow report).
+
+    A path is ``n`` consecutive events inside one session (sliding, so a
+    5-event session contributes 3 trigrams), joined with '>'.
+    Determinism: within-session order is (ts, event_id); the top-k sorts
+    by (count DESC, path). Plan shape: per-(user, session) LEAD windows —
+    never corpus-wide — then a bounded |distinct paths| aggregate and a
+    global limit over it."""
+    w = Window.partitionBy("user_id", "session_seq").orderBy("ts_us", "event_id")
+    sids = _session_ids(events, gap_minutes)
+    steps = [F.col("event_type")] + [
+        F.lead("event_type", i).over(w) for i in range(1, n)
+    ]
+    paths = sids.select(F.concat_ws(">", *steps).alias("path"), steps[-1].alias("_last"))
+    return (
+        paths.where(F.col("_last").isNotNull())
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("path"))
+        .limit(top_k)
     )

@@ -7697,6 +7697,42 @@ register(
 )
 
 
+# Session path mining: funnel DISCOVERY (q_events_funnel measures a given
+# path; this finds the paths worth measuring). Same sessionization CTE as
+# q_events_sessionize, then per-session LEAD trigrams, global top-20.
+register(
+    "q_events_paths",
+    # gap=240min: the synthetic stream averages ~10h between a user's
+    # events, so the 30-min serving-session gap would make nearly every
+    # session a single event (no paths to mine)
+    lambda s, d: events.session_paths(
+        _ref(s, d).events, gap_minutes=240, n=3, top_k=20
+    ),
+    """
+    WITH flagged AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 14400000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sid AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flagged),
+    steps AS (
+      SELECT event_type AS t0,
+             LEAD(event_type, 1) OVER w2 AS t1,
+             LEAD(event_type, 2) OVER w2 AS t2
+      FROM sid
+      WINDOW w2 AS (PARTITION BY user_id, session_seq ORDER BY ts_us, event_id))
+    SELECT t0 || '>' || t1 || '>' || t2 AS path,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM steps WHERE t2 IS NOT NULL
+    GROUP BY 1 ORDER BY n_occurrences DESC, path LIMIT 20
+    """,
+)
+
+
 # --- rows-only -> attestable-twin map (round-4 discipline) ------------------
 #
 # Every rows-only query must name an oracle-backed companion that value-

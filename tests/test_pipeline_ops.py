@@ -3813,3 +3813,27 @@ def test_readability_hand_computed(spark):
     assert abs(r1["flesch"] - 119.19) < 1e-9
     assert abs(r1["fk_grade"] - (-2.62)) < 1e-9
     assert rows[2]["n_syllables"] == 2  # 'tv' floors at 1, 'hmm' at 1
+
+
+def test_session_paths_sliding_trigrams(spark):
+    """A 5-event session yields 3 sliding trigrams; a gap splits the
+    session and kills the paths that would span it; 2-event sessions
+    yield none."""
+    import datetime as dt
+
+    from graph_database_application_for_recommendations_spark.operators.events import (
+        session_paths,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    mk = lambda i, mins, typ: (i, t0 + dt.timedelta(minutes=mins), 1, typ)
+    rows = [
+        mk(1, 0, "a"), mk(2, 1, "b"), mk(3, 2, "a"), mk(4, 3, "b"), mk(5, 4, "a"),
+        # next session: 100-minute gap > 30
+        mk(6, 104, "c"), mk(7, 105, "c"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {r["path"]: r["n_occurrences"] for r in session_paths(ev, 30).collect()}
+    assert got == {"a>b>a": 2, "b>a>b": 1}
