@@ -1780,3 +1780,55 @@ def readability(
             "fk_grade"
         ),
     )
+
+
+def min_k_prob_scores(
+    documents: DataFrame,
+    k_pct: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Min-K% Prob (Shi et al. 2023, "Detecting Pretraining Data from
+    Large Language Models"): per document, the mean of the k% LOWEST
+    per-position log-probabilities under the corpus model — here the same
+    char-bigram CCNet-proxy LM as ``lm_bigram_scores``. The signal: text
+    the model has effectively memorized has no low-probability outlier
+    positions, so even its bottom-k% mass scores high; genuinely novel
+    text always carries a heavy low-probability tail. Used to audit a
+    corpus for benchmark/eval contamination *without* n-gram matching
+    (complements ``decontaminate``'s exact-gram half).
+
+    (doc_id, n_bigrams, n_lowest, min_k_score): n_lowest =
+    ceil(n_bigrams·k/100) via exact integer arithmetic ((n·k + 99) DIV
+    100 — no float ceil, both engines identical); min_k_score rounded
+    6dp. Tie positions at the selection boundary carry EQUAL log-probs,
+    so the selected multiset sum is deterministic regardless of which
+    tied instance ranks inside.
+
+    Plan shape: the bounded |charset|² model broadcasts onto the bigram
+    stream; ranking windows partition per doc (bounded by document
+    length, never corpus-wide)."""
+    big = bigram_count_table(documents, id_col, text_col)
+    pre = big.groupBy(F.substring("bigram", 1, 1).alias("_c1")).agg(
+        F.sum("_cnt").alias("_tot")
+    )
+    model = big.join(
+        F.broadcast(pre), F.substring(big["bigram"], 1, 1) == pre["_c1"]
+    ).select("bigram", (F.log2(F.col("_cnt") / F.col("_tot"))).alias("_lp"))
+    grams = _char_bigrams(documents, id_col, text_col)
+    w_doc = Window.partitionBy("doc_id")
+    w_rnk = Window.partitionBy("doc_id").orderBy("_lp", "bigram")
+    ranked = (
+        grams.join(F.broadcast(model), "bigram")
+        .withColumn("_r", F.row_number().over(w_rnk))
+        .withColumn("_n", F.count(F.lit(1)).over(w_doc))
+    )
+    return (
+        ranked.where(F.col("_r") <= F.expr(f"(_n * {int(k_pct)} + 99) DIV 100"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("_n").alias("n_bigrams"),
+            F.count(F.lit(1)).alias("n_lowest"),
+            F.round(F.avg("_lp"), 6).alias("min_k_score"),
+        )
+    )

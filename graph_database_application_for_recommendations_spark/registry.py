@@ -7733,6 +7733,38 @@ register(
 )
 
 
+# Min-K% Prob contamination/membership audit (Shi et al. 2023) over the
+# CCNet-proxy char-bigram LM — the probability-based half of corpus
+# decontamination, next to q_corpus_decontaminate's exact-gram half.
+register(
+    "q_text_min_k_prob",
+    lambda s, d: textstats.min_k_prob_scores(_docs(s, d), k_pct=20),
+    _q_docs(
+        """
+        , base AS (SELECT doc_id, norm FROM norm WHERE length(norm) >= 2),
+        grams AS (
+          SELECT doc_id, unnest([substr(norm, i, 2) for i in range(1, length(norm))]) AS bigram
+          FROM base),
+        big AS (SELECT bigram, COUNT(*) AS cnt FROM grams GROUP BY bigram),
+        pre AS (SELECT substr(bigram, 1, 1) AS c1, SUM(cnt) AS tot FROM big GROUP BY 1),
+        model AS (
+          SELECT bigram, log2(CAST(cnt AS DOUBLE) / tot) AS lp
+          FROM big JOIN pre ON substr(big.bigram, 1, 1) = pre.c1),
+        rk AS (
+          SELECT doc_id, lp,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY lp, bigram) AS r,
+                 COUNT(*) OVER (PARTITION BY doc_id) AS n
+          FROM grams JOIN model USING (bigram))
+        SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_bigrams,
+               CAST(COUNT(*) AS BIGINT) AS n_lowest,
+               ROUND(AVG(lp), 6) AS min_k_score
+        FROM rk WHERE r <= (n * 20 + 99) // 100
+        GROUP BY doc_id
+        """
+    ),
+)
+
+
 # --- rows-only -> attestable-twin map (round-4 discipline) ------------------
 #
 # Every rows-only query must name an oracle-backed companion that value-

@@ -3837,3 +3837,22 @@ def test_session_paths_sliding_trigrams(spark):
     )
     got = {r["path"]: r["n_occurrences"] for r in session_paths(ev, 30).collect()}
     assert got == {"a>b>a": 2, "b>a>b": 1}
+
+
+def test_min_k_prob_flags_memorized_text(spark):
+    """Docs made of corpus-dominant bigrams keep a high bottom-k% mean;
+    a doc of corpus-rare transitions scores far lower. n_lowest is the
+    exact integer ceil(n*k/100)."""
+    from graph_database_application_for_recommendations_spark.operators.textstats import (
+        min_k_prob_scores,
+    )
+
+    common = "the cat sat on the mat and the cat sat again"
+    docs = spark.createDataFrame(
+        [(i, common) for i in range(9)] + [(9, "xq zx qj wq kv vz")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r.asDict() for r in min_k_prob_scores(docs, k_pct=20).collect()}
+    assert rows[0]["min_k_score"] > rows[9]["min_k_score"] + 1.0
+    for r in rows.values():
+        assert r["n_lowest"] == (r["n_bigrams"] * 20 + 99) // 100
