@@ -773,3 +773,70 @@ def topk_hyperplane_lsh_multiprobe(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("similarity"), F.asc("neighbor_id"))
     return pairs.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")
+
+
+def isotropy_report(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """One-row isotropy diagnostic of an embedding table: (n_vectors, dim,
+    mean_norm, mean_pairwise_cosine).
+
+    Anisotropic embedding spaces — all vectors leaning along a common
+    direction — are the known failure mode of similarity search and
+    semantic dedup on raw encoder outputs (Ethayarajh 2019; Mu &
+    Viswanath 2018 "All-but-the-Top"): cosine scores compress toward the
+    common-direction bias and thresholds stop separating. This report is
+    the cheap pre-flight check before trusting cosine cutoffs
+    (``semantic_dedup``, ``range_search``, KNN cutoffs).
+
+    The headline number never forms a pair: over unit-normalized vectors
+    u_i, Σ_{i≠j} cos(u_i,u_j) = ||Σu||² − n, so
+    mean_pairwise_cosine = (||Σu||² − n) / (n(n−1)) — exact, from one
+    pass of per-dimension sums (dim-bounded aggregate), not an O(n²)
+    sample. ~0 = isotropic; >>0 = a dominant common direction.
+
+    Plan shape: per-row normalize (JVM HOFs) → posexplode → dim-keyed
+    sums (bounded by dim) → scalar combine via broadcast cross join.
+    Zero-norm vectors are excluded (no direction)."""
+    # CASE-guarded division (not l2_normalize): under ANSI mode the
+    # projection may evaluate before the nv>0 filter, and a zero-norm
+    # row would abort the whole job with DIVIDE_BY_ZERO
+    normed = (
+        embeddings.select(
+            V.as_double(F.col(vec_col)).alias("_v"),
+            V.l2_norm(V.as_double(F.col(vec_col))).alias("_nv"),
+        )
+        .where(F.col("_nv") > 0)
+        .select(
+            "_nv",
+            F.transform(
+                "_v",
+                lambda x: F.when(F.col("_nv") > 0, x / F.col("_nv")).otherwise(
+                    F.lit(0.0)
+                ),
+            ).alias("_u"),
+        )
+    )
+    stats = normed.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg("_nv"), 6).alias("mean_norm"),
+    )
+    dimsum = (
+        normed.select(F.posexplode("_u").alias("_i", "_x"))
+        .groupBy("_i")
+        .agg(F.sum("_x").alias("_s"))
+    )
+    s2 = dimsum.agg(
+        F.sum(F.col("_s") * F.col("_s")).alias("_ss"),
+        F.count(F.lit(1)).alias("dim"),
+    )
+    return stats.crossJoin(F.broadcast(s2)).select(
+        "n_vectors",
+        "dim",
+        "mean_norm",
+        F.round(
+            (F.col("_ss") - F.col("n_vectors"))
+            / (F.col("n_vectors") * (F.col("n_vectors") - F.lit(1.0))),
+            6,
+        ).alias("mean_pairwise_cosine"),
+    )

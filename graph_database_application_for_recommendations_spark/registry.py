@@ -7765,6 +7765,36 @@ register(
 )
 
 
+# Embedding isotropy diagnostic: mean pairwise cosine WITHOUT forming
+# pairs (||Σu||² − n identity) — the pre-flight check for every cosine
+# cutoff in the suite (Ethayarajh 2019; Mu & Viswanath 2018).
+register(
+    "q_emb_isotropy",
+    lambda s, d: simsearch.isotropy_report(_ref(s, d).embeddings),
+    _q_vec(
+        """
+        , nrm AS (
+          SELECT vec_id, SQRT(SUM(v[t.i] * v[t.i])) AS nv
+          FROM vec, range(1, 65) t(i) GROUP BY vec_id),
+        kept AS (SELECT vec_id, nv FROM nrm WHERE nv > 0),
+        u AS (
+          SELECT t.i AS i, v[t.i] / nv AS x
+          FROM vec JOIN kept USING (vec_id), range(1, 65) t(i)),
+        dimsum AS (SELECT i, SUM(x) AS s FROM u GROUP BY i),
+        stats AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+                 ROUND(AVG(nv), 6) AS mean_norm
+          FROM kept),
+        s2 AS (SELECT SUM(s * s) AS ss, CAST(COUNT(*) AS BIGINT) AS dim FROM dimsum)
+        SELECT n_vectors, dim, mean_norm,
+               ROUND((ss - n_vectors) / (n_vectors * (n_vectors - 1.0)), 6)
+                 AS mean_pairwise_cosine
+        FROM stats, s2
+        """
+    ),
+)
+
+
 # --- rows-only -> attestable-twin map (round-4 discipline) ------------------
 #
 # Every rows-only query must name an oracle-backed companion that value-

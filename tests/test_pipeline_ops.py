@@ -3856,3 +3856,27 @@ def test_min_k_prob_flags_memorized_text(spark):
     assert rows[0]["min_k_score"] > rows[9]["min_k_score"] + 1.0
     for r in rows.values():
         assert r["n_lowest"] == (r["n_bigrams"] * 20 + 99) // 100
+
+
+def test_isotropy_closed_form_cases(spark):
+    """Four copies of one direction -> mean pairwise cosine exactly 1.0;
+    the balanced set {e1,-e1,e2,-e2} sums to zero -> (0-n)/(n(n-1)) =
+    -1/3. Zero vectors are excluded."""
+    from graph_database_application_for_recommendations_spark.operators.simsearch import (
+        isotropy_report,
+    )
+
+    same = spark.createDataFrame(
+        [(i, [3.0, 4.0]) for i in range(4)] + [(9, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    r = isotropy_report(same).collect()[0]
+    assert (r["n_vectors"], r["dim"]) == (4, 2)
+    assert r["mean_norm"] == 5.0
+    assert r["mean_pairwise_cosine"] == 1.0
+    balanced = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [-1.0, 0.0]), (3, [0.0, 1.0]), (4, [0.0, -1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    r2 = isotropy_report(balanced).collect()[0]
+    assert abs(r2["mean_pairwise_cosine"] - (-1.0 / 3.0)) < 1e-6
