@@ -1832,3 +1832,58 @@ def min_k_prob_scores(
             F.round(F.avg("_lp"), 6).alias("min_k_score"),
         )
     )
+
+
+def source_js_divergence(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """(source_a, source_b, n_common_tokens, js_divergence): pairwise
+    Jensen-Shannon divergence (log2, so ∈ [0,1]) between the unigram
+    token distributions of every source pair — the similarity structure
+    behind mixture design (near-duplicate sources waste mixture weight;
+    an outlier source needs its own temperature/cap — the measurement
+    feeding ``mix_corpus``/``unimax_budgets``) and the pairwise twin of
+    the one-vs-baseline KL in ``quality_drift``.
+
+    Never materializes the union of two vocabularies: with P, Q the two
+    distributions, every token outside the support intersection
+    contributes exactly p/2 (q/2) to JS because log2(2p/(p+0)) = 1, so
+
+      JS(P,Q) = Σ_common [p/2·log2(2p/(p+q)) + q/2·log2(2q/(p+q))]
+                + (1 − Σ_common p)/2 + (1 − Σ_common q)/2
+
+    — one equi-join on token (per-token fanout bounded by |sources|²),
+    one |sources|²-row aggregate. No smoothing needed: JS is finite on
+    disjoint support (where it reaches exactly 1)."""
+    tok = documents.select(
+        F.col(source_col).alias("source"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    )
+    counts = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("_c"))
+    totals = counts.groupBy("source").agg(F.sum("_c").alias("_tot"))
+    dist = counts.join(F.broadcast(totals), "source").select(
+        "source", "token", (F.col("_c") / F.col("_tot")).alias("_p")
+    )
+    a = dist.select(
+        F.col("source").alias("source_a"), "token", F.col("_p").alias("_pa")
+    )
+    b = dist.select(
+        F.col("source").alias("source_b"), "token", F.col("_p").alias("_pb")
+    )
+    common = a.join(b, "token").where(F.col("source_a") < F.col("source_b"))
+    term = (
+        F.col("_pa") / 2 * F.log2(2 * F.col("_pa") / (F.col("_pa") + F.col("_pb")))
+        + F.col("_pb") / 2 * F.log2(2 * F.col("_pb") / (F.col("_pa") + F.col("_pb")))
+    )
+    return common.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_common_tokens"),
+        F.round(
+            F.sum(term)
+            + (F.lit(1.0) - F.sum("_pa")) / 2
+            + (F.lit(1.0) - F.sum("_pb")) / 2,
+            6,
+        ).alias("js_divergence"),
+    )

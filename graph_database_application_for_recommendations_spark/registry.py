@@ -7795,6 +7795,40 @@ register(
 )
 
 
+# Pairwise source similarity: Jensen-Shannon divergence matrix between
+# per-source unigram distributions — the measurement feeding mixture
+# design (q_corpus_mix / q_corpus_mix_unimax) and the pairwise twin of
+# q_ingest_drift's one-vs-baseline KL.
+register(
+    "q_text_source_js",
+    lambda s, d: textstats.source_js_divergence(_docs(s, d)),
+    _q_docs(
+        """
+        , tokd AS (
+          SELECT d.source, unnest(t.t) AS token
+          FROM toks t JOIN documents d USING (doc_id)),
+        counts AS (SELECT source, token, COUNT(*) AS c FROM tokd GROUP BY 1, 2),
+        totals AS (SELECT source, SUM(c) AS tot FROM counts GROUP BY source),
+        dist AS (
+          SELECT counts.source, token, CAST(c AS DOUBLE) / tot AS p
+          FROM counts JOIN totals ON counts.source = totals.source),
+        common AS (
+          SELECT a.source AS source_a, b.source AS source_b,
+                 a.p AS pa, b.p AS pb
+          FROM dist a JOIN dist b USING (token)
+          WHERE a.source < b.source)
+        SELECT source_a, source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common_tokens,
+               ROUND(SUM(pa / 2 * log2(2 * pa / (pa + pb))
+                         + pb / 2 * log2(2 * pb / (pa + pb)))
+                     + (1.0 - SUM(pa)) / 2 + (1.0 - SUM(pb)) / 2, 6)
+                 AS js_divergence
+        FROM common GROUP BY source_a, source_b
+        """
+    ),
+)
+
+
 # --- rows-only -> attestable-twin map (round-4 discipline) ------------------
 #
 # Every rows-only query must name an oracle-backed companion that value-

@@ -3880,3 +3880,37 @@ def test_isotropy_closed_form_cases(spark):
     )
     r2 = isotropy_report(balanced).collect()[0]
     assert abs(r2["mean_pairwise_cosine"] - (-1.0 / 3.0)) < 1e-6
+
+
+def test_source_js_divergence_closed_forms(spark):
+    """Identical distributions -> 0; disjoint-support pairs share no
+    token (absent: their JS is exactly 1 by the decomposition's disjoint
+    term); a one-common-token pair matches the hand-derived value."""
+    import math
+
+    from graph_database_application_for_recommendations_spark.operators.textstats import (
+        source_js_divergence,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x x y", "A"),
+            (2, "x x y", "B"),
+            (3, "q r q", "C"),   # disjoint from A/B
+            (4, "x z z", "D"),   # shares only 'x' with A/B
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        (r["source_a"], r["source_b"]): r["js_divergence"]
+        for r in source_js_divergence(docs).collect()
+    }
+    assert got[("A", "B")] == 0.0
+    assert ("A", "C") not in got and ("B", "C") not in got
+    expect = (
+        (2 / 3) / 2 * math.log2(2 * (2 / 3) / (2 / 3 + 1 / 3))
+        + (1 / 3) / 2 * math.log2(2 * (1 / 3) / (2 / 3 + 1 / 3))
+        + (1 - 2 / 3) / 2
+        + (1 - 1 / 3) / 2
+    )
+    assert abs(got[("A", "D")] - round(expect, 6)) < 1e-9
