@@ -7829,6 +7829,77 @@ register(
 )
 
 
+# Signal-evaluation faces (operators/evaluate.py): reliability diagram
+# and exact midrank ROC-AUC of the deterministic stopword-ratio quality
+# signal against the lang=='en' target domain — the validate-before-
+# threshold step every filter signal owes (the learned classifier's
+# scores are float-iteration-dependent, so the EVALUATION operators are
+# attested on the rule-based signal both engines derive bit-identically).
+
+from .operators import evaluate  # noqa: E402
+
+
+def _quality_signal_labeled(s: SparkSession, d: str) -> DataFrame:
+    docs = _docs(s, d)
+    return textstats.quality_scores(docs).join(
+        docs.select("doc_id", (F.col("lang") == "en").alias("label")), "doc_id"
+    )
+
+
+_EVAL_LAB_CTES = f"""
+tokq AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS token FROM norm),
+aggq AS (
+  SELECT doc_id,
+         ROUND(AVG(CASE WHEN token IN ({_SW_EN}) THEN 1.0 ELSE 0.0 END), 6) AS s
+  FROM tokq GROUP BY doc_id),
+lab AS (
+  SELECT a.doc_id, s, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM aggq a JOIN documents d USING (doc_id))
+""".strip()
+
+register(
+    "q_eval_calibration",
+    lambda s, d: evaluate.calibration_table(
+        _quality_signal_labeled(s, d), score_col="stopword_ratio", n_bins=10
+    ),
+    _q_docs(
+        f"""
+        , {_EVAL_LAB_CTES}
+        SELECT LEAST(CAST(FLOOR(s * 10) AS BIGINT), 9) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS n_pos,
+               ROUND(AVG(s), 6) AS mean_score,
+               ROUND(AVG(CAST(y AS DOUBLE)), 6) AS pos_rate
+        FROM lab GROUP BY 1
+        """
+    ),
+)
+
+register(
+    "q_eval_auc",
+    lambda s, d: evaluate.binary_auc(
+        _quality_signal_labeled(s, d), score_col="stopword_ratio"
+    ),
+    _q_docs(
+        f"""
+        , {_EVAL_LAB_CTES},
+        hist AS (SELECT s, SUM(y) AS pos, SUM(1 - y) AS neg FROM lab GROUP BY s),
+        rk AS (
+          SELECT s, pos, neg,
+                 COALESCE(SUM(neg) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+                          PRECEDING AND 1 PRECEDING), 0) AS cumneg
+          FROM hist)
+        SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+               CAST(SUM(neg) AS BIGINT) AS n_neg,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_scores,
+               ROUND(SUM(pos * (2 * cumneg + neg))
+                     / (2.0 * SUM(pos) * SUM(neg)), 6) AS auc
+        FROM rk
+        """
+    ),
+)
+
+
 # --- rows-only -> attestable-twin map (round-4 discipline) ------------------
 #
 # Every rows-only query must name an oracle-backed companion that value-

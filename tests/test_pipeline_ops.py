@@ -3914,3 +3914,30 @@ def test_source_js_divergence_closed_forms(spark):
         + (1 - 1 / 3) / 2
     )
     assert abs(got[("A", "D")] - round(expect, 6)) < 1e-9
+
+
+def test_binary_auc_midrank_and_calibration_bins(spark):
+    """AUC: perfect separation -> 1.0; constant score -> 0.5; the tie
+    case [.9+, .8-, .8+, .1-] gives U = 2 + (0.5 + 1) = 3.5 over 4 pairs
+    -> 0.875. Calibration: score 1.0 joins the top bin."""
+    from graph_database_application_for_recommendations_spark.operators.evaluate import (
+        binary_auc,
+        calibration_table,
+    )
+
+    mk = lambda rows: spark.createDataFrame(rows, "score double, label int")
+    assert binary_auc(mk([(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)])).collect()[0][
+        "auc"
+    ] == 1.0
+    assert binary_auc(mk([(0.5, 1), (0.5, 0), (0.5, 1), (0.5, 0)])).collect()[0][
+        "auc"
+    ] == 0.5
+    r = binary_auc(mk([(0.9, 1), (0.8, 0), (0.8, 1), (0.1, 0)])).collect()[0]
+    assert r["auc"] == 0.875 and r["n_distinct_scores"] == 3
+    cal = {
+        row["bin"]: row.asDict()
+        for row in calibration_table(
+            mk([(1.0, 1), (0.95, 1), (0.05, 0), (0.32, 1)])
+        ).collect()
+    }
+    assert cal[9]["n"] == 2 and cal[0]["n"] == 1 and cal[3]["pos_rate"] == 1.0
