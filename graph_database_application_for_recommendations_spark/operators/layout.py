@@ -221,3 +221,66 @@ def layout_pruning(
         F.round(F.avg(F.col("max_xb") - F.col("min_xb") + 1), 6).alias("avg_x_span"),
         F.round(F.avg(F.col("max_yb") - F.col("min_yb") + 1), 6).alias("avg_y_span"),
     )
+
+
+def zonemap_delta_table(
+    df: DataFrame,
+    xcol: str,
+    ycol: str,
+    file_col,
+) -> DataFrame:
+    """(file_id, n_rows, min_x, max_x, min_y, max_y): the per-file
+    statistics row a lakehouse writer commits with each data file
+    (Delta Lake ``add.stats``, Iceberg manifest column bounds) —
+    computed here for whatever ``file_col`` expression partitions the
+    batch into files (e.g. the ingestion day).
+
+    This is another instance of the sidecar algebra: rows from disjoint
+    sub-batches re-aggregate by (MIN, MAX, SUM) — a commutative monoid —
+    so ``consolidate_zonemaps(deltas)`` over any batching equals the
+    single-pass table and the stats never require a corpus rescan."""
+    return (
+        df.where(F.col(xcol).isNotNull() & F.col(ycol).isNotNull())
+        .groupBy(file_col.alias("file_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(xcol).alias("min_x"),
+            F.max(xcol).alias("max_x"),
+            F.min(ycol).alias("min_y"),
+            F.max(ycol).alias("max_y"),
+        )
+    )
+
+
+def consolidate_zonemaps(deltas: DataFrame) -> DataFrame:
+    """Merge per-sub-batch stats rows into the per-file stats table:
+    (MIN, MAX, SUM) re-aggregate keyed by file_id."""
+    return deltas.groupBy("file_id").agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.min("min_x").alias("min_x"),
+        F.max("max_x").alias("max_x"),
+        F.min("min_y").alias("min_y"),
+        F.max("max_y").alias("max_y"),
+    )
+
+
+def zonemap_scan_decisions(
+    stats: DataFrame,
+    x_lo: int,
+    x_hi: int,
+    y_lo: int,
+    y_hi: int,
+) -> DataFrame:
+    """stats + ``scanned``: the per-file min/max skip test for a
+    rectangle predicate (x ∈ [x_lo, x_hi] ∧ y ∈ [y_lo, y_hi], raw
+    units) — exactly the planning decision a reader makes from the
+    stats table alone, before touching any data file."""
+    scanned = (
+        (F.col("min_x") <= x_hi)
+        & (F.col("max_x") >= x_lo)
+        & (F.col("min_y") <= y_hi)
+        & (F.col("max_y") >= y_lo)
+    )
+    return stats.select(
+        "file_id", "n_rows", "min_x", "max_x", "min_y", "max_y", scanned.alias("scanned")
+    )

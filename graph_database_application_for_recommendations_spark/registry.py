@@ -7900,6 +7900,54 @@ register(
 )
 
 
+# Per-file zone-map stats as a maintained ingest sidecar (the Delta
+# add-file-stats / Iceberg manifest-bounds analog): daily files over the
+# event stream, stats merged from three disjoint sub-batches by the
+# (MIN, MAX, SUM) monoid, then the reader's skip decision for one week
+# x one user range — planning from stats alone, no data-file reads.
+_ZM_X_LO = 1_704_672_000_000_000  # 2024-01-08T00:00:00Z, epoch micros
+_ZM_X_HI = 1_705_276_799_999_999  # 2024-01-14T23:59:59.999999Z
+_ZM_Y_LO, _ZM_Y_HI = 0, 49
+
+
+def _ingest_zonemaps_q(s: SparkSession, d: str) -> DataFrame:
+    ev = _ref(s, d).events.select(
+        F.unix_micros("ts").alias("ts_us"), "user_id", "event_id"
+    )
+    deltas = None
+    for i in range(3):
+        delta = layout.zonemap_delta_table(
+            ev.filter(F.col("event_id") % 3 == i),
+            "ts_us",
+            "user_id",
+            F.expr("ts_us DIV 86400000000"),
+        )
+        deltas = delta if deltas is None else deltas.unionByName(delta)
+    stats = layout.consolidate_zonemaps(deltas)
+    return layout.zonemap_scan_decisions(stats, _ZM_X_LO, _ZM_X_HI, _ZM_Y_LO, _ZM_Y_HI)
+
+
+register(
+    "q_ingest_zonemaps",
+    _ingest_zonemaps_q,
+    f"""
+    WITH base AS (
+      SELECT epoch_us(ts) AS x, user_id AS y,
+             epoch_us(ts) // 86400000000 AS f
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+    st AS (
+      SELECT f AS file_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             MIN(x) AS min_x, MAX(x) AS max_x,
+             MIN(y) AS min_y, MAX(y) AS max_y
+      FROM base GROUP BY f)
+    SELECT file_id, n_rows, min_x, max_x, min_y, max_y,
+           (min_x <= {_ZM_X_HI} AND max_x >= {_ZM_X_LO}
+            AND min_y <= {_ZM_Y_HI} AND max_y >= {_ZM_Y_LO}) AS scanned
+    FROM st
+    """,
+)
+
+
 # --- rows-only -> attestable-twin map (round-4 discipline) ------------------
 #
 # Every rows-only query must name an oracle-backed companion that value-

@@ -3941,3 +3941,34 @@ def test_binary_auc_midrank_and_calibration_bins(spark):
         ).collect()
     }
     assert cal[9]["n"] == 2 and cal[0]["n"] == 1 and cal[3]["pos_rate"] == 1.0
+
+
+def test_zonemap_sidecar_merge_equals_single_pass(spark):
+    """Consolidating per-sub-batch stats rows (any batching) must equal
+    the single-pass stats table — the (MIN, MAX, SUM) monoid; scan
+    decisions use closed [lo, hi] overlap."""
+    from pyspark.sql import functions as F
+
+    from graph_database_application_for_recommendations_spark.operators.layout import (
+        consolidate_zonemaps,
+        zonemap_delta_table,
+        zonemap_scan_decisions,
+    )
+
+    rows = [(i, i * 10, i % 4, i % 3) for i in range(60)]  # (id, x, y, batch)
+    df = spark.createDataFrame(rows, "rid long, x long, y long, b long")
+    fcol = F.expr("x DIV 100")
+    single = zonemap_delta_table(df, "x", "y", fcol)
+    deltas = None
+    for i in range(3):
+        d = zonemap_delta_table(df.filter(F.col("b") == i), "x", "y", fcol)
+        deltas = d if deltas is None else deltas.unionByName(d)
+    merged = consolidate_zonemaps(deltas)
+    a = {r["file_id"]: r.asDict() for r in single.collect()}
+    m = {r["file_id"]: r.asDict() for r in merged.collect()}
+    assert a == m
+    dec = {
+        r["file_id"]: r["scanned"]
+        for r in zonemap_scan_decisions(merged, 100, 299, 0, 10).collect()
+    }
+    assert dec == {0: False, 1: True, 2: True, 3: False, 4: False, 5: False}
