@@ -83,3 +83,35 @@ def binary_auc(
             6,
         ).alias("auc"),
     )
+
+
+def confusion_matrix(
+    predicted: DataFrame,
+    actual: DataFrame,
+    key_col: str = "doc_id",
+    pred_col: str = "pred",
+    true_col: str = "label",
+) -> DataFrame:
+    """(true_label, pred_label, n, share_of_true): the multiclass
+    evaluation face next to ``binary_auc`` — per true class, where its
+    items actually land (share_of_true rows sum to 1 per class; the
+    diagonal is per-class recall).
+
+    Plan: one key equi-join, one |classes|² aggregate; the per-class
+    normalizing window runs over that Aggregate-bounded table."""
+    joined = predicted.select(
+        F.col(key_col).alias("_k"), F.col(pred_col).alias("pred_label")
+    ).join(
+        actual.select(F.col(key_col).alias("_k"), F.col(true_col).alias("true_label")),
+        "_k",
+    )
+    counts = joined.groupBy("true_label", "pred_label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("true_label")
+    return counts.select(
+        "true_label",
+        "pred_label",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w), 6).alias("share_of_true"),
+    )

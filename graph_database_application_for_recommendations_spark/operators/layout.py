@@ -284,3 +284,24 @@ def zonemap_scan_decisions(
     return stats.select(
         "file_id", "n_rows", "min_x", "max_x", "min_y", "max_y", scanned.alias("scanned")
     )
+
+
+def compaction_plan(
+    stats: DataFrame, target_rows: int, small_threshold: int
+) -> DataFrame:
+    """(file_id, n_rows, bin_id): the small-file compaction plan a
+    lakehouse OPTIMIZE job executes — files below ``small_threshold``
+    rows, taken in file_id order, packed greedily into bins of
+    ~``target_rows`` via bin = cum_rows_before DIV target (each bin may
+    overshoot by at most its last file, the standard first-fit-in-order
+    policy). Pure planning from the stats sidecar — no data files read.
+
+    The cumulative window is bounded: ``stats`` is already the per-file
+    aggregate (one row per file), never corpus rows."""
+    small = stats.where(F.col("n_rows") < small_threshold)
+    w = Window.orderBy("file_id").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        small.withColumn("_cum", F.coalesce(F.sum("n_rows").over(w), F.lit(0)))
+        .withColumn("bin_id", F.expr(f"_cum DIV {int(target_rows)}"))
+        .select("file_id", "n_rows", "bin_id")
+    )

@@ -7948,6 +7948,85 @@ register(
 )
 
 
+# Language-ID confusion matrix: the multiclass evaluation face — where
+# each true language's documents land under the stopword-argmax guesser
+# (diagonal = per-class recall; the 'und' column = coverage gaps).
+register(
+    "q_eval_confusion",
+    lambda s, d: evaluate.confusion_matrix(
+        textstats.language_id(s, _docs(s, d)).select(
+            "doc_id", F.col("lang_guess").alias("pred")
+        ),
+        _docs(s, d).select("doc_id", F.col("lang").alias("label")),
+    ),
+    _q_docs(
+        f"""
+        , tok AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS token FROM norm),
+        sw(lang, word) AS (VALUES {_SW_VALUES}),
+        hits AS (
+          SELECT doc_id, lang, COUNT(*) AS h
+          FROM tok JOIN sw ON tok.token = sw.word
+          GROUP BY 1, 2),
+        best AS (
+          SELECT doc_id, lang FROM (
+            SELECT doc_id, lang,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h DESC, lang) AS rn
+            FROM hits) WHERE rn = 1),
+        pred AS (
+          SELECT n.doc_id,
+                 CASE WHEN CAST(length(n.norm) - length(regexp_replace(n.norm, '[\\x{{4e00}}-\\x{{9fff}}]', '', 'g')) AS DOUBLE)
+                           / length(n.norm) > 0.3 THEN 'zh'
+                      ELSE COALESCE(b.lang, 'und') END AS pred_label
+          FROM norm n LEFT JOIN best b USING (doc_id)),
+        cm AS (
+          SELECT d.lang AS true_label, p.pred_label,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM pred p JOIN documents d USING (doc_id)
+          GROUP BY 1, 2)
+        SELECT true_label, pred_label, n,
+               ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY true_label), 6)
+                 AS share_of_true
+        FROM cm
+        """
+    ),
+)
+
+# Small-file compaction planning from the zone-map sidecar alone: daily
+# files under 500 rows greedily packed into ~1000-row bins (first-fit in
+# file_id order) — the OPTIMIZE bin-packing step as a stats-only query.
+register(
+    "q_ingest_compaction",
+    lambda s, d: layout.compaction_plan(
+        layout.zonemap_delta_table(
+            _ref(s, d).events.select(
+                F.unix_micros("ts").alias("ts_us"), "user_id", "event_id"
+            ),
+            "ts_us",
+            "user_id",
+            F.expr("ts_us DIV 86400000000"),
+        ),
+        target_rows=1000,
+        small_threshold=500,
+    ),
+    """
+    WITH base AS (
+      SELECT epoch_us(ts) AS x, user_id AS y,
+             epoch_us(ts) // 86400000000 AS f
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+    st AS (
+      SELECT f AS file_id, CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM base GROUP BY f),
+    small AS (SELECT * FROM st WHERE n_rows < 500),
+    cum AS (
+      SELECT file_id, n_rows,
+             COALESCE(SUM(n_rows) OVER (ORDER BY file_id ROWS BETWEEN
+                      UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+      FROM small)
+    SELECT file_id, n_rows, c // 1000 AS bin_id FROM cum
+    """,
+)
+
+
 # --- rows-only -> attestable-twin map (round-4 discipline) ------------------
 #
 # Every rows-only query must name an oracle-backed companion that value-

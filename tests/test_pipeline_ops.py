@@ -3972,3 +3972,36 @@ def test_zonemap_sidecar_merge_equals_single_pass(spark):
         for r in zonemap_scan_decisions(merged, 100, 299, 0, 10).collect()
     }
     assert dec == {0: False, 1: True, 2: True, 3: False, 4: False, 5: False}
+
+
+def test_confusion_matrix_and_compaction_plan(spark):
+    """Confusion shares sum to 1 per true class with the diagonal as
+    recall; compaction packs small files first-fit in id order with
+    bins cut at the cumulative target."""
+    from graph_database_application_for_recommendations_spark.operators.evaluate import (
+        confusion_matrix,
+    )
+    from graph_database_application_for_recommendations_spark.operators.layout import (
+        compaction_plan,
+    )
+
+    pred = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "de"), (4, "en")], "doc_id long, pred string"
+    )
+    truth = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "en"), (4, "de")], "doc_id long, label string"
+    )
+    cm = {
+        (r["true_label"], r["pred_label"]): (r["n"], r["share_of_true"])
+        for r in confusion_matrix(pred, truth).collect()
+    }
+    assert cm[("en", "en")] == (2, 0.666667) and cm[("en", "de")] == (1, 0.333333)
+    assert cm[("de", "en")] == (1, 1.0)
+
+    stats = spark.createDataFrame(
+        [(0, 400), (1, 900), (2, 300), (3, 450), (4, 200)],
+        "file_id long, n_rows long",
+    )
+    plan = {r["file_id"]: r["bin_id"] for r in compaction_plan(stats, 1000, 500).collect()}
+    # small files 0,2,3,4 (900 excluded); cum-before: 0,400,700,1150
+    assert plan == {0: 0, 2: 0, 3: 0, 4: 1}
