@@ -8027,6 +8027,55 @@ register(
 )
 
 
+# Degree assortativity (Newman 2002) of the strong co-rating graph:
+# integer-exact Pearson of endpoint degrees on the doubled edge list.
+def _assortativity_q(s: SparkSession, d: str) -> DataFrame:
+    from .plans.graphs import degree_assortativity
+
+    strong = _corating_double(s, d).filter(F.col("weight") >= COMPONENTS_MIN_WEIGHT)
+    return degree_assortativity(strong.select("src", "dst"))
+
+
+register(
+    "q_graph_assortativity",
+    _assortativity_q,
+    _q(
+        f"""
+        , pos AS (SELECT user_id, isbn FROM ratings WHERE rating >= 6),
+        und AS (
+          SELECT src, dst FROM (
+            SELECT a.user_id AS src, b.user_id AS dst, COUNT(*) AS w
+            FROM pos a JOIN pos b USING (isbn)
+            WHERE a.user_id <> b.user_id
+            GROUP BY a.user_id, b.user_id)
+          WHERE w >= {COMPONENTS_MIN_WEIGHT}),
+        deg AS (SELECT src AS node, COUNT(*) AS dg FROM und GROUP BY src),
+        e2 AS (
+          SELECT dx.dg AS x, dy.dg AS y
+          FROM und JOIN deg dx ON dx.node = und.src
+                   JOIN deg dy ON dy.node = und.dst),
+        a AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                 CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 CAST(SUM(y * y) AS BIGINT) AS syy
+          FROM e2),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg)
+        SELECT n_nodes, m // 2 AS n_edges,
+               ROUND(CAST(sx AS DOUBLE) / m, 6) AS avg_degree,
+               CASE WHEN SQRT(CAST(m * sxx - sx * sx AS DOUBLE)
+                              * CAST(m * syy - sy * sy AS DOUBLE)) > 0
+                    THEN ROUND((m * sxy - sx * sy)
+                               / SQRT(CAST(m * sxx - sx * sx AS DOUBLE)
+                                      * CAST(m * syy - sy * sy AS DOUBLE)), 6)
+                    ELSE NULL END AS assortativity
+        FROM nn, a
+        """
+    ),
+)
+
+
 # --- rows-only -> attestable-twin map (round-4 discipline) ------------------
 #
 # Every rows-only query must name an oracle-backed companion that value-

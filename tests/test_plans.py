@@ -443,3 +443,23 @@ def test_quantize_computes_max_before_explode(spark):
     gen = plan.index("Generate")
     assert "array_max" in plan[gen:], "array_max must be computed below the Generate"
     assert "array_max" not in plan[:gen], "array_max above Generate = per-row re-eval"
+
+
+def test_assortativity_star_and_regular(spark):
+    """A star is perfectly dissortative (hubs meet leaves: r = -1); a
+    regular graph (triangle) has zero degree variance -> NULL."""
+    from graph_database_application_for_recommendations_spark.plans.graphs import (
+        degree_assortativity,
+    )
+
+    def doubled(pairs):
+        return spark.createDataFrame(
+            [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs],
+            "src long, dst long",
+        )
+
+    star = degree_assortativity(doubled([(0, 1), (0, 2), (0, 3)])).collect()[0]
+    assert star["n_nodes"] == 4 and star["n_edges"] == 3
+    assert star["assortativity"] == -1.0
+    tri = degree_assortativity(doubled([(1, 2), (2, 3), (3, 1)])).collect()[0]
+    assert tri["assortativity"] is None and tri["avg_degree"] == 2.0
