@@ -1021,3 +1021,39 @@ def run_ingest_sketch_stream(
         .start()
     )
     query.awaitTermination()
+
+
+def run_ingest_zonemap_stream(
+    events_stream: DataFrame,
+    stats_path: str,
+    checkpoint_dir: str,
+    xcol: str = "ts_us",
+    ycol: str = "user_id",
+    file_expr: str = "ts_us DIV 86400000000",
+) -> None:
+    """Streaming zone-map maintenance: each micro-batch publishes its
+    per-file (n_rows, min/max) stats rows — the add-file-stats commit a
+    lakehouse writer performs — under batch_id-deterministic names
+    (exactly-once on replay: a crash-replayed batch REPLACES its own
+    delta files, which the SUM half of the (MIN, MAX, SUM) monoid
+    requires; the MIN/MAX halves are idempotent regardless). Readers
+    consolidate with ``layout.consolidate_zonemaps`` at plan time —
+    same stateless foreachBatch discipline as the statistics and sketch
+    sidecars."""
+    from ..operators.etl import _publish
+    from ..operators.layout import zonemap_delta_table
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        delta = zonemap_delta_table(batch_df, xcol, ycol, F.expr(file_expr))
+        _publish(batch_df.sparkSession, delta, stats_path, batch_id)
+
+    query = (
+        events_stream.writeStream.foreachBatch(_append)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()

@@ -930,3 +930,47 @@ def test_streaming_sketches_match_single_pass(spark, tmp_path):
     assert sorted(map(tuple, consolidated_hll(spark, hp).collect())) == want_hll
     got_bloom = sorted(map(tuple, bloom_merge(spark.read.parquet(bp)).collect()))
     assert got_bloom == want_bloom
+
+
+def test_zonemap_stream_matches_single_pass(spark, tmp_path):
+    """Three micro-batches of per-day stats deltas consolidate to the
+    single-pass zone-map table — the (MIN, MAX, SUM) monoid face riding
+    the stateless foreachBatch discipline."""
+    import os
+    import time
+
+    from graph_database_application_for_recommendations_spark.streaming import (
+        events as stream_ops,
+    )
+    from graph_database_application_for_recommendations_spark.operators.layout import (
+        consolidate_zonemaps,
+        zonemap_delta_table,
+    )
+
+    day = 86_400_000_000
+    rows = [(i, (i % 5) * day + i * 1_000_000, i % 7) for i in range(30)]
+    ev = spark.createDataFrame(rows, "event_id long, ts_us long, user_id long")
+    want = sorted(
+        map(tuple, zonemap_delta_table(ev, "ts_us", "user_id", F.expr("ts_us DIV 86400000000")).collect())
+    )
+
+    src = tmp_path / "zm_src"
+    src.mkdir()
+    t0 = time.time() - 100
+    for i, lo in enumerate((0, 10, 20)):
+        part = ev.filter((F.col("event_id") >= lo) & (F.col("event_id") < lo + 10))
+        part.coalesce(1).write.parquet(str(tmp_path / f"zstage{i}"))
+        pq = next(p for p in os.listdir(tmp_path / f"zstage{i}") if p.endswith(".parquet"))
+        dst = src / f"{i:02d}.parquet"
+        os.rename(tmp_path / f"zstage{i}" / pq, dst)
+        os.utime(dst, (t0 + i, t0 + i))
+
+    stream = (
+        spark.readStream.schema("event_id long, ts_us long, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    sp = str(tmp_path / "zm_stats")
+    stream_ops.run_ingest_zonemap_stream(stream, sp, str(tmp_path / "ck_zm"))
+    got = sorted(map(tuple, consolidate_zonemaps(spark.read.parquet(sp)).collect()))
+    assert got == want
