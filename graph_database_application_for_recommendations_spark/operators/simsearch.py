@@ -840,3 +840,45 @@ def isotropy_report(
             6,
         ).alias("mean_pairwise_cosine"),
     )
+
+
+def matryoshka_recall(
+    embeddings: DataFrame,
+    dims: tuple[int, ...] = (8, 16, 32, 64),
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(dim, n_queries, mean_recall): recall@k of cosine top-k computed on
+    the first ``dim`` coordinates only, against the full-dimension exact
+    top-k — the dimension-budget curve behind Matryoshka-style truncated
+    retrieval (Kusupati et al. 2022 "Matryoshka Representation Learning"):
+    how many dimensions the index actually needs before recall saturates.
+    The full-dim entry is the built-in sanity row (recall exactly 1.0).
+
+    Per-query recalls come from ``ann_recall`` (6dp), then average per
+    dim. Slices with zero norm are dropped from the truncated index (no
+    direction to rank by; the exact spine still counts those queries,
+    scoring the truncated path honestly at 0 for them).
+
+    Plan: one exact top-k per dim — each the same |Q|·|C| kernel the
+    suite's other evaluation queries already budget for; evaluation
+    joins stay |Q|·k."""
+    exact = topk_bruteforce(embeddings, embeddings, id_col, vec_col, k)
+    out = None
+    for d in dims:
+        sliced = embeddings.select(
+            F.col(id_col).alias(id_col),
+            F.slice(V.as_double(F.col(vec_col)), 1, int(d)).alias(vec_col),
+        ).where(V.l2_norm(F.col(vec_col)) > 0)
+        approx = topk_bruteforce(sliced, sliced, id_col, vec_col, k)
+        row = (
+            ann_recall(exact, approx)
+            .agg(
+                F.count(F.lit(1)).alias("n_queries"),
+                F.round(F.avg("recall"), 6).alias("mean_recall"),
+            )
+            .select(F.lit(int(d)).alias("dim"), "n_queries", "mean_recall")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -8076,6 +8076,60 @@ register(
 )
 
 
+# Matryoshka truncated-dimension recall curve (Kusupati et al. 2022):
+# recall@k of prefix-dim cosine top-k vs the full-dim exact spine — how
+# many dimensions the index needs before recall saturates. The full-dim
+# row is the built-in sanity check (recall exactly 1.0).
+_MRL_DIMS = (8, 16, 32, 64)
+_MRL_K = 10
+
+
+def _matryoshka_oracle(dims: tuple[int, ...], k: int) -> str:
+    full = max(dims)
+    ctes = []
+    for d in dims:
+        ctes.append(
+            f"""pd{d} AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         ROUND(SUM(a.v[t.i] * b.v[t.i])
+               / (SQRT(SUM(a.v[t.i] * a.v[t.i]))
+                  * SQRT(SUM(b.v[t.i] * b.v[t.i]))), 6) AS s
+  FROM vec a, vec b, range(1, {d + 1}) t(i)
+  WHERE a.vec_id <> b.vec_id
+  GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"""tk{d} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY s DESC, neighbor_id) AS rn
+    FROM pd{d}) WHERE rn <= {k})"""
+        )
+    sels = []
+    for d in dims:
+        sels.append(
+            f"""SELECT {d} AS dim, CAST(COUNT(*) AS BIGINT) AS n_queries,
+       ROUND(AVG(r), 6) AS mean_recall FROM (
+  SELECT e.query_id,
+         ROUND(CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS r
+  FROM tk{full} e LEFT JOIN tk{d} a
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY e.query_id)"""
+        )
+    return _q_vec(", " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(sels))
+
+
+register(
+    "q_simsearch_matryoshka",
+    lambda s, d: simsearch.matryoshka_recall(
+        _ref(s, d).embeddings, dims=_MRL_DIMS, k=_MRL_K
+    ),
+    _matryoshka_oracle(_MRL_DIMS, _MRL_K),
+)
+
+
 # --- rows-only -> attestable-twin map (round-4 discipline) ------------------
 #
 # Every rows-only query must name an oracle-backed companion that value-

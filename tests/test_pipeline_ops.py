@@ -4005,3 +4005,36 @@ def test_confusion_matrix_and_compaction_plan(spark):
     plan = {r["file_id"]: r["bin_id"] for r in compaction_plan(stats, 1000, 500).collect()}
     # small files 0,2,3,4 (900 excluded); cum-before: 0,400,700,1150
     assert plan == {0: 0, 2: 0, 3: 0, 4: 1}
+
+
+def test_matryoshka_recall_curve(spark):
+    """A 1-dim prefix that collapses distinct neighborhoods scores below
+    the full-dim row, which is exactly 1.0 by construction; when the
+    prefix already determines the geometry (zero tail), every truncation
+    is perfect."""
+    from graph_database_application_for_recommendations_spark.operators.simsearch import (
+        matryoshka_recall,
+    )
+
+    tricky = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 10.0]),
+            (2, [1.0, 0.0, 0.0, -10.0]),
+            (3, [0.9, 0.0, 0.0, 10.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    r = {
+        row["dim"]: row["mean_recall"]
+        for row in matryoshka_recall(tricky, dims=(1, 4), k=1).collect()
+    }
+    assert r[4] == 1.0 and r[1] < 1.0
+    flat_tail = spark.createDataFrame(
+        [(i, [float(i), float(i % 3), 0.0, 0.0]) for i in range(1, 7)],
+        "vec_id long, embedding array<double>",
+    )
+    r2 = {
+        row["dim"]: row["mean_recall"]
+        for row in matryoshka_recall(flat_tail, dims=(2, 4), k=2).collect()
+    }
+    assert r2 == {2: 1.0, 4: 1.0}
