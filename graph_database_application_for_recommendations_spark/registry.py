@@ -8130,6 +8130,49 @@ register(
 )
 
 
+# Association rules (Agrawal & Srikant 1994) over the positive-rating
+# baskets: exact integer supports -> confidence/lift, the market-basket
+# serving face next to q_recsys_fpgrowth's itemset counts.
+def _assoc_rules_q(s: SparkSession, d: str) -> DataFrame:
+    from .plans.fpgrowth import association_rules
+
+    return association_rules(
+        _ref(s, d).ratings, min_count=3, min_rating=6, min_confidence=0.2
+    )
+
+
+register(
+    "q_recsys_rules",
+    _assoc_rules_q,
+    _q(
+        """
+        , pos AS (SELECT DISTINCT user_id, isbn FROM ratings WHERE rating >= 6),
+        nb AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n FROM pos),
+        item AS (SELECT isbn, CAST(COUNT(*) AS BIGINT) AS ni FROM pos GROUP BY isbn),
+        pairs AS (
+          SELECT a.isbn AS ia, b.isbn AS ib, CAST(COUNT(*) AS BIGINT) AS n_both
+          FROM pos a JOIN pos b ON a.user_id = b.user_id AND a.isbn < b.isbn
+          GROUP BY a.isbn, b.isbn
+          HAVING COUNT(*) >= 3),
+        dirs AS (
+          SELECT ia AS antecedent, ib AS consequent, n_both FROM pairs
+          UNION ALL
+          SELECT ib, ia, n_both FROM pairs),
+        scored AS (
+          SELECT antecedent, consequent, n_both,
+                 ante.ni AS n_ante, cons.ni AS n_cons,
+                 ROUND(CAST(n_both AS DOUBLE) / ante.ni, 6) AS confidence,
+                 ROUND(CAST(n_both * nb.n AS DOUBLE) / (ante.ni * cons.ni), 6) AS lift
+          FROM dirs
+          JOIN item ante ON ante.isbn = dirs.antecedent
+          JOIN item cons ON cons.isbn = dirs.consequent
+          CROSS JOIN nb)
+        SELECT * FROM scored WHERE confidence >= 0.2
+        """
+    ),
+)
+
+
 # --- rows-only -> attestable-twin map (round-4 discipline) ------------------
 #
 # Every rows-only query must name an oracle-backed companion that value-
