@@ -2227,3 +2227,48 @@ def icws_est_pairs(
         return _mat(out)
     finally:
         release_checkpoint(sig)
+
+
+def dedup_keep_best(
+    documents: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    score_col: str = "score",
+) -> DataFrame:
+    """``dedup_exact`` with a QUALITY survivor policy: per duplicate
+    group keep the highest-scoring copy (ties by smallest id) instead of
+    blindly the smallest id — the policy real cleanup pipelines want
+    when duplicates differ in metadata trust or extraction quality
+    (e.g. keep the copy from the cleanest source).
+
+    ``quality`` is any (id, score) frame — rule-based signals, the
+    learned classifier, an LM score. Returns (keep_id, n_dups,
+    keep_score, fingerprint). Docs missing from ``quality`` rank last
+    (NULL score) but still count and can survive singleton groups.
+
+    Plan: one join on id, one per-fingerprint window (group-sized
+    partitions, corpus-partitioned) + the group aggregate."""
+    scored = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.col(text_col)).alias("fingerprint"),
+    ).join(
+        quality.select(F.col(id_col).alias("doc_id"), F.col(score_col).alias("_q")),
+        "doc_id",
+        "left",
+    )
+    w = Window.partitionBy("fingerprint").orderBy(
+        F.desc_nulls_last("_q"), F.asc("doc_id")
+    )
+    ranked = scored.withColumn("_rn", F.row_number().over(w))
+    sizes = scored.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("n_dups"))
+    return (
+        ranked.where(F.col("_rn") == 1)
+        .join(sizes, "fingerprint")
+        .select(
+            F.col("doc_id").alias("keep_id"),
+            "n_dups",
+            F.col("_q").alias("keep_score"),
+            "fingerprint",
+        )
+    )

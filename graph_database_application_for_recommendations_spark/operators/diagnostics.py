@@ -49,3 +49,29 @@ def table_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     spark = df.sparkSession
     rows = [(c, total, stats[f"_null_{c}"], stats[f"_dist_{c}"]) for c in cols]
     return spark.createDataFrame(rows, "column STRING, n_rows LONG, n_nulls LONG, n_distinct LONG")
+
+
+def k_anonymity_report(
+    df: DataFrame, quasi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """One row (k, n_rows, n_groups, n_risky_groups, n_risky_rows,
+    risky_fraction): the k-anonymity audit (Sweeney 2002) over a set of
+    quasi-identifier columns — a combination shared by fewer than ``k``
+    rows re-identifies those rows, which is what a training-data release
+    must check BEFORE the PII scrubber is trusted (the column-combination
+    risk the per-value scrubber cannot see).
+
+    risky_fraction = n_risky_rows / n_rows (6dp). NULL quasi-values form
+    their own group on both engines. Plan: one |distinct combinations|
+    aggregate, then a scalar aggregate over it."""
+    groups = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("_n"))
+    return groups.agg(
+        F.lit(int(k)).alias("k"),
+        F.sum("_n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(F.col("_n") < k, 1).otherwise(0)).alias("n_risky_groups"),
+        F.sum(F.when(F.col("_n") < k, F.col("_n")).otherwise(0)).alias("n_risky_rows"),
+        F.round(
+            F.sum(F.when(F.col("_n") < k, F.col("_n")).otherwise(0)) / F.sum("_n"), 6
+        ).alias("risky_fraction"),
+    )

@@ -8173,6 +8173,67 @@ register(
 )
 
 
+# Quality-aware exact-dedup survivor selection: keep the highest
+# stopword-ratio copy per duplicate group (ties by id) — the survivor
+# policy real cleanup pipelines use when duplicate copies differ in
+# extraction quality.
+register(
+    "q_dedup_keep_best",
+    lambda s, d: dedup.dedup_keep_best(
+        _docs(s, d),
+        textstats.quality_scores(_docs(s, d)).select("doc_id", "stopword_ratio"),
+        score_col="stopword_ratio",
+    ),
+    _q_docs(
+        f"""
+        , tokb AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS token FROM norm),
+        q AS (
+          SELECT doc_id,
+                 ROUND(AVG(CASE WHEN token IN ({_SW_EN}) THEN 1.0 ELSE 0.0 END), 6) AS s
+          FROM tokb GROUP BY doc_id),
+        fp AS (
+          SELECT d.doc_id, md5(d.text) AS fingerprint, q.s
+          FROM documents d LEFT JOIN q USING (doc_id)),
+        sizes AS (SELECT fingerprint, CAST(COUNT(*) AS BIGINT) AS n_dups
+                  FROM fp GROUP BY fingerprint),
+        best AS (
+          SELECT doc_id, fingerprint, s FROM (
+            SELECT doc_id, fingerprint, s,
+                   ROW_NUMBER() OVER (PARTITION BY fingerprint
+                                      ORDER BY s DESC NULLS LAST, doc_id) AS rn
+            FROM fp) WHERE rn = 1)
+        SELECT b.doc_id AS keep_id, sizes.n_dups, b.s AS keep_score, b.fingerprint
+        FROM best b JOIN sizes USING (fingerprint)
+        """
+    ),
+)
+
+# k-anonymity audit (Sweeney 2002) of the users table's quasi-identifier
+# pair (location, age) — the column-combination re-identification risk
+# the per-value PII scrubber cannot see.
+from .operators import diagnostics  # noqa: E402
+
+register(
+    "q_privacy_kanon",
+    lambda s, d: diagnostics.k_anonymity_report(
+        _ref(s, d).users.select("location", "age"), ["location", "age"], k=5
+    ),
+    _q(
+        """
+        , g AS (SELECT location, age, COUNT(*) AS n FROM users GROUP BY 1, 2)
+        SELECT 5 AS k,
+               CAST(SUM(n) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_risky_groups,
+               CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS n_risky_rows,
+               ROUND(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) * 1.0 / SUM(n), 6)
+                 AS risky_fraction
+        FROM g
+        """
+    ),
+)
+
+
 # --- rows-only -> attestable-twin map (round-4 discipline) ------------------
 #
 # Every rows-only query must name an oracle-backed companion that value-

@@ -4038,3 +4038,33 @@ def test_matryoshka_recall_curve(spark):
         for row in matryoshka_recall(flat_tail, dims=(2, 4), k=2).collect()
     }
     assert r2 == {2: 1.0, 4: 1.0}
+
+
+def test_dedup_keep_best_and_kanon(spark):
+    """keep_best keeps the highest-scoring duplicate (not the smallest
+    id), ranks missing scores last; the k-anonymity report counts
+    under-k quasi-identifier groups exactly."""
+    from graph_database_application_for_recommendations_spark.operators.dedup import (
+        dedup_keep_best,
+    )
+    from graph_database_application_for_recommendations_spark.operators.diagnostics import (
+        k_anonymity_report,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aa"), (2, "aa"), (3, "bb"), (4, "aa")], "doc_id long, text string"
+    )
+    quality = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (4, 0.9)], "doc_id long, score double"
+    )  # doc 3 unscored; 2 and 4 tie -> smaller id wins
+    kept = {r["keep_id"]: r for r in dedup_keep_best(docs, quality).collect()}
+    assert set(kept) == {2, 3}
+    assert kept[2]["n_dups"] == 3 and kept[2]["keep_score"] == 0.9
+    assert kept[3]["keep_score"] is None
+
+    users = spark.createDataFrame(
+        [("a", 30)] * 5 + [("a", 31)] * 2 + [(None, None)], "loc string, age int"
+    )
+    r = k_anonymity_report(users, ["loc", "age"], k=5).collect()[0]
+    assert (r["n_groups"], r["n_risky_groups"], r["n_risky_rows"]) == (3, 2, 3)
+    assert r["risky_fraction"] == 0.375
