@@ -1028,3 +1028,67 @@ def compact_after_append(
     compact_parquet(spark, index_path, target_bytes=target_bytes)
     compact_parquet(spark, corpus_path, target_bytes=target_bytes)
     return True
+
+
+def shard_assignments(
+    documents: DataFrame, n_shards: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """Input rows + ``shard_id``: deterministic md5-keyed shard
+    assignment (shard = md5(doc_id # 'shard') mod n) — stable across
+    runs, engines and cluster sizes, unlike hash-partitioning whose
+    function is engine-internal. The export contract trainers need:
+    re-running the export moves nothing."""
+    from ..functions.text import md5_hash32
+
+    return documents.withColumn(
+        "shard_id",
+        F.pmod(md5_hash32(F.col(id_col).cast("string"), seed=0x5AD), F.lit(n_shards)).cast(
+            "long"
+        ),
+    )
+
+
+def shard_manifest(
+    documents: DataFrame,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(shard_id, n_docs, n_tokens, content_xor): the per-shard manifest
+    committed next to a sharded dataset export (WebDataset/TFRecord
+    discipline): document count, token count, and an ORDER-FREE content
+    checksum — XOR of each doc's 60-bit md5 prefix, so any re-shuffled
+    but content-identical export verifies equal, any corruption or drop
+    flips it, and no accumulator can overflow (unlike a modular SUM).
+    Verification of a delivered shard = recompute and compare one row."""
+    from ..functions.text import md5_hash60, tokens
+
+    assigned = shard_assignments(documents, n_shards, id_col)
+    return (
+        assigned.select(
+            "shard_id",
+            F.size(tokens(F.col(text_col))).cast("long").alias("_nt"),
+            md5_hash60(F.col(text_col)).alias("_h"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").alias("n_tokens"),
+            F.expr("bit_xor(_h)").alias("content_xor"),
+        )
+    )
+
+
+def export_jsonl_shards(
+    documents: DataFrame, dest: str, n_shards: int = 8, id_col: str = "doc_id"
+) -> None:
+    """Write the corpus as ``shard_id=N/`` JSON-lines directories with
+    the deterministic shard assignment — the trainer-facing export whose
+    integrity contract is ``shard_manifest`` (recompute on the read-back,
+    compare rows). partitionBy keeps one directory per shard; within-
+    shard file layout is free (the manifest checksum is order-free by
+    construction)."""
+    assigned = shard_assignments(documents, n_shards, id_col)
+    assigned.repartition("shard_id").write.mode("overwrite").partitionBy(
+        "shard_id"
+    ).json(dest)

@@ -8234,6 +8234,32 @@ register(
 )
 
 
+# Sharded-export manifest: deterministic md5 shard assignment + the
+# order-free per-shard integrity row (XOR of 60-bit content hashes) —
+# the commit a trainer-facing export writes next to its shards. The
+# write path (export_jsonl_shards) is pytest-pinned: read-back manifest
+# equals this query.
+register(
+    "q_corpus_shards",
+    lambda s, d: etl.shard_manifest(_docs(s, d), n_shards=8),
+    _q_docs(
+        """
+        , shd AS (
+          SELECT d.doc_id,
+                 CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#1453'), 1, 8))
+                      AS BIGINT) % 8 AS shard_id,
+                 CAST(('0x' || substr(md5(d.text), 1, 15)) AS BIGINT) AS h,
+                 CAST(len(t.t) AS BIGINT) AS nt
+          FROM documents d JOIN toks t USING (doc_id))
+        SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(nt) AS BIGINT) AS n_tokens,
+               CAST(bit_xor(h) AS BIGINT) AS content_xor
+        FROM shd GROUP BY shard_id
+        """
+    ),
+)
+
+
 # --- rows-only -> attestable-twin map (round-4 discipline) ------------------
 #
 # Every rows-only query must name an oracle-backed companion that value-

@@ -4068,3 +4068,41 @@ def test_dedup_keep_best_and_kanon(spark):
     r = k_anonymity_report(users, ["loc", "age"], k=5).collect()[0]
     assert (r["n_groups"], r["n_risky_groups"], r["n_risky_rows"]) == (3, 2, 3)
     assert r["risky_fraction"] == 0.375
+
+
+def test_shard_export_roundtrip_manifest(spark, tmp_path):
+    """export_jsonl_shards + read-back: every shard directory's recount
+    matches the manifest row (count, tokens, order-free XOR); the
+    assignment is stable across repeated runs."""
+    from pyspark.sql import functions as F
+
+    from graph_database_application_for_recommendations_spark.operators.etl import (
+        export_jsonl_shards,
+        shard_assignments,
+        shard_manifest,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} body with {i % 3} extras") for i in range(40)],
+        "doc_id long, text string",
+    )
+    want = {r["shard_id"]: r.asDict() for r in shard_manifest(docs, 4).collect()}
+    dest = str(tmp_path / "shards")
+    export_jsonl_shards(docs, dest, 4)
+    back = spark.read.json(dest)  # shard_id comes back as a partition column
+    got = {
+        r["shard_id"]: r.asDict()
+        for r in shard_manifest(back.select("doc_id", "text"), 4).collect()
+    }
+    assert got == want
+    # and the partition directories agree with the recomputed assignment
+    mismatch = (
+        shard_assignments(back.select("doc_id", "text"), 4)
+        .join(back.select("doc_id", F.col("shard_id").cast("long").alias("_dir")), "doc_id")
+        .where(F.col("shard_id") != F.col("_dir"))
+        .count()
+    )
+    assert mismatch == 0
+    a1 = sorted(map(tuple, shard_assignments(docs, 4).select("doc_id", "shard_id").collect()))
+    a2 = sorted(map(tuple, shard_assignments(docs, 4).select("doc_id", "shard_id").collect()))
+    assert a1 == a2 and len({s for _, s in a1}) == 4
