@@ -290,3 +290,58 @@ def item_similarity_jaccard(
         .filter(F.col("_rn") <= top_k)
         .drop("_rn")
     )
+
+
+def linkpred_auc(ratings: DataFrame, min_rating: int = 6) -> DataFrame:
+    """One row (n_pos, n_neg, n_distinct_scores, auc): held-out link
+    prediction — does Adamic-Adar similarity computed on HALF the items
+    predict co-interaction on the UNSEEN half? The standard structural
+    link-prediction protocol (Liben-Nowell & Kleinberg 2003) with a
+    deterministic md5 item split instead of a random one, so both
+    engines evaluate the identical experiment.
+
+    - train items: md5(isbn) even; test items: odd;
+    - candidates: user pairs sharing >=1 train item of train-degree >=2,
+      scored by AA = Σ 1/ln(deg) (6dp);
+    - label: the pair shares >=1 positively-rated TEST item;
+    - metric: exact midrank ROC-AUC (evaluate.binary_auc).
+
+    Plan: the two halves partition one scan; candidate generation is the
+    same item-keyed self-join as the co-rating projection; the label is
+    one left-semi flag; AUC reduces to the distinct-score histogram."""
+    from ..functions.text import md5_hash32
+    from .evaluate import binary_auc
+
+    pos = (
+        ratings.filter(F.col("rating") >= min_rating)
+        .select("user_id", "isbn")
+        .distinct()
+        .withColumn("_half", F.pmod(md5_hash32(F.col("isbn")), F.lit(2)))
+    )
+    train = pos.where(F.col("_half") == 0).drop("_half")
+    test = pos.where(F.col("_half") == 1).drop("_half")
+    ideg = (
+        train.groupBy("isbn")
+        .agg(F.count(F.lit(1)).alias("_dg"))
+        .where(F.col("_dg") >= 2)
+    )
+    cand = (
+        train.alias("a")
+        .join(F.broadcast(ideg), "isbn")
+        .join(train.alias("b"), "isbn")
+        .where(F.col("a.user_id") < F.col("b.user_id"))
+        .groupBy(F.col("a.user_id").alias("u1"), F.col("b.user_id").alias("u2"))
+        .agg(F.round(F.sum(1.0 / F.log(F.col("_dg"))), 6).alias("score"))
+    )
+    tpairs = (
+        test.alias("x")
+        .join(test.alias("y"), "isbn")
+        .where(F.col("x.user_id") < F.col("y.user_id"))
+        .select(F.col("x.user_id").alias("u1"), F.col("y.user_id").alias("u2"))
+        .distinct()
+        .withColumn("_lab", F.lit(1))
+    )
+    labeled = cand.join(tpairs, ["u1", "u2"], "left").select(
+        "score", F.coalesce("_lab", F.lit(0)).alias("label")
+    )
+    return binary_auc(labeled, "score", "label")

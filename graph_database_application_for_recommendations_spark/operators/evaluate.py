@@ -73,15 +73,22 @@ def binary_auc(
     ranked = hist.withColumn(
         "_cumneg", F.coalesce(F.sum("_neg").over(w), F.lit(0))
     )
+    # CASE-guarded: with a single class present AUC is undefined, and the
+    # unguarded division would abort the job under ANSI mode
     return ranked.agg(
         F.sum("_pos").alias("n_pos"),
         F.sum("_neg").alias("n_neg"),
         F.count(F.lit(1)).alias("n_distinct_scores"),
-        F.round(
-            F.sum(F.col("_pos") * (2 * F.col("_cumneg") + F.col("_neg")))
-            / (2.0 * F.sum("_pos") * F.sum("_neg")),
-            6,
-        ).alias("auc"),
+        F.when(
+            (F.sum("_pos") > 0) & (F.sum("_neg") > 0),
+            F.round(
+                F.sum(F.col("_pos") * (2 * F.col("_cumneg") + F.col("_neg")))
+                / (2.0 * F.sum("_pos") * F.sum("_neg")),
+                6,
+            ),
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("auc"),
     )
 
 

@@ -8260,6 +8260,53 @@ register(
 )
 
 
+# Held-out link prediction (Liben-Nowell & Kleinberg 2003): Adamic-Adar
+# on the even-md5 half of the items, labels = co-interaction on the odd
+# half, scored by the exact midrank AUC — the graph-ML evaluation face.
+register(
+    "q_graph_linkpred_auc",
+    lambda s, d: corating.linkpred_auc(_ref(s, d).ratings),
+    _q(
+        """
+        , pos AS (
+          SELECT DISTINCT user_id, isbn,
+                 CAST(('0x' || substr(md5(isbn), 1, 8)) AS BIGINT) % 2 AS half
+          FROM ratings WHERE rating >= 6),
+        train AS (SELECT user_id, isbn FROM pos WHERE half = 0),
+        test AS (SELECT user_id, isbn FROM pos WHERE half = 1),
+        ideg AS (SELECT isbn, COUNT(*) AS dg FROM train GROUP BY isbn
+                 HAVING COUNT(*) >= 2),
+        cand AS (
+          SELECT a.user_id AS u1, b.user_id AS u2,
+                 ROUND(SUM(1.0 / ln(d.dg)), 6) AS s
+          FROM train a JOIN ideg d USING (isbn) JOIN train b USING (isbn)
+          WHERE a.user_id < b.user_id
+          GROUP BY a.user_id, b.user_id),
+        tp AS (
+          SELECT DISTINCT x.user_id AS u1, y.user_id AS u2
+          FROM test x JOIN test y USING (isbn)
+          WHERE x.user_id < y.user_id),
+        lab AS (
+          SELECT c.s,
+                 CASE WHEN tp.u1 IS NOT NULL THEN 1 ELSE 0 END AS y
+          FROM cand c LEFT JOIN tp ON tp.u1 = c.u1 AND tp.u2 = c.u2),
+        hist AS (SELECT s, SUM(y) AS pos, SUM(1 - y) AS neg FROM lab GROUP BY s),
+        rk AS (
+          SELECT s, pos, neg,
+                 COALESCE(SUM(neg) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+                          PRECEDING AND 1 PRECEDING), 0) AS cumneg
+          FROM hist)
+        SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+               CAST(SUM(neg) AS BIGINT) AS n_neg,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_scores,
+               ROUND(SUM(pos * (2 * cumneg + neg))
+                     / (2.0 * SUM(pos) * SUM(neg)), 6) AS auc
+        FROM rk
+        """
+    ),
+)
+
+
 # --- rows-only -> attestable-twin map (round-4 discipline) ------------------
 #
 # Every rows-only query must name an oracle-backed companion that value-

@@ -490,3 +490,39 @@ def test_association_rules_hand_counts(spark):
     assert got[("x", "y")]["confidence"] == 0.666667
     assert got[("x", "y")]["lift"] == 1.0
     assert ("x", "z") not in got  # n_both=1 < min_count
+
+
+def test_linkpred_auc_discriminates_planted_structure(spark):
+    """Planted two-block ratings: within-block pairs share train AND
+    test items; a weak cross-block pair shares one train item but no
+    test item -> AA ranks it below, AUC = 1.0. Degenerate single-class
+    inputs return NULL instead of aborting."""
+    from graph_database_application_for_recommendations_spark.operators.corating import (
+        linkpred_auc,
+    )
+    from graph_database_application_for_recommendations_spark.operators.evaluate import (
+        binary_auc,
+    )
+
+    # find isbn strings landing in each md5 half deterministically
+    import hashlib
+
+    def half(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % 2
+
+    trains = [s for s in (f"t{i}" for i in range(40)) if half(s) == 0][:5]
+    tests_ = [s for s in (f"s{i}" for i in range(40)) if half(s) == 1][:2]
+    rows = []
+    for u in (1, 2, 3):          # block A: 4 shared train items + test item
+        rows += [(u, t, 8) for t in trains[:4]] + [(u, tests_[0], 8)]
+    for u in (4, 5, 6):          # block B
+        rows += [(u, trains[4], 8)]
+    rows += [(1, trains[4], 8)]  # weak cross link: one train item, no test
+    ratings = spark.createDataFrame(rows, "user_id long, isbn string, rating int")
+    r = linkpred_auc(ratings).collect()[0]
+    assert r["auc"] == 1.0 and r["n_pos"] == 3
+
+    degenerate = spark.createDataFrame(
+        [(0.9, 1), (0.1, 1)], "score double, label int"
+    )
+    assert binary_auc(degenerate).collect()[0]["auc"] is None
