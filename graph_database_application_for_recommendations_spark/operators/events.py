@@ -578,3 +578,48 @@ def session_paths(
         .orderBy(F.desc("n_occurrences"), F.asc("path"))
         .limit(top_k)
     )
+
+
+def time_split_report(events: DataFrame, cutoff_us: int) -> DataFrame:
+    """One row (cutoff_us, n_train, n_test, n_train_users, n_test_users,
+    n_cold_users, cold_fraction): the temporal-holdout audit an offline
+    evaluation owes before trusting its metrics — events strictly before
+    the cutoff instant are train, the rest test; a test user with no
+    train history is cold-start (their test events can never be
+    predicted from history, and silently counting them biases every
+    sequential-recommendation metric downward).
+
+    cold_fraction = n_cold_users / n_test_users (6dp, NULL when the test
+    side is empty). Epoch-microsecond cutoff keeps it session-timezone-
+    proof like the rest of this module. Plan: one scan into two
+    conditional aggregates + one distinct-user anti-join flag."""
+    ts_us = F.unix_micros("ts")
+    base = events.select(
+        "user_id", ts_us.alias("_t"), (ts_us < cutoff_us).alias("_is_train")
+    )
+    counts = base.agg(
+        F.sum(F.when(F.col("_is_train"), 1).otherwise(0)).alias("n_train"),
+        F.sum(F.when(~F.col("_is_train"), 1).otherwise(0)).alias("n_test"),
+    )
+    train_users = base.where("_is_train").select("user_id").distinct()
+    test_users = base.where(~F.col("_is_train")).select("user_id").distinct()
+    cold = test_users.join(train_users, "user_id", "left_anti")
+    users = (
+        train_users.agg(F.count(F.lit(1)).alias("n_train_users"))
+        .crossJoin(F.broadcast(test_users.agg(F.count(F.lit(1)).alias("n_test_users"))))
+        .crossJoin(F.broadcast(cold.agg(F.count(F.lit(1)).alias("n_cold_users"))))
+    )
+    return counts.crossJoin(F.broadcast(users)).select(
+        F.lit(int(cutoff_us)).alias("cutoff_us"),
+        "n_train",
+        "n_test",
+        "n_train_users",
+        "n_test_users",
+        "n_cold_users",
+        F.when(
+            F.col("n_test_users") > 0,
+            F.round(F.col("n_cold_users") / F.col("n_test_users"), 6),
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("cold_fraction"),
+    )

@@ -8307,6 +8307,39 @@ register(
 )
 
 
+# Temporal-holdout audit at day 24/30 of the stream: train/test sizes
+# and the cold-start user fraction the offline eval must know before
+# trusting sequential metrics.
+_TSPLIT_CUTOFF_US = 1_706_140_800_000_000  # 2024-01-25T00:00:00Z
+
+register(
+    "q_events_time_split",
+    lambda s, d: events.time_split_report(_ref(s, d).events, _TSPLIT_CUTOFF_US),
+    f"""
+    WITH base AS (
+      SELECT user_id, (epoch_us(ts) < {_TSPLIT_CUTOFF_US}) AS is_train
+      FROM events),
+    counts AS (
+      SELECT CAST(SUM(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+             CAST(SUM(CASE WHEN is_train THEN 0 ELSE 1 END) AS BIGINT) AS n_test
+      FROM base),
+    tru AS (SELECT DISTINCT user_id FROM base WHERE is_train),
+    teu AS (SELECT DISTINCT user_id FROM base WHERE NOT is_train),
+    cold AS (SELECT user_id FROM teu ANTI JOIN tru USING (user_id)),
+    users AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM tru) AS n_train_users,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM teu) AS n_test_users,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM cold) AS n_cold_users)
+    SELECT CAST({_TSPLIT_CUTOFF_US} AS BIGINT) AS cutoff_us,
+           n_train, n_test, n_train_users, n_test_users, n_cold_users,
+           CASE WHEN n_test_users > 0
+                THEN ROUND(n_cold_users * 1.0 / n_test_users, 6)
+                ELSE NULL END AS cold_fraction
+    FROM counts, users
+    """,
+)
+
+
 # --- rows-only -> attestable-twin map (round-4 discipline) ------------------
 #
 # Every rows-only query must name an oracle-backed companion that value-

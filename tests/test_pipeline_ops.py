@@ -4106,3 +4106,26 @@ def test_shard_export_roundtrip_manifest(spark, tmp_path):
     a1 = sorted(map(tuple, shard_assignments(docs, 4).select("doc_id", "shard_id").collect()))
     a2 = sorted(map(tuple, shard_assignments(docs, 4).select("doc_id", "shard_id").collect()))
     assert a1 == a2 and len({s for _, s in a1}) == 4
+
+
+def test_time_split_report_cold_users(spark):
+    """Users appearing only after the cutoff are cold-start; a user with
+    history on both sides is not."""
+    import datetime as dt
+
+    from graph_database_application_for_recommendations_spark.operators.events import (
+        time_split_report,
+    )
+
+    t = lambda day: dt.datetime(2024, 1, day, tzinfo=dt.timezone.utc)
+    rows = [
+        (1, t(1), 10), (2, t(2), 10), (3, t(20), 10),   # train era: user 10 only
+        (5, t(23), 20),                                   # user 20 only post-cutoff
+        (6, t(25), 10), (7, t(26), 20),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    cutoff = int(dt.datetime(2024, 1, 22, tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
+    r = time_split_report(ev, cutoff).collect()[0]
+    assert (r["n_train"], r["n_test"]) == (3, 3)
+    assert (r["n_train_users"], r["n_test_users"], r["n_cold_users"]) == (1, 2, 1)
+    assert r["cold_fraction"] == 0.5
