@@ -166,6 +166,16 @@ BENCH_QUERIES = [
     # rank over the bounded cell histogram + double zone-map aggregate —
     # the data-layout physical pattern (OPTIMIZE ZORDER audit)
     "q_layout_pruning",
+    # session-2 additions, each a physical pattern new to the mix: the
+    # source-pair JS matrix (token-keyed self-join with |sources|^2-bounded
+    # fanout), held-out link prediction (split + AA self-join + midrank
+    # AUC histogram), session trigram mining (per-session LEADs + bounded
+    # path aggregate), and the shard manifest (md5 shard keys + bit_xor
+    # order-free checksum aggregate)
+    "q_text_source_js",
+    "q_graph_linkpred_auc",
+    "q_events_paths",
+    "q_corpus_shards",
 ]
 
 # the iterative pipeline (FastRP -> KNN -> LPA) is measured as one unit,

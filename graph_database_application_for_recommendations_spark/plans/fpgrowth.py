@@ -108,76 +108,3 @@ def association_rules_pairs(
             F.col("confidence") / (F.col("_nb") / F.lit(float(n_baskets))), 6
         ).alias("lift"),
     )
-
-
-def association_rules(
-    ratings: DataFrame,
-    min_count: int = 3,
-    min_rating: int = 6,
-    min_confidence: float = 0.2,
-) -> DataFrame:
-    """(antecedent, consequent, n_both, n_ante, n_cons, confidence, lift):
-    single-item association rules from the same positive-rating baskets
-    as ``frequent_itemsets`` — the classic market-basket serving face
-    (Agrawal & Srikant 1994): confidence = P(cons|ante) = n_both/n_ante,
-    lift = confidence / P(cons) = n_both·N / (n_ante·n_cons), where N is
-    the basket count. lift > 1 marks genuinely associated pairs rather
-    than popularity artifacts — the recommender's "because you liked"
-    justification with its statistical teeth.
-
-    Everything stays an exact integer count until the two final
-    divisions (6dp, and the min_confidence gate tests the ROUNDED value
-    so engines agree on boundary rules). Computed with plain aggregates
-    instead of MLlib's associationRules so the whole table value-hashes.
-
-    Plan: one distinct + item-count aggregate, one basket self-join for
-    pair supports (a<b, then both rule directions emitted), item counts
-    broadcast back. Nothing corpus-sized funnels anywhere."""
-    pos = (
-        ratings.filter(F.col("rating") >= min_rating)
-        .select("user_id", "isbn")
-        .distinct()
-    )
-    n_baskets = pos.select("user_id").distinct().agg(
-        F.count(F.lit(1)).alias("_nb")
-    )
-    item = pos.groupBy("isbn").agg(F.count(F.lit(1)).alias("_ni"))
-    pairs = (
-        pos.alias("a")
-        .join(pos.alias("b"), "user_id")
-        .where(F.col("a.isbn") < F.col("b.isbn"))
-        .groupBy(F.col("a.isbn").alias("_ia"), F.col("b.isbn").alias("_ib"))
-        .agg(F.count(F.lit(1)).alias("n_both"))
-        .where(F.col("n_both") >= min_count)
-    )
-    both_dirs = pairs.select(
-        F.col("_ia").alias("antecedent"), F.col("_ib").alias("consequent"), "n_both"
-    ).unionByName(
-        pairs.select(
-            F.col("_ib").alias("antecedent"), F.col("_ia").alias("consequent"), "n_both"
-        )
-    )
-    out = (
-        both_dirs.join(
-            F.broadcast(item.select(F.col("isbn").alias("antecedent"), F.col("_ni").alias("n_ante"))),
-            "antecedent",
-        )
-        .join(
-            F.broadcast(item.select(F.col("isbn").alias("consequent"), F.col("_ni").alias("n_cons"))),
-            "consequent",
-        )
-        .crossJoin(F.broadcast(n_baskets))
-        .select(
-            "antecedent",
-            "consequent",
-            "n_both",
-            "n_ante",
-            "n_cons",
-            F.round(F.col("n_both") / F.col("n_ante"), 6).alias("confidence"),
-            F.round(
-                (F.col("n_both") * F.col("_nb")) / (F.col("n_ante") * F.col("n_cons")),
-                6,
-            ).alias("lift"),
-        )
-    )
-    return out.where(F.col("confidence") >= min_confidence)

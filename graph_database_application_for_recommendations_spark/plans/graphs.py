@@ -643,54 +643,3 @@ def k_truss(
     return kept.select(
         F.col("a").alias(src), F.col("b").alias(dst), "support"
     )
-
-
-def degree_assortativity(edges: DataFrame) -> DataFrame:
-    """One row (n_nodes, n_edges, avg_degree, assortativity): Newman's
-    degree assortativity coefficient (Newman 2002, "Assortative mixing
-    in networks") over an UNDIRECTED graph given as a doubled directed
-    edge list — the Pearson correlation of (deg(src), deg(dst)) across
-    directed edges, which on the doubled list equals Newman's
-    excess-degree formula exactly.
-
-    r > 0: hubs attach to hubs (social-graph signature); r < 0: hubs
-    attach to leaves (dissortative, typical of dependency/biology
-    graphs). The single summary number that says whether degree-targeted
-    sampling/salting will concentrate or spread load.
-
-    Every aggregate (M, Σx, Σxy, Σx²) is an exact 64-bit integer —
-    degrees are integers — so both engines reach the identical doubles
-    in the one final division. Plan: one degree aggregate (node-sized,
-    broadcast onto the edge list twice), one global aggregate. The
-    symmetric denominator is kept in its general Pearson form so the
-    operator stays correct for non-doubled inputs too."""
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
-    e2 = (
-        edges.join(F.broadcast(deg.select(F.col("src"), F.col("_d").alias("_dx"))), "src")
-        .join(
-            F.broadcast(deg.select(F.col("src").alias("dst"), F.col("_d").alias("_dy"))),
-            "dst",
-        )
-    )
-    agg = e2.agg(
-        F.count(F.lit(1)).alias("_m"),
-        F.sum("_dx").alias("_sx"),
-        F.sum("_dy").alias("_sy"),
-        F.sum(F.col("_dx") * F.col("_dy")).alias("_sxy"),
-        F.sum(F.col("_dx") * F.col("_dx")).alias("_sxx"),
-        F.sum(F.col("_dy") * F.col("_dy")).alias("_syy"),
-    )
-    nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
-    num = F.col("_m") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
-    den = F.sqrt(
-        (F.col("_m") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("double")
-        * (F.col("_m") * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast("double")
-    )
-    return nodes.crossJoin(F.broadcast(agg)).select(
-        "n_nodes",
-        F.expr("_m DIV 2").alias("n_edges"),
-        F.round(F.col("_sx") / F.col("_m"), 6).alias("avg_degree"),
-        F.when(den > 0, F.round(num / den, 6)).otherwise(F.lit(None).cast("double")).alias(
-            "assortativity"
-        ),
-    )

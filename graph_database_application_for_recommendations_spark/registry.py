@@ -8027,55 +8027,6 @@ register(
 )
 
 
-# Degree assortativity (Newman 2002) of the strong co-rating graph:
-# integer-exact Pearson of endpoint degrees on the doubled edge list.
-def _assortativity_q(s: SparkSession, d: str) -> DataFrame:
-    from .plans.graphs import degree_assortativity
-
-    strong = _corating_double(s, d).filter(F.col("weight") >= COMPONENTS_MIN_WEIGHT)
-    return degree_assortativity(strong.select("src", "dst"))
-
-
-register(
-    "q_graph_assortativity",
-    _assortativity_q,
-    _q(
-        f"""
-        , pos AS (SELECT user_id, isbn FROM ratings WHERE rating >= 6),
-        und AS (
-          SELECT src, dst FROM (
-            SELECT a.user_id AS src, b.user_id AS dst, COUNT(*) AS w
-            FROM pos a JOIN pos b USING (isbn)
-            WHERE a.user_id <> b.user_id
-            GROUP BY a.user_id, b.user_id)
-          WHERE w >= {COMPONENTS_MIN_WEIGHT}),
-        deg AS (SELECT src AS node, COUNT(*) AS dg FROM und GROUP BY src),
-        e2 AS (
-          SELECT dx.dg AS x, dy.dg AS y
-          FROM und JOIN deg dx ON dx.node = und.src
-                   JOIN deg dy ON dy.node = und.dst),
-        a AS (
-          SELECT CAST(COUNT(*) AS BIGINT) AS m,
-                 CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-                 CAST(SUM(x * y) AS BIGINT) AS sxy,
-                 CAST(SUM(x * x) AS BIGINT) AS sxx,
-                 CAST(SUM(y * y) AS BIGINT) AS syy
-          FROM e2),
-        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg)
-        SELECT n_nodes, m // 2 AS n_edges,
-               ROUND(CAST(sx AS DOUBLE) / m, 6) AS avg_degree,
-               CASE WHEN SQRT(CAST(m * sxx - sx * sx AS DOUBLE)
-                              * CAST(m * syy - sy * sy AS DOUBLE)) > 0
-                    THEN ROUND((m * sxy - sx * sy)
-                               / SQRT(CAST(m * sxx - sx * sx AS DOUBLE)
-                                      * CAST(m * syy - sy * sy AS DOUBLE)), 6)
-                    ELSE NULL END AS assortativity
-        FROM nn, a
-        """
-    ),
-)
-
-
 # Matryoshka truncated-dimension recall curve (Kusupati et al. 2022):
 # recall@k of prefix-dim cosine top-k vs the full-dim exact spine — how
 # many dimensions the index needs before recall saturates. The full-dim
@@ -8127,49 +8078,6 @@ register(
         _ref(s, d).embeddings, dims=_MRL_DIMS, k=_MRL_K
     ),
     _matryoshka_oracle(_MRL_DIMS, _MRL_K),
-)
-
-
-# Association rules (Agrawal & Srikant 1994) over the positive-rating
-# baskets: exact integer supports -> confidence/lift, the market-basket
-# serving face next to q_recsys_fpgrowth's itemset counts.
-def _assoc_rules_q(s: SparkSession, d: str) -> DataFrame:
-    from .plans.fpgrowth import association_rules
-
-    return association_rules(
-        _ref(s, d).ratings, min_count=3, min_rating=6, min_confidence=0.2
-    )
-
-
-register(
-    "q_recsys_rules",
-    _assoc_rules_q,
-    _q(
-        """
-        , pos AS (SELECT DISTINCT user_id, isbn FROM ratings WHERE rating >= 6),
-        nb AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n FROM pos),
-        item AS (SELECT isbn, CAST(COUNT(*) AS BIGINT) AS ni FROM pos GROUP BY isbn),
-        pairs AS (
-          SELECT a.isbn AS ia, b.isbn AS ib, CAST(COUNT(*) AS BIGINT) AS n_both
-          FROM pos a JOIN pos b ON a.user_id = b.user_id AND a.isbn < b.isbn
-          GROUP BY a.isbn, b.isbn
-          HAVING COUNT(*) >= 3),
-        dirs AS (
-          SELECT ia AS antecedent, ib AS consequent, n_both FROM pairs
-          UNION ALL
-          SELECT ib, ia, n_both FROM pairs),
-        scored AS (
-          SELECT antecedent, consequent, n_both,
-                 ante.ni AS n_ante, cons.ni AS n_cons,
-                 ROUND(CAST(n_both AS DOUBLE) / ante.ni, 6) AS confidence,
-                 ROUND(CAST(n_both * nb.n AS DOUBLE) / (ante.ni * cons.ni), 6) AS lift
-          FROM dirs
-          JOIN item ante ON ante.isbn = dirs.antecedent
-          JOIN item cons ON cons.isbn = dirs.consequent
-          CROSS JOIN nb)
-        SELECT * FROM scored WHERE confidence >= 0.2
-        """
-    ),
 )
 
 

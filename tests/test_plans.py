@@ -445,53 +445,6 @@ def test_quantize_computes_max_before_explode(spark):
     assert "array_max" not in plan[:gen], "array_max above Generate = per-row re-eval"
 
 
-def test_assortativity_star_and_regular(spark):
-    """A star is perfectly dissortative (hubs meet leaves: r = -1); a
-    regular graph (triangle) has zero degree variance -> NULL."""
-    from graph_database_application_for_recommendations_spark.plans.graphs import (
-        degree_assortativity,
-    )
-
-    def doubled(pairs):
-        return spark.createDataFrame(
-            [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs],
-            "src long, dst long",
-        )
-
-    star = degree_assortativity(doubled([(0, 1), (0, 2), (0, 3)])).collect()[0]
-    assert star["n_nodes"] == 4 and star["n_edges"] == 3
-    assert star["assortativity"] == -1.0
-    tri = degree_assortativity(doubled([(1, 2), (2, 3), (3, 1)])).collect()[0]
-    assert tri["assortativity"] is None and tri["avg_degree"] == 2.0
-
-
-def test_association_rules_hand_counts(spark):
-    """3 baskets: {x,y}, {x,y}, {x,z}. Rule y->x has confidence 1.0 and
-    lift 1.0 (x is in every basket - no information); x->y has
-    confidence 2/3 and lift 1.0; y->z dropped (no co-occurrence >= 2
-    with min_count=2)."""
-    from graph_database_application_for_recommendations_spark.plans.fpgrowth import (
-        association_rules,
-    )
-
-    rows = [
-        (1, "x", 8), (1, "y", 8),
-        (2, "x", 8), (2, "y", 8),
-        (3, "x", 8), (3, "z", 8),
-        (4, "q", 2),  # below min_rating: ignored entirely
-    ]
-    ratings = spark.createDataFrame(rows, "user_id long, isbn string, rating int")
-    got = {
-        (r["antecedent"], r["consequent"]): r.asDict()
-        for r in association_rules(ratings, min_count=2, min_confidence=0.0).collect()
-    }
-    assert got[("y", "x")]["confidence"] == 1.0
-    assert got[("y", "x")]["lift"] == 1.0
-    assert got[("x", "y")]["confidence"] == 0.666667
-    assert got[("x", "y")]["lift"] == 1.0
-    assert ("x", "z") not in got  # n_both=1 < min_count
-
-
 def test_linkpred_auc_discriminates_planted_structure(spark):
     """Planted two-block ratings: within-block pairs share train AND
     test items; a weak cross-block pair shares one train item but no
