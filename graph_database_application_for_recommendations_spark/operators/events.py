@@ -623,3 +623,38 @@ def time_split_report(events: DataFrame, cutoff_us: int) -> DataFrame:
         .otherwise(F.lit(None).cast("double"))
         .alias("cold_fraction"),
     )
+
+
+def interarrival_profile(events: DataFrame) -> DataFrame:
+    """(event_type, gap_bucket, n): per-type histogram of log2-bucketed
+    inter-arrival gaps between a user's consecutive events of that type —
+    the burstiness fingerprint behind rate-limit tuning, bot detection
+    and session-gap calibration (the empirical basis for choosing
+    ``sessionize``'s gap parameter instead of folklore 30 minutes).
+
+    gap_bucket = floor(log2(gap_seconds)) for positive gaps, -1 for
+    same-instant repeats; integer-exact on both engines because the
+    bucket comes from BIGINT second gaps via length-of-binary rather
+    than float log2 (floor(log2(n)) = bit_length(n) - 1). Windows
+    partition per (user, type) — never corpus-wide."""
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    # integer DIV, not a double cast: Spark CAST(double AS BIGINT)
+    # truncates while DuckDB's rounds — DIV sidesteps the divergence
+    gaps = (
+        events.select(
+            "event_type",
+            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias(
+                "_gap_us"
+            ),
+        )
+        .where(F.col("_gap_us").isNotNull())
+        .select("event_type", F.expr("_gap_us DIV 1000000").alias("_gap_s"))
+    )
+    bucket = F.when(F.col("_gap_s") <= 0, F.lit(-1)).otherwise(
+        # floor(log2(n)) via the bit length of the BIGINT gap: exact,
+        # no float log edge cases at bucket boundaries
+        F.length(F.conv(F.col("_gap_s"), 10, 2)) - 1
+    )
+    return gaps.groupBy("event_type", bucket.cast("long").alias("gap_bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    )

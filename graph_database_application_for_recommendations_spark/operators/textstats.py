@@ -1887,3 +1887,43 @@ def source_js_divergence(
             6,
         ).alias("js_divergence"),
     )
+
+
+def encoding_noise_scores(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_chars, n_replacement, n_control, n_mojibake,
+    noise_ratio): encoding-damage signals — the cleanup filter every
+    web-scrape pipeline runs before tokenization (CCNet/C4 both drop
+    encoding-broken pages):
+
+    - n_replacement: U+FFFD replacement characters (decode failures);
+    - n_control: C0/C1 control characters other than tab/newline/CR
+      (binary junk that survived extraction);
+    - n_mojibake: double-encoded UTF-8 artifacts — 'Ã'/'Â' followed by
+      a Latin-1 supplement char, the classic utf8-read-as-latin1
+      signature ('é' → 'Ã©');
+    - noise_ratio: (replacement + control + mojibake) / chars, 6dp.
+
+    All four counts are regexp_extract_all lengths over the RAW text —
+    per-row JVM work, no shuffle; both engines use RE2-safe character
+    classes."""
+    n_chars = F.char_length(F.col(text_col))
+
+    def _count(pat: str):
+        return F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))
+        ).cast("long")
+
+    n_repl = _count(r"�")
+    n_ctrl = _count(r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]")
+    n_moji = _count(r"[ÂÃ][ -ÿ]")
+    total = n_repl + n_ctrl + n_moji
+    return documents.where(n_chars > 0).select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.cast("long").alias("n_chars"),
+        n_repl.alias("n_replacement"),
+        n_ctrl.alias("n_control"),
+        n_moji.alias("n_mojibake"),
+        F.round(total / n_chars, 6).alias("noise_ratio"),
+    )

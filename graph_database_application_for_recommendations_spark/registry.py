@@ -8248,6 +8248,50 @@ register(
 )
 
 
+# Encoding-damage scoring: replacement chars, stray controls and the
+# utf8-read-as-latin1 mojibake signature — the pre-tokenization cleanup
+# filter (CCNet/C4 drop encoding-broken pages).
+register(
+    "q_text_mojibake",
+    lambda s, d: textstats.encoding_noise_scores(_docs(s, d)),
+    r"""
+    WITH c AS (
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(regexp_extract_all(text, '�')) AS BIGINT) AS n_replacement,
+             CAST(len(regexp_extract_all(text,
+                  '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]')) AS BIGINT) AS n_control,
+             CAST(len(regexp_extract_all(text, '[ÂÃ][ -ÿ]')) AS BIGINT)
+               AS n_mojibake
+      FROM documents)
+    SELECT doc_id, n_chars, n_replacement, n_control, n_mojibake,
+           ROUND((n_replacement + n_control + n_mojibake) * 1.0 / n_chars, 6)
+             AS noise_ratio
+    FROM c WHERE n_chars > 0
+    """,
+)
+
+# Per-type inter-arrival histogram (log2-bucketed second gaps) — the
+# burstiness fingerprint that calibrates the sessionize gap empirically.
+register(
+    "q_events_interarrival",
+    lambda s, d: events.interarrival_profile(_ref(s, d).events),
+    """
+    WITH gaps AS (
+      SELECT event_type,
+             (epoch_us(ts) - lag(epoch_us(ts)) OVER w) // 1000000 AS gap_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)),
+    b AS (
+      SELECT event_type,
+             CASE WHEN gap_s <= 0 THEN -1
+                  ELSE CAST(length(bin(gap_s)) - 1 AS BIGINT) END AS gap_bucket
+      FROM gaps WHERE gap_s IS NOT NULL)
+    SELECT event_type, gap_bucket, CAST(COUNT(*) AS BIGINT) AS n
+    FROM b GROUP BY 1, 2
+    """,
+)
+
+
 # --- rows-only -> attestable-twin map (round-4 discipline) ------------------
 #
 # Every rows-only query must name an oracle-backed companion that value-

@@ -4129,3 +4129,45 @@ def test_time_split_report_cold_users(spark):
     assert (r["n_train"], r["n_test"]) == (3, 3)
     assert (r["n_train_users"], r["n_test_users"], r["n_cold_users"]) == (1, 2, 1)
     assert r["cold_fraction"] == 0.5
+
+
+def test_encoding_noise_and_interarrival(spark):
+    """Mojibake/control/replacement chars are each counted; clean text
+    scores 0. Inter-arrival buckets are exact bit-length log2 floors."""
+    import datetime as dt
+
+    from graph_database_application_for_recommendations_spark.operators.events import (
+        interarrival_profile,
+    )
+    from graph_database_application_for_recommendations_spark.operators.textstats import (
+        encoding_noise_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "clean text here"),
+            (2, "cafÃ© broken"),        # 'Ã©' mojibake pair
+            (3, "bad�char and\x01ctrl"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r.asDict() for r in encoding_noise_scores(docs).collect()}
+    assert rows[1]["noise_ratio"] == 0.0
+    assert rows[2]["n_mojibake"] == 1 and rows[2]["noise_ratio"] > 0
+    assert rows[3]["n_replacement"] == 1 and rows[3]["n_control"] == 1
+
+    t0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    ev = spark.createDataFrame(
+        [
+            (1, t0, 1, "a"),
+            (2, t0 + dt.timedelta(seconds=5), 1, "a"),    # gap 5s -> bucket 2
+            (3, t0 + dt.timedelta(seconds=5), 1, "a"),    # gap 0 -> bucket -1
+            (4, t0 + dt.timedelta(seconds=1029), 1, "a"), # gap 1024s -> bucket 10
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    got = {
+        (r["event_type"], r["gap_bucket"]): r["n"]
+        for r in interarrival_profile(ev).collect()
+    }
+    assert got == {("a", 2): 1, ("a", -1): 1, ("a", 10): 1}
