@@ -2272,3 +2272,34 @@ def dedup_keep_best(
             "fingerprint",
         )
     )
+
+
+def cross_source_dup_matrix(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """(source_a, source_b, n_shared_texts): how many DISTINCT exact
+    text fingerprints each source pair shares — the cross-source
+    duplication structure (mirror sites, syndicated feeds, scrape
+    overlap) that per-source dup profiles cannot see. The mixture-design
+    companion to the JS-divergence matrix: two sources can be
+    distributionally distinct yet share half their documents verbatim,
+    and this is the table that says so.
+
+    Plan: distinct (source, fingerprint) pairs, then a fingerprint
+    equi-join with per-fingerprint fanout bounded by |sources|²;
+    |sources|²-row aggregate."""
+    fp = documents.select(
+        F.col(source_col).alias("source"),
+        F.md5(F.col(text_col)).alias("fingerprint"),
+    ).distinct()
+    a = fp.select(F.col("source").alias("source_a"), "fingerprint")
+    b = fp.select(F.col("source").alias("source_b"), "fingerprint")
+    return (
+        a.join(b, "fingerprint")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_texts"))
+    )

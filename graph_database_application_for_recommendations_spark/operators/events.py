@@ -658,3 +658,37 @@ def interarrival_profile(events: DataFrame) -> DataFrame:
     return gaps.groupBy("event_type", bucket.cast("long").alias("gap_bucket")).agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+def value_anomalies_mad(events: DataFrame, k: float = 3.5) -> DataFrame:
+    """Robust per-type outliers via the median/MAD rule (Iglewicz &
+    Hoaglin 1993): events whose ``value`` sits more than ``k`` scaled
+    median-absolute-deviations from the type median. The companion to
+    the z-score detector for exactly the data that breaks it — the
+    outliers themselves inflate mean and stddev until z-scores go
+    blind, while median and MAD barely move (50% breakdown point).
+
+    (event_id, event_type, value, robust_z) with
+    robust_z = (value − median) / (1.4826·MAD), 6dp; types with
+    MAD = 0 (over half the values identical) emit nothing rather than
+    dividing by zero.
+
+    Plan: two per-type exact-percentile aggregates (|event_type| rows
+    each, broadcast back) around one scan-resident filter — the same
+    two-pass shape as ``value_anomalies``."""
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5D)").alias("_med")
+    )
+    withmed = events.select("event_id", "event_type", "value").join(
+        F.broadcast(med), "event_type"
+    )
+    mad = withmed.groupBy("event_type").agg(
+        F.expr("percentile(abs(value - _med), 0.5D)").alias("_mad")
+    )
+    rz = (F.col("value") - F.col("_med")) / (F.lit(1.4826) * F.col("_mad"))
+    return (
+        withmed.join(F.broadcast(mad), "event_type")
+        .where(F.col("_mad") > 0)
+        .filter(F.abs(rz) > k)
+        .select("event_id", "event_type", "value", F.round(rz, 6).alias("robust_z"))
+    )

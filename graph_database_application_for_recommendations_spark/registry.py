@@ -8292,6 +8292,47 @@ register(
 )
 
 
+# Robust (median/MAD) outliers — the companion to q_events_anomaly for
+# the data that breaks z-scores (outliers inflate mean/stddev; median
+# and MAD have a 50% breakdown point).
+register(
+    "q_events_anomaly_mad",
+    lambda s, d: events.value_anomalies_mad(_ref(s, d).events, k=3.5),
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY 1),
+    wm AS (
+      SELECT e.event_id, e.event_type, e.value, m.med
+      FROM events e JOIN med m USING (event_type)),
+    mad AS (
+      SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+      FROM wm GROUP BY 1)
+    SELECT event_id, wm.event_type, value,
+           ROUND((value - med) / (1.4826 * mad), 6) AS robust_z
+    FROM wm JOIN mad ON mad.event_type = wm.event_type
+    WHERE mad > 0 AND abs((value - med) / (1.4826 * mad)) > 3.5
+    """,
+)
+
+# Cross-source exact-duplication matrix: distinct shared fingerprints
+# per source pair — the mixture-design companion to q_text_source_js
+# (distributionally distinct sources can still share text verbatim).
+register(
+    "q_corpus_cross_source_dups",
+    lambda s, d: dedup.cross_source_dup_matrix(_docs(s, d)),
+    """
+    WITH fp AS (
+      SELECT DISTINCT source, md5(text) AS fingerprint FROM documents)
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_texts
+    FROM fp a JOIN fp b USING (fingerprint)
+    WHERE a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+
+
 # --- rows-only -> attestable-twin map (round-4 discipline) ------------------
 #
 # Every rows-only query must name an oracle-backed companion that value-

@@ -4171,3 +4171,43 @@ def test_encoding_noise_and_interarrival(spark):
         for r in interarrival_profile(ev).collect()
     }
     assert got == {("a", 2): 1, ("a", -1): 1, ("a", 10): 1}
+
+
+def test_mad_anomalies_and_cross_source_dups(spark):
+    """MAD flags the outlier a constant-heavy distribution hides from
+    nothing (and median/MAD ignore the outlier's own pull); the
+    cross-source matrix counts planted shared texts once per distinct
+    text. The registered production binding returns 0 rows — this test
+    is the evidence the detector would catch violations."""
+    import datetime as dt
+
+    from graph_database_application_for_recommendations_spark.operators.dedup import (
+        cross_source_dup_matrix,
+    )
+    from graph_database_application_for_recommendations_spark.operators.events import (
+        value_anomalies_mad,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    rows = [(i, t0, 1, "a", float(v)) for i, v in enumerate([10, 11, 9, 12, 8, 10, 500])]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = value_anomalies_mad(ev, k=3.5).collect()
+    assert [r["event_id"] for r in out] == [6]
+    assert out[0]["robust_z"] > 100
+
+    docs = spark.createDataFrame(
+        [
+            (1, "shared text", "A"), (2, "shared text", "B"),
+            (3, "shared text", "B"),          # same text again: counted once
+            (4, "other shared", "A"), (5, "other shared", "C"),
+            (6, "unique", "C"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        (r["source_a"], r["source_b"]): r["n_shared_texts"]
+        for r in cross_source_dup_matrix(docs).collect()
+    }
+    assert got == {("A", "B"): 1, ("A", "C"): 1}
