@@ -291,6 +291,11 @@ def format_record(
         dict(strip_prefix=True, sig=2, width=12, tags=True, extras=False),
         dict(strip_prefix=True, sig=2, width=14),
         dict(strip_prefix=True, sig=2, width=10),
+        # the 113-query mix overflows width=10; keep shrinking rather
+        # than dropping any per-query time (the one invariant here)
+        dict(strip_prefix=True, sig=2, width=8),
+        dict(strip_prefix=True, sig=2, width=7),
+        dict(strip_prefix=True, sig=1, width=6),
     )
     for kw in attempts:
         line = _compact(timings, **kw)
