@@ -1927,3 +1927,66 @@ def encoding_noise_scores(
         n_moji.alias("n_mojibake"),
         F.round(total / n_chars, 6).alias("noise_ratio"),
     )
+
+
+def _percentile_rank(scored: DataFrame, value_col: str, out_col: str) -> DataFrame:
+    """scored + ``out_col``: exact empirical percentile rank (cume_dist
+    semantics — fraction of rows with value <= this row's) computed via
+    the distinct-VALUE histogram + its bounded cumulative window and a
+    join back, never a corpus-row-sized window. Integer/integer ratio,
+    6dp."""
+    hist = scored.groupBy(value_col).agg(F.count(F.lit(1)).alias("_n"))
+    w = Window.orderBy(value_col).rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("_cum", F.sum("_n").over(w))
+    total = hist.agg(F.sum("_n").alias("_tot"))
+    ranks = cum.crossJoin(F.broadcast(total)).select(
+        value_col, F.round(F.col("_cum") / F.col("_tot"), 6).alias(out_col)
+    )
+    return scored.join(F.broadcast(ranks), value_col)
+
+
+def quality_percentile_fusion(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, pr_stopword, pr_lm, pr_lexical, fused_score): three
+    higher-is-better quality signals — stopword ratio, LM-bigram
+    typicality, type-token ratio — each mapped to its exact empirical
+    percentile rank, then averaged. Rank-space fusion is the filter-side
+    analog of reciprocal-rank fusion: incommensurable signals (a ratio,
+    a log-probability, a diversity index) become combinable without
+    per-signal scaling folklore, and the fused score is uniform-ish by
+    construction so one global keep-fraction threshold does what it
+    says.
+
+    Only documents carrying ALL three signals appear (inner joins; docs
+    under 2 chars have no LM score by that operator's contract).
+
+    Plan: three bounded distinct-value histograms with their cumulative
+    windows (the sanctioned two-level pattern — never a corpus-row
+    window), broadcast rank tables joined back, one final projection."""
+    sw = quality_scores(documents, id_col, text_col).select(
+        "doc_id", F.col("stopword_ratio").alias("_sw")
+    )
+    lm = lm_bigram_scores(documents, id_col, text_col).select(
+        "doc_id", F.col("lm_score").alias("_lm")
+    )
+    lex = lexical_diversity(documents, id_col, text_col).select(
+        "doc_id", F.col("ttr").alias("_lex")
+    )
+    joined = sw.join(lm, "doc_id").join(lex, "doc_id")
+    ranked = _percentile_rank(
+        _percentile_rank(
+            _percentile_rank(joined, "_sw", "pr_stopword"), "_lm", "pr_lm"
+        ),
+        "_lex",
+        "pr_lexical",
+    )
+    return ranked.select(
+        "doc_id",
+        "pr_stopword",
+        "pr_lm",
+        "pr_lexical",
+        F.round(
+            (F.col("pr_stopword") + F.col("pr_lm") + F.col("pr_lexical")) / 3, 6
+        ).alias("fused_score"),
+    )

@@ -8333,6 +8333,53 @@ register(
 )
 
 
+# Rank-space quality-signal fusion: three incommensurable signals each
+# mapped to exact empirical percentile rank (two-level histogram on the
+# Spark side; the oracle can use cume_dist directly — same semantics,
+# ties included), then averaged. The filter-side analog of RRF.
+register(
+    "q_text_quality_fused",
+    lambda s, d: textstats.quality_percentile_fusion(_docs(s, d)),
+    _q_docs(
+        f"""
+        , tokf AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS token FROM norm),
+        swq AS (
+          SELECT doc_id,
+                 ROUND(AVG(CASE WHEN token IN ({_SW_EN}) THEN 1.0 ELSE 0.0 END), 6) AS sw
+          FROM tokf GROUP BY doc_id),
+        baseq AS (SELECT doc_id, norm FROM norm WHERE length(norm) >= 2),
+        gramsq AS (
+          SELECT doc_id, unnest([substr(norm, i, 2) for i in range(1, length(norm))]) AS bigram
+          FROM baseq),
+        bigq AS (SELECT bigram, COUNT(*) AS cnt FROM gramsq GROUP BY bigram),
+        preq AS (SELECT substr(bigram, 1, 1) AS c1, SUM(cnt) AS tot FROM bigq GROUP BY 1),
+        modelq AS (
+          SELECT bigram, log2(CAST(cnt AS DOUBLE) / tot) AS lp
+          FROM bigq JOIN preq ON substr(bigq.bigram, 1, 1) = preq.c1),
+        lmq AS (
+          SELECT doc_id, ROUND(AVG(lp), 6) AS lm
+          FROM gramsq JOIN modelq USING (bigram) GROUP BY doc_id),
+        tcq AS (SELECT doc_id, token, COUNT(*) AS c FROM tokf GROUP BY 1, 2),
+        lexq AS (
+          SELECT doc_id, ROUND(COUNT(*) * 1.0 / SUM(c), 6) AS lex
+          FROM tcq GROUP BY doc_id),
+        j AS (
+          SELECT swq.doc_id, sw, lm, lex
+          FROM swq JOIN lmq USING (doc_id) JOIN lexq USING (doc_id)),
+        r AS (
+          SELECT doc_id,
+                 ROUND(cume_dist() OVER (ORDER BY sw), 6) AS pr_stopword,
+                 ROUND(cume_dist() OVER (ORDER BY lm), 6) AS pr_lm,
+                 ROUND(cume_dist() OVER (ORDER BY lex), 6) AS pr_lexical
+          FROM j)
+        SELECT doc_id, pr_stopword, pr_lm, pr_lexical,
+               ROUND((pr_stopword + pr_lm + pr_lexical) / 3, 6) AS fused_score
+        FROM r
+        """
+    ),
+)
+
+
 # --- rows-only -> attestable-twin map (round-4 discipline) ------------------
 #
 # Every rows-only query must name an oracle-backed companion that value-

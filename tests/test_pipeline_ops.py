@@ -4211,3 +4211,18 @@ def test_mad_anomalies_and_cross_source_dups(spark):
         for r in cross_source_dup_matrix(docs).collect()
     }
     assert got == {("A", "B"): 1, ("A", "C"): 1}
+
+
+def test_percentile_fusion_rank_semantics(spark):
+    """_percentile_rank is cume_dist (ties share the inclusive rank);
+    fusion averages the three ranks. The top-ranked doc on every signal
+    fuses to 1.0."""
+    from graph_database_application_for_recommendations_spark.operators.textstats import (
+        _percentile_rank,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0.1), (2, 0.5), (3, 0.5), (4, 0.9)], "doc_id long, v double"
+    )
+    pr = {r["doc_id"]: r["pr"] for r in _percentile_rank(df, "v", "pr").collect()}
+    assert pr == {1: 0.25, 2: 0.75, 3: 0.75, 4: 1.0}
