@@ -1092,3 +1092,29 @@ def export_jsonl_shards(
     assigned.repartition("shard_id").write.mode("overwrite").partitionBy(
         "shard_id"
     ).json(dest)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 16,
+    path: str | None = None,
+) -> None:
+    """Persist ``df`` hash-bucketed (and sorted) by ``bucket_cols`` —
+    Spark's co-located join layout: two tables bucketed the same way
+    join WITHOUT either side shuffling (the Exchange disappears from
+    the physical plan), which at 100 TB turns every repeated fact-fact
+    join on the bucket key from a full network shuffle into a local
+    merge. This is the write-side investment the co-rating self-join
+    and the ingest index reads amortize.
+
+    Bucketed output requires the table catalog (``saveAsTable``);
+    ``path`` pins the storage location when given. The bucket count
+    must match on both join sides to elide the shuffle."""
+    w = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols).sortBy(
+        *bucket_cols
+    )
+    if path is not None:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table)

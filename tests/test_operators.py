@@ -656,3 +656,42 @@ def test_bench_record_fits_driver_tail_budget():
     line = bench.format_record(timings, 999.985, 0.1, 32, 12)
     assert len(line) <= bench.RECORD_BUDGET, len(line)
     assert len(json.loads(line)["queries"]) == len(mix)
+
+
+def test_bucketed_join_elides_shuffle(spark, tmp_path):
+    """Two tables bucketed identically on the join key join with NO
+    Exchange on either side (the co-located merge join); an unbucketed
+    read of the same data shuffles. This is the plan-level proof of the
+    write_bucketed contract."""
+    from pyspark.sql import functions as F
+
+    from graph_database_application_for_recommendations_spark.operators.etl import (
+        write_bucketed,
+    )
+
+    a = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") % 7).alias("va"))
+    b = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") % 5).alias("vb"))
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the sort-merge path: at test sizes Spark would broadcast,
+        # which bypasses bucketing entirely ("Bucketed: false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed(a, "t_bk_a", ["k"], 8, str(tmp_path / "a"))
+        write_bucketed(b, "t_bk_b", ["k"], 8, str(tmp_path / "b"))
+        joined = spark.table("t_bk_a").join(spark.table("t_bk_b"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        assert joined.count() == 1000
+        # control: the same data read plainly DOES shuffle
+        pa = spark.read.parquet(str(tmp_path / "a"))
+        pb = spark.read.parquet(str(tmp_path / "b"))
+        plain = pa.join(pb, "k")
+        assert (
+            "Exchange hashpartitioning"
+            in plain._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        spark.sql("DROP TABLE IF EXISTS t_bk_a")
+        spark.sql("DROP TABLE IF EXISTS t_bk_b")
