@@ -13,7 +13,7 @@ canonicalized to order-then-limit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -258,3 +258,76 @@ def viz_export(graph_data: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.col("rating").cast("double").alias("value"),
     )
     return user_nodes.unionByName(book_nodes), edges
+
+
+def implicit_training_samples(
+    ratings: DataFrame, k: int = 4, min_rating: int = 6
+) -> DataFrame:
+    """(user_id, isbn, label): the implicit-feedback training table a
+    BPR/ALS-style ranker consumes (Rendle et al. 2009) — every positive
+    interaction plus up to ``k`` deterministic negatives per user,
+    uniformly drawn from the item catalog with md5 arithmetic instead
+    of an RNG, so the table is reproducible across runs, engines and
+    cluster sizes (the property a training-data export must have).
+
+    Draw protocol: 2k indexed candidates per user (j = 0..2k−1, item =
+    catalog[md5(user#j) mod |catalog|]), drop draws that hit the user's
+    positives or duplicate an earlier draw (smallest j wins), keep the
+    first k by draw order. Heavy raters can exhaust the candidate pool
+    and emit fewer than k negatives — by contract, not silently (the
+    2k oversample makes that rare at realistic catalog sizes).
+
+    Plan: the item catalog gets a contiguous index via a window over the
+    DISTINCT item table (dimension-bounded, the sanctioned shape), then
+    broadcasts onto the per-user candidate explosion; positives knock
+    out candidates with one anti-join."""
+    from ..functions.text import md5_hash32
+
+    pos = (
+        ratings.filter(F.col("rating") >= min_rating)
+        .select("user_id", "isbn")
+        .distinct()
+    )
+    items = pos.select("isbn").distinct()
+    w = Window.orderBy("isbn")
+    idx = items.withColumn("_idx", F.row_number().over(w) - 1)
+    n_items = idx.agg(F.count(F.lit(1)).alias("_n"))
+    draws = (
+        pos.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(n_items))
+        .select(
+            "user_id",
+            "_n",
+            F.explode(F.sequence(F.lit(0), F.lit(2 * k - 1))).alias("_j"),
+        )
+        .select(
+            "user_id",
+            "_j",
+            F.pmod(
+                md5_hash32(
+                    F.concat_ws("#", F.col("user_id"), F.col("_j")), seed=0
+                ),
+                F.col("_n"),
+            ).alias("_idx"),
+        )
+        .join(F.broadcast(idx), "_idx")
+    )
+    # drop positive hits, dedup repeated draws (smallest j wins), keep k
+    clean = (
+        draws.join(pos, ["user_id", "isbn"], "left_anti")
+        .withColumn(
+            "_rn_item",
+            F.row_number().over(
+                Window.partitionBy("user_id", "isbn").orderBy("_j")
+            ),
+        )
+        .where(F.col("_rn_item") == 1)
+        .withColumn(
+            "_rn", F.row_number().over(Window.partitionBy("user_id").orderBy("_j"))
+        )
+        .where(F.col("_rn") <= k)
+    )
+    return pos.select("user_id", "isbn", F.lit(1).alias("label")).unionByName(
+        clean.select("user_id", "isbn", F.lit(0).alias("label"))
+    )

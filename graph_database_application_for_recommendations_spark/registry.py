@@ -8380,6 +8380,45 @@ register(
 )
 
 
+# BPR-style implicit-feedback training table (Rendle et al. 2009):
+# positives + md5-deterministic uniform negatives — reproducible across
+# runs/engines/cluster sizes, the export property a trainer needs.
+register(
+    "q_recsys_training_samples",
+    lambda s, d: recommend.implicit_training_samples(_ref(s, d).ratings, k=4),
+    _q(
+        """
+        , pos AS (SELECT DISTINCT user_id, isbn FROM ratings WHERE rating >= 6),
+        items AS (
+          SELECT isbn, ROW_NUMBER() OVER (ORDER BY isbn) - 1 AS idx
+          FROM (SELECT DISTINCT isbn FROM pos)),
+        nn AS (SELECT COUNT(*) AS n FROM items),
+        draws AS (
+          SELECT u.user_id, j.j,
+                 CAST(('0x' || substr(md5(CAST(u.user_id AS VARCHAR) || '#'
+                      || CAST(j.j AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % (SELECT n FROM nn) AS idx
+          FROM (SELECT DISTINCT user_id FROM pos) u, range(0, 8) j(j)),
+        cand AS (
+          SELECT d.user_id, i.isbn, d.j
+          FROM draws d JOIN items i USING (idx)
+          ANTI JOIN pos p ON p.user_id = d.user_id AND p.isbn = i.isbn),
+        ded AS (
+          SELECT user_id, isbn, j FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, isbn ORDER BY j) AS rn
+            FROM cand) WHERE rn = 1),
+        keep AS (
+          SELECT user_id, isbn FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY j) AS rn
+            FROM ded) WHERE rn <= 4)
+        SELECT user_id, isbn, 1 AS label FROM pos
+        UNION ALL
+        SELECT user_id, isbn, 0 AS label FROM keep
+        """
+    ),
+)
+
+
 # --- rows-only -> attestable-twin map (round-4 discipline) ------------------
 #
 # Every rows-only query must name an oracle-backed companion that value-

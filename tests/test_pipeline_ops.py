@@ -4226,3 +4226,29 @@ def test_percentile_fusion_rank_semantics(spark):
     )
     pr = {r["doc_id"]: r["pr"] for r in _percentile_rank(df, "v", "pr").collect()}
     assert pr == {1: 0.25, 2: 0.75, 3: 0.75, 4: 1.0}
+
+
+def test_implicit_training_samples_contract(spark):
+    """Negatives never collide with a user's positives, at most k per
+    user, no duplicate (user, item) pairs, and the draw is reproducible
+    run to run."""
+    from graph_database_application_for_recommendations_spark.operators.recommend import (
+        implicit_training_samples,
+    )
+
+    # sub-threshold ratings contribute nothing: catalog = positive items
+    rows = [(u, f"i{i}", 8) for u in range(5) for i in range(u + 1)] + [
+        (u, f"i{i}", 2) for u in range(5) for i in range(20)
+    ]
+    ratings = spark.createDataFrame(rows, "user_id long, isbn string, rating int")
+    out = implicit_training_samples(ratings, k=3).collect()
+    pos = {(r["user_id"], r["isbn"]) for r in out if r["label"] == 1}
+    neg = [(r["user_id"], r["isbn"]) for r in out if r["label"] == 0]
+    assert not (set(neg) & pos)
+    assert len(set(neg)) == len(neg)
+    from collections import Counter
+
+    per_user = Counter(u for u, _ in neg)
+    assert all(c <= 3 for c in per_user.values())
+    again = implicit_training_samples(ratings, k=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
