@@ -331,3 +331,88 @@ def implicit_training_samples(
     return pos.select("user_id", "isbn", F.lit(1).alias("label")).unionByName(
         clean.select("user_id", "isbn", F.lit(0).alias("label"))
     )
+
+
+def holdout_hitrate(
+    ratings: DataFrame, k: int = 10, min_rating: int = 6
+) -> DataFrame:
+    """One row (k, n_users, n_hits, hit_rate): leave-one-out offline
+    evaluation of the item-based CF recommender (Sarwar et al. 2001
+    scoring; the standard HR@k protocol, e.g. the NCF evaluation
+    setup) — with an md5-deterministic holdout instead of a random one
+    so both engines evaluate the identical experiment.
+
+    Per user with >= 2 positives: hold out the positive with the
+    largest md5(user#item) hash; build item-item Jaccard on the
+    REMAINING interactions; score each unseen candidate by the SUM of
+    its similarities to the user's train items; hit iff the held-out
+    item ranks in the top-k (score rounded 6dp before ranking, ties by
+    item id). hit_rate = n_hits / n_users, 6dp.
+
+    Plan: user-keyed self-join for item co-occurrence (the item-CF
+    kernel), degree broadcast, per-user ranking windows. The eval
+    reduces to one row."""
+    from ..functions.text import md5_hash32
+
+    pos = (
+        ratings.filter(F.col("rating") >= min_rating)
+        .select("user_id", "isbn")
+        .distinct()
+    )
+    eligible = (
+        pos.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("_np"))
+        .where(F.col("_np") >= 2)
+        .select("user_id")
+    )
+    hv = pos.join(eligible, "user_id", "left_semi").withColumn(
+        "_h", md5_hash32(F.concat_ws("#", F.col("user_id"), F.col("isbn")), seed=0)
+    )
+    w_ho = Window.partitionBy("user_id").orderBy(F.desc("_h"), F.asc("isbn"))
+    marked = hv.withColumn("_rn", F.row_number().over(w_ho))
+    holdout = marked.where(F.col("_rn") == 1).select("user_id", "isbn")
+    train = marked.where(F.col("_rn") > 1).select("user_id", "isbn")
+
+    a = train.select("user_id", F.col("isbn").alias("i1"))
+    b = train.select("user_id", F.col("isbn").alias("i2"))
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("i1") != F.col("i2"))
+        .groupBy("i1", "i2")
+        .agg(F.count(F.lit(1)).alias("_w"))
+    )
+    deg = train.groupBy("isbn").agg(F.count(F.lit(1)).alias("_deg"))
+    sim = (
+        inter.join(F.broadcast(deg.select(F.col("isbn").alias("i1"), F.col("_deg").alias("_d1"))), "i1")
+        .join(F.broadcast(deg.select(F.col("isbn").alias("i2"), F.col("_deg").alias("_d2"))), "i2")
+        .select(
+            "i1",
+            "i2",
+            F.round(F.col("_w") / (F.col("_d1") + F.col("_d2") - F.col("_w")), 6).alias(
+                "_s"
+            ),
+        )
+    )
+    scores = (
+        train.join(sim, train["isbn"] == sim["i1"])
+        .groupBy("user_id", F.col("i2").alias("cand"))
+        .agg(F.round(F.sum("_s"), 6).alias("_score"))
+        .join(
+            train.select("user_id", F.col("isbn").alias("cand")),
+            ["user_id", "cand"],
+            "left_anti",
+        )
+    )
+    w_rank = Window.partitionBy("user_id").orderBy(F.desc("_score"), F.asc("cand"))
+    topk = scores.withColumn("_r", F.row_number().over(w_rank)).where(F.col("_r") <= k)
+    hits = topk.join(
+        holdout.select("user_id", F.col("isbn").alias("cand")), ["user_id", "cand"]
+    )
+    n_users = eligible.agg(F.count(F.lit(1)).alias("n_users"))
+    n_hits = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    return n_users.crossJoin(F.broadcast(n_hits)).select(
+        F.lit(int(k)).alias("k"),
+        "n_users",
+        "n_hits",
+        F.round(F.col("n_hits") / F.col("n_users"), 6).alias("hit_rate"),
+    )

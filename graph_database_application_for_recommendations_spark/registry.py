@@ -8419,6 +8419,64 @@ register(
 )
 
 
+# Leave-one-out HR@k of the item-based CF recommender — the offline
+# recsys evaluation (Sarwar 2001 scoring, NCF-style protocol) with an
+# md5-deterministic holdout so both engines run the identical experiment.
+register(
+    "q_recsys_holdout_hitrate",
+    lambda s, d: recommend.holdout_hitrate(_ref(s, d).ratings, k=10),
+    _q(
+        """
+        , pos AS (SELECT DISTINCT user_id, isbn FROM ratings WHERE rating >= 6),
+        eligible AS (
+          SELECT user_id FROM pos GROUP BY user_id HAVING COUNT(*) >= 2),
+        hv AS (
+          SELECT p.user_id, p.isbn,
+                 CAST(('0x' || substr(md5(CAST(p.user_id AS VARCHAR) || '#' || p.isbn),
+                      1, 8)) AS BIGINT) AS h
+          FROM pos p SEMI JOIN eligible e ON e.user_id = p.user_id),
+        marked AS (
+          SELECT user_id, isbn,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY h DESC, isbn) AS rn
+          FROM hv),
+        ho AS (SELECT user_id, isbn FROM marked WHERE rn = 1),
+        train AS (SELECT user_id, isbn FROM marked WHERE rn > 1),
+        inter AS (
+          SELECT a.isbn AS i1, b.isbn AS i2, COUNT(*) AS w
+          FROM train a JOIN train b ON a.user_id = b.user_id AND a.isbn <> b.isbn
+          GROUP BY 1, 2),
+        deg AS (SELECT isbn, COUNT(*) AS dg FROM train GROUP BY isbn),
+        sim AS (
+          SELECT i1, i2,
+                 ROUND(CAST(w AS DOUBLE) / (d1.dg + d2.dg - w), 6) AS s
+          FROM inter
+          JOIN deg d1 ON d1.isbn = inter.i1
+          JOIN deg d2 ON d2.isbn = inter.i2),
+        scores AS (
+          SELECT t.user_id, s.i2 AS cand, ROUND(SUM(s.s), 6) AS sc
+          FROM train t JOIN sim s ON s.i1 = t.isbn
+          GROUP BY 1, 2),
+        unseen AS (
+          SELECT sc.user_id, sc.cand, sc.sc FROM scores sc
+          ANTI JOIN train t ON t.user_id = sc.user_id AND t.isbn = sc.cand),
+        ranked AS (
+          SELECT user_id, cand,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY sc DESC, cand) AS r
+          FROM unseen),
+        hits AS (
+          SELECT r.user_id FROM ranked r
+          JOIN ho ON ho.user_id = r.user_id AND ho.isbn = r.cand
+          WHERE r.r <= 10)
+        SELECT 10 AS k,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM eligible) AS n_users,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) AS n_hits,
+               ROUND((SELECT COUNT(*) FROM hits) * 1.0
+                     / (SELECT COUNT(*) FROM eligible), 6) AS hit_rate
+        """
+    ),
+)
+
+
 # --- rows-only -> attestable-twin map (round-4 discipline) ------------------
 #
 # Every rows-only query must name an oracle-backed companion that value-

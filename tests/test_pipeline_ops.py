@@ -4252,3 +4252,23 @@ def test_implicit_training_samples_contract(spark):
     assert all(c <= 3 for c in per_user.values())
     again = implicit_training_samples(ratings, k=3).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_holdout_hitrate_planted_structure(spark):
+    """Users co-rating the same 4-item block always recover the held-out
+    item (HR@k = 1.0); single-positive users are excluded from the
+    eligible set."""
+    from graph_database_application_for_recommendations_spark.operators.recommend import (
+        holdout_hitrate,
+    )
+
+    # 9 users over one 8-item block: holdout picks vary per user (an
+    # item held out by EVERY user would vanish from all train sets and
+    # be unrecommendable — the 4-item version of this fixture did
+    # exactly that), so each held-out item keeps co-occurrence edges
+    rows = [(u, f"i{i}", 8) for u in range(1, 10) for i in range(8)]
+    rows += [(99, "lonely", 8)]  # one positive: not eligible
+    ratings = spark.createDataFrame(rows, "user_id long, isbn string, rating int")
+    r = holdout_hitrate(ratings, k=2).collect()[0]
+    assert r["n_users"] == 9
+    assert r["n_hits"] == 9 and r["hit_rate"] == 1.0
