@@ -1094,7 +1094,7 @@ def export_jsonl_shards(
     ).json(dest)
 
 
-def write_bucketed(
+def write_bucketed_table(
     df: DataFrame,
     table: str,
     bucket_cols: list[str],

@@ -666,7 +666,7 @@ def test_bucketed_join_elides_shuffle(spark, tmp_path):
     from pyspark.sql import functions as F
 
     from graph_database_application_for_recommendations_spark.operators.etl import (
-        write_bucketed,
+        write_bucketed_table,
     )
 
     a = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") % 7).alias("va"))
@@ -676,8 +676,8 @@ def test_bucketed_join_elides_shuffle(spark, tmp_path):
         # force the sort-merge path: at test sizes Spark would broadcast,
         # which bypasses bucketing entirely ("Bucketed: false")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        write_bucketed(a, "t_bk_a", ["k"], 8, str(tmp_path / "a"))
-        write_bucketed(b, "t_bk_b", ["k"], 8, str(tmp_path / "b"))
+        write_bucketed_table(a, "t_bk_a", ["k"], 8, str(tmp_path / "a"))
+        write_bucketed_table(b, "t_bk_b", ["k"], 8, str(tmp_path / "b"))
         joined = spark.table("t_bk_a").join(spark.table("t_bk_b"), "k")
         plan = joined._jdf.queryExecution().executedPlan().toString()
         assert "Exchange hashpartitioning" not in plan, plan
