@@ -409,10 +409,18 @@ def holdout_hitrate(
         holdout.select("user_id", F.col("isbn").alias("cand")), ["user_id", "cand"]
     )
     n_users = eligible.agg(F.count(F.lit(1)).alias("n_users"))
-    n_hits = hits.agg(F.count(F.lit(1)).alias("n_hits"))
-    return n_users.crossJoin(F.broadcast(n_hits)).select(
+    # single-holdout NDCG@k: gain 1/log2(1+rank) on hit, 0 on miss —
+    # missing users contribute 0 through the division by n_users
+    agg = hits.agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.coalesce(F.sum(F.lit(1.0) / F.log2(F.col("_r") + 1)), F.lit(0.0)).alias(
+            "_gain"
+        ),
+    )
+    return n_users.crossJoin(F.broadcast(agg)).select(
         F.lit(int(k)).alias("k"),
         "n_users",
         "n_hits",
         F.round(F.col("n_hits") / F.col("n_users"), 6).alias("hit_rate"),
+        F.round(F.col("_gain") / F.col("n_users"), 6).alias("ndcg"),
     )

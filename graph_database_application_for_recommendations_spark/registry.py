@@ -8464,16 +8464,46 @@ register(
                  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY sc DESC, cand) AS r
           FROM unseen),
         hits AS (
-          SELECT r.user_id FROM ranked r
+          SELECT r.user_id, r.r FROM ranked r
           JOIN ho ON ho.user_id = r.user_id AND ho.isbn = r.cand
           WHERE r.r <= 10)
         SELECT 10 AS k,
                (SELECT CAST(COUNT(*) AS BIGINT) FROM eligible) AS n_users,
                (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) AS n_hits,
                ROUND((SELECT COUNT(*) FROM hits) * 1.0
-                     / (SELECT COUNT(*) FROM eligible), 6) AS hit_rate
+                     / (SELECT COUNT(*) FROM eligible), 6) AS hit_rate,
+               ROUND((SELECT COALESCE(SUM(1.0 / log2(r + 1)), 0.0) FROM hits)
+                     / (SELECT COUNT(*) FROM eligible), 6) AS ndcg
         """
     ),
+)
+
+
+# Hour-of-day periodicity: Pearson chi-square vs the uniform 24-hour
+# expectation (zero-event hours contribute e each), UTC-epoch hours so
+# it is session-timezone-proof.
+register(
+    "q_events_periodicity",
+    lambda s, d: events.hourly_periodicity(_ref(s, d).events),
+    """
+    WITH counts AS (
+      SELECT event_type,
+             CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    tot AS (SELECT event_type, SUM(c) AS n FROM counts GROUP BY 1),
+    rk AS (
+      SELECT counts.event_type, hour, c, n,
+             ROW_NUMBER() OVER (PARTITION BY counts.event_type
+                                ORDER BY c DESC, hour) AS r
+      FROM counts JOIN tot ON tot.event_type = counts.event_type)
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+           ROUND(SUM(POW(c - n / 24.0, 2) / (n / 24.0))
+                 + (24 - COUNT(*)) * (MAX(n) / 24.0), 6) AS chi2,
+           MAX(CASE WHEN r = 1 THEN hour END) AS peak_hour,
+           ROUND(MAX(CASE WHEN r = 1 THEN c END) * 1.0 / MAX(n), 6) AS peak_share
+    FROM rk GROUP BY event_type
+    """,
 )
 
 

@@ -4272,3 +4272,25 @@ def test_holdout_hitrate_planted_structure(spark):
     r = holdout_hitrate(ratings, k=2).collect()[0]
     assert r["n_users"] == 9
     assert r["n_hits"] == 9 and r["hit_rate"] == 1.0
+    assert r["ndcg"] == 1.0  # every hit at rank 1: gain 1/log2(2)
+
+
+def test_hourly_periodicity_extremes(spark):
+    """All 24 events in one hour: chi2 = (24-1)^2/1 + 23*1 = 552 with
+    e = 1; a perfectly uniform day scores 0."""
+    import datetime as dt
+
+    from graph_database_application_for_recommendations_spark.operators.events import (
+        hourly_periodicity,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    burst = [(i, t0 + dt.timedelta(minutes=i), 1, "burst") for i in range(24)]
+    flat = [(100 + h, t0 + dt.timedelta(hours=h), 1, "flat") for h in range(24)]
+    ev = spark.createDataFrame(
+        burst + flat, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {r["event_type"]: r.asDict() for r in hourly_periodicity(ev).collect()}
+    assert got["burst"]["chi2"] == 552.0
+    assert got["burst"]["peak_hour"] == 0 and got["burst"]["peak_share"] == 1.0
+    assert got["flat"]["chi2"] == 0.0 and got["flat"]["peak_share"] == round(1 / 24, 6)
