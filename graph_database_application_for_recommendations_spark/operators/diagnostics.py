@@ -75,3 +75,87 @@ def k_anonymity_report(
             F.sum(F.when(F.col("_n") < k, F.col("_n")).otherwise(0)) / F.sum("_n"), 6
         ).alias("risky_fraction"),
     )
+
+
+def corpus_datasheet(
+    documents: DataFrame,
+    short_doc_tokens: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """One row — the release datasheet (Gebru et al. 2021, "Datasheets
+    for Datasets") a corpus ships with: composition, concentration and
+    redundancy at a glance.
+
+    (n_docs, n_sources, n_langs, n_tokens, mean_doc_tokens,
+     dup_doc_fraction, short_doc_fraction, top_source_share,
+     lang_entropy_bits)
+
+    - dup_doc_fraction = 1 − |distinct canonical fingerprints| / n_docs
+      (what fingerprint dedup would delete — the suite's canonical
+      token-set fingerprint, not raw md5(text), so whitespace variants
+      count as the duplicates they are);
+    - short_doc_fraction: docs under ``short_doc_tokens`` whitespace
+      tokens;
+    - top_source_share: the concentration number mixture design starts
+      from;
+    - lang_entropy_bits: Shannon entropy of the language distribution —
+      0 = monolingual, log2(|langs|) = balanced.
+
+    All counts exact integers; the entropy sums |langs| doubles. One
+    corpus scan into bounded aggregates — the datasheet costs one pass."""
+    from ..functions.text import canonical_fingerprint, tokens
+
+    base = documents.select(
+        F.col(id_col).alias("doc_id"),
+        canonical_fingerprint(F.col(text_col)).alias("_fp"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("_nt"),
+        F.col(source_col).alias("_src"),
+        F.col(lang_col).alias("_lang"),
+    )
+    main = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("_src").alias("n_sources"),
+        F.countDistinct("_lang").alias("n_langs"),
+        F.sum("_nt").alias("n_tokens"),
+        F.countDistinct("_fp").alias("_n_fp"),
+        F.sum(F.when(F.col("_nt") < short_doc_tokens, 1).otherwise(0)).alias("_short"),
+    )
+    src_top = (
+        base.groupBy("_src")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .agg(F.max("_c").alias("_top_src"))
+    )
+    lang_h = (
+        base.groupBy("_lang")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .crossJoin(F.broadcast(base.agg(F.count(F.lit(1)).alias("_n"))))
+        .agg(
+            F.round(
+                -F.sum(
+                    (F.col("_c") / F.col("_n"))
+                    * F.log2(F.col("_c") / F.col("_n"))
+                ),
+                6,
+            ).alias("lang_entropy_bits")
+        )
+    )
+    return (
+        main.crossJoin(F.broadcast(src_top))
+        .crossJoin(F.broadcast(lang_h))
+        .select(
+            "n_docs",
+            "n_sources",
+            "n_langs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("n_docs"), 6).alias("mean_doc_tokens"),
+            F.round(F.lit(1.0) - F.col("_n_fp") / F.col("n_docs"), 6).alias(
+                "dup_doc_fraction"
+            ),
+            F.round(F.col("_short") / F.col("n_docs"), 6).alias("short_doc_fraction"),
+            F.round(F.col("_top_src") / F.col("n_docs"), 6).alias("top_source_share"),
+            "lang_entropy_bits",
+        )
+    )

@@ -8507,6 +8507,48 @@ register(
 )
 
 
+# The release datasheet (Gebru et al. 2021): composition, concentration
+# and redundancy of the corpus in one oracle-checked row.
+register(
+    "q_corpus_datasheet",
+    lambda s, d: diagnostics.corpus_datasheet(_docs(s, d)),
+    _q_docs(
+        """
+        , bds AS (
+          SELECT d.doc_id,
+                 md5(array_to_string(list_sort(list_distinct(
+                     string_split(n.norm, ' '))), ' ')) AS fp,
+                 CAST(len(t.t) AS BIGINT) AS nt, d.source AS src, d.lang
+          FROM documents d JOIN toks t USING (doc_id)
+                           JOIN norm n ON n.doc_id = d.doc_id),
+        m AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(COUNT(DISTINCT src) AS BIGINT) AS n_sources,
+                 CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+                 CAST(SUM(nt) AS BIGINT) AS n_tokens,
+                 CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_fp,
+                 CAST(SUM(CASE WHEN nt < 50 THEN 1 ELSE 0 END) AS BIGINT) AS short_n
+          FROM bds),
+        st AS (
+          SELECT MAX(c) AS top_src FROM (
+            SELECT COUNT(*) AS c FROM bds GROUP BY src)),
+        lh AS (
+          SELECT ROUND(-SUM((c * 1.0 / n) * log2(c * 1.0 / n)), 6)
+                   AS lang_entropy_bits
+          FROM (SELECT lang, COUNT(*) AS c FROM bds GROUP BY lang),
+               (SELECT COUNT(*) AS n FROM bds))
+        SELECT n_docs, n_sources, n_langs, n_tokens,
+               ROUND(n_tokens * 1.0 / n_docs, 6) AS mean_doc_tokens,
+               ROUND(1.0 - n_fp * 1.0 / n_docs, 6) AS dup_doc_fraction,
+               ROUND(short_n * 1.0 / n_docs, 6) AS short_doc_fraction,
+               ROUND(top_src * 1.0 / n_docs, 6) AS top_source_share,
+               lang_entropy_bits
+        FROM m, st, lh
+        """
+    ),
+)
+
+
 # --- rows-only -> attestable-twin map (round-4 discipline) ------------------
 #
 # Every rows-only query must name an oracle-backed companion that value-

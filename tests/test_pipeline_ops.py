@@ -4294,3 +4294,29 @@ def test_hourly_periodicity_extremes(spark):
     assert got["burst"]["chi2"] == 552.0
     assert got["burst"]["peak_hour"] == 0 and got["burst"]["peak_share"] == 1.0
     assert got["flat"]["chi2"] == 0.0 and got["flat"]["peak_share"] == round(1 / 24, 6)
+
+
+def test_corpus_datasheet_hand_counts(spark):
+    """4 docs, 2 sources, 2 langs, one whitespace-variant duplicate pair
+    (canonical fingerprints match), one short doc: every cell checks by
+    hand; entropy of a 3:1 lang split = 0.811278 bits."""
+    from graph_database_application_for_recommendations_spark.operators.diagnostics import (
+        corpus_datasheet,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", "A", "en"),
+            (2, "alpha  beta   gamma", "A", "en"),   # canonical dup of 1
+            (3, " ".join(f"w{i}" for i in range(60)), "A", "en"),
+            (4, "tiny", "B", "de"),
+        ],
+        "doc_id long, text string, source string, lang string",
+    )
+    r = corpus_datasheet(docs, short_doc_tokens=50).collect()[0]
+    assert (r["n_docs"], r["n_sources"], r["n_langs"]) == (4, 2, 2)
+    assert r["n_tokens"] == 3 + 3 + 60 + 1
+    assert r["dup_doc_fraction"] == 0.25
+    assert r["short_doc_fraction"] == 0.75
+    assert r["top_source_share"] == 0.75
+    assert r["lang_entropy_bits"] == 0.811278
