@@ -176,6 +176,10 @@ BENCH_QUERIES = [
     "q_graph_linkpred_auc",
     "q_events_paths",
     "q_corpus_shards",
+    # the one-pass release datasheet (capstone rollup) and the
+    # chi-square periodicity profile (bounded hour-grid aggregate)
+    "q_corpus_datasheet",
+    "q_events_periodicity",
 ]
 
 # the iterative pipeline (FastRP -> KNN -> LPA) is measured as one unit,
