@@ -1990,3 +1990,61 @@ def quality_percentile_fusion(
             (F.col("pr_stopword") + F.col("pr_lm") + F.col("pr_lexical")) / 3, 6
         ).alias("fused_score"),
     )
+
+
+def _midrank(scored: DataFrame, value_col: str, out_col: str) -> DataFrame:
+    """scored + ``out_col``: the average (mid) rank of each row's value —
+    ties share the mean of the positions they occupy, the exact rank
+    convention Spearman's ρ requires. Built from the distinct-value
+    histogram (cum_before + (count+1)/2) + a broadcast join back —
+    never a corpus-row window."""
+    hist = scored.groupBy(value_col).agg(F.count(F.lit(1)).alias("_n"))
+    w = Window.orderBy(value_col).rowsBetween(Window.unboundedPreceding, -1)
+    ranks = hist.withColumn(
+        "_cum", F.coalesce(F.sum("_n").over(w), F.lit(0))
+    ).select(
+        value_col,
+        (F.col("_cum") + (F.col("_n") + 1) / 2.0).alias(out_col),
+    )
+    return scored.join(F.broadcast(ranks), value_col)
+
+
+def signal_correlations(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(signal_a, signal_b, pearson, spearman): the pairwise dependence
+    structure of the three fused quality signals (stopword ratio,
+    LM-bigram typicality, type-token ratio) — the check that fusion
+    (``quality_percentile_fusion``) and multi-signal filters actually
+    add information: two signals correlating at ρ≈1 are one signal
+    charged twice; Pearson≫Spearman gaps flag outlier-driven linear
+    correlation.
+
+    Pearson via the ``corr`` aggregate (the oracle-green precedent from
+    the graph summary's assortativity); Spearman = Pearson on exact
+    midranks (ties share their mean position, built from bounded
+    distinct-value histograms). Both rounded 6dp; 3 rows."""
+    sw = quality_scores(documents, id_col, text_col).select(
+        "doc_id", F.col("stopword_ratio").alias("sw")
+    )
+    lm = lm_bigram_scores(documents, id_col, text_col).select(
+        "doc_id", F.col("lm_score").alias("lm")
+    )
+    lex = lexical_diversity(documents, id_col, text_col).select(
+        "doc_id", F.col("ttr").alias("lex")
+    )
+    joined = sw.join(lm, "doc_id").join(lex, "doc_id")
+    ranked = _midrank(
+        _midrank(_midrank(joined, "sw", "_rsw"), "lm", "_rlm"), "lex", "_rlex"
+    )
+    pairs = [("sw", "lm"), ("sw", "lex"), ("lm", "lex")]
+    out = None
+    for a, b in pairs:
+        row = ranked.agg(
+            F.round(F.corr(a, b), 6).alias("pearson"),
+            F.round(F.corr(f"_r{a}", f"_r{b}"), 6).alias("spearman"),
+        ).select(
+            F.lit(a).alias("signal_a"), F.lit(b).alias("signal_b"), "pearson", "spearman"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

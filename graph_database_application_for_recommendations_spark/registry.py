@@ -8549,6 +8549,56 @@ register(
 )
 
 
+# Pairwise dependence of the fused quality signals: Pearson (corr
+# aggregate, the assortativity precedent) + exact midrank Spearman —
+# the redundancy check behind multi-signal filtering.
+register(
+    "q_text_signal_corr",
+    lambda s, d: textstats.signal_correlations(_docs(s, d)),
+    _q_docs(
+        f"""
+        , tokc AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS token FROM norm),
+        swc AS (
+          SELECT doc_id,
+                 ROUND(AVG(CASE WHEN token IN ({_SW_EN}) THEN 1.0 ELSE 0.0 END), 6) AS sw
+          FROM tokc GROUP BY doc_id),
+        basec AS (SELECT doc_id, norm FROM norm WHERE length(norm) >= 2),
+        gramsc AS (
+          SELECT doc_id, unnest([substr(norm, i, 2) for i in range(1, length(norm))]) AS bigram
+          FROM basec),
+        bigc AS (SELECT bigram, COUNT(*) AS cnt FROM gramsc GROUP BY bigram),
+        prec AS (SELECT substr(bigram, 1, 1) AS c1, SUM(cnt) AS tot FROM bigc GROUP BY 1),
+        modelc AS (
+          SELECT bigram, log2(CAST(cnt AS DOUBLE) / tot) AS lp
+          FROM bigc JOIN prec ON substr(bigc.bigram, 1, 1) = prec.c1),
+        lmc AS (
+          SELECT doc_id, ROUND(AVG(lp), 6) AS lm
+          FROM gramsc JOIN modelc USING (bigram) GROUP BY doc_id),
+        tcc AS (SELECT doc_id, token, COUNT(*) AS c FROM tokc GROUP BY 1, 2),
+        lexc AS (
+          SELECT doc_id, ROUND(COUNT(*) * 1.0 / SUM(c), 6) AS lex
+          FROM tcc GROUP BY doc_id),
+        jc AS (
+          SELECT swc.doc_id, sw, lm, lex
+          FROM swc JOIN lmc USING (doc_id) JOIN lexc USING (doc_id)),
+        rc AS (
+          SELECT doc_id, sw, lm, lex,
+                 RANK() OVER (ORDER BY sw) + (COUNT(*) OVER (PARTITION BY sw) - 1) / 2.0 AS rsw,
+                 RANK() OVER (ORDER BY lm) + (COUNT(*) OVER (PARTITION BY lm) - 1) / 2.0 AS rlm,
+                 RANK() OVER (ORDER BY lex) + (COUNT(*) OVER (PARTITION BY lex) - 1) / 2.0 AS rlex
+          FROM jc)
+        SELECT 'sw' AS signal_a, 'lm' AS signal_b,
+               ROUND(corr(sw, lm), 6) AS pearson, ROUND(corr(rsw, rlm), 6) AS spearman
+        FROM rc
+        UNION ALL
+        SELECT 'sw', 'lex', ROUND(corr(sw, lex), 6), ROUND(corr(rsw, rlex), 6) FROM rc
+        UNION ALL
+        SELECT 'lm', 'lex', ROUND(corr(lm, lex), 6), ROUND(corr(rlm, rlex), 6) FROM rc
+        """
+    ),
+)
+
+
 # --- rows-only -> attestable-twin map (round-4 discipline) ------------------
 #
 # Every rows-only query must name an oracle-backed companion that value-

@@ -4320,3 +4320,17 @@ def test_corpus_datasheet_hand_counts(spark):
     assert r["short_doc_fraction"] == 0.75
     assert r["top_source_share"] == 0.75
     assert r["lang_entropy_bits"] == 0.811278
+
+
+def test_midrank_tie_semantics(spark):
+    """Midranks share the mean of tied positions: [1,2,2,3] ->
+    [1, 2.5, 2.5, 4] — the Spearman rank convention."""
+    from graph_database_application_for_recommendations_spark.operators.textstats import (
+        _midrank,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 2.0), (4, 3.0)], "doc_id long, v double"
+    )
+    got = {r["doc_id"]: r["r"] for r in _midrank(df, "v", "r").collect()}
+    assert got == {1: 1.0, 2: 2.5, 3: 2.5, 4: 4.0}
