@@ -122,3 +122,83 @@ def confusion_matrix(
         "n",
         F.round(F.col("n") / F.sum("n").over(w), 6).alias("share_of_true"),
     )
+
+
+def bootstrap_ci(
+    scored: DataFrame,
+    unit_col: str = "unit_id",
+    value_col: str = "value",
+    n_replicates: int = 100,
+    lo_permille: int = 25,
+    hi_permille: int = 975,
+) -> DataFrame:
+    """One row (n_units, n_replicates, mean, ci_lo, ci_hi): a
+    DETERMINISTIC bootstrap confidence interval for the mean of a
+    per-unit metric (per-user hit flags, per-doc scores) — the error
+    bar every offline evaluation owes its reader (Efron 1979), with
+    md5 arithmetic replacing the RNG so both engines (and every rerun)
+    resample identically.
+
+    Replicate b redraws n units with replacement: draw j picks the unit
+    ranked md5(b#j) mod n (units ranked by id over the dimension-bounded
+    distinct table). Replicate mean = Σ count_b(u)·v(u) / n; the CI is
+    percentile_disc over the B replicate means at the given permille
+    ranks (exact integer rank arithmetic, no interpolation).
+
+    Plan: a B·n draw explosion (bounded by replicates × units, not by
+    any corpus), one join onto the ranked units, two bounded aggregates
+    and a B-row ranking window."""
+    units = scored.select(
+        F.col(unit_col).alias("_u"), F.col(value_col).alias("_v")
+    )
+    w_rank = Window.orderBy("_u")
+    ranked = units.withColumn("_idx", F.row_number().over(w_rank) - 1)
+    n = ranked.agg(F.count(F.lit(1)).alias("_n"))
+    b_rep = int(n_replicates)
+    draws = (
+        n.select(F.explode(F.sequence(F.lit(0), F.lit(b_rep - 1))).alias("_b"), "_n")
+        .select(
+            "_b",
+            "_n",
+            F.explode(F.sequence(F.lit(0), F.col("_n") - 1)).alias("_j"),
+        )
+        .select(
+            "_b",
+            "_n",
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("#", F.col("_b"), F.col("_j"))), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.col("_n"),
+            ).alias("_idx"),
+        )
+    )
+    rep_means = (
+        draws.join(F.broadcast(ranked.select("_idx", "_v")), "_idx")
+        .groupBy("_b")
+        .agg((F.sum("_v") / F.max("_n")).alias("_m"))
+    )
+    w_m = Window.orderBy("_m", "_b")
+    ranked_means = rep_means.withColumn("_r", F.row_number().over(w_m))
+    lo_rank = (lo_permille * b_rep + 999) // 1000
+    hi_rank = (hi_permille * b_rep + 999) // 1000
+    ci = ranked_means.agg(
+        F.round(F.max(F.when(F.col("_r") == max(1, lo_rank), F.col("_m"))), 6).alias(
+            "ci_lo"
+        ),
+        F.round(F.max(F.when(F.col("_r") == hi_rank, F.col("_m"))), 6).alias("ci_hi"),
+    )
+    base = units.agg(
+        F.count(F.lit(1)).alias("n_units"), F.round(F.avg("_v"), 6).alias("mean")
+    )
+    return base.crossJoin(F.broadcast(ci)).select(
+        "n_units",
+        F.lit(b_rep).alias("n_replicates"),
+        "mean",
+        "ci_lo",
+        "ci_hi",
+    )

@@ -333,10 +333,10 @@ def implicit_training_samples(
     )
 
 
-def holdout_hitrate(
+def holdout_hit_flags(
     ratings: DataFrame, k: int = 10, min_rating: int = 6
 ) -> DataFrame:
-    """One row (k, n_users, n_hits, hit_rate): leave-one-out offline
+    """(user_id, hit, _hit_rank): leave-one-out offline
     evaluation of the item-based CF recommender (Sarwar et al. 2001
     scoring; the standard HR@k protocol, e.g. the NCF evaluation
     setup) — with an md5-deterministic holdout instead of a random one
@@ -408,19 +408,34 @@ def holdout_hitrate(
     hits = topk.join(
         holdout.select("user_id", F.col("isbn").alias("cand")), ["user_id", "cand"]
     )
-    n_users = eligible.agg(F.count(F.lit(1)).alias("n_users"))
-    # single-holdout NDCG@k: gain 1/log2(1+rank) on hit, 0 on miss —
-    # missing users contribute 0 through the division by n_users
-    agg = hits.agg(
-        F.count(F.lit(1)).alias("n_hits"),
-        F.coalesce(F.sum(F.lit(1.0) / F.log2(F.col("_r") + 1)), F.lit(0.0)).alias(
-            "_gain"
-        ),
+    # per-user outcome flags: the bootstrap-CI face resamples these
+    flags = eligible.join(
+        hits.select("user_id", F.col("_r").alias("_hit_rank")), "user_id", "left"
+    ).select(
+        "user_id",
+        F.when(F.col("_hit_rank").isNotNull(), 1).otherwise(0).alias("hit"),
+        "_hit_rank",
     )
-    return n_users.crossJoin(F.broadcast(agg)).select(
+    return flags
+
+
+def holdout_hitrate(
+    ratings: DataFrame, k: int = 10, min_rating: int = 6
+) -> DataFrame:
+    """One row (k, n_users, n_hits, hit_rate, ndcg): the
+    ``holdout_hit_flags`` rollup — see that function for the protocol."""
+    flags = holdout_hit_flags(ratings, k, min_rating)
+    return flags.agg(
         F.lit(int(k)).alias("k"),
-        "n_users",
-        "n_hits",
-        F.round(F.col("n_hits") / F.col("n_users"), 6).alias("hit_rate"),
-        F.round(F.col("_gain") / F.col("n_users"), 6).alias("ndcg"),
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("hit").alias("n_hits"),
+        F.round(F.sum("hit") / F.count(F.lit(1)), 6).alias("hit_rate"),
+        # single-holdout NDCG@k: gain 1/log2(1+rank) on hit, 0 on miss
+        F.round(
+            F.coalesce(
+                F.sum(F.lit(1.0) / F.log2(F.col("_hit_rank") + 1)), F.lit(0.0)
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("ndcg"),
     )

@@ -8599,6 +8599,91 @@ register(
 )
 
 
+# Deterministic bootstrap CI for HR@10 (Efron 1979, md5 resampling):
+# the error bar the offline eval owes its reader. Replicate means are
+# sums of 0/1 flags — exact integers in double, so no float-order
+# hazard anywhere in the resampling.
+register(
+    "q_recsys_hitrate_ci",
+    lambda s, d: evaluate.bootstrap_ci(
+        recommend.holdout_hit_flags(_ref(s, d).ratings, k=10).select(
+            F.col("user_id").alias("unit_id"),
+            F.col("hit").cast("double").alias("value"),
+        ),
+        n_replicates=100,
+    ),
+    _q(
+        """
+        , pos AS (SELECT DISTINCT user_id, isbn FROM ratings WHERE rating >= 6),
+        eligible AS (
+          SELECT user_id FROM pos GROUP BY user_id HAVING COUNT(*) >= 2),
+        hv AS (
+          SELECT p.user_id, p.isbn,
+                 CAST(('0x' || substr(md5(CAST(p.user_id AS VARCHAR) || '#' || p.isbn),
+                      1, 8)) AS BIGINT) AS h
+          FROM pos p SEMI JOIN eligible e ON e.user_id = p.user_id),
+        marked AS (
+          SELECT user_id, isbn,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY h DESC, isbn) AS rn
+          FROM hv),
+        ho AS (SELECT user_id, isbn FROM marked WHERE rn = 1),
+        train AS (SELECT user_id, isbn FROM marked WHERE rn > 1),
+        inter AS (
+          SELECT a.isbn AS i1, b.isbn AS i2, COUNT(*) AS w
+          FROM train a JOIN train b ON a.user_id = b.user_id AND a.isbn <> b.isbn
+          GROUP BY 1, 2),
+        deg AS (SELECT isbn, COUNT(*) AS dg FROM train GROUP BY isbn),
+        sim AS (
+          SELECT i1, i2,
+                 ROUND(CAST(w AS DOUBLE) / (d1.dg + d2.dg - w), 6) AS s
+          FROM inter
+          JOIN deg d1 ON d1.isbn = inter.i1
+          JOIN deg d2 ON d2.isbn = inter.i2),
+        scores AS (
+          SELECT t.user_id, s.i2 AS cand, ROUND(SUM(s.s), 6) AS sc
+          FROM train t JOIN sim s ON s.i1 = t.isbn
+          GROUP BY 1, 2),
+        unseen AS (
+          SELECT sc.user_id, sc.cand, sc.sc FROM scores sc
+          ANTI JOIN train t ON t.user_id = sc.user_id AND t.isbn = sc.cand),
+        rankedq AS (
+          SELECT user_id, cand,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY sc DESC, cand) AS r
+          FROM unseen),
+        hitsq AS (
+          SELECT DISTINCT r.user_id FROM rankedq r
+          JOIN ho ON ho.user_id = r.user_id AND ho.isbn = r.cand
+          WHERE r.r <= 10),
+        flags AS (
+          SELECT e.user_id,
+                 CASE WHEN h.user_id IS NOT NULL THEN 1.0 ELSE 0.0 END AS v
+          FROM eligible e LEFT JOIN hitsq h USING (user_id)),
+        ru AS (
+          SELECT user_id, v, ROW_NUMBER() OVER (ORDER BY user_id) - 1 AS idx
+          FROM flags),
+        nn2 AS (SELECT COUNT(*) AS n FROM ru),
+        draws AS (
+          -- ru itself supplies the j counter 0..n-1 (DuckDB's range()
+          -- cannot take a subquery bound)
+          SELECT b.b,
+                 CAST(('0x' || substr(md5(CAST(b.b AS VARCHAR) || '#'
+                      || CAST(j.idx AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % (SELECT n FROM nn2) AS idx
+          FROM range(0, 100) b(b), ru j),
+        reps AS (
+          SELECT b, SUM(v) / (SELECT n FROM nn2) AS m
+          FROM draws JOIN ru USING (idx) GROUP BY b),
+        rr AS (SELECT m, b, ROW_NUMBER() OVER (ORDER BY m, b) AS r FROM reps)
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ru) AS n_units,
+               100 AS n_replicates,
+               ROUND((SELECT AVG(v) FROM ru), 6) AS mean,
+               ROUND((SELECT m FROM rr WHERE r = 3), 6) AS ci_lo,
+               ROUND((SELECT m FROM rr WHERE r = 98), 6) AS ci_hi
+        """
+    ),
+)
+
+
 # --- rows-only -> attestable-twin map (round-4 discipline) ------------------
 #
 # Every rows-only query must name an oracle-backed companion that value-

@@ -4334,3 +4334,26 @@ def test_midrank_tie_semantics(spark):
     )
     got = {r["doc_id"]: r["r"] for r in _midrank(df, "v", "r").collect()}
     assert got == {1: 1.0, 2: 2.5, 3: 2.5, 4: 4.0}
+
+
+def test_bootstrap_ci_contract(spark):
+    """Constant-valued units give a zero-width CI at the constant;
+    a mixed population's CI straddles its mean; results are exactly
+    reproducible (md5 draws, no RNG)."""
+    from graph_database_application_for_recommendations_spark.operators.evaluate import (
+        bootstrap_ci,
+    )
+
+    const = spark.createDataFrame(
+        [(i, 1.0) for i in range(40)], "unit_id long, value double"
+    )
+    r = bootstrap_ci(const, n_replicates=50).collect()[0]
+    assert (r["mean"], r["ci_lo"], r["ci_hi"]) == (1.0, 1.0, 1.0)
+
+    mixed = spark.createDataFrame(
+        [(i, float(i % 2)) for i in range(40)], "unit_id long, value double"
+    )
+    a = bootstrap_ci(mixed, n_replicates=50).collect()[0]
+    b = bootstrap_ci(mixed, n_replicates=50).collect()[0]
+    assert a == b
+    assert a["ci_lo"] < a["mean"] == 0.5 < a["ci_hi"]
