@@ -159,3 +159,52 @@ def corpus_datasheet(
             "lang_entropy_bits",
         )
     )
+
+
+def join_size_audit(
+    left: DataFrame, right: DataFrame, key_cols: list[str], top_n: int = 5
+) -> DataFrame:
+    """One row (n_left, n_right, join_rows, max_key_rows, top_keys_share):
+    the EXACT output size of ``left ⋈ right`` on ``key_cols`` computed
+    from the two key histograms — Σ_k c_left(k)·c_right(k) — without
+    materializing the join. The pre-flight check before any fact-fact
+    join: the skew decision (``skew_report`` says WHICH keys; this says
+    HOW BAD), the broadcast/salt/cap decision, and the "will this join
+    OOM the cluster" answer, all for the price of two aggregates and a
+    histogram-sized equi-join.
+
+    max_key_rows = the largest single key's contribution (one task's
+    worth under hash partitioning — the straggler bound);
+    top_keys_share = the top-``top_n`` keys' share of the join output.
+    For a self-join pass the same frame twice."""
+    lk = left.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_cl"))
+    rk = right.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_cr"))
+    contrib = lk.join(rk, key_cols).select(
+        (F.col("_cl") * F.col("_cr")).alias("_rows")
+    )
+    # top-N via orderBy+limit (TakeOrdered — distributed), NOT a global
+    # row_number window: with corpus-unique keys the contribution table
+    # is corpus-sized and a global rank would single-task sort it.
+    # Boundary ties are value-equal, so the top-N SUM is deterministic.
+    top = contrib.orderBy(F.desc("_rows")).limit(int(top_n)).agg(
+        F.sum("_rows").alias("_top")
+    )
+    totals = contrib.agg(
+        F.sum("_rows").alias("join_rows"),
+        F.max("_rows").alias("max_key_rows"),
+    ).crossJoin(F.broadcast(top))
+    sides = left.agg(F.count(F.lit(1)).alias("n_left")).crossJoin(
+        F.broadcast(right.agg(F.count(F.lit(1)).alias("n_right")))
+    )
+    return sides.crossJoin(F.broadcast(totals)).select(
+        "n_left",
+        "n_right",
+        F.coalesce("join_rows", F.lit(0)).alias("join_rows"),
+        F.coalesce("max_key_rows", F.lit(0)).alias("max_key_rows"),
+        F.when(
+            F.col("join_rows") > 0,
+            F.round(F.col("_top") / F.col("join_rows"), 6),
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("top_keys_share"),
+    )

@@ -8716,6 +8716,43 @@ register(
 )
 
 
+# Exact join-size audit for the co-rating self-join input: the
+# explosion/skew pre-check computed from key histograms alone
+# (Σ c(k)², max c(k)², top-5 share) — the decision input behind the
+# fanout cap / salting / AQE settings that join carries.
+register(
+    "q_diag_join_size",
+    lambda s, d: diagnostics.join_size_audit(
+        corating.positive_ratings(_ref(s, d).ratings),
+        corating.positive_ratings(_ref(s, d).ratings),
+        ["isbn"],
+        top_n=5,
+    ),
+    _q(
+        """
+        , pos AS (SELECT user_id, isbn FROM ratings WHERE rating >= 6),
+        hist AS (SELECT isbn, CAST(COUNT(*) AS BIGINT) AS c FROM pos GROUP BY isbn),
+        contrib AS (SELECT c * c AS rows_ FROM hist),
+        tot AS (
+          SELECT CAST(SUM(rows_) AS BIGINT) AS join_rows,
+                 CAST(MAX(rows_) AS BIGINT) AS max_key_rows
+          FROM contrib),
+        topn AS (
+          SELECT CAST(SUM(rows_) AS BIGINT) AS top_sum FROM (
+            SELECT rows_ FROM contrib ORDER BY rows_ DESC LIMIT 5)),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM pos)
+        SELECT n.n_rows AS n_left, n.n_rows AS n_right,
+               COALESCE(join_rows, 0) AS join_rows,
+               COALESCE(max_key_rows, 0) AS max_key_rows,
+               CASE WHEN join_rows > 0
+                    THEN ROUND(top_sum * 1.0 / join_rows, 6)
+                    ELSE NULL END AS top_keys_share
+        FROM n, tot, topn
+        """
+    ),
+)
+
+
 # --- rows-only -> attestable-twin map (round-4 discipline) ------------------
 #
 # Every rows-only query must name an oracle-backed companion that value-

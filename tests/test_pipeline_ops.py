@@ -4357,3 +4357,21 @@ def test_bootstrap_ci_contract(spark):
     b = bootstrap_ci(mixed, n_replicates=50).collect()[0]
     assert a == b
     assert a["ci_lo"] < a["mean"] == 0.5 < a["ci_hi"]
+
+
+def test_join_size_audit_hand_counts(spark):
+    """{a:2,b:1} x {a:3,c:4}: only 'a' joins -> 6 rows, max 6, top
+    share 1.0; disjoint keys -> 0 rows with NULL share."""
+    from graph_database_application_for_recommendations_spark.operators.diagnostics import (
+        join_size_audit,
+    )
+
+    left = spark.createDataFrame([("a",), ("a",), ("b",)], "k string")
+    right = spark.createDataFrame([("a",)] * 3 + [("c",)] * 4, "k string")
+    r = join_size_audit(left, right, ["k"]).collect()[0]
+    assert (r["n_left"], r["n_right"]) == (3, 7)
+    assert (r["join_rows"], r["max_key_rows"], r["top_keys_share"]) == (6, 6, 1.0)
+    disjoint = join_size_audit(
+        left, spark.createDataFrame([("z",)], "k string"), ["k"]
+    ).collect()[0]
+    assert disjoint["join_rows"] == 0 and disjoint["top_keys_share"] is None
