@@ -345,3 +345,47 @@ def linkpred_auc(ratings: DataFrame, min_rating: int = 6) -> DataFrame:
         "score", F.coalesce("_lab", F.lit(0)).alias("label")
     )
     return binary_auc(labeled, "score", "label")
+
+
+def butterfly_count(ratings: DataFrame, min_rating: int = 6) -> DataFrame:
+    """One row (n_users, n_items, n_copairs, n_butterflies,
+    max_pair_butterflies): butterfly (2×2 biclique) statistics of the
+    user-item bipartite graph — THE bipartite cohesion primitive
+    (Sanei-Mehri et al., KDD 2018 "Butterfly Counting in Bipartite
+    Networks"): two users sharing w items form C(w,2) butterflies, so
+
+        n_butterflies = Σ_{u1<u2} w(u1,u2)·(w(u1,u2)−1)/2
+
+    computed straight off the co-rating weight table — no 4-node
+    enumeration. High butterfly mass relative to co-pairs = dense
+    community structure the projections (co-rating graph, item CF)
+    will actually find; near-zero = the projections are noise.
+
+    All integer arithmetic; the co-pair table inherits the co-rating
+    join's scale controls (it IS that join's aggregate)."""
+    pos = positive_ratings(ratings, min_rating).select("user_id", "isbn")
+    a = pos.select(F.col("user_id").alias("u1"), "isbn")
+    b = pos.select(F.col("user_id").alias("u2"), "isbn")
+    copairs = (
+        a.join(b, "isbn")
+        .where(F.col("u1") < F.col("u2"))
+        .groupBy("u1", "u2")
+        .agg(F.count(F.lit(1)).alias("_w"))
+    )
+    bf = F.expr("_w * (_w - 1) DIV 2")  # integer DIV: exact on both engines
+    stats = copairs.agg(
+        F.count(F.lit(1)).alias("n_copairs"),
+        F.sum(bf).alias("n_butterflies"),
+        F.max(bf).alias("max_pair_butterflies"),
+    )
+    sides = pos.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("isbn").alias("n_items"),
+    )
+    return sides.crossJoin(F.broadcast(stats)).select(
+        "n_users",
+        "n_items",
+        F.coalesce("n_copairs", F.lit(0)).alias("n_copairs"),
+        F.coalesce("n_butterflies", F.lit(0)).alias("n_butterflies"),
+        F.coalesce("max_pair_butterflies", F.lit(0)).alias("max_pair_butterflies"),
+    )

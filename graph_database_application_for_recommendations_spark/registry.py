@@ -8753,6 +8753,39 @@ register(
 )
 
 
+# Butterfly (2x2 biclique) statistics of the user-item bipartite graph
+# (Sanei-Mehri KDD 2018): Sigma C(w,2) off the co-rating weight table —
+# the cohesion number that says whether the projections carry structure.
+register(
+    "q_graph_butterflies",
+    lambda s, d: corating.butterfly_count(_ref(s, d).ratings),
+    _q(
+        """
+        , pos AS (SELECT user_id, isbn FROM ratings WHERE rating >= 6),
+        copairs AS (
+          SELECT a.user_id AS u1, b.user_id AS u2, COUNT(*) AS w
+          FROM pos a JOIN pos b USING (isbn)
+          WHERE a.user_id < b.user_id
+          GROUP BY 1, 2),
+        st AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_copairs,
+                 CAST(SUM(w * (w - 1) // 2) AS BIGINT) AS n_butterflies,
+                 CAST(MAX(w * (w - 1) // 2) AS BIGINT) AS max_pair_butterflies
+          FROM copairs),
+        sides AS (
+          SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+                 CAST(COUNT(DISTINCT isbn) AS BIGINT) AS n_items
+          FROM pos)
+        SELECT n_users, n_items,
+               COALESCE(n_copairs, 0) AS n_copairs,
+               COALESCE(n_butterflies, 0) AS n_butterflies,
+               COALESCE(max_pair_butterflies, 0) AS max_pair_butterflies
+        FROM sides, st
+        """
+    ),
+)
+
+
 # --- rows-only -> attestable-twin map (round-4 discipline) ------------------
 #
 # Every rows-only query must name an oracle-backed companion that value-

@@ -4375,3 +4375,18 @@ def test_join_size_audit_hand_counts(spark):
         left, spark.createDataFrame([("z",)], "k string"), ["k"]
     ).collect()[0]
     assert disjoint["join_rows"] == 0 and disjoint["top_keys_share"] is None
+
+
+def test_butterfly_count_complete_biclique(spark):
+    """K_{3,3} positive bipartite graph: every user pair shares w=3
+    items -> C(3,2)=3 butterflies x 3 pairs = 9 total; formula equals
+    brute-force 2x2 enumeration."""
+    from graph_database_application_for_recommendations_spark.operators.corating import (
+        butterfly_count,
+    )
+
+    rows = [(u, f"b{i}", 8) for u in (1, 2, 3) for i in range(3)]
+    ratings = spark.createDataFrame(rows, "user_id long, isbn string, rating int")
+    r = butterfly_count(ratings).collect()[0]
+    assert (r["n_users"], r["n_items"], r["n_copairs"]) == (3, 3, 3)
+    assert r["n_butterflies"] == 9 and r["max_pair_butterflies"] == 3
