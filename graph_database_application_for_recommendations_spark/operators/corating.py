@@ -389,3 +389,49 @@ def butterfly_count(ratings: DataFrame, min_rating: int = 6) -> DataFrame:
         F.coalesce("n_butterflies", F.lit(0)).alias("n_butterflies"),
         F.coalesce("max_pair_butterflies", F.lit(0)).alias("max_pair_butterflies"),
     )
+
+
+def popularity_gini(ratings: DataFrame, min_rating: int = 0) -> DataFrame:
+    """One row (n_items, n_interactions, gini, top_decile_share): the
+    catalog-concentration profile — Gini coefficient of per-item
+    interaction counts plus the share captured by the most-popular
+    decile of items. The long-tail number behind recsys coverage
+    debates and the negative-sampling popularity correction: gini→0 is
+    a flat catalog, →1 a blockbuster market.
+
+    Exact: with items ranked ascending by (count, isbn) over the
+    dimension-bounded item table, Gini = (2·Σ rank·c)/(n·Σc) − (n+1)/n
+    — every accumulator a 64-bit integer until the two final
+    divisions. top_decile_share counts the top ceil(n/10) items by the
+    same total order."""
+    counts = (
+        ratings.filter(F.col("rating") >= min_rating)
+        .groupBy("isbn")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w = Window.orderBy("_c", "isbn")
+    ranked = counts.withColumn("_r", F.row_number().over(w))
+    n_and_tot = counts.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_c").alias("_tot")
+    )
+    agg = ranked.crossJoin(F.broadcast(n_and_tot)).agg(
+        F.max("_n").alias("n_items"),
+        F.max("_tot").alias("n_interactions"),
+        F.sum(F.col("_r") * F.col("_c")).alias("_rc"),
+        F.sum(
+            F.when(F.col("_r") > F.col("_n") - F.expr("(_n + 9) DIV 10"), F.col("_c"))
+            .otherwise(0)
+        ).alias("_topd"),
+    )
+    return agg.select(
+        "n_items",
+        "n_interactions",
+        F.round(
+            (2.0 * F.col("_rc")) / (F.col("n_items") * F.col("n_interactions"))
+            - (F.col("n_items") + 1.0) / F.col("n_items"),
+            6,
+        ).alias("gini"),
+        F.round(F.col("_topd") / F.col("n_interactions"), 6).alias(
+            "top_decile_share"
+        ),
+    )

@@ -8786,6 +8786,31 @@ register(
 )
 
 
+# Catalog concentration: exact Gini of per-item interaction counts +
+# top-decile share — the long-tail profile behind recsys coverage and
+# popularity-corrected negative sampling.
+register(
+    "q_recsys_popularity_gini",
+    lambda s, d: corating.popularity_gini(_ref(s, d).ratings, min_rating=0),
+    _q(
+        """
+        , counts AS (SELECT isbn, CAST(COUNT(*) AS BIGINT) AS c
+                     FROM ratings GROUP BY isbn),
+        ranked AS (
+          SELECT c, ROW_NUMBER() OVER (ORDER BY c, isbn) AS r FROM counts),
+        nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS tot
+               FROM counts)
+        SELECT n AS n_items, tot AS n_interactions,
+               ROUND((2.0 * SUM(r * c)) / (n * tot) - (n + 1.0) / n, 6) AS gini,
+               ROUND(SUM(CASE WHEN r > n - (n + 9) // 10 THEN c ELSE 0 END)
+                     * 1.0 / tot, 6) AS top_decile_share
+        FROM ranked, nt
+        GROUP BY n, tot
+        """
+    ),
+)
+
+
 # --- rows-only -> attestable-twin map (round-4 discipline) ------------------
 #
 # Every rows-only query must name an oracle-backed companion that value-

@@ -4390,3 +4390,25 @@ def test_butterfly_count_complete_biclique(spark):
     r = butterfly_count(ratings).collect()[0]
     assert (r["n_users"], r["n_items"], r["n_copairs"]) == (3, 3, 3)
     assert r["n_butterflies"] == 9 and r["max_pair_butterflies"] == 3
+
+
+def test_popularity_gini_extremes(spark):
+    """Equal counts -> gini 0; one item holding ~everything -> gini near
+    1; top-decile share matches the hand split."""
+    from graph_database_application_for_recommendations_spark.operators.corating import (
+        popularity_gini,
+    )
+
+    flat = spark.createDataFrame(
+        [(u, f"i{u % 10}", 5) for u in range(100)], "user_id long, isbn string, rating int"
+    )
+    r = popularity_gini(flat).collect()[0]
+    assert r["gini"] == 0.0 and r["top_decile_share"] == 0.1
+    skewed = spark.createDataFrame(
+        [(u, "hit", 5) for u in range(991)]
+        + [(1, f"tail{i}", 5) for i in range(9)],
+        "user_id long, isbn string, rating int",
+    )
+    r2 = popularity_gini(skewed).collect()[0]
+    assert r2["n_items"] == 10 and r2["gini"] > 0.85
+    assert r2["top_decile_share"] == 0.991
