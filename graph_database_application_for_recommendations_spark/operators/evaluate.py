@@ -148,8 +148,15 @@ def bootstrap_ci(
     Plan: a B·n draw explosion (bounded by replicates × units, not by
     any corpus), one join onto the ranked units, two bounded aggregates
     and a B-row ranking window."""
-    units = scored.select(
-        F.col(unit_col).alias("_u"), F.col(value_col).alias("_v")
+    # groupBy enforces the one-row-per-unit contract (duplicate units
+    # would silently skew every replicate) AND keeps the ranking window
+    # provably Aggregate-bounded even when the caller hands in a cached
+    # frame (an InMemoryRelation leaf hides the upstream aggregates from
+    # the plan-hygiene sweep)
+    units = (
+        scored.select(F.col(unit_col).alias("_u"), F.col(value_col).alias("_v"))
+        .groupBy("_u")
+        .agg(F.max("_v").alias("_v"))
     )
     w_rank = Window.orderBy("_u")
     ranked = units.withColumn("_idx", F.row_number().over(w_rank) - 1)
