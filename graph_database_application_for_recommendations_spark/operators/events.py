@@ -748,3 +748,32 @@ def hourly_periodicity(events: DataFrame) -> DataFrame:
         "peak_hour",
         "peak_share",
     )
+
+
+def stickiness_report(events: DataFrame) -> DataFrame:
+    """One row (n_days, avg_dau, mau, stickiness): the DAU/MAU
+    engagement ratio over the stream's span — the classic product
+    health number (a user active 1 day in 30 contributes 1/30; a daily
+    user contributes 1.0, so stickiness = expected fraction of days a
+    monthly-active user shows up).
+
+    avg_dau = (Σ_d distinct users on day d) / n_days over epoch-UTC
+    days with any activity; mau = distinct users over the whole table.
+    Exact integer counts, one final division pair, 6dp. Plan: one
+    (day, user) distinct + bounded per-day aggregate, one global
+    distinct."""
+    day = F.expr("unix_micros(ts) DIV 86400000000").alias("_day")
+    du = events.select(day, "user_id").distinct()
+    daily = du.groupBy("_day").agg(F.count(F.lit(1)).alias("_dau"))
+    d_agg = daily.agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("_dau").alias("_dau_sum")
+    )
+    mau = events.agg(F.countDistinct("user_id").alias("mau"))
+    return d_agg.crossJoin(F.broadcast(mau)).select(
+        "n_days",
+        F.round(F.col("_dau_sum") / F.col("n_days"), 6).alias("avg_dau"),
+        "mau",
+        F.round(
+            F.col("_dau_sum") / F.col("n_days") / F.col("mau"), 6
+        ).alias("stickiness"),
+    )

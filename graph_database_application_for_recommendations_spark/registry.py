@@ -8811,6 +8811,29 @@ register(
 )
 
 
+# DAU/MAU stickiness over the stream's span — the engagement ratio in
+# one row, epoch-UTC days (timezone-proof like the rest of the module).
+register(
+    "q_events_stickiness",
+    lambda s, d: events.stickiness_report(_ref(s, d).events),
+    """
+    WITH du AS (
+      SELECT DISTINCT epoch_us(ts) // 86400000000 AS d, user_id FROM events),
+    daily AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY d),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(dau) AS BIGINT) AS dau_sum
+      FROM daily),
+    m AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau FROM events)
+    SELECT n_days,
+           ROUND(dau_sum * 1.0 / n_days, 6) AS avg_dau,
+           mau,
+           ROUND(dau_sum * 1.0 / n_days / mau, 6) AS stickiness
+    FROM agg, m
+    """,
+)
+
+
 # --- rows-only -> attestable-twin map (round-4 discipline) ------------------
 #
 # Every rows-only query must name an oracle-backed companion that value-

@@ -4412,3 +4412,24 @@ def test_popularity_gini_extremes(spark):
     r2 = popularity_gini(skewed).collect()[0]
     assert r2["n_items"] == 10 and r2["gini"] > 0.85
     assert r2["top_decile_share"] == 0.991
+
+
+def test_stickiness_report_hand_counts(spark):
+    """2 users x 2 days: user 1 active both days, user 2 one day ->
+    avg_dau = 1.5, mau = 2, stickiness = 0.75."""
+    import datetime as dt
+
+    from graph_database_application_for_recommendations_spark.operators.events import (
+        stickiness_report,
+    )
+
+    t = lambda day, h: dt.datetime(2024, 1, day, h, tzinfo=dt.timezone.utc)
+    ev = spark.createDataFrame(
+        [
+            (1, t(1, 9), 1), (2, t(1, 10), 1),   # u1 twice on day 1
+            (3, t(2, 9), 1), (4, t(2, 10), 2),
+        ],
+        "event_id long, ts timestamp, user_id long",
+    )
+    r = stickiness_report(ev).collect()[0]
+    assert (r["n_days"], r["avg_dau"], r["mau"], r["stickiness"]) == (2, 1.5, 2, 0.75)
