@@ -2048,3 +2048,51 @@ def signal_correlations(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def source_signatures(
+    documents: DataFrame,
+    top_n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """(source, token, tfidf): each source's ``top_n`` most DISTINCTIVE
+    tokens — term frequency within the source × ln(|sources| /
+    source-document-frequency), i.e. tf-idf lifted from the document
+    grain to the source grain. The quick "what is actually in this
+    feed" answer behind mixture decisions and drift triage (a source
+    whose signature flips is a source whose upstream changed).
+
+    Ties broken by token ascending; tokens present in every source get
+    idf 0 and drop out by construction. Plan: one (source, token)
+    aggregate, a |sources|-bounded df table broadcast back, a per-source
+    top-k window."""
+    tok = documents.select(
+        F.col(source_col).alias("source"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    )
+    tf = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("_tf"))
+    tot = tok.groupBy("source").agg(F.count(F.lit(1)).alias("_tot"))
+    sdf = tf.groupBy("token").agg(F.count(F.lit(1)).alias("_sdf"))
+    ns = tot.agg(F.count(F.lit(1)).alias("_ns"))
+    scored = (
+        tf.join(F.broadcast(tot), "source")
+        .join(F.broadcast(sdf), "token")
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "source",
+            "token",
+            F.round(
+                (F.col("_tf") / F.col("_tot"))
+                * F.log(F.col("_ns") / F.col("_sdf")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= top_n)
+        .drop("_rn")
+    )

@@ -8834,6 +8834,36 @@ register(
 )
 
 
+# Source signature terms: tf-idf lifted to the source grain — each
+# feed's most distinctive tokens, the drift-triage companion to the JS
+# matrix (tokens in every source idf-out by construction).
+register(
+    "q_text_source_signatures",
+    lambda s, d: textstats.source_signatures(_docs(s, d), top_n=5),
+    _q_docs(
+        """
+        , toksg AS (
+          SELECT d.source, unnest(t.t) AS token
+          FROM toks t JOIN documents d USING (doc_id)),
+        tf AS (SELECT source, token, COUNT(*) AS tf FROM toksg GROUP BY 1, 2),
+        tot AS (SELECT source, SUM(tf) AS tot FROM tf GROUP BY source),
+        sdf AS (SELECT token, COUNT(*) AS sdf FROM tf GROUP BY token),
+        ns AS (SELECT COUNT(*) AS n FROM tot),
+        scored AS (
+          SELECT tf.source, tf.token,
+                 ROUND((CAST(tf AS DOUBLE) / tot)
+                       * ln(CAST((SELECT n FROM ns) AS DOUBLE) / sdf), 6) AS tfidf
+          FROM tf JOIN tot ON tot.source = tf.source
+                  JOIN sdf ON sdf.token = tf.token)
+        SELECT source, token, tfidf FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                       ORDER BY tfidf DESC, token) AS rn
+          FROM scored) WHERE rn <= 5
+        """
+    ),
+)
+
+
 # --- rows-only -> attestable-twin map (round-4 discipline) ------------------
 #
 # Every rows-only query must name an oracle-backed companion that value-

@@ -4433,3 +4433,27 @@ def test_stickiness_report_hand_counts(spark):
     )
     r = stickiness_report(ev).collect()[0]
     assert (r["n_days"], r["avg_dau"], r["mau"], r["stickiness"]) == (2, 1.5, 2, 0.75)
+
+
+def test_source_signatures_distinctive_terms(spark):
+    """A token unique to one source tops its signature; a token shared
+    by every source has idf 0 and never appears."""
+    from graph_database_application_for_recommendations_spark.operators.textstats import (
+        source_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common alpha alpha", "A"),
+            (2, "common beta", "B"),
+            (3, "common gamma gamma gamma", "C"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r["source"]: [r["token"]]
+        for r in source_signatures(docs, top_n=1).collect()
+    }
+    assert got == {"A": ["alpha"], "B": ["beta"], "C": ["gamma"]}
+    all_rows = source_signatures(docs, top_n=5).collect()
+    assert not any(r["token"] == "common" and r["tfidf"] > 0 for r in all_rows)
