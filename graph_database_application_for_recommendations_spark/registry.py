@@ -6755,54 +6755,118 @@ register(
 )
 
 
+# The quality-filter stack's shared oracle CTEs: raw integer signal counts
+# per doc, then each rule as an EXACT BIGINT cross-multiplication at
+# textstats.FILTER_RULE_SCALE — no double threshold compares, no ROUND, no
+# LATERAL VALUES (round-7 VERDICT item 1: the driver-red hash row was a
+# double-vs-double threshold somewhere in the driver's engine pair; this
+# representation leaves nothing version-sensitive to disagree on). The
+# integer thresholds are the SAME Python constants the Spark operator uses.
+_FILTER_RULE_SQL = {
+    "f_too_short": "n_tokens < 15",
+    "f_too_long": "n_tokens > 300",
+    "f_word_len": (
+        f"total_token_len * {textstats.FILTER_RULE_SCALE} < n_tokens * "
+        f"{textstats._ratio_threshold_int(3.0)} OR total_token_len * "
+        f"{textstats.FILTER_RULE_SCALE} > n_tokens * {textstats._ratio_threshold_int(10.0)}"
+    ),
+    "f_stopword_floor": (
+        f"stop_hits * {textstats.FILTER_RULE_SCALE} < n_tokens * "
+        f"{textstats._ratio_threshold_int(0.05)}"
+    ),
+    "f_top_token": (
+        f"top_token_count * {textstats.FILTER_RULE_SCALE} > n_tokens * "
+        f"{textstats._ratio_threshold_int(0.2)}"
+    ),
+    "f_dup_2gram": (
+        f"dup_2gram_positions * {textstats.FILTER_RULE_SCALE} > "
+        f"total_2gram_positions * {textstats._ratio_threshold_int(0.3)}"
+    ),
+}
+
+_FILTER_VERDICTS_CTES = f"""
+        , tok AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS token FROM norm),
+        q AS (
+          SELECT doc_id, COUNT(*) AS n_tokens,
+                 SUM(length(token)) AS total_token_len,
+                 SUM(CASE WHEN token IN ({_SW_EN}) THEN 1 ELSE 0 END) AS stop_hits
+          FROM tok GROUP BY doc_id),
+        tc AS (SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        tt AS (SELECT doc_id, MAX(c) AS top_token_count FROM tc GROUP BY doc_id),
+        g2 AS (
+          SELECT doc_id, array_to_string(list_slice(t, g.i, g.i + 1), ' ') AS gram
+          FROM toks, LATERAL unnest(generate_series(1, greatest(len(t) - 1, 1))) g(i)),
+        gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+        gg AS (SELECT doc_id,
+                      SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_2gram_positions,
+                      SUM(c) AS total_2gram_positions
+               FROM gc GROUP BY doc_id),
+        sig AS (
+          SELECT q.doc_id,
+                 CAST(q.n_tokens AS BIGINT) AS n_tokens,
+                 CAST(q.total_token_len AS BIGINT) AS total_token_len,
+                 CAST(q.stop_hits AS BIGINT) AS stop_hits,
+                 CAST(tt.top_token_count AS BIGINT) AS top_token_count,
+                 CAST(gg.dup_2gram_positions AS BIGINT) AS dup_2gram_positions,
+                 CAST(gg.total_2gram_positions AS BIGINT) AS total_2gram_positions
+          FROM q JOIN tt USING (doc_id) JOIN gg USING (doc_id)),
+        verdicts AS (
+          SELECT *,
+                 {", ".join(f"CASE WHEN {cond} THEN 1 ELSE 0 END AS {name}"
+                            for name, cond in _FILTER_RULE_SQL.items())},
+                 CASE WHEN {" OR ".join(f"({c})" for c in _FILTER_RULE_SQL.values())}
+                      THEN 1 ELSE 0 END AS f_any
+          FROM sig)
+"""
+
+register(
+    "q_corpus_filter_flags",
+    lambda s, d: textstats.filter_flags(_docs(s, d)),
+    _q_docs(
+        _FILTER_VERDICTS_CTES
+        + """
+        SELECT doc_id, n_tokens, total_token_len, stop_hits, top_token_count,
+               dup_2gram_positions, total_2gram_positions,
+               CAST(f_too_short AS BIGINT) AS f_too_short,
+               CAST(f_too_long AS BIGINT) AS f_too_long,
+               CAST(f_word_len AS BIGINT) AS f_word_len,
+               CAST(f_stopword_floor AS BIGINT) AS f_stopword_floor,
+               CAST(f_top_token AS BIGINT) AS f_top_token,
+               CAST(f_dup_2gram AS BIGINT) AS f_dup_2gram,
+               CAST(f_any AS BIGINT) AS f_any
+        FROM verdicts
+        """
+    ),
+)
+
 register(
     "q_corpus_filter_report",
     lambda s, d: textstats.filter_ablation_report(_docs(s, d)),
     _q_docs(
-        f"""
-        , tok AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS token FROM norm),
-        q AS (
-          SELECT doc_id, COUNT(*) AS n_tokens,
-                 ROUND(AVG(CASE WHEN token IN ({_SW_EN}) THEN 1.0 ELSE 0.0 END), 6) AS sw,
-                 ROUND(AVG(CAST(length(token) AS DOUBLE)), 6) AS mwl
-          FROM tok GROUP BY doc_id),
-        tc AS (SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY 1, 2),
-        tt AS (SELECT doc_id, ROUND(MAX(c) * 1.0 / SUM(c), 6) AS top_tok FROM tc GROUP BY doc_id),
-        g2 AS (
-          SELECT doc_id,
-                 unnest([array_to_string(list_slice(t, i, i + 1), ' ')
-                         for i in range(1, greatest(len(t) - 1, 1) + 1)]) AS gram
-          FROM toks),
-        gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
-        gg AS (SELECT doc_id,
-                      ROUND(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / SUM(c), 6) AS dup2
-               FROM gc GROUP BY doc_id),
-        j AS (
-          SELECT q.doc_id,
-                 q.n_tokens < 15 AS too_short,
-                 q.n_tokens > 300 AS too_long,
-                 (q.mwl < 3.0 OR q.mwl > 10.0) AS word_len,
-                 q.sw < 0.05 AS stopword_floor,
-                 tt.top_tok > 0.2 AS top_token,
-                 gg.dup2 > 0.3 AS dup_2gram
-          FROM q JOIN tt USING (doc_id) JOIN gg USING (doc_id)),
-        wide AS (
+        _FILTER_VERDICTS_CTES
+        + """
+        , wide AS (
           SELECT COUNT(*) AS n,
-                 SUM(CASE WHEN too_short THEN 1 ELSE 0 END) AS f_too_short,
-                 SUM(CASE WHEN too_long THEN 1 ELSE 0 END) AS f_too_long,
-                 SUM(CASE WHEN word_len THEN 1 ELSE 0 END) AS f_word_len,
-                 SUM(CASE WHEN stopword_floor THEN 1 ELSE 0 END) AS f_stopword_floor,
-                 SUM(CASE WHEN top_token THEN 1 ELSE 0 END) AS f_top_token,
-                 SUM(CASE WHEN dup_2gram THEN 1 ELSE 0 END) AS f_dup_2gram,
-                 SUM(CASE WHEN too_short OR too_long OR word_len OR stopword_floor
-                          OR top_token OR dup_2gram THEN 1 ELSE 0 END) AS f_any
-          FROM j)
-        SELECT u.rule, u.n_failed, ROUND(u.n_failed * 1.0 / n, 6) AS fail_rate
-        FROM wide, LATERAL (VALUES
-          ('too_short', f_too_short), ('too_long', f_too_long),
-          ('word_len', f_word_len), ('stopword_floor', f_stopword_floor),
-          ('top_token', f_top_token), ('dup_2gram', f_dup_2gram),
-          ('any', f_any)) u(rule, n_failed)
+                 SUM(f_too_short) AS f_too_short, SUM(f_too_long) AS f_too_long,
+                 SUM(f_word_len) AS f_word_len,
+                 SUM(f_stopword_floor) AS f_stopword_floor,
+                 SUM(f_top_token) AS f_top_token, SUM(f_dup_2gram) AS f_dup_2gram,
+                 SUM(f_any) AS f_any
+          FROM verdicts)
+        SELECT 'too_short' AS rule, CAST(f_too_short AS BIGINT) AS n_failed,
+               ROUND(f_too_short * 1.0 / n, 6) AS fail_rate FROM wide
+        UNION ALL SELECT 'too_long', CAST(f_too_long AS BIGINT),
+               ROUND(f_too_long * 1.0 / n, 6) FROM wide
+        UNION ALL SELECT 'word_len', CAST(f_word_len AS BIGINT),
+               ROUND(f_word_len * 1.0 / n, 6) FROM wide
+        UNION ALL SELECT 'stopword_floor', CAST(f_stopword_floor AS BIGINT),
+               ROUND(f_stopword_floor * 1.0 / n, 6) FROM wide
+        UNION ALL SELECT 'top_token', CAST(f_top_token AS BIGINT),
+               ROUND(f_top_token * 1.0 / n, 6) FROM wide
+        UNION ALL SELECT 'dup_2gram', CAST(f_dup_2gram AS BIGINT),
+               ROUND(f_dup_2gram * 1.0 / n, 6) FROM wide
+        UNION ALL SELECT 'any', CAST(f_any AS BIGINT),
+               ROUND(f_any * 1.0 / n, 6) FROM wide
         """
     ),
 )
