@@ -54,27 +54,43 @@ def zorder_key(
     df: DataFrame, xcol: str, ycol: str, bits: int = 8
 ) -> DataFrame:
     """Input rows + (xb, yb, zkey): each key min-max-bucketized into
-    [0, 2^bits) with exact integer arithmetic — ``(v - min)·2^bits DIV
-    (max - min + 1)`` — then Morton-interleaved. Integer DIV (not floor of
-    a double quotient) keeps buckets exact for 64-bit inputs."""
+    [0, 2^bits) with exact integer arithmetic, then Morton-interleaved.
+
+    Overflow contract (round-7 ADVICE): the exact formula
+    ``(v − min)·2^bits DIV span`` multiplies BEFORE dividing, so it is
+    only exact while ``span = max − min + 1 ≤ 2^(63−bits)`` (~2^55 at
+    the default bits=8) — beyond that the product wraps BIGINT and
+    silently misbuckets under non-ANSI Spark. The expression therefore
+    branches on the actual span: in-contract spans (every registered
+    binding — epoch-micros spans are ~2^45) take the exact
+    multiply-then-DIV; wider spans fall back to divide-first
+    ``(v − min) DIV ceil(span/2^bits)`` — overflow-free, still
+    monotonic, still lands in [0, 2^bits), merely allowing the last
+    bucket to run ragged. Spans that overflow BIGINT themselves
+    (min < 0 ≤ max with max − min ≥ 2^63) are out of contract."""
     nb = 1 << bits
+    exact_max_span = 1 << (63 - bits)
     bounds = df.agg(
         F.min(xcol).cast("long").alias("_minx"),
         F.max(xcol).cast("long").alias("_maxx"),
         F.min(ycol).cast("long").alias("_miny"),
         F.max(ycol).cast("long").alias("_maxy"),
     )
+
+    def _bucket(col: str, mn: str, mx: str) -> Column:
+        span = f"({mx} - {mn} + 1)"
+        return F.expr(
+            f"CASE WHEN {span} <= {exact_max_span} "
+            f"THEN (CAST({col} AS BIGINT) - {mn}) * {nb} DIV {span} "
+            f"ELSE (CAST({col} AS BIGINT) - {mn}) DIV (({span} + {nb - 1}) DIV {nb}) "
+            f"END"
+        )
+
     out = (
         df.where(F.col(xcol).isNotNull() & F.col(ycol).isNotNull())
         .crossJoin(F.broadcast(bounds))
-        .withColumn(
-            "xb",
-            F.expr(f"(CAST({xcol} AS BIGINT) - _minx) * {nb} DIV (_maxx - _minx + 1)"),
-        )
-        .withColumn(
-            "yb",
-            F.expr(f"(CAST({ycol} AS BIGINT) - _miny) * {nb} DIV (_maxy - _miny + 1)"),
-        )
+        .withColumn("xb", _bucket(xcol, "_minx", "_maxx"))
+        .withColumn("yb", _bucket(ycol, "_miny", "_maxy"))
         .withColumn("zkey", morton_key(F.col("xb"), F.col("yb"), bits))
     )
     return out.drop("_minx", "_maxx", "_miny", "_maxy")

@@ -1976,7 +1976,17 @@ def source_js_divergence(
 
     — one equi-join on token (per-token fanout bounded by |sources|²),
     one |sources|²-row aggregate. No smoothing needed: JS is finite on
-    disjoint support (where it reaches exactly 1)."""
+    disjoint support (where it reaches exactly 1).
+
+    DOCUMENTED OMISSION (round-7 ADVICE): source pairs sharing ZERO
+    tokens produce no row at all (the inner join on token has nothing
+    to aggregate), rather than an explicit (a, b, 0, 1.0) row — a
+    missing row here means "fully disjoint vocabularies (JS = 1)", not
+    "unmeasured". Mixture-design consumers that need the dense matrix
+    should left-join this output onto the |sources|² pair grid and
+    coalesce to (n_common_tokens=0, js_divergence=1.0). Kept as-is
+    (matching the oracle) so the attested contract is stable; both
+    engines agree on the omission."""
     tok = documents.select(
         F.col(source_col).alias("source"),
         F.explode(tokens(F.col(text_col))).alias("token"),
@@ -2184,9 +2194,19 @@ def source_signatures(
     whose signature flips is a source whose upstream changed).
 
     Ties broken by token ascending; tokens present in every source get
-    idf 0 and drop out by construction. Plan: one (source, token)
-    aggregate, a |sources|-bounded df table broadcast back, a per-source
-    top-k window."""
+    idf 0 and drop out by construction.
+
+    Plan (round-7 VERDICT item 4): the per-token source-document-
+    frequency table ``sdf`` is VOCABULARY-sized — unbounded at corpus
+    scale — so it is NEVER broadcast; tf⋈sdf is a plain shuffle join on
+    token (both sides come pre-partitioned by token out of their
+    aggregates, so AQE usually elides the second exchange). Only the
+    genuinely |sources|-bounded frames (per-source totals, the source
+    count) ship as broadcasts. The per-source top-k is TWO-LEVEL: the
+    window partitions by (source, token-hash-bucket) — vocab-sized
+    input split across NUM_SIG_BUCKETS·|sources| tasks — and the final
+    window re-ranks only the surviving |sources|·buckets·top_n rows,
+    so no single task ever sorts a source's whole vocabulary."""
     tok = documents.select(
         F.col(source_col).alias("source"),
         F.explode(tokens(F.col(text_col))).alias("token"),
@@ -2197,7 +2217,7 @@ def source_signatures(
     ns = tot.agg(F.count(F.lit(1)).alias("_ns"))
     scored = (
         tf.join(F.broadcast(tot), "source")
-        .join(F.broadcast(sdf), "token")
+        .join(sdf, "token")
         .crossJoin(F.broadcast(ns))
         .select(
             "source",
@@ -2209,9 +2229,19 @@ def source_signatures(
             ).alias("tfidf"),
         )
     )
+    num_buckets = 64
+    w_local = Window.partitionBy("source", "_bkt").orderBy(
+        F.desc("tfidf"), F.asc("token")
+    )
+    local = (
+        scored.withColumn("_bkt", F.pmod(F.hash("token"), F.lit(num_buckets)))
+        .withColumn("_rn", F.row_number().over(w_local))
+        .where(F.col("_rn") <= top_n)
+        .drop("_rn", "_bkt")
+    )
     w = Window.partitionBy("source").orderBy(F.desc("tfidf"), F.asc("token"))
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
+        local.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= top_n)
         .drop("_rn")
     )

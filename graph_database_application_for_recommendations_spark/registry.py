@@ -7957,8 +7957,12 @@ register(
         SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
                CAST(SUM(neg) AS BIGINT) AS n_neg,
                CAST(COUNT(*) AS BIGINT) AS n_distinct_scores,
-               ROUND(SUM(pos * (2 * cumneg + neg))
-                     / (2.0 * SUM(pos) * SUM(neg)), 6) AS auc
+               -- degenerate single-class guard mirrors the engine's CASE
+               -- (round-7 ADVICE): NULL, never a div-by-zero divergence
+               CASE WHEN SUM(pos) > 0 AND SUM(neg) > 0
+                    THEN ROUND(SUM(pos * (2 * cumneg + neg))
+                               / (2.0 * SUM(pos) * SUM(neg)), 6)
+                    ELSE NULL END AS auc
         FROM rk
         """
     ),
@@ -8272,8 +8276,12 @@ register(
         SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
                CAST(SUM(neg) AS BIGINT) AS n_neg,
                CAST(COUNT(*) AS BIGINT) AS n_distinct_scores,
-               ROUND(SUM(pos * (2 * cumneg + neg))
-                     / (2.0 * SUM(pos) * SUM(neg)), 6) AS auc
+               -- degenerate single-class guard mirrors the engine's CASE
+               -- (round-7 ADVICE): NULL, never a div-by-zero divergence
+               CASE WHEN SUM(pos) > 0 AND SUM(neg) > 0
+                    THEN ROUND(SUM(pos * (2 * cumneg + neg))
+                               / (2.0 * SUM(pos) * SUM(neg)), 6)
+                    ELSE NULL END AS auc
         FROM rk
         """
     ),

@@ -3758,6 +3758,30 @@ def test_morton_key_bit_interleave(spark):
     assert sorted(z[(x, y)] for x in (0, 1) for y in (0, 1)) == [0, 1, 2, 3]
 
 
+def test_zorder_key_wide_span_does_not_overflow(spark):
+    """Round-7 ADVICE: a key span beyond 2^(63-bits) used to wrap BIGINT
+    in the multiply-then-DIV bucketizer and silently misbucket. The
+    wide-span branch must keep buckets in [0, 2^bits) and monotonic;
+    the in-contract branch stays the exact formula (min->0, max->255)."""
+    from graph_database_application_for_recommendations_spark.operators.layout import (
+        zorder_key,
+    )
+
+    wide = spark.createDataFrame(
+        [(0, 0, 0), (1, 2**60, 5), (2, 2**61, 9), (3, 2**62, 11)],
+        "rid long, x long, y long",
+    )
+    rows = {r["rid"]: r for r in zorder_key(wide, "x", "y", bits=8).collect()}
+    xs = [rows[i]["xb"] for i in range(4)]
+    assert all(0 <= b < 256 for b in xs), xs
+    assert xs == sorted(xs) and xs[0] < xs[-1]  # monotone, spread
+    narrow = spark.createDataFrame(
+        [(0, 0, 0), (1, 1023, 1023)], "rid long, x long, y long"
+    )
+    nr = {r["rid"]: r for r in zorder_key(narrow, "x", "y", bits=8).collect()}
+    assert (nr[0]["xb"], nr[1]["xb"]) == (0, 255)
+
+
 def test_layout_pruning_zorder_beats_linear_on_uniform_grid(spark):
     """On a uniform 2^7 x 2^7 grid, a quarter-rectangle predicate under the
     linear (x-major) layout must scan every block (each block spans the
