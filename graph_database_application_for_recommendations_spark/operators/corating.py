@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.hints import gated_broadcast
+
 
 def positive_ratings(ratings: DataFrame, min_rating: int = 6) -> DataFrame:
     """P2 — positive-rating threshold (reference ``:26``, rating >= 6)."""
@@ -68,7 +70,7 @@ def corating_edges(
     # ~32 bytes per (user_id, isbn) row in the broadcast hash relation
     if salt is None and pos.count() * 32 < 256 * 1024 * 1024:
         return (
-            a.join(F.broadcast(b), "isbn")
+            a.join(gated_broadcast(b, "count()-gated: pos.count()*32B < 256MB"), "isbn")
             .filter(F.col("u1") != F.col("u2"))
             .groupBy("u1", "u2")
             .agg(F.count(F.lit(1)).alias("weight"))

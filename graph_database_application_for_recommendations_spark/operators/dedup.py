@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.hints import gated_broadcast
 from ..functions.text import md5_hash32, md5_hash60, tokens, word_shingles
 
 
@@ -1204,7 +1205,12 @@ def semantic_dedup(
     rep_vecs = vecs.select(
         F.col("_sid").alias("rep_id"), F.col("_nv").alias("_rv")
     ).join(F.broadcast(reps), "rep_id")
-    out = members.join(F.broadcast(rep_vecs), "cluster").select(
+    out = members.join(
+        gated_broadcast(
+            rep_vecs, "k-row cluster-rep table (unique-id semi-join of a k-row aggregate)"
+        ),
+        "cluster",
+    ).select(
         F.col(id_col),
         "cluster",
         "rep_id",
@@ -1564,7 +1570,9 @@ def semantic_decontaminate(
         V.l2_normalize(V.as_double(F.col(vec_col))).alias("_t"),
     )
     ev = evalset.select(V.l2_normalize(V.as_double(F.col(vec_col))).alias("_e"))
-    sims = tn.join(F.broadcast(ev)).select(
+    sims = tn.join(
+        gated_broadcast(ev, "caller contract: eval-benchmark side, bounded by definition")
+    ).select(
         "doc_id", F.round(V.dot(F.col("_t"), F.col("_e")), 6).alias("_s")
     )
     return sims.groupBy("doc_id").agg(

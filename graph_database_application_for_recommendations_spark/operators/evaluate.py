@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.hints import gated_broadcast
+
 
 def calibration_table(
     scored: DataFrame,
@@ -210,7 +212,7 @@ def bootstrap_ci(
     # says the unit table is executor-safe — unbounded inputs shuffle
     idx_v = ranked.select("_idx", "_v")
     if units.count() <= 2_000_000:
-        idx_v = F.broadcast(idx_v)
+        idx_v = gated_broadcast(idx_v, "count()-gated: <=2M evaluation units")
     rep_means = (
         draws.join(idx_v, "_idx")
         .groupBy("_b")

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import vector as V
+from ..functions.hints import gated_broadcast
 
 
 def quantize_int8_flat(
@@ -158,8 +159,11 @@ def topk_binary(
     # candidates are |queries|·rerank rows — broadcast them INTO the
     # corpus-side float scan rather than shuffling the corpus on id
     scored = (
-        cv.join(F.broadcast(cand), "neighbor_id")
-        .join(F.broadcast(qv), "query_id")
+        cv.join(
+            gated_broadcast(cand, "caller contract: |queries| x rerank candidate rows"),
+            "neighbor_id",
+        )
+        .join(gated_broadcast(qv, "caller contract: query-set rows"), "query_id")
         .select(
             "query_id",
             "neighbor_id",

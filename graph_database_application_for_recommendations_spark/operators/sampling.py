@@ -51,19 +51,36 @@ def stratified_sample(
     """Exact per-stratum fraction: rank rows inside each stratum by their
     deterministic hash (key as tie-break) and keep ceil(fraction·|stratum|).
 
-    Unlike ``hash_sample`` the per-stratum counts are exact, at the cost
-    of one window shuffle on the stratum key. Hash-ordered ranking keeps
-    the choice of WHICH rows deterministic and unbiased by key order.
-    """
-    w = Window.partitionBy(strata_col).orderBy(
-        sample_bucket(key_col, seed), F.col(key_col)
+    Unlike ``hash_sample`` the per-stratum counts are exact. The
+    per-stratum rank is TWO-LEVEL (round-8: the old single window
+    partitioned by the low-cardinality stratum column put each stratum's
+    WHOLE slice of the corpus through one task's sort — the engine's
+    documented anti-pattern): rows bucket by the top hash digits
+    (order-monotonic in the hash), a cumulative offset over the
+    |strata|·100 bucket HISTOGRAM is the only thing a stratum-grain
+    window ever sees, and a per-(stratum, bucket) row_number composes
+    to the bit-identical global (hash, key) rank. Per-stratum totals
+    come from an aggregate join, not a count window. Hash-ordered
+    ranking keeps the choice of WHICH rows deterministic and unbiased
+    by key order."""
+    base = df.withColumn("_h", sample_bucket(key_col, seed)).withColumn(
+        "_bkt", F.expr(f"_h DIV {HASH_BUCKETS // 100}")
     )
-    cnt = Window.partitionBy(strata_col)
+    hist = base.groupBy(strata_col, "_bkt").agg(F.count(F.lit(1)).alias("_hn"))
+    w_off = Window.partitionBy(strata_col).orderBy("_bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = hist.select(
+        strata_col, "_bkt", F.coalesce(F.sum("_hn").over(w_off), F.lit(0)).alias("_off")
+    )
+    totals = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
+    w_in = Window.partitionBy(strata_col, "_bkt").orderBy("_h", F.col(key_col))
     return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .withColumn("_n", F.count(F.lit(1)).over(cnt))
+        base.join(F.broadcast(offsets), [strata_col, "_bkt"])
+        .join(F.broadcast(totals), strata_col)
+        .withColumn("_rn", F.col("_off") + F.row_number().over(w_in))
         .filter(F.col("_rn") <= F.ceil(F.col("_n") * fraction))
-        .drop("_rn", "_n")
+        .select(*df.columns)
     )
 
 

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import vector as V
+from ..functions.hints import gated_broadcast
 
 
 def hyperplanes(num_planes: int = 4, dim: int = 64, seed: int = 123) -> list[list[float]]:
@@ -288,9 +289,9 @@ def topk_hyperplane_lsh(
     n_q = estimated_row_count(queries)
     n_c = n_q if self_knn else estimated_row_count(corpus)
     if n_q is not None and n_q * vec_bytes < 256 * 1024 * 1024:
-        q = F.broadcast(q)
+        q = gated_broadcast(q, "stats-estimated rows * vec_bytes < 256MB")
     if n_c is not None and n_c * vec_bytes < 256 * 1024 * 1024:
-        c = F.broadcast(c)
+        c = gated_broadcast(c, "stats-estimated rows * vec_bytes < 256MB")
     pairs = cand.join(q, "query_id").join(c, "neighbor_id").select(
         "query_id",
         "neighbor_id",
@@ -761,9 +762,9 @@ def topk_hyperplane_lsh_multiprobe(
     n_q = estimated_row_count(queries)
     n_c = estimated_row_count(corpus)
     if n_q is not None and n_q * vec_bytes < 256 * 1024 * 1024:
-        q = F.broadcast(q)
+        q = gated_broadcast(q, "stats-estimated rows * vec_bytes < 256MB")
     if n_c is not None and n_c * vec_bytes < 256 * 1024 * 1024:
-        c = F.broadcast(c)
+        c = gated_broadcast(c, "stats-estimated rows * vec_bytes < 256MB")
     pairs = cand.join(q, "query_id").join(c, "neighbor_id").select(
         "query_id",
         "neighbor_id",

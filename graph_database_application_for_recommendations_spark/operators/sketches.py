@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.hints import gated_broadcast
 from ..functions.text import md5_hash32, md5_hash60, tokens
 
 CMS_DEPTH = 4
@@ -243,7 +244,11 @@ def bloom_maybe_contains(
         ),
     )
     return (
-        pr.join(F.broadcast(bloom), "word", "left")
+        pr.join(
+            gated_broadcast(bloom, "fixed-size: <= BLOOM_BITS/64 word rows"),
+            "word",
+            "left",
+        )
         .groupBy("key")
         .agg(
             F.min(

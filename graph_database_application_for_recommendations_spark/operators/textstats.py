@@ -256,9 +256,12 @@ def tfidf_top_terms(
     """(doc_id, token, tfidf): top-N characteristic terms per document.
 
     tf = term count / doc token count; idf = ln(N / df) over distinct
-    document frequency. Two shuffles (doc-term counts, df counts) +
-    a broadcast of the tiny df dimension; scores rounded to 6dp with
-    token tie-break for cross-engine determinism.
+    document frequency. Two shuffles (doc-term counts, df counts); the
+    df table is VOCABULARY-sized, so it is never broadcast-hinted —
+    AQE broadcasts it when the actual runtime size is small and shuffles
+    beyond (round-8: the old forced hint was the source_signatures OOM
+    class). Scores rounded to 6dp with token tie-break for cross-engine
+    determinism.
     """
     par = documents.sparkSession.sparkContext.defaultParallelism
     tok = documents.repartition(par).select(
@@ -270,7 +273,7 @@ def tfidf_top_terms(
     df_counts = term_counts.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         term_counts.join(doc_len, "doc_id")
-        .join(F.broadcast(df_counts), "token")
+        .join(df_counts, "token")
         .select(
             "doc_id",
             "token",
@@ -496,11 +499,13 @@ def decode_corpus(
     pins the id mapping's invertibility (a duplicated or shifted token_id
     breaks the reassembled text).
 
-    Scale shape mirrors the encoder: the vocabulary broadcasts; the
-    corpus-sized side sees one aggregate keyed by doc_id (the natural
-    output partitioning for shard writing)."""
+    Scale shape mirrors the encoder: the vocabulary joins WITHOUT a
+    forced broadcast hint (it is vocabulary-sized — AQE broadcasts it
+    while it actually fits, shuffles beyond); the corpus-sized side sees
+    one aggregate keyed by doc_id (the natural output partitioning for
+    shard writing)."""
     dec = encoded.join(
-        F.broadcast(vocabulary.select("token_id", "token")), "token_id", "left"
+        vocabulary.select("token_id", "token"), "token_id", "left"
     ).select(
         "doc_id", "pos", F.coalesce(F.col("token"), F.lit(oov_token)).alias("token")
     )

@@ -60,6 +60,280 @@ def unpartitioned_corpus_windows(df) -> list[str]:
     ]
 
 
+# ---- unbounded-broadcast-hint + low-cardinality-window guards (r7 item 5) --
+# Round 7 shipped two operators whose forced F.broadcast() hinted a frame
+# that is UNBOUNDED at corpus scale (source_signatures' vocab-sized df
+# table) or bounded only by a runtime count the plan can't show
+# (bootstrap_ci's unit table), plus per-source top-k windows whose frames
+# were vocab-proportional. These guards ban both classes engine-wide:
+#
+#  * a broadcast hint must sit over a frame the LOGICAL PLAN proves small:
+#    a limit, a driver-literal leaf, a dimension-table scan, a point/IN
+#    literal filter, an aggregate whose key domain is bounded (value
+#    histograms, buckets, sketch words, at most ONE entity-dimension key —
+#    two entity keys together are fact grain), or the __gated_bounded__
+#    witness alias that only functions/hints.gated_broadcast emits behind
+#    an actual count()/stats gate;
+#  * a Window partitioned ONLY by low-cardinality columns (source, lang,
+#    event_type, ...) must have a bounded input by the same predicate —
+#    otherwise one task sorts a corpus-proportional frame per group.
+#
+# Like the unpartitioned-window guard above, these are cardinality
+# HEURISTICS keyed to this engine's schema vocabulary, not proofs — the
+# point is that the two shapes round 7 shipped can no longer land silently.
+
+# bounded key DOMAINS: buckets, 6dp-rounded signal histograms, char
+# bigrams, cluster/community/model ids, block/file metadata grain,
+# time buckets (stream-span/granularity, not corpus rows)
+_BOUNDED_VALUE_KEYS = {
+    "source", "lang", "language", "event_type", "rule",
+    "q_bucket", "bucket", "_bkt", "_pfx", "count", "_c", "_b", "b",
+    "band", "tid", "pid", "cid", "code", "byte", "cell", "layout", "_blk",
+    "decile", "bucket_len", "cluster", "community", "bigram", "c1", "_c1",
+    "bucket_us", "window_start_us", "hour", "day", "dow", "minute", "week",
+    "sw", "_sw", "lm", "_lm", "lex", "_lex", "stopword_ratio",
+    "n_tokens", "n_chars",  # value histograms (distinct lengths, not rows)
+}
+# entity-dimension keys: an aggregate at exactly ONE entity's grain is
+# dimension-sized; two or more together = fact/pair grain = unbounded
+_DIM_KEYS = {"user_id", "isbn", "vec_id", "u1", "u2", "i1", "i2"}
+# dimension-table parquet scans (the reference's node tables): broadcast
+# by design in the serving catalog. Fact/corpus tables are NOT here.
+_DIM_LEAF_COLS = ("c_custkey", "p_partkey", "n_nationkey", "r_regionkey", "s_suppkey")
+_BROADCAST_BOUNDED_LEAVES = _BOUNDED_LEAVES | {"LogicalRDD", "Range"}
+_BOUNDED_EXPR_HEADS = ("substring(", "pmod(", "shiftright(")
+
+import re as _re
+
+
+_LIT = r"(?:cast\()?(\d+)(?: as \w+\))?"
+
+
+def _filter_cond_bounds(cond: str) -> bool:
+    """Point lookups, IN literal lists, and small top-of-id-space range
+    slices bound a frame; general predicates (rating >= 6) do not."""
+    if _re.search(r"\w+#\d+L? IN \(", cond):
+        return True
+    if _re.search(rf"\w+#\d+L? = {_LIT}\)", cond):
+        return True
+    m = _re.search(rf"\w+#\d+L? <=? {_LIT}\)", cond)
+    if m and int(m.group(1)) <= 4096:
+        return True
+    return False
+
+
+def _subtree_has_in_filter_on(node, keys: set[str]) -> bool:
+    todo = [node]
+    left = set(keys)
+    while todo and left:
+        n = todo.pop()
+        if n.nodeName() == "Filter":
+            cond = n.condition().toString()
+            for k in list(left):
+                if _re.search(rf"\b{_re.escape(k)}#\d+L? IN \(", cond):
+                    left.discard(k)
+        todo.extend(_kids(n))
+    return not left
+
+
+def _bounded_key_expr(e: str) -> bool:
+    if e.startswith(_BOUNDED_EXPR_HEADS):
+        return True
+    if _re.match(r"^\(\w+#\d+L? div cast\(\d+ as bigint\)\)", e):
+        return True  # two-level histogram bucket
+    if _re.search(r"% (?:cast\()?\d+", e):
+        return True  # mod-by-constant: domain bounded by the modulus
+    return False
+
+
+def _resolve_extracted_grouping(node, ref: str) -> str | None:
+    """The optimizer pulls computed grouping keys into a child Project as
+    ``<expr> AS _groupingexpression#N`` — chase the attribute back to the
+    expression text so the bounded-domain predicates can judge it."""
+    for kid in _kids(node):
+        if kid.nodeName() != "Project":
+            continue
+        pl = kid.projectList()
+        for i in range(pl.size()):
+            s = pl.apply(i).toString()
+            if s.endswith(f"AS {ref}"):
+                return s[: -len(f" AS {ref}")]
+    return None
+
+
+def _grouping_bounded(node) -> bool:
+    gs = node.groupingExpressions()
+    if gs.isEmpty():
+        return True
+    dims = set()
+    bad = set()
+    for i in range(gs.size()):
+        e = gs.apply(i).toString()
+        m = _re.match(r"^([A-Za-z_][A-Za-z0-9_]*)#\d+", e)
+        if m:
+            nm = m.group(1)
+            if nm in _BOUNDED_VALUE_KEYS:
+                continue
+            if nm in _DIM_KEYS:
+                dims.add(nm)
+                continue
+            if nm == "_groupingexpression":
+                src = _resolve_extracted_grouping(node, e)
+                if src is not None and _bounded_key_expr(src):
+                    continue
+            bad.add(nm)
+            continue
+        if _bounded_key_expr(e):
+            continue
+        bad.add(e[:50])
+    if bad:
+        # term-filtered aggregates (BM25's df over token IN (...)) bound
+        return _subtree_has_in_filter_on(node, bad)
+    return len(dims) <= 1
+
+
+def _plan_bounded(node) -> bool:
+    nn = node.nodeName()
+    if nn == "Aggregate":
+        return _grouping_bounded(node)
+    if nn in _BOUNDING:
+        return True
+    if nn == "SubqueryAlias":
+        if "__gated_bounded__" in node.simpleString(80):
+            return True
+        kids = _kids(node)
+        return _plan_bounded(kids[0]) if kids else False
+    if nn == "Filter":
+        kids = _kids(node)
+        # per-group top-k: Filter(rn <= k) over (Project*) Window
+        probe = kids[0] if kids else None
+        while probe is not None and probe.nodeName() == "Project":
+            pk = _kids(probe)
+            probe = pk[0] if pk else None
+        if probe is not None and probe.nodeName() == "Window":
+            return True
+        if _filter_cond_bounds(node.condition().toString()):
+            return True
+        return _plan_bounded(kids[0]) if kids else False
+    kids = _kids(node)
+    if not kids:
+        if nn in _BROADCAST_BOUNDED_LEAVES:
+            return True
+        s = node.simpleString(200)
+        return any(c in s for c in _DIM_LEAF_COLS)
+    return all(_plan_bounded(c) for c in kids)
+
+
+def unbounded_broadcast_hints(df) -> list[str]:
+    """Broadcast hints in the ANALYZED plan (ResolvedHint survives there)
+    whose hinted frame the plan cannot prove bounded."""
+
+    def walk(n):
+        yield n
+        for c in _kids(n):
+            yield from walk(c)
+
+    plan = df._jdf.queryExecution().analyzed()
+    return [
+        _kids(node)[0].nodeName() + ":" + _kids(node)[0].simpleString(80)
+        for node in walk(plan)
+        if node.nodeName() == "ResolvedHint" and not _plan_bounded(_kids(node)[0])
+    ]
+
+
+_LOW_CARD_PARTITION = {"source", "lang", "language", "event_type", "rule"}
+
+
+def lowcard_corpus_windows(df) -> list[str]:
+    """Window nodes partitioned ONLY by low-cardinality columns whose
+    input frame the plan cannot prove bounded — one task sorts a
+    corpus-proportional frame per group."""
+
+    def walk(n):
+        yield n
+        for c in _kids(n):
+            yield from walk(c)
+
+    plan = df._jdf.queryExecution().optimizedPlan()
+    out = []
+    for node in walk(plan):
+        if node.nodeName() != "Window":
+            continue
+        ps = node.partitionSpec()
+        if ps.isEmpty():
+            continue
+        names = set(_re.findall(r"([A-Za-z_][A-Za-z0-9_]*)#\d+", ps.mkString(",")))
+        if names and names <= _LOW_CARD_PARTITION and not _plan_bounded(_kids(node)[0]):
+            out.append(node.simpleString(100))
+    return out
+
+
+def test_broadcast_guard_flags_the_round7_shapes(spark):
+    """Sensitivity: the guard must flag the exact shapes round 7 shipped
+    (forced broadcast of a token-keyed aggregate; forced broadcast of a
+    unit-keyed aggregate with no witness; per-source top-k window over a
+    vocab-proportional frame) and pass the sanctioned ones."""
+    from graph_database_application_for_recommendations_spark.functions.hints import gated_broadcast
+    from graph_database_application_for_recommendations_spark.functions.text import tokens
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    tok = docs.select("source", F.explode(tokens(F.col("text"))).alias("token"))
+    tf = tok.groupBy("source", "token").count()
+    # r7 source_signatures: broadcast of the vocab-sized sdf table
+    sdf = tf.groupBy("token").agg(F.count(F.lit(1)).alias("sdf"))
+    bad = tf.join(F.broadcast(sdf), "token")
+    assert unbounded_broadcast_hints(bad), "guard missed a vocab-sized broadcast"
+    # r7 bootstrap_ci: broadcast of the full unit table, no witness
+    units = docs.selectExpr("doc_id AS _u", "n_chars AS _v").groupBy("_u").agg(
+        F.max("_v").alias("_v")
+    )
+    bad2 = docs.join(F.broadcast(units), docs.doc_id == units._u)
+    assert unbounded_broadcast_hints(bad2), "guard missed an unbounded unit broadcast"
+    # the witnessed twin passes
+    ok = docs.join(gated_broadcast(units, "test: counted"), docs.doc_id == units._u)
+    assert not unbounded_broadcast_hints(ok), "guard flagged a witnessed broadcast"
+    # bounded-key aggregate passes (histogram grain)
+    hist = docs.groupBy("source").count()
+    assert not unbounded_broadcast_hints(docs.join(F.broadcast(hist), "source"))
+    # r7 source_signatures top-k: per-source window over vocab-sized frame
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(F.desc("count"), F.asc("token"))
+    bad3 = tf.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 5)
+    assert lowcard_corpus_windows(bad3), "guard missed a low-card corpus window"
+    # two-level twin passes: bucketed local top-k first
+    loc = Window.partitionBy("source", "bkt").orderBy(F.desc("count"), F.asc("token"))
+    local = (
+        tf.withColumn("bkt", F.pmod(F.hash("token"), F.lit(64)))
+        .withColumn("rn", F.row_number().over(loc))
+        .where(F.col("rn") <= 5)
+        .drop("rn", "bkt")
+    )
+    ok2 = local.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 5)
+    assert not lowcard_corpus_windows(ok2), "guard flagged the two-level top-k"
+
+
+def test_gated_broadcast_marker_is_single_sourced():
+    """The __gated_bounded__ witness may only be emitted by
+    functions/hints.gated_broadcast — an alias slapped on elsewhere would
+    be an unverified bypass of the broadcast guard."""
+    import glob
+    import os
+
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "graph_database_application_for_recommendations_spark",
+    )
+    offenders = []
+    for path in glob.glob(os.path.join(root, "**", "*.py"), recursive=True):
+        rel = os.path.relpath(path, root)
+        with open(path) as fh:
+            src = fh.read()
+        if "__gated_bounded__" in src and rel != os.path.join("functions", "hints.py"):
+            offenders.append(rel)
+    assert not offenders, f"__gated_bounded__ emitted outside hints.py: {offenders}"
+
+
 def test_window_guard_flags_the_reverted_antipattern(spark):
     """Sensitivity check: the guard must flag the exact shapes the round-4
     verdict found (global row_number over a raw scan; global NTILE over a
@@ -107,6 +381,8 @@ def test_all_registered_queries_are_driver_canonicalizable(spark):
     py_udf = {}
     global_windows = {}
     cartesian = {}
+    unbounded_bcast = {}
+    lowcard_windows = {}
     for name, fn in registry.queries().items():
         df = fn(spark, SF_SMALL)
         offenders = [
@@ -137,12 +413,28 @@ def test_all_registered_queries_are_driver_canonicalizable(spark):
         # collect_top_k IS the canonical ALS serving plan.
         if "CartesianProduct" in plan and name not in ("q_recsys_als",):
             cartesian[name] = True
+        # ... broadcast hints must sit over plan-provably-bounded frames
+        # (or carry the gated_broadcast witness) — round-7 VERDICT item 5
+        ub = unbounded_broadcast_hints(df)
+        if ub:
+            unbounded_bcast[name] = ub
+        # ... and low-cardinality-partitioned windows must have bounded
+        # inputs (the other shape that let source_signatures through)
+        lw = lowcard_corpus_windows(df)
+        if lw:
+            lowcard_windows[name] = lw
     assert not bad, f"non-canonicalizable columns: {bad}"
     assert not py_udf, f"row-at-a-time Python UDFs in plans: {sorted(py_udf)}"
     assert not global_windows, (
         f"corpus-sized unpartitioned Windows (single-task global sorts): {global_windows}"
     )
     assert not cartesian, f"non-broadcast cartesian products: {sorted(cartesian)}"
+    assert not unbounded_bcast, (
+        f"broadcast hints over frames the plan can't prove bounded: {unbounded_bcast}"
+    )
+    assert not lowcard_windows, (
+        f"low-cardinality-partitioned windows over unbounded frames: {lowcard_windows}"
+    )
 
 
 @pytest.mark.parametrize(
