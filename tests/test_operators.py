@@ -635,6 +635,62 @@ def test_read_table_asof_snapshots_ingest_history(spark, tmp_path):
         read_table_asof(spark, corpus, 1)
 
 
+def test_compact_after_append_across_boundary_replay_safe(spark, tmp_path):
+    """VERDICT r7 item 8: the ingest-loop compaction hook must preserve
+    the exactly-once contract ACROSS a compaction boundary. Sequence:
+    ingest batches 0,1 (compaction fires after batch 1, every=2, folding
+    their batch-named files into anonymous compacted files), then (a)
+    REPLAY batch 0 — whose name-based replay exclusion was surrendered
+    by compaction — and (b) continue with batches 2,3 (compaction fires
+    again after 3). Final corpus and index must equal the clean
+    never-compacted, never-replayed run row-for-row, the replay must be
+    a no-op (the fingerprint anti-join, not file names, is the
+    guarantee), and compaction must actually reduce the file count."""
+    from graph_database_application_for_recommendations_spark.operators.etl import (
+        compact_after_append,
+        ingest_dedup_append,
+    )
+    from graph_database_application_for_recommendations_spark.sources.fsutil import (
+        list_parquet,
+    )
+
+    batches = [
+        [(1, "alpha beta"), (2, "gamma delta")],
+        [(3, "epsilon zeta"), (4, "alpha  BETA")],   # 4 dups 1 cross-batch
+        [(5, "eta theta"), (6, "eta  THETA")],       # 6 dups 5 in-batch
+        [(7, "iota kappa"), (8, "gamma DELTA")],     # 8 dups 2 cross-batch
+    ]
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+
+    plain_c, plain_i = str(tmp_path / "pc"), str(tmp_path / "pi")
+    for i, rows in enumerate(batches):
+        ingest_dedup_append(spark, plain_c, plain_i, mk(rows), batch_id=i)
+
+    c, i_ = str(tmp_path / "c"), str(tmp_path / "i")
+    fired = []
+    for b in (0, 1):
+        ingest_dedup_append(spark, c, i_, mk(batches[b]), batch_id=b)
+    files_before = len(list_parquet(spark, c))
+    fired.append(compact_after_append(spark, c, i_, batch_id=1, every=2))
+    files_after = len(list_parquet(spark, c))
+    assert fired == [True] and files_after < files_before
+    # (a) replay a batch whose files were just compacted away: no-op
+    appended = ingest_dedup_append(spark, c, i_, mk(batches[0]), batch_id=0)
+    assert appended == 0
+    # (b) keep ingesting across the boundary; second compaction at 3
+    for b in (2, 3):
+        ingest_dedup_append(spark, c, i_, mk(batches[b]), batch_id=b)
+        fired.append(compact_after_append(spark, c, i_, batch_id=b, every=2))
+    assert fired == [True, False, True]
+    got = sorted(map(tuple, spark.read.parquet(c).collect()))
+    want = sorted(map(tuple, spark.read.parquet(plain_c).collect()))
+    assert got == want
+    assert (
+        spark.read.parquet(i_).distinct().count()
+        == spark.read.parquet(plain_i).distinct().count()
+    )
+
+
 def test_bench_record_fits_driver_tail_budget():
     """The driver archives only the last ~2000 stdout chars; the bench
     record must fit whole. Pin the CURRENT mix against the compaction
