@@ -562,3 +562,124 @@ def test_sidecar_algebra_invariant_under_random_batching(
         assert sorted(
             map(tuple, consolidate_token_counts(tok_deltas.unionByName(neg)).collect())
         ) == sorted(map(tuple, token_count_table(surviving).collect()))
+
+
+# ---- two-level rank bit-identity (round-8 VERDICT items 3/6) ----------------
+# popularity_gini, bootstrap_ci and stratified_sample replaced single-task
+# global/stratum windows with the two-level bucket-histogram rank this
+# round, each claiming the composed rank is BIT-IDENTICAL to the naive
+# global window. These laws pin that claim on adversarial inputs
+# (duplicate counts, shared prefixes, negative ids, skewed strata) that
+# the fixed-corpus oracle compare can't probe.
+
+
+@given(
+    items=st.lists(
+        st.tuples(
+            st.text(alphabet="abz019", min_size=0, max_size=5),
+            st.integers(1, 4),
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    )
+)
+@SLOW
+def test_popularity_gini_two_level_rank_matches_naive(spark, items):
+    """Gini/top-decile from the two-level (count, prefix) rank must equal
+    the naive global row_number() over (count, isbn) formula computed in
+    plain Python."""
+    from graph_database_application_for_recommendations_spark.operators.corating import (
+        popularity_gini,
+    )
+
+    rows = [(u, isbn, 5) for isbn, c in items for u in range(c)]
+    df = spark.createDataFrame(rows, "user_id long, isbn string, rating int")
+    got = popularity_gini(df).collect()[0]
+    ranked = sorted(items, key=lambda t: (t[1], t[0]))  # (count, isbn) asc
+    n = len(ranked)
+    tot = sum(c for _, c in ranked)
+    rc = sum((i + 1) * c for i, (_, c) in enumerate(ranked))
+    gini = round((2.0 * rc) / (n * tot) - (n + 1.0) / n, 6)
+    topd = sum(c for _, c in ranked[n - ((n + 9) // 10):])
+    assert got["n_items"] == n and got["n_interactions"] == tot
+    assert got["gini"] == gini
+    assert got["top_decile_share"] == round(topd / tot, 6)
+
+
+@given(
+    units=st.lists(
+        st.tuples(st.integers(-(2**40), 2**40), st.floats(0, 1, width=32)),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda t: t[0],
+    )
+)
+@SLOW
+def test_bootstrap_ci_two_level_index_matches_naive(spark, units):
+    """bootstrap_ci's two-level unit index (DIV-bucket histogram offsets +
+    per-bucket row_number) must reproduce the naive replicate means: the
+    md5 draw arithmetic re-run in plain Python over units sorted by id,
+    including negative and far-apart ids that cross DIV buckets."""
+    import hashlib
+
+    from graph_database_application_for_recommendations_spark.operators.evaluate import (
+        bootstrap_ci,
+    )
+
+    df = spark.createDataFrame(
+        [(u, float(v)) for u, v in units], "unit_id long, value double"
+    )
+    got = bootstrap_ci(df, n_replicates=20).collect()[0]
+    ordered = [v for _, v in sorted(units)]
+    n = len(ordered)
+    means = []
+    for b in range(20):
+        s = 0.0
+        for j in range(n):
+            h = int(hashlib.md5(f"{b}#{j}".encode()).hexdigest()[:8], 16) % n
+            s += ordered[h]
+        means.append(s / n)
+    means.sort()
+    lo = max(1, (25 * 20 + 999) // 1000)
+    hi = (975 * 20 + 999) // 1000
+    assert got["n_units"] == n
+    assert got["ci_lo"] == round(means[lo - 1], 6)
+    assert got["ci_hi"] == round(means[hi - 1], 6)
+
+
+@given(
+    keys=st.lists(st.integers(0, 10**6), min_size=1, max_size=30, unique=True),
+    strata=st.data(),
+    fraction=st.sampled_from([0.25, 0.5, 0.8]),
+)
+@SLOW
+def test_stratified_sample_two_level_equals_naive_window(spark, keys, strata, fraction):
+    """stratified_sample's two-level rank must keep EXACTLY the rows the
+    naive per-stratum window kept: rank by (md5 bucket, key) per stratum,
+    keep ceil(fraction*n). Reproduced in plain Python via the same md5."""
+    import hashlib
+    import math
+
+    from graph_database_application_for_recommendations_spark.operators.sampling import (
+        HASH_BUCKETS,
+        stratified_sample,
+    )
+
+    rows = [(k, strata.draw(st.sampled_from("xy"))) for k in keys]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = {
+        r["doc_id"]
+        for r in stratified_sample(df, "lang", "doc_id", fraction, seed=3).collect()
+    }
+    want = set()
+    for s in ("x", "y"):
+        members = [k for k, g in rows if g == s]
+        if not members:
+            continue
+        hb = lambda k: int(
+            hashlib.md5(f"{k}#3".encode()).hexdigest()[:8], 16
+        ) % HASH_BUCKETS
+        members.sort(key=lambda k: (hb(k), k))
+        want |= set(members[: math.ceil(len(members) * fraction)])
+    assert got == want
