@@ -4504,3 +4504,37 @@ def test_source_signatures_distinctive_terms(spark):
     assert got == {"A": ["alpha"], "B": ["beta"], "C": ["gamma"]}
     all_rows = source_signatures(docs, top_n=5).collect()
     assert not any(r["token"] == "common" and r["tfidf"] > 0 for r in all_rows)
+
+
+def test_filter_flags_degenerate_docs(spark):
+    """Empty and single-token docs take deterministic integer paths: ''
+    tokenizes to one empty token (len 0 -> word_len fails), a lone
+    stopword clears the floor exactly (1e6 >= 5e4), and a pure-repeat
+    doc fails top_token and dup_2gram with dup positions == total."""
+    from graph_database_application_for_recommendations_spark.operators.textstats import (
+        filter_flags,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "a"), (3, "the " * 20)], "doc_id long, text string"
+    )
+    r = {x["doc_id"]: x.asDict() for x in filter_flags(docs).collect()}
+    assert (r[1]["n_tokens"], r[1]["total_token_len"]) == (1, 0)
+    assert (r[1]["f_too_short"], r[1]["f_word_len"], r[1]["f_any"]) == (1, 1, 1)
+    assert (r[2]["stop_hits"], r[2]["f_stopword_floor"]) == (1, 0)
+    assert r[3]["dup_2gram_positions"] == r[3]["total_2gram_positions"] == 19
+    assert (r[3]["f_top_token"], r[3]["f_dup_2gram"]) == (1, 1)
+
+
+def test_butterfly_count_empty_graph_is_zero_row(spark):
+    """No positive ratings -> the coalesce path emits one all-zero row
+    instead of NULLs or an empty frame."""
+    from graph_database_application_for_recommendations_spark.operators.corating import (
+        butterfly_count,
+    )
+
+    low = spark.createDataFrame(
+        [(1, "x", 2), (2, "x", 3)], "user_id long, isbn string, rating int"
+    )
+    r = butterfly_count(low).collect()[0]
+    assert tuple(r) == (0, 0, 0, 0, 0)
