@@ -683,3 +683,51 @@ def test_stratified_sample_two_level_equals_naive_window(spark, keys, strata, fr
         members.sort(key=lambda k: (hb(k), k))
         want |= set(members[: math.ceil(len(members) * fraction)])
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.tuples(st.sampled_from("pq"), texts),
+        min_size=2,
+        max_size=10,
+    ),
+    top_n=st.sampled_from([1, 2, 5]),
+)
+@SLOW
+def test_source_signatures_two_level_topk_matches_naive(spark, docs, top_n):
+    """source_signatures' bucketed local top-k must select EXACTLY the
+    naive per-source (tfidf desc, token asc) top-n — including tie runs
+    (identical tfidf across many tokens) that straddle hash buckets."""
+    import math
+    from collections import Counter
+
+    from graph_database_application_for_recommendations_spark.operators.textstats import (
+        source_signatures,
+    )
+
+    rows = [(i, s, t) for i, (s, t) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        (r["source"], r["token"]): r["tfidf"]
+        for r in source_signatures(df, top_n=top_n).collect()
+    }
+    # naive replica in plain Python
+    tf: Counter = Counter()
+    tot: Counter = Counter()
+    for _, s, t in rows:
+        for w in t.split():
+            tf[(s, w)] += 1
+            tot[s] += 1
+    sources = sorted(tot)
+    sdf = Counter(tok for (_, tok) in set(tf))
+    want = {}
+    for s in sources:
+        scored = [
+            (round((c / tot[s]) * math.log(len(sources) / sdf[w]), 6), w)
+            for (src, w), c in tf.items()
+            if src == s
+        ]
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        for v, w in scored[:top_n]:
+            want[(s, w)] = v
+    assert got == want
