@@ -731,3 +731,71 @@ def test_source_signatures_two_level_topk_matches_naive(spark, docs, top_n):
         for v, w in scored[:top_n]:
             want[(s, w)] = v
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("the a of zz qqq wwww verylongtokenxx".split()),
+            min_size=1,
+            max_size=30,
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+@SLOW
+def test_filter_flags_matches_python_replica(spark, docs):
+    """filter_flags' integer signal counts and BIGINT cross-multiplied
+    rule verdicts must equal a plain-Python replica on arbitrary token
+    mixes — stopword-heavy, repeat-heavy, long/short tokens — including
+    the single-token degenerate 2-gram convention."""
+    from collections import Counter
+
+    from graph_database_application_for_recommendations_spark.functions.text import (
+        STOPWORDS,
+    )
+    from graph_database_application_for_recommendations_spark.operators.textstats import (
+        FILTER_RULE_SCALE as S,
+    )
+    from graph_database_application_for_recommendations_spark.operators.textstats import (
+        filter_flags,
+    )
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in filter_flags(df).collect()}
+    en = set(STOPWORDS["en"])
+    for i, text in enumerate(docs):
+        toks = text.lower().split()
+        n = len(toks)
+        total = sum(map(len, toks))
+        stop = sum(t in en for t in toks)
+        top = max(Counter(toks).values())
+        grams = (
+            [" ".join(toks[j : j + 2]) for j in range(n - 1)] if n > 1 else [toks[0]]
+        )
+        gc = Counter(grams)
+        dup = sum(c for c in gc.values() if c > 1)
+        tot_g = len(grams)
+        r = got[i]
+        assert (r["n_tokens"], r["total_token_len"], r["stop_hits"]) == (n, total, stop)
+        assert (r["top_token_count"], r["dup_2gram_positions"], r["total_2gram_positions"]) == (
+            top, dup, tot_g,
+        )
+        assert r["f_too_short"] == int(n < 15)
+        assert r["f_too_long"] == int(n > 300)
+        assert r["f_word_len"] == int(
+            total * S < n * 3_000_000 or total * S > n * 10_000_000
+        )
+        assert r["f_stopword_floor"] == int(stop * S < n * 50_000)
+        assert r["f_top_token"] == int(top * S > n * 200_000)
+        assert r["f_dup_2gram"] == int(dup * S > tot_g * 300_000)
+        assert r["f_any"] == int(
+            any(
+                r[f]
+                for f in (
+                    "f_too_short", "f_too_long", "f_word_len",
+                    "f_stopword_floor", "f_top_token", "f_dup_2gram",
+                )
+            )
+        )
