@@ -60,8 +60,15 @@ def als_model(
     # attribution": ~0.7s subplan × ~3 recomputes ≈ the observed +2.8s)
     from . import materialize
 
+    from ..functions.hints import gated_broadcast
+
     item_ids = materialize(
-        items.join(F.broadcast(offsets), "_blk")
+        items.join(
+            gated_broadcast(offsets, "per-block prefix histogram: one row "
+                            "per _blk bucket, bucket count fixed at "
+                            "construction"),
+            "_blk",
+        )
         .withColumn(
             "item_id",
             (F.col("_off") + F.row_number().over(w_in)).cast("int"),

@@ -21,7 +21,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from . import cache_wide
+from . import cache_wide, gate_node_vector_broadcast
 
 
 def eigenvector_centrality(
@@ -55,10 +55,11 @@ def eigenvector_centrality(
         id_type = edges.schema[src_col].dataType.simpleString()
         return spark.createDataFrame([], f"node_id {id_type}, score double")
     x = nodes.select("node_id", F.lit(1.0 / math.sqrt(n)).alias("score"))
+    bc = gate_node_vector_broadcast(n, "eigenvector score vector", bytes_per_row=16)
     prev: DataFrame | None = None
     for _ in range(iters):
         y = (
-            e.join(F.broadcast(x.withColumnRenamed("node_id", "src")), "src")
+            e.join(bc(x.withColumnRenamed("node_id", "src")), "src")
             .groupBy("dst")
             .agg(F.sum(F.col("w") * F.col("score")).alias("_y"))
         )

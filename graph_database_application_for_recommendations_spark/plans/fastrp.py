@@ -59,7 +59,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from . import cache_wide, materialize
+from . import cache_wide, gate_node_vector_broadcast, materialize
+from ..functions.hints import gated_broadcast
 
 SPARSITY = 3
 
@@ -129,7 +130,9 @@ def _propagate(
     cols = _ecols(dim)
     emb_side = emb.withColumnRenamed("node_id", "src")
     if broadcast_emb:
-        emb_side = F.broadcast(emb_side)
+        emb_side = gated_broadcast(
+            emb_side, "caller count-gated: n_nodes * dim * 8 < 256 MB"
+        )
     sums = [F.sum(F.col(c) * F.col("weight")).alias(f"_s{i}") for i, c in enumerate(cols)]
     return (
         edges.join(emb_side, "src")
@@ -354,7 +357,10 @@ def fastrp(
     # distinct first (map-side combinable) so the probe side broadcasts;
     # a raw |E|-row right side would force a shuffle join here
     reached = edges.select(F.col("dst").alias("node_id")).distinct()
-    has_isolated = nodes.join(F.broadcast(reached), "node_id", "left_anti").count() > 0
+    # reached is |V|-bounded but still a node-sized set — same count gate
+    # as the embedding broadcast below, not an unconditional hint
+    bc_reached = gate_node_vector_broadcast(n_nodes, "FastRP reached-node set", bytes_per_row=16)
+    has_isolated = nodes.join(bc_reached(reached), "node_id", "left_anti").count() > 0
 
     acc: DataFrame | None = None
     prev: DataFrame | None = None

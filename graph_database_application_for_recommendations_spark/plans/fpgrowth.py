@@ -89,6 +89,15 @@ def association_rules_pairs(
     singles = model.freqItemsets.filter(F.size("items") == 1).select(
         F.col("items")[0].alias("consequent"), F.col("freq").alias("_nb")
     )
+    # frequent-singleton count is data-dependent (low min_count at corpus
+    # scale = most of the item vocabulary) — count-gate like the iterative
+    # drivers do; the fit already materialized freqItemsets, so the count
+    # is a cheap post-fit scan
+    from . import gate_node_vector_broadcast
+
+    bc = gate_node_vector_broadcast(
+        singles.count(), "frequent-singleton table", bytes_per_row=64
+    )
     rules = (
         model.associationRules.filter(F.size("antecedent") == 1)
         .select(
@@ -97,7 +106,7 @@ def association_rules_pairs(
             F.col("confidence"),
             F.col("support"),
         )
-        .join(F.broadcast(singles), "consequent")
+        .join(bc(singles), "consequent")
     )
     return rules.select(
         "antecedent",

@@ -29,7 +29,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from . import cache_wide
+from . import cache_wide, gate_node_vector_broadcast
 
 
 def hits(
@@ -57,14 +57,21 @@ def hits(
         e_by_auth.unpersist(blocking=False)
         return spark.createDataFrame([], "kind string, id string, score double")
     h = hubs.select("_h", F.lit(1.0 / math.sqrt(n_hubs)).alias("_s"))
+    # both vectors are re-broadcast every half-round; gate each on its own
+    # side's node count (louvain's 256 MB gate — round-8 VERDICT item 2).
+    # ids are strings here, so budget a fatter row than the long-keyed trio.
+    n_auths = e_by_auth.select("_a").distinct().count()
+    bc_hub = gate_node_vector_broadcast(n_hubs, "HITS hub vector", bytes_per_row=48)
+    bc_auth = gate_node_vector_broadcast(n_auths, "HITS authority vector", bytes_per_row=48)
     a = None
     prev_h = prev_a = None
 
-    def _half(edge_cache: DataFrame, vec: DataFrame, join_key: str, group_key: str, prev):
-        """One half-round: Σ of broadcast vec over the co-partitioned edge
-        cache, normalized; the norm aggregate fills the transient cache."""
+    def _half(edge_cache: DataFrame, vec: DataFrame, join_key: str, group_key: str, bc, prev):
+        """One half-round: Σ of the (count-gated) broadcast vec over the
+        co-partitioned edge cache, normalized; the norm aggregate fills the
+        transient cache."""
         raw = (
-            edge_cache.join(F.broadcast(vec), join_key)
+            edge_cache.join(bc(vec), join_key)
             .groupBy(group_key)
             .agg(F.sum("_s").alias("_s"))
         )
@@ -78,9 +85,9 @@ def hits(
         return out.select(group_key, (F.col("_s") / F.lit(norm)).alias("_s"))
 
     for _ in range(iters):
-        a = _half(e_by_auth, h, "_h", "_a", prev_a)
+        a = _half(e_by_auth, h, "_h", "_a", bc_hub, prev_a)
         prev_a = a
-        h = _half(e_by_hub, a, "_a", "_h", prev_h)
+        h = _half(e_by_hub, a, "_a", "_h", bc_auth, prev_h)
         prev_h = h
     e_by_hub.unpersist(blocking=False)
     e_by_auth.unpersist(blocking=False)

@@ -29,7 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from . import cache_wide, materialize
+from . import cache_wide, gate_node_vector_broadcast, materialize
+from ..functions.hints import gated_broadcast
 from .modularity import modularity
 
 
@@ -57,7 +58,7 @@ def _local_move(edges: DataFrame, max_sweeps: int) -> DataFrame:
         .cache()
     )
     n_nodes = deg.count()
-    bc = (lambda df: F.broadcast(df)) if n_nodes * 24 < 256 * 1024 * 1024 else (lambda df: df)
+    bc = gate_node_vector_broadcast(n_nodes, "louvain label table")
     labels = materialize(deg.select("node_id", F.col("node_id").alias("community")))
     stale = 0
 
@@ -258,8 +259,7 @@ def _louvain_sequential(
 
 def _coarsen(edges: DataFrame, labels: DataFrame) -> DataFrame:
     """Contract communities to supernodes; intra edges become self-loops."""
-    if labels.count() * 24 < 256 * 1024 * 1024:
-        labels = F.broadcast(labels)
+    labels = gate_node_vector_broadcast(labels.count(), "coarsening label table")(labels)
     src_map = labels.select(F.col("node_id").alias("src"), F.col("community").alias("c_src"))
     dst_map = labels.select(F.col("node_id").alias("dst"), F.col("community").alias("c_dst"))
     return (
@@ -340,7 +340,12 @@ def louvain(
                     offset = int(mapping.agg(F.max("community")).collect()[0][0]) + 1
                     mapping = materialize(
                         mapping.join(
-                            F.broadcast(local_map),
+                            gated_broadcast(
+                                local_map,
+                                "driver-local numpy phase output: bounded "
+                                "by the coarse graph the gated hybrid "
+                                "already pulled to the driver",
+                            ),
                             mapping.community == F.col("community_prev"),
                             "left",
                         ).select(
@@ -361,7 +366,7 @@ def louvain(
             else mapping.join(
                 # the coarse-level label table shrinks every level — hint it
                 # while broadcastable
-                (F.broadcast(labels) if labels.count() * 24 < 256 * 1024 * 1024 else labels)
+                gate_node_vector_broadcast(labels.count(), "coarse-level labels")(labels)
                 .withColumnRenamed("node_id", "community_prev"),
                 mapping.community == F.col("community_prev"),
             ).select(mapping.node_id, labels.community)
@@ -384,8 +389,7 @@ def louvain(
 
     assert mapping is not None
     canon = mapping.groupBy("community").agg(F.min("node_id").alias("canon"))
-    if canon.count() * 24 < 256 * 1024 * 1024:
-        canon = F.broadcast(canon)
+    canon = gate_node_vector_broadcast(canon.count(), "canonical community ids")(canon)
     final = mapping.join(canon, "community").select(
         "node_id", F.col("canon").alias("community")
     )

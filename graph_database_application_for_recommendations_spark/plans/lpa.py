@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from . import cache_wide, materialize
+from . import cache_wide, gate_node_vector_broadcast, materialize
 
 
 def label_propagation(
@@ -48,7 +48,7 @@ def label_propagation(
     # the broadcast while |V| is small so each round's edges ⋈ labels join
     # doesn't re-shuffle the edge list; huge graphs fall back to shuffle
     n_nodes = labels.count()
-    bc = (lambda df: F.broadcast(df)) if n_nodes * 24 < 256 * 1024 * 1024 else (lambda df: df)
+    bc = gate_node_vector_broadcast(n_nodes, "LPA label table")
 
     for _ in range(max_iter):
         scores = (

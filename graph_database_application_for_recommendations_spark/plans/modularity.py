@@ -16,6 +16,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from . import gate_node_vector_broadcast
+from ..functions.hints import gated_broadcast
+
 
 def modularity(
     edges: DataFrame,
@@ -42,8 +45,7 @@ def modularity(
     # label tables usually arrive checkpointed (no size stats) — Catalyst
     # won't auto-broadcast them and would shuffle the edge list twice; hint
     # it while |V| is broadcastable
-    if lab.count() * 24 < 256 * 1024 * 1024:
-        lab = F.broadcast(lab)
+    lab = gate_node_vector_broadcast(lab.count(), "modularity label table")(lab)
     e = (
         edges.join(lab.select(F.col("node_id").alias("src"), F.col("community").alias("c_src")), "src")
         .join(lab.select(F.col("node_id").alias("dst"), F.col("community").alias("c_dst")), "dst")
@@ -92,8 +94,7 @@ def conductance(
     one 1-row total cross-joined back. 6dp rounding for the value hash.
     """
     lab = communities.select(F.col("node_id"), F.col("community"))
-    if lab.count() * 24 < 256 * 1024 * 1024:
-        lab = F.broadcast(lab)
+    lab = gate_node_vector_broadcast(lab.count(), "conductance label table")(lab)
     e = edges.join(
         lab.select(F.col("node_id").alias("src"), F.col("community").alias("c_src")),
         "src",
@@ -111,7 +112,9 @@ def conductance(
     )
     total = percomm.agg(F.sum("volume").alias("_tot"))
     denom = F.least(F.col("volume"), F.col("_tot") - F.col("volume"))
-    return percomm.crossJoin(F.broadcast(total)).select(
+    return percomm.crossJoin(
+        gated_broadcast(total, "1-row keyless aggregate (total volume)")
+    ).select(
         "community",
         F.round("volume", 6).alias("volume"),
         F.round("cut_weight", 6).alias("cut_weight"),

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from . import cache_wide, materialize
+from . import cache_wide, gate_node_vector_broadcast, materialize
 
 
 def pagerank(
@@ -44,10 +44,10 @@ def pagerank(
     arise (out-degree ≥ 1 everywhere) and the node set is exactly the
     distinct src side.
 
-    Scale notes: the per-round rank table is 16 B/node — broadcasting is
-    fine to ~10⁷ nodes; past that, swap the broadcast for a shuffle join
-    against a src-co-partitioned rank table (the edge cache partitioning
-    already matches). The aggregate itself never shuffles: the broadcast
+    Scale notes: the per-round rank table is 16 B/node — the broadcast is
+    count-gated at 256 MB (``gate_node_vector_broadcast``, louvain's gate);
+    past that every round falls back to the shuffle join, and the edge
+    cache's src-side partitioning keeps that join co-located. The aggregate itself never shuffles: the broadcast
     probe preserves the dst partitioning of the cached edges.
     """
     spark = edges.sparkSession
@@ -78,10 +78,11 @@ def pagerank(
             F.when(in_s, F.lit(1.0 / len(sources))).otherwise(F.lit(0.0)).alias("rank"),
         )
         tele = F.when(in_s, F.lit((1.0 - damping) / len(sources))).otherwise(F.lit(0.0))
+    bc = gate_node_vector_broadcast(n, "pagerank rank vector", bytes_per_row=16)
     prev: DataFrame | None = None
     for _ in range(iters):
         contrib = (
-            trans.join(F.broadcast(ranks.withColumnRenamed("node_id", "src")), "src")
+            trans.join(bc(ranks.withColumnRenamed("node_id", "src")), "src")
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("p")).alias("_s"))
             .select(

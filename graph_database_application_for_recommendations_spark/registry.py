@@ -7219,7 +7219,7 @@ register(
     """
     WITH f(b, r) AS (VALUES (32, 1), (16, 2), (8, 4), (4, 8), (2, 16), (1, 32)),
     grid AS (SELECT CAST(g.i AS INT) AS i FROM range(1, 20) g(i))
-    SELECT f.b, f.r, ROUND(i * 0.05, 2) AS s,
+    SELECT f.b, f.r, CAST(ROUND(i * 0.05, 2) AS DOUBLE) AS s,
            ROUND(1.0 - pow(1.0 - pow(ROUND(i * 0.05, 2), f.r), f.b), 6) AS p_detect
     FROM f, grid
     """,
@@ -8087,11 +8087,54 @@ register(
       FROM base GROUP BY f),
     small AS (SELECT * FROM st WHERE n_rows < 500),
     cum AS (
+      -- DuckDB SUM(BIGINT) widens to HUGEINT, which pandas renders as
+      -- float64 — the driver's value-hash then sees 0.0 vs Spark's LONG 0
+      -- (the r08 red row). Pin the cumsum back to BIGINT so bin_id stays
+      -- integral end-to-end. Division semantics: c is a cumsum of COUNTs,
+      -- provably >= 0, so DuckDB // (trunc on 1.0.0) and Spark DIV agree
+      -- regardless of either engine's negative-operand convention.
       SELECT file_id, n_rows,
-             COALESCE(SUM(n_rows) OVER (ORDER BY file_id ROWS BETWEEN
-                      UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+             CAST(COALESCE(SUM(n_rows) OVER (ORDER BY file_id ROWS BETWEEN
+                      UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS c
       FROM small)
-    SELECT file_id, n_rows, c // 1000 AS bin_id FROM cum
+    SELECT file_id, n_rows, CAST(c // 1000 AS BIGINT) AS bin_id FROM cum
+    """,
+)
+
+
+# Timestamp-free compaction face (round-8 VERDICT item 1b): the same
+# compaction_plan over file stats keyed on an all-integer expression
+# (user_id DIV 7 — at sf0.01 that is 22 files, 20 under the 500-row
+# threshold and 2 over, so the small-file filter genuinely branches).
+# No ts column anywhere, so a driver-red here would isolate the binning
+# arithmetic (cumsum window + DIV) from the events-ts decode seam, and a
+# green co-attested with q_ingest_compaction pins the divergence class.
+register(
+    "q_ingest_compaction_ids",
+    lambda s, d: layout.compaction_plan(
+        layout.zonemap_delta_table(
+            _ref(s, d).events.select("event_id", "user_id"),
+            "event_id",
+            "user_id",
+            F.expr("user_id DIV 7"),
+        ),
+        target_rows=1000,
+        small_threshold=500,
+    ),
+    """
+    WITH base AS (
+      SELECT event_id, user_id, user_id // 7 AS f
+      FROM events WHERE event_id IS NOT NULL AND user_id IS NOT NULL),
+    st AS (
+      SELECT f AS file_id, CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM base GROUP BY f),
+    small AS (SELECT * FROM st WHERE n_rows < 500),
+    cum AS (
+      SELECT file_id, n_rows,
+             CAST(COALESCE(SUM(n_rows) OVER (ORDER BY file_id ROWS BETWEEN
+                      UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS c
+      FROM small)
+    SELECT file_id, n_rows, CAST(c // 1000 AS BIGINT) AS bin_id FROM cum
     """,
 )
 
@@ -8278,6 +8321,65 @@ register(
                CAST(COUNT(*) AS BIGINT) AS n_distinct_scores,
                -- degenerate single-class guard mirrors the engine's CASE
                -- (round-7 ADVICE): NULL, never a div-by-zero divergence
+               CASE WHEN SUM(pos) > 0 AND SUM(neg) > 0
+                    THEN ROUND(SUM(pos * (2 * cumneg + neg))
+                               / (2.0 * SUM(pos) * SUM(neg)), 6)
+                    ELSE NULL END AS auc
+        FROM rk
+        """
+    ),
+)
+
+
+# The CAPPED link-prediction face (round-8 VERDICT item 4): the same
+# held-out AA-vs-co-interaction experiment with max_raters_per_book=8
+# applied to BOTH halves after the md5 item split — the per-item fanout
+# bound the 100 TB path relies on, oracle-attested with the identical
+# row_number() <= 8 pre-filter on each half.
+register(
+    "q_graph_linkpred_auc_capped",
+    lambda s, d: corating.linkpred_auc(_ref(s, d).ratings, max_raters_per_book=8),
+    _q(
+        """
+        , pos AS (
+          SELECT DISTINCT user_id, isbn,
+                 CAST(('0x' || substr(md5(isbn), 1, 8)) AS BIGINT) % 2 AS half
+          FROM ratings WHERE rating >= 6),
+        train AS (
+          SELECT user_id, isbn FROM (
+            SELECT user_id, isbn,
+                   ROW_NUMBER() OVER (PARTITION BY isbn ORDER BY user_id) AS rn
+            FROM pos WHERE half = 0) WHERE rn <= 8),
+        test AS (
+          SELECT user_id, isbn FROM (
+            SELECT user_id, isbn,
+                   ROW_NUMBER() OVER (PARTITION BY isbn ORDER BY user_id) AS rn
+            FROM pos WHERE half = 1) WHERE rn <= 8),
+        ideg AS (SELECT isbn, COUNT(*) AS dg FROM train GROUP BY isbn
+                 HAVING COUNT(*) >= 2),
+        cand AS (
+          SELECT a.user_id AS u1, b.user_id AS u2,
+                 ROUND(SUM(1.0 / ln(d.dg)), 6) AS s
+          FROM train a JOIN ideg d USING (isbn) JOIN train b USING (isbn)
+          WHERE a.user_id < b.user_id
+          GROUP BY a.user_id, b.user_id),
+        tp AS (
+          SELECT DISTINCT x.user_id AS u1, y.user_id AS u2
+          FROM test x JOIN test y USING (isbn)
+          WHERE x.user_id < y.user_id),
+        lab AS (
+          SELECT c.s,
+                 CASE WHEN tp.u1 IS NOT NULL THEN 1 ELSE 0 END AS y
+          FROM cand c LEFT JOIN tp ON tp.u1 = c.u1 AND tp.u2 = c.u2),
+        hist AS (SELECT s, SUM(y) AS pos, SUM(1 - y) AS neg FROM lab GROUP BY s),
+        rk AS (
+          SELECT s, pos, neg,
+                 COALESCE(SUM(neg) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+                          PRECEDING AND 1 PRECEDING), 0) AS cumneg
+          FROM hist)
+        SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+               CAST(SUM(neg) AS BIGINT) AS n_neg,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_scores,
                CASE WHEN SUM(pos) > 0 AND SUM(neg) > 0
                     THEN ROUND(SUM(pos * (2 * cumneg + neg))
                                / (2.0 * SUM(pos) * SUM(neg)), 6)
@@ -8858,6 +8960,50 @@ register(
 )
 
 
+# The CAPPED butterfly face (round-8 VERDICT item 4): the scale-safe
+# path — max_raters_per_book=8 deterministically keeps the 8 lowest
+# user_ids per item before the self-join (at sf0.01 the cap binds on
+# ~89% of items, max degree 27) — oracle-attested with the identical
+# row_number() <= 8 pre-filter, so the capped approximation itself is
+# hash-checked, not just unit-tested. n_users/n_items stay exact
+# (computed from the uncapped positive table, like the engine).
+register(
+    "q_graph_butterflies_capped",
+    lambda s, d: corating.butterfly_count(
+        _ref(s, d).ratings, max_raters_per_book=8
+    ),
+    _q(
+        """
+        , pos AS (SELECT user_id, isbn FROM ratings WHERE rating >= 6),
+        capped AS (
+          SELECT user_id, isbn FROM (
+            SELECT user_id, isbn,
+                   ROW_NUMBER() OVER (PARTITION BY isbn ORDER BY user_id) AS rn
+            FROM pos) WHERE rn <= 8),
+        copairs AS (
+          SELECT a.user_id AS u1, b.user_id AS u2, COUNT(*) AS w
+          FROM capped a JOIN capped b USING (isbn)
+          WHERE a.user_id < b.user_id
+          GROUP BY 1, 2),
+        st AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_copairs,
+                 CAST(SUM(w * (w - 1) // 2) AS BIGINT) AS n_butterflies,
+                 CAST(MAX(w * (w - 1) // 2) AS BIGINT) AS max_pair_butterflies
+          FROM copairs),
+        sides AS (
+          SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+                 CAST(COUNT(DISTINCT isbn) AS BIGINT) AS n_items
+          FROM pos)
+        SELECT n_users, n_items,
+               COALESCE(n_copairs, 0) AS n_copairs,
+               COALESCE(n_butterflies, 0) AS n_butterflies,
+               COALESCE(max_pair_butterflies, 0) AS max_pair_butterflies
+        FROM sides, st
+        """
+    ),
+)
+
+
 # Catalog concentration: exact Gini of per-item interaction counts +
 # top-decile share — the long-tail profile behind recsys coverage and
 # popularity-corrected negative sampling.
@@ -8995,7 +9141,16 @@ ROWS_ONLY_TWINS: dict[str, str] = {
 # If no artifacts can be read (e.g. the package imported outside the
 # repo) every count is zero and plain registration order applies.
 
-_ATTESTATIONS_STALE_BEFORE: dict[str, int] = {"q_events_asof": 2}
+_ATTESTATIONS_STALE_BEFORE: dict[str, int] = {
+    "q_events_asof": 2,
+    # Round-9 bisect of the r08 q_ingest_compaction red row (VERDICT item
+    # 1a): zonemaps shares the whole events-ts decode + file/stats
+    # pipeline and must land in the SAME driver window as compaction, so
+    # its green r07 row stops counting — zonemaps green + compaction red
+    # would localize the divergence to the cumsum/DIV tail; both green
+    # closes the item.
+    "q_ingest_zonemaps": 9,
+}
 
 
 def _count_attestations() -> dict[str, tuple[int, int]] | None:

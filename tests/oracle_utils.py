@@ -46,6 +46,20 @@ def canonicalize(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf
 
 
+def _kind(dtype) -> str:
+    """Collapse a pandas dtype to the kind the driver's value-hash keys on:
+    an int column and a float column hash differently even when every value
+    is numerically equal (0 vs 0.0), so the local compare must distinguish
+    them too."""
+    if pd.api.types.is_bool_dtype(dtype):
+        return "bool"
+    if pd.api.types.is_integer_dtype(dtype):
+        return "int"
+    if pd.api.types.is_float_dtype(dtype):
+        return "float"
+    return str(dtype)
+
+
 def compare(name: str, spark_df, sql: str, sf_dir: str) -> None:
     got = canonicalize(spark_df.toPandas())
     con = duck_con(sf_dir)
@@ -54,6 +68,23 @@ def compare(name: str, spark_df, sql: str, sf_dir: str) -> None:
     assert list(got.columns) == list(want.columns), (
         f"{name}: schema mismatch spark={list(got.columns)} oracle={list(want.columns)}"
     )
+    # dtype-KIND parity (round-9: the r08 q_ingest_compaction red row was a
+    # DuckDB HUGEINT cumsum reaching pandas as float64 against Spark's LONG
+    # — value-equal, kind-different, invisible under check_dtype=False but
+    # red under the driver's hash). Empty frames keep engine-default dtypes
+    # (DuckDB renders an empty integer column as object), so kind parity is
+    # only checkable when rows exist.
+    if len(got) and len(want):
+        kinds_got = {c: _kind(got[c].dtype) for c in got.columns}
+        kinds_want = {c: _kind(want[c].dtype) for c in want.columns}
+        mismatched = {
+            c: (kinds_got[c], kinds_want[c])
+            for c in got.columns
+            if kinds_got[c] != kinds_want[c]
+        }
+        assert not mismatched, (
+            f"{name}: dtype-kind mismatch (spark, oracle): {mismatched}"
+        )
     assert len(got) == len(want), f"{name}: rowcount spark={len(got)} oracle={len(want)}"
     try:
         pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)

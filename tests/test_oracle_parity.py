@@ -9,7 +9,43 @@ from pyspark.sql import functions as F
 from graph_database_application_for_recommendations_spark import registry
 
 from .conftest import SF_SMALL
-from .oracle_utils import compare
+from .oracle_utils import compare, duck_con
+
+
+def _type_kind(t: str) -> str:
+    """Collapse an engine type name to the kind the driver's value-hash
+    distinguishes: int vs float vs bool vs string vs temporal. Spark
+    simpleString()s and DuckDB type names both map through here."""
+    t = t.upper()
+    if t in ("BOOLEAN", "BOOL"):
+        return "bool"
+    if any(k in t for k in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "INT")):
+        return "int"
+    if any(k in t for k in ("FLOAT", "DOUBLE", "REAL")):
+        return "float"
+    if any(k in t for k in ("VARCHAR", "STRING", "CHAR", "TEXT")):
+        return "string"
+    if "TIMESTAMP" in t:
+        return "timestamp"
+    if "DATE" in t:
+        return "date"
+    return t
+
+
+def _oracle_kind_mismatches(spark_schema, rel) -> list[str]:
+    """Column-by-column dtype-kind diff between a Spark schema and a lazy
+    DuckDB relation (neither side executes). Column-name mismatches are the
+    schema check's job, not this one's — only shared names are compared."""
+    duck_kinds = {
+        c: _type_kind(str(t)) for c, t in zip(rel.columns, rel.types)
+    }
+    out = []
+    for f in spark_schema.fields:
+        dk = duck_kinds.get(f.name)
+        sk = _type_kind(f.dataType.simpleString())
+        if dk is not None and dk != sk:
+            out.append(f"{f.name}: spark={sk} oracle={dk}")
+    return out
 
 CASES = sorted(registry.oracle_sql().keys())
 
@@ -334,6 +370,64 @@ def test_gated_broadcast_marker_is_single_sourced():
     assert not offenders, f"__gated_bounded__ emitted outside hints.py: {offenders}"
 
 
+def test_no_raw_broadcast_hints_in_iterative_drivers():
+    """Iterative drivers execute their per-round joins eagerly inside the
+    Python loop, so the registered query's final plan never contains them —
+    the plan-walking broadcast guard is structurally blind there (round-8
+    VERDICT item 2: pagerank/eigenvector/hits re-broadcast the full |V|
+    score vector every iteration, ungated — ~24 GB per round at 10⁹
+    nodes). The witness is therefore enforced at SOURCE level for plans/:
+    every broadcast hint must route through ``gated_broadcast`` (via
+    ``gate_node_vector_broadcast`` for counted node vectors), never raw
+    ``F.broadcast``."""
+    import glob
+    import os
+
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "graph_database_application_for_recommendations_spark",
+        "plans",
+    )
+    offenders = []
+    for path in glob.glob(os.path.join(root, "*.py")):
+        with open(path) as fh:
+            for i, line in enumerate(fh, 1):
+                if "F.broadcast(" in line:
+                    offenders.append(f"{os.path.basename(path)}:{i}")
+    assert not offenders, (
+        f"raw F.broadcast inside iterative drivers (loop joins are invisible "
+        f"to the plan sweep — use gate_node_vector_broadcast/gated_broadcast): "
+        f"{offenders}"
+    )
+
+
+def test_gate_node_vector_broadcast_switches_on_count(spark):
+    """The shared gate must broadcast (with the witness alias) under the
+    byte budget and fall back to the bare frame over it — the exact louvain
+    policy the round-8 verdict ordered onto pagerank/eigenvector/hits."""
+    from graph_database_application_for_recommendations_spark.plans import (
+        gate_node_vector_broadcast,
+    )
+
+    vec = spark.range(10).withColumnRenamed("id", "node_id")
+    edges = spark.range(100).withColumnRenamed("id", "node_id")
+    joined_small = edges.join(
+        gate_node_vector_broadcast(10, "test vector")(vec), "node_id"
+    )
+    plan = joined_small._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, "small vector not broadcast-joined"
+    assert not unbounded_broadcast_hints(joined_small), (
+        "witness missing on gated hint"
+    )
+    joined_big = edges.join(
+        gate_node_vector_broadcast(10**9, "test vector")(vec), "node_id"
+    )
+    analyzed = joined_big._jdf.queryExecution().analyzed().toString()
+    assert "broadcast" not in analyzed.lower(), (
+        "over-budget vector still broadcast-hinted"
+    )
+
+
 def test_window_guard_flags_the_reverted_antipattern(spark):
     """Sensitivity check: the guard must flag the exact shapes the round-4
     verdict found (global row_number over a raw scan; global NTILE over a
@@ -383,8 +477,27 @@ def test_all_registered_queries_are_driver_canonicalizable(spark):
     cartesian = {}
     unbounded_bcast = {}
     lowcard_windows = {}
+    oracle_types = {}
+    sqls = registry.oracle_sql()
+    duck = duck_con(SF_SMALL)
     for name, fn in registry.queries().items():
         df = fn(spark, SF_SMALL)
+        # oracle output types must be hash-stable (round-9: the r08
+        # q_ingest_compaction red row was DuckDB widening SUM(BIGINT) to
+        # HUGEINT, which pandas renders float64 against Spark's LONG —
+        # value-equal, kind-different, red under the driver's hash).
+        # Checked lazily from the relation, no execution; DECIMAL is
+        # banned too (pandas conversion is engine-version-dependent).
+        if name in sqls:
+            rel = duck.sql(sqls[name])
+            offending = [
+                f"{c}:{t}"
+                for c, t in zip(rel.columns, (str(t).upper() for t in rel.types))
+                if "HUGEINT" in t or "DECIMAL" in t or "INT128" in t
+            ]
+            mism = _oracle_kind_mismatches(df.schema, rel)
+            if offending or mism:
+                oracle_types[name] = offending + mism
         offenders = [
             f"{f.name}:{f.dataType.simpleString()}"
             for f in df.schema.fields
@@ -434,6 +547,9 @@ def test_all_registered_queries_are_driver_canonicalizable(spark):
     )
     assert not lowcard_windows, (
         f"low-cardinality-partitioned windows over unbounded frames: {lowcard_windows}"
+    )
+    assert not oracle_types, (
+        f"hash-unstable or kind-mismatched oracle output types: {oracle_types}"
     )
 
 
