@@ -79,10 +79,13 @@ def label_propagation(
             .join(new_labels, "node_id", "left")
             .select("node_id", F.coalesce("community", F.col("node_id")).alias("community"))
         )
+        # rename instead of alias: gated_broadcast wraps its input in the
+        # witness subquery alias, which would clobber a caller alias
         changed = (
-            new_labels.alias("n")
-            .join(bc(labels.alias("o")), "node_id")
-            .filter(F.col("n.community") != F.col("o.community"))
+            new_labels.join(
+                bc(labels.withColumnRenamed("community", "_old")), "node_id"
+            )
+            .filter(F.col("community") != F.col("_old"))
             .count()
         )
         labels = new_labels
