@@ -42,3 +42,30 @@ def gated_broadcast(df: DataFrame, reason: str) -> DataFrame:
     if not reason:
         raise ValueError("gated_broadcast requires a non-empty reason")
     return F.broadcast(df.alias(GATED_BROADCAST_MARKER))
+
+
+def assert_broadcastable(
+    df: DataFrame, what: str, max_rows: int = 5_000_000
+) -> DataFrame:
+    """Cheap runtime contract check for PURE caller-contract
+    ``gated_broadcast`` sites (round-8 ADVICE: the witness alias silences
+    the sweep unconditionally, so a caller passing an unbounded frame to a
+    contract-gated operator reintroduced the forced-broadcast OOM).
+
+    Uses Catalyst's logical-plan size estimate — catalog/file statistics,
+    NO job — so a corpus-backed scan that obviously violates the contract
+    fails loudly at plan time instead of OOMing an executor mid-broadcast.
+    Statless frames (LogicalRDD, checkpoints) pass untouched: the estimate
+    can't vouch either way and the contract stays with the caller, which
+    is exactly what the site's ``reason`` string documents."""
+    from ..plans import estimated_row_count
+
+    est = estimated_row_count(df)
+    if est is not None and est > max_rows:
+        raise ValueError(
+            f"{what}: this side is broadcast by caller contract but its "
+            f"plan statistics estimate ~{est:,} rows (> {max_rows:,}) — "
+            "the contract is violated; reduce the frame (sample/limit) or "
+            "use an operator with a shuffle path"
+        )
+    return df

@@ -441,9 +441,15 @@ def popularity_gini(ratings: DataFrame, min_rating: int = 0) -> DataFrame:
     |distinct (count, prefix)| rows — plus a per-bucket row_number.
     Prefix truncation is order-monotonic on the string key, so the
     composed rank is bit-identical to the global (count, isbn) rank,
-    but a 10⁹-item catalog never single-task sorts."""
+    but a 10⁹-item catalog never single-task sorts.
+
+    NULL isbns are excluded up front (round-8 ADVICE: the bucketed join
+    dropped a NULL-isbn group from the rank sum while counts.agg still
+    included it in n_items/n_interactions — the totals and the ranked
+    set must cover the same rows); an interaction with no item id is
+    not a catalog interaction."""
     counts = (
-        ratings.filter(F.col("rating") >= min_rating)
+        ratings.filter((F.col("rating") >= min_rating) & F.col("isbn").isNotNull())
         .groupBy("isbn")
         .agg(F.count(F.lit(1)).alias("_c"))
     )

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.hints import gated_broadcast
+from ..functions.hints import assert_broadcastable, gated_broadcast
 from ..functions.text import md5_hash32, md5_hash60, tokens, word_shingles
 
 
@@ -1569,9 +1569,11 @@ def semantic_decontaminate(
         F.col(id_col).alias("doc_id"),
         V.l2_normalize(V.as_double(F.col(vec_col))).alias("_t"),
     )
-    ev = evalset.select(V.l2_normalize(V.as_double(F.col(vec_col))).alias("_e"))
+    ev = assert_broadcastable(
+        evalset, "semantic_decontaminate eval side"
+    ).select(V.l2_normalize(V.as_double(F.col(vec_col))).alias("_e"))
     sims = tn.join(
-        gated_broadcast(ev, "caller contract: eval-benchmark side, bounded by definition")
+        gated_broadcast(ev, "caller contract: eval-benchmark side, bounded by definition; stats-checked by assert_broadcastable")
     ).select(
         "doc_id", F.round(V.dot(F.col("_t"), F.col("_e")), 6).alias("_s")
     )

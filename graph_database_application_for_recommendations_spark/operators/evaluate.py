@@ -164,15 +164,38 @@ def bootstrap_ci(
     # the plan-hygiene sweep)
     units = (
         scored.select(F.col(unit_col).alias("_u"), F.col(value_col).alias("_v"))
+        # a NULL unit id can't be drawn (its bucket drops from the index
+        # join) — exclude it from n_units/mean too so the resample set and
+        # the totals cover the same rows (round-8 ADVICE)
+        .where(F.col("_u").isNotNull())
         .groupBy("_u")
         .agg(F.max("_v").alias("_v"))
     )
     u_type = dict(units.dtypes)["_u"]
     if u_type in ("string", "varchar"):
         bkt = F.substring("_u", 1, 2)
-    else:
+    elif u_type in ("tinyint", "smallint", "int", "bigint") or u_type.startswith(
+        "decimal"
+    ):
         # trunc division is monotone nondecreasing, negatives included
         bkt = F.expr("_u DIV 1048576")
+    elif u_type in ("float", "double"):
+        # floor keeps monotonicity on the real line (DIV would reject)
+        bkt = F.floor(F.col("_u") / F.lit(1048576.0)).cast("long")
+    elif u_type == "date":
+        bkt = F.expr("unix_date(_u) DIV 1048576")
+    elif u_type == "timestamp":
+        bkt = F.expr("unix_micros(_u) DIV 1048576")
+    else:
+        # the bucket MUST be order-monotonic in _u or the composed index
+        # silently diverges from the global ORDER BY rank — refuse loudly
+        # rather than hash (round-8 ADVICE: double/date/timestamp keys
+        # raised an AnalysisException out of the raw DIV)
+        raise TypeError(
+            f"bootstrap_ci unit column type {u_type!r} has no order-"
+            "monotonic bucket; cast the key to string/numeric/date/"
+            "timestamp first"
+        )
     hist = units.groupBy(bkt.alias("_bkt")).agg(F.count(F.lit(1)).alias("_nb"))
     w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
     offsets = hist.select(

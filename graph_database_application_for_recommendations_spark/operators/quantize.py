@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import vector as V
-from ..functions.hints import gated_broadcast
+from ..functions.hints import assert_broadcastable, gated_broadcast
 
 
 def quantize_int8_flat(
@@ -129,6 +129,9 @@ def topk_binary(
     """
     from pyspark.sql import Window
 
+    # every broadcast below (packed queries, candidates, raw query vecs)
+    # is bounded by |queries| — stats-check the contract once at entry
+    queries = assert_broadcastable(queries, "topk_binary query side")
     qw = _pack_binary_wide(queries, id_col, vec_col, "query_id", "_qw")
     cw = _pack_binary_wide(corpus, id_col, vec_col, "neighbor_id", "_cw")
     ham = (

@@ -62,22 +62,31 @@ def stratified_sample(
     to the bit-identical global (hash, key) rank. Per-stratum totals
     come from an aggregate join, not a count window. Hash-ordered
     ranking keeps the choice of WHICH rows deterministic and unbiased
-    by key order."""
-    base = df.withColumn("_h", sample_bucket(key_col, seed)).withColumn(
-        "_bkt", F.expr(f"_h DIV {HASH_BUCKETS // 100}")
+    by key order.
+
+    A NULL stratum is a stratum (round-8 ADVICE: the two-level rewrite's
+    inner equi-join silently dropped NULL-strata rows the old window
+    version sampled): the join key is the stratum wrapped in a struct,
+    whose field-wise comparison treats NULL as a value — same grouping
+    the aggregate and the window already used."""
+    strat = F.struct(F.col(strata_col).alias("v")).alias("_strat")
+    base = (
+        df.withColumn("_h", sample_bucket(key_col, seed))
+        .withColumn("_bkt", F.expr(f"_h DIV {HASH_BUCKETS // 100}"))
+        .withColumn("_strat", strat)
     )
-    hist = base.groupBy(strata_col, "_bkt").agg(F.count(F.lit(1)).alias("_hn"))
-    w_off = Window.partitionBy(strata_col).orderBy("_bkt").rowsBetween(
+    hist = base.groupBy("_strat", "_bkt").agg(F.count(F.lit(1)).alias("_hn"))
+    w_off = Window.partitionBy("_strat").orderBy("_bkt").rowsBetween(
         Window.unboundedPreceding, -1
     )
     offsets = hist.select(
-        strata_col, "_bkt", F.coalesce(F.sum("_hn").over(w_off), F.lit(0)).alias("_off")
+        "_strat", "_bkt", F.coalesce(F.sum("_hn").over(w_off), F.lit(0)).alias("_off")
     )
-    totals = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
-    w_in = Window.partitionBy(strata_col, "_bkt").orderBy("_h", F.col(key_col))
+    totals = base.groupBy("_strat").agg(F.count(F.lit(1)).alias("_n"))
+    w_in = Window.partitionBy("_strat", "_bkt").orderBy("_h", F.col(key_col))
     return (
-        base.join(F.broadcast(offsets), [strata_col, "_bkt"])
-        .join(F.broadcast(totals), strata_col)
+        base.join(F.broadcast(offsets), ["_strat", "_bkt"])
+        .join(F.broadcast(totals), "_strat")
         .withColumn("_rn", F.col("_off") + F.row_number().over(w_in))
         .filter(F.col("_rn") <= F.ceil(F.col("_n") * fraction))
         .select(*df.columns)

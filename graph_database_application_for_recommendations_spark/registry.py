@@ -7614,9 +7614,19 @@ base AS (
 bnd AS (SELECT MIN(x) AS minx, MAX(x) AS maxx, MIN(y) AS miny, MAX(y) AS maxy
         FROM base),
 bk AS (
+  -- span-branched exactly like zorder_key (round-8 ADVICE: the oracle
+  -- kept the unconditional multiply-first formula after the engine grew
+  -- the wide-span divide-first fallback; the two must not drift): exact
+  -- multiply-then-divide while span <= 2^(63-bits), else divide-first
   SELECT x, y, rid,
-         (x - minx) * {_LAYOUT_NB} // (maxx - minx + 1) AS xb,
-         (y - miny) * {_LAYOUT_NB} // (maxy - miny + 1) AS yb
+         (CASE WHEN (maxx - minx + 1) <= {1 << (63 - _LAYOUT_BITS)}
+               THEN (x - minx) * {_LAYOUT_NB} // (maxx - minx + 1)
+               ELSE (x - minx) // (((maxx - minx + 1) + {_LAYOUT_NB - 1}) // {_LAYOUT_NB})
+          END) AS xb,
+         (CASE WHEN (maxy - miny + 1) <= {1 << (63 - _LAYOUT_BITS)}
+               THEN (y - miny) * {_LAYOUT_NB} // (maxy - miny + 1)
+               ELSE (y - miny) // (((maxy - miny + 1) + {_LAYOUT_NB - 1}) // {_LAYOUT_NB})
+          END) AS yb
   FROM base, bnd),
 cells AS (
   SELECT x, y, rid, xb, yb,
@@ -9013,7 +9023,7 @@ register(
     _q(
         """
         , counts AS (SELECT isbn, CAST(COUNT(*) AS BIGINT) AS c
-                     FROM ratings GROUP BY isbn),
+                     FROM ratings WHERE isbn IS NOT NULL GROUP BY isbn),
         ranked AS (
           SELECT c, ROW_NUMBER() OVER (ORDER BY c, isbn) AS r FROM counts),
         nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS tot

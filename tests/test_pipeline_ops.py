@@ -416,6 +416,100 @@ def test_stratified_sample_exact_per_stratum(spark):
     )
 
 
+def test_stratified_sample_null_stratum_is_a_stratum(spark):
+    """Round-8 ADVICE: the two-level rewrite's inner equi-join silently
+    dropped NULL-strata rows the old window version sampled. NULL must
+    sample as its own stratum at the exact per-stratum fraction."""
+    from graph_database_application_for_recommendations_spark.operators import sampling
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, F.lit(None)).otherwise(
+            (F.col("id") % 3).cast("string")
+        ).alias("lang"),
+    )
+    out = sampling.stratified_sample(df, "lang", "doc_id", 0.2, seed=7)
+    sizes = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert sizes == {None: 20, "1": 20, "2": 20}  # ceil(100 * 0.2) each
+
+
+def test_bootstrap_ci_key_types_and_null_units(spark):
+    """Round-8 ADVICE: double/date/timestamp unit keys raised an
+    AnalysisException out of the raw DIV bucket, and NULL unit ids were
+    excluded from resampling but counted in n_units/mean. Doubles must
+    work (same draws as the equivalent integer key), NULL units must be
+    excluded everywhere, and an unbucketable type must refuse loudly."""
+    import pytest
+    from graph_database_application_for_recommendations_spark.operators import evaluate
+    from pyspark.sql import functions as F
+
+    ints = spark.range(0, 40).select(
+        F.col("id").alias("unit_id"), (F.col("id") % 7).cast("double").alias("value")
+    )
+    base = evaluate.bootstrap_ci(ints, n_replicates=25).collect()[0]
+    dbls = ints.select(F.col("unit_id").cast("double").alias("unit_id"), "value")
+    viadouble = evaluate.bootstrap_ci(dbls, n_replicates=25).collect()[0]
+    assert base == viadouble  # same rank order -> identical deterministic draws
+    # NULL unit: n_units/mean computed over the same 40 non-null units
+    withnull = ints.unionByName(
+        spark.createDataFrame([(None, 99.0)], "unit_id long, value double")
+    )
+    nulled = evaluate.bootstrap_ci(withnull, n_replicates=25).collect()[0]
+    assert nulled == base
+    arr = ints.select(F.array("unit_id").alias("unit_id"), "value")
+    with pytest.raises(TypeError, match="order-monotonic bucket"):
+        evaluate.bootstrap_ci(arr)
+
+
+def test_popularity_gini_ignores_null_isbn(spark):
+    """Round-8 ADVICE: a NULL-isbn count group entered n_items and
+    n_interactions but dropped out of the bucketed rank join, skewing
+    gini/top_decile_share. NULL isbns are now excluded up front — the
+    result must equal the same data with the NULL rows never present."""
+    from graph_database_application_for_recommendations_spark.operators import corating
+    from pyspark.sql import functions as F
+
+    clean = spark.range(0, 200).select(
+        F.col("id").alias("user_id"),
+        F.concat(F.lit("i"), (F.col("id") % 23).cast("string")).alias("isbn"),
+        F.lit(7).alias("rating"),
+    )
+    dirty = clean.unionByName(
+        spark.range(0, 31).select(
+            (F.col("id") + 1000).alias("user_id"),
+            F.lit(None).cast("string").alias("isbn"),
+            F.lit(7).alias("rating"),
+        )
+    )
+    assert (
+        corating.popularity_gini(dirty).collect()
+        == corating.popularity_gini(clean).collect()
+    )
+
+
+def test_assert_broadcastable_contract_guard(spark):
+    """Round-8 ADVICE: pure caller-contract gated_broadcast sites get a
+    stats-based runtime guard — a frame whose plan statistics scream
+    corpus-scale must refuse, a statless/small frame passes through."""
+    import pytest
+    from graph_database_application_for_recommendations_spark.functions.hints import (
+        assert_broadcastable,
+    )
+
+    small = spark.range(100)
+    assert assert_broadcastable(small, "test") is small
+    huge = spark.range(2_000_000_000)  # range carries exact size stats
+    with pytest.raises(ValueError, match="contract is violated"):
+        assert_broadcastable(huge, "test")
+    # statless (checkpoint-shaped) frames pass: the estimate can't vouch
+    statless = spark.createDataFrame([(1,)], "x int")
+    assert_broadcastable(statless, "test")
+
+
 def test_benchmark_contamination_flags_shared_spans(spark):
     shared = "alpha beta gamma delta epsilon zeta eta theta"  # exactly 8 tokens
     rows_train = [
