@@ -239,9 +239,13 @@ def format_record(
     sf: float,
     cpus: int,
     n_heavy: int,
+    drift: dict | None = None,
 ) -> str:
     """ONE JSON line for the driver, progressively compacted to fit
-    RECORD_BUDGET. Every per-query time survives in all modes."""
+    RECORD_BUDGET. Every per-query time survives in all modes; the
+    ``drift`` calibration fields survive in all modes too (round-8
+    VERDICT item 5: the total must carry its own machine-drift
+    calibration — two rounds of judge time went to drift forensics)."""
 
     def _compact(
         times: dict[str, float],
@@ -270,6 +274,8 @@ def format_record(
             "queries": q,
             "sf": sf,
         }
+        if drift:  # never shed: the calibration is the point of the field
+            rec.update(drift)
         if width is None and extras:  # metadata goes first when space is tight
             rec["cpus"] = cpus
             # max measurement passes any query received (heavy queries get
@@ -306,6 +312,121 @@ def format_record(
         if len(line) <= RECORD_BUDGET:
             break
     return line
+
+
+# ---- same-machine A/B drift calibration (round-8 VERDICT item 5) ----------
+#
+# The driver's bench totals drifted ±15-18% between rounds with ZERO code
+# change (r7 code re-benched in the r8 session: 193.2 s vs the driver's
+# recorded 165.5 s), and both r7 and r8 burned judge time proving the
+# regression was ambient. So the bench now calibrates itself: after the
+# measured passes, the PREVIOUS round's code (the last "round N:" artifact
+# commit) is checked out into a scratch worktree and its registry runs the
+# most expensive common queries under the same methodology (sf0.01 warmup,
+# min of two post-reset passes, fresh vanilla-shaped session). The record
+# then carries
+#
+#     drift_ab = Σ prev-code-now / Σ current-code-now   (same subset)
+#
+# — ~1.0 means the code did not move and ANY delta vs BENCH_r{N-1} is the
+# machine; >1 means the current code is faster than last round's on this
+# very machine, regardless of what the totals say across sessions.
+
+_AB_RUNNER = r"""
+import json, os, sys, time
+sys.path.insert(0, os.getcwd())
+from graph_database_application_for_recommendations_spark.session import get_spark
+from graph_database_application_for_recommendations_spark import registry
+names, sf_dir, cpus = json.loads(sys.argv[1]), sys.argv[2], int(sys.argv[3])
+spark = get_spark("gdar-ab", shuffle_partitions=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+qs = registry.queries()
+names = [n for n in names if n in qs]
+warm = sf_dir.rstrip("/").rsplit("sf", 1)[0] + "sf0.01"
+if os.path.isdir(warm):
+    for n in names:
+        try:
+            qs[n](spark, warm).count()
+        except Exception:
+            pass
+best = {}
+for _ in (1, 2):
+    try:
+        registry.reset_caches()
+    except Exception:
+        pass
+    spark.catalog.clearCache()
+    spark._jvm.System.gc()
+    for n in names:
+        t0 = time.time()
+        try:
+            qs[n](spark, sf_dir).count()
+        except Exception:
+            continue
+        dt = time.time() - t0
+        best[n] = min(best.get(n, 1e18), dt)
+print("ABJSON:" + json.dumps(best), flush=True)
+"""
+
+
+def _ab_drift(timings: dict[str, float], sf_dir: str, cpus: int) -> dict | None:
+    """Bench the previous round's code on this machine over the top-cost
+    common queries; return {"drift_ab": ratio, "ab_n": n} or None when the
+    calibration can't run (no git history, no prior round, subset too
+    small). Never raises — calibration must not fail the bench."""
+    import shutil
+    import subprocess
+
+    if os.environ.get("SPARK_GRAFT_AB", "1") == "0":
+        return None
+    root = os.path.dirname(os.path.abspath(__file__))
+    try:
+        commit = subprocess.run(
+            ["git", "log", "--grep", "^round [0-9]*:", "-1", "--format=%H"],
+            cwd=root, capture_output=True, text=True, timeout=60,
+        ).stdout.strip()
+    except Exception:
+        return None
+    if not commit:
+        return None
+    subset = [n for n, _ in sorted(timings.items(), key=lambda kv: -kv[1])[:8]]
+    wt = f"/tmp/gdar_ab_{os.getpid()}"
+    try:
+        subprocess.run(
+            ["git", "worktree", "add", "--detach", wt, commit],
+            cwd=root, capture_output=True, text=True, timeout=120, check=True,
+        )
+    except Exception:
+        return None
+    try:
+        env = dict(os.environ, PYTHONPATH=wt)
+        proc = subprocess.run(
+            [sys.executable, "-c", _AB_RUNNER, json.dumps(subset), sf_dir, str(cpus)],
+            cwd=wt, env=env, capture_output=True, text=True, timeout=900,
+        )
+        prev = None
+        for line in reversed(proc.stdout.splitlines()):
+            if line.startswith("ABJSON:"):
+                prev = json.loads(line[len("ABJSON:"):])
+                break
+        if not prev:
+            return None
+        common = [n for n in subset if n in prev]
+        if len(common) < 4:
+            return None
+        cur = sum(timings[n] for n in common)
+        old = sum(prev[n] for n in common)
+        if cur <= 0:
+            return None
+        return {"drift_ab": round(old / cur, 3), "ab_n": len(common)}
+    except Exception:
+        return None
+    finally:
+        subprocess.run(
+            ["git", "worktree", "remove", "--force", wt],
+            cwd=root, capture_output=True, timeout=120,
+        )
+        shutil.rmtree(wt, ignore_errors=True)
 
 
 def main() -> None:
@@ -443,9 +564,18 @@ def main() -> None:
         flush=True,
     )
 
+    # stop the measuring session BEFORE the A/B subprocess so the previous
+    # round's code benches on the same idle machine the passes above had
+    spark.stop()
+    drift = _ab_drift(timings, sf_dir, cpus)
+    if drift:
+        print(f"  A/B calibration: {drift}", file=sys.stderr, flush=True)
+    else:
+        print("  A/B calibration unavailable", file=sys.stderr, flush=True)
+
     print(json.dumps({"rows": rows}, separators=(",", ":")), file=sys.stderr, flush=True)
     print(
-        format_record(timings, total, _sf_of(sf_dir), cpus, len(heavy)),
+        format_record(timings, total, _sf_of(sf_dir), cpus, len(heavy), drift),
         flush=True,
     )
 

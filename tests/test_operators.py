@@ -700,18 +700,22 @@ def test_bench_record_fits_driver_tail_budget():
     import bench
 
     mix = bench.BENCH_QUERIES + [bench.PIPELINE_QUERY]
+    drift = {"drift_ab": 1.234, "ab_n": 8}  # calibration always survives
     timings = {name: 17.35 for name in mix}  # 2-sig -> '17' ; stress longer too
-    line = bench.format_record(timings, 1734.945, 0.1, 32, 12)
+    line = bench.format_record(timings, 1734.945, 0.1, 32, 12, drift)
     assert len(line) <= bench.RECORD_BUDGET, len(line)
     import json
 
     rec = json.loads(line)
     assert len(rec["queries"]) == len(mix)  # every query survives compaction
+    assert rec["drift_ab"] == 1.234 and rec["ab_n"] == 8
     # worst case: every value renders at max 2-sig width with a decimal
     timings = {name: 9.85 for name in mix}
-    line = bench.format_record(timings, 999.985, 0.1, 32, 12)
+    line = bench.format_record(timings, 999.985, 0.1, 32, 12, drift)
     assert len(line) <= bench.RECORD_BUDGET, len(line)
-    assert len(json.loads(line)["queries"]) == len(mix)
+    rec = json.loads(line)
+    assert len(rec["queries"]) == len(mix)
+    assert rec["drift_ab"] == 1.234  # drift fields are never compacted away
 
 
 def test_bucketed_join_elides_shuffle(spark, tmp_path):
