@@ -129,6 +129,9 @@ _BOUNDED_VALUE_KEYS = {
     "bucket_us", "window_start_us", "hour", "day", "dow", "minute", "week",
     "sw", "_sw", "lm", "_lm", "lex", "_lex", "stopword_ratio",
     "n_tokens", "n_chars",  # value histograms (distinct lengths, not rows)
+    # round-9: stratified_sample's struct-wrapped stratum key (the
+    # null-safe join fix) — same |strata| domain as the raw column
+    "_strat",
 }
 # entity-dimension keys: an aggregate at exactly ONE entity's grain is
 # dimension-sized; two or more together = fact/pair grain = unbounded
