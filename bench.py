@@ -369,11 +369,37 @@ print("ABJSON:" + json.dumps(best), flush=True)
 """
 
 
+def _ab_runner_times(
+    tree: str, subset: list[str], sf_dir: str, cpus: int
+) -> dict[str, float] | None:
+    """Run the subset through _AB_RUNNER in ``tree`` (a repo checkout);
+    returns {name: min_sec} or None."""
+    import subprocess
+
+    env = dict(os.environ, PYTHONPATH=tree)
+    proc = subprocess.run(
+        [sys.executable, "-c", _AB_RUNNER, json.dumps(subset), sf_dir, str(cpus)],
+        cwd=tree, env=env, capture_output=True, text=True, timeout=900,
+    )
+    for line in reversed(proc.stdout.splitlines()):
+        if line.startswith("ABJSON:"):
+            return json.loads(line[len("ABJSON:"):])
+    return None
+
+
 def _ab_drift(timings: dict[str, float], sf_dir: str, cpus: int) -> dict | None:
-    """Bench the previous round's code on this machine over the top-cost
-    common queries; return {"drift_ab": ratio, "ab_n": n} or None when the
-    calibration can't run (no git history, no prior round, subset too
-    small). Never raises — calibration must not fail the bench."""
+    """Bench the previous round's code AND the current code over the
+    top-cost queries through the SAME isolated runner (fresh session,
+    one sf0.01 warmup, min of two post-reset passes each) and return
+    {"drift_ab": prev/cur, "ab_n": n} — or None when the calibration
+    can't run (no git history, no prior round, subset too small).
+
+    Both sides go through _AB_RUNNER rather than reusing the main bench's
+    timings: the main numbers are min-of-3 (heavy pass included) inside a
+    long-hot JVM, while a fresh runner is min-of-2 in a cold one — mixing
+    the two would bias the ratio upward independent of any code change
+    (round-9 code review). Never raises — calibration must not fail the
+    bench."""
     import shutil
     import subprocess
 
@@ -381,14 +407,23 @@ def _ab_drift(timings: dict[str, float], sf_dir: str, cpus: int) -> dict | None:
         return None
     root = os.path.dirname(os.path.abspath(__file__))
     try:
-        commit = subprocess.run(
-            ["git", "log", "--grep", "^round [0-9]*:", "-1", "--format=%H"],
+        head = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
             cwd=root, capture_output=True, text=True, timeout=60,
         ).stdout.strip()
+        # -2: if the newest round-artifact commit IS HEAD (a re-run after
+        # this round's artifacts landed), fall back to the one before it
+        # instead of silently self-comparing at drift_ab = 1.0
+        commits = subprocess.run(
+            ["git", "log", "--grep", "^round [0-9]*:", "-2", "--format=%H"],
+            cwd=root, capture_output=True, text=True, timeout=60,
+        ).stdout.split()
     except Exception:
         return None
-    if not commit:
+    commits = [c for c in commits if c != head]
+    if not commits:
         return None
+    commit = commits[0]
     subset = [n for n, _ in sorted(timings.items(), key=lambda kv: -kv[1])[:8]]
     wt = f"/tmp/gdar_ab_{os.getpid()}"
     try:
@@ -399,33 +434,32 @@ def _ab_drift(timings: dict[str, float], sf_dir: str, cpus: int) -> dict | None:
     except Exception:
         return None
     try:
-        env = dict(os.environ, PYTHONPATH=wt)
-        proc = subprocess.run(
-            [sys.executable, "-c", _AB_RUNNER, json.dumps(subset), sf_dir, str(cpus)],
-            cwd=wt, env=env, capture_output=True, text=True, timeout=900,
-        )
-        prev = None
-        for line in reversed(proc.stdout.splitlines()):
-            if line.startswith("ABJSON:"):
-                prev = json.loads(line[len("ABJSON:"):])
-                break
-        if not prev:
+        prev = _ab_runner_times(wt, subset, sf_dir, cpus)
+        cur = _ab_runner_times(root, subset, sf_dir, cpus)
+        if not prev or not cur:
             return None
-        common = [n for n in subset if n in prev]
+        common = [n for n in subset if n in prev and n in cur]
         if len(common) < 4:
             return None
-        cur = sum(timings[n] for n in common)
-        old = sum(prev[n] for n in common)
-        if cur <= 0:
+        cur_s = sum(cur[n] for n in common)
+        old_s = sum(prev[n] for n in common)
+        if cur_s <= 0:
             return None
-        return {"drift_ab": round(old / cur, 3), "ab_n": len(common)}
+        return {"drift_ab": round(old_s / cur_s, 3), "ab_n": len(common)}
     except Exception:
         return None
     finally:
-        subprocess.run(
-            ["git", "worktree", "remove", "--force", wt],
-            cwd=root, capture_output=True, timeout=120,
-        )
+        # cleanup must not break the "never raises" contract either — a
+        # wedged git (the timeout-killed runner's JVM can briefly hold
+        # files) would otherwise crash the bench AFTER all measurement
+        # and lose the record line (round-9 code review)
+        try:
+            subprocess.run(
+                ["git", "worktree", "remove", "--force", wt],
+                cwd=root, capture_output=True, timeout=120,
+            )
+        except Exception:
+            pass
         shutil.rmtree(wt, ignore_errors=True)
 
 

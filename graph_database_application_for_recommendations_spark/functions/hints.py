@@ -45,7 +45,7 @@ def gated_broadcast(df: DataFrame, reason: str) -> DataFrame:
 
 
 def assert_broadcastable(
-    df: DataFrame, what: str, max_rows: int = 5_000_000
+    df: DataFrame, what: str, max_bytes: int = 256 * 1024 * 1024
 ) -> DataFrame:
     """Cheap runtime contract check for PURE caller-contract
     ``gated_broadcast`` sites (round-8 ADVICE: the witness alias silences
@@ -55,16 +55,21 @@ def assert_broadcastable(
     Uses Catalyst's logical-plan size estimate — catalog/file statistics,
     NO job — so a corpus-backed scan that obviously violates the contract
     fails loudly at plan time instead of OOMing an executor mid-broadcast.
-    Statless frames (LogicalRDD, checkpoints) pass untouched: the estimate
-    can't vouch either way and the contract stays with the caller, which
-    is exactly what the site's ``reason`` string documents."""
-    from ..plans import estimated_row_count
+    The hazard unit is BYTES, so the estimate is thresholded against the
+    same 256 MB budget every count-gated site enforces (round-9 code
+    review: a row-count threshold under-protects narrow-row frames — a
+    50M-row short-string table passes 5M estimated rows at the default
+    256 B/var-field width while broadcasting ~1 GB). Statless frames
+    (LogicalRDD, checkpoints) pass untouched: the estimate can't vouch
+    either way and the contract stays with the caller, which is exactly
+    what the site's ``reason`` string documents."""
+    from ..plans import estimated_size_bytes
 
-    est = estimated_row_count(df)
-    if est is not None and est > max_rows:
+    est = estimated_size_bytes(df)
+    if est is not None and est > max_bytes:
         raise ValueError(
             f"{what}: this side is broadcast by caller contract but its "
-            f"plan statistics estimate ~{est:,} rows (> {max_rows:,}) — "
+            f"plan statistics estimate ~{est:,} bytes (> {max_bytes:,}) — "
             "the contract is violated; reduce the frame (sample/limit) or "
             "use an operator with a shuffle path"
         )

@@ -180,8 +180,16 @@ def bootstrap_ci(
         # trunc division is monotone nondecreasing, negatives included
         bkt = F.expr("_u DIV 1048576")
     elif u_type in ("float", "double"):
-        # floor keeps monotonicity on the real line (DIV would reject)
-        bkt = F.floor(F.col("_u") / F.lit(1048576.0)).cast("long")
+        # floor keeps monotonicity on the real line (DIV would reject);
+        # NaN needs its own branch: Spark ORDERS NaN after +Infinity but
+        # floor(NaN) casts to 0, which would rank NaN units among the
+        # smallest and silently permute the composed index vs the global
+        # ORDER BY rank (round-9 code review). Pin NaN to Long.MaxValue —
+        # the same bucket finite keys above ~2^82 saturate into, where the
+        # within-bucket ORDER BY _u still ranks finite < NaN correctly.
+        bkt = F.when(F.isnan("_u"), F.lit((1 << 63) - 1)).otherwise(
+            F.floor(F.col("_u") / F.lit(1048576.0)).cast("long")
+        )
     elif u_type == "date":
         bkt = F.expr("unix_date(_u) DIV 1048576")
     elif u_type == "timestamp":

@@ -69,6 +69,15 @@ def stratified_sample(
     version sampled): the join key is the stratum wrapped in a struct,
     whose field-wise comparison treats NULL as a value — same grouping
     the aggregate and the window already used."""
+    reserved = {"_h", "_bkt", "_strat", "_rn"} & set(df.columns)
+    if reserved:
+        # withColumn would silently REPLACE these and the final
+        # select(*df.columns) would return the internals in their place
+        # (round-9 code review) — refuse loudly instead
+        raise ValueError(
+            f"stratified_sample uses internal column names {sorted(reserved)} "
+            "already present in the input; rename them first"
+        )
     strat = F.struct(F.col(strata_col).alias("v")).alias("_strat")
     base = (
         df.withColumn("_h", sample_bucket(key_col, seed))

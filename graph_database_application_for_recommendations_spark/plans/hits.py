@@ -60,9 +60,12 @@ def hits(
     # both vectors are re-broadcast every half-round; gate each on its own
     # side's node count (louvain's 256 MB gate — round-8 VERDICT item 2).
     # ids are strings here, so budget a fatter row than the long-keyed trio.
-    n_auths = e_by_auth.select("_a").distinct().count()
+    # n_auths comes from the FIRST half-round's checkpointed output (one
+    # row per authority) — a cheap local scan, where a dedicated
+    # distinct().count() would shuffle the edge cache once per call
+    # (round-9 code review).
     bc_hub = gate_node_vector_broadcast(n_hubs, "HITS hub vector", bytes_per_row=48)
-    bc_auth = gate_node_vector_broadcast(n_auths, "HITS authority vector", bytes_per_row=48)
+    bc_auth = None
     a = None
     prev_h = prev_a = None
 
@@ -87,6 +90,10 @@ def hits(
     for _ in range(iters):
         a = _half(e_by_auth, h, "_h", "_a", bc_hub, prev_a)
         prev_a = a
+        if bc_auth is None:
+            bc_auth = gate_node_vector_broadcast(
+                a.count(), "HITS authority vector", bytes_per_row=48
+            )
         h = _half(e_by_hub, a, "_a", "_h", bc_auth, prev_h)
         prev_h = h
     e_by_hub.unpersist(blocking=False)

@@ -463,6 +463,35 @@ def test_bootstrap_ci_key_types_and_null_units(spark):
     arr = ints.select(F.array("unit_id").alias("unit_id"), "value")
     with pytest.raises(TypeError, match="order-monotonic bucket"):
         evaluate.bootstrap_ci(arr)
+    # NaN unit id: Spark orders NaN after +Infinity, so it must rank LAST
+    # (round-9 code review: floor(NaN)->0 ranked it first) — the result
+    # must equal the same data with NaN replaced by a larger-than-all key
+    withnan = dbls.unionByName(
+        spark.createDataFrame([(float("nan"), 42.0)], "unit_id double, value double")
+    )
+    asmax = dbls.unionByName(
+        spark.createDataFrame([(1.0e18, 42.0)], "unit_id double, value double")
+    )
+    assert (
+        evaluate.bootstrap_ci(withnan, n_replicates=25).collect()
+        == evaluate.bootstrap_ci(asmax, n_replicates=25).collect()
+    )
+
+
+def test_stratified_sample_refuses_reserved_columns(spark):
+    """Round-9 code review: an input already carrying an internal column
+    name would be silently rewritten — the operator must refuse."""
+    import pytest
+    from graph_database_application_for_recommendations_spark.operators import sampling
+    from pyspark.sql import functions as F
+
+    df = spark.range(10).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 2).cast("string").alias("lang"),
+        F.lit(1).alias("_strat"),
+    )
+    with pytest.raises(ValueError, match="internal column names"):
+        sampling.stratified_sample(df, "lang", "doc_id", 0.5)
 
 
 def test_popularity_gini_ignores_null_isbn(spark):
