@@ -666,14 +666,16 @@ def test_stratified_sample_two_level_equals_naive_window(spark, keys, strata, fr
         stratified_sample,
     )
 
-    rows = [(k, strata.draw(st.sampled_from("xy"))) for k in keys]
+    # None is a legal stratum (round-8 ADVICE: NULL strata must sample as
+    # their own group, not silently drop out of the two-level join)
+    rows = [(k, strata.draw(st.sampled_from(["x", "y", None]))) for k in keys]
     df = spark.createDataFrame(rows, "doc_id long, lang string")
     got = {
         r["doc_id"]
         for r in stratified_sample(df, "lang", "doc_id", fraction, seed=3).collect()
     }
     want = set()
-    for s in ("x", "y"):
+    for s in ("x", "y", None):
         members = [k for k, g in rows if g == s]
         if not members:
             continue
@@ -683,6 +685,43 @@ def test_stratified_sample_two_level_equals_naive_window(spark, keys, strata, fr
         members.sort(key=lambda k: (hb(k), k))
         want |= set(members[: math.ceil(len(members) * fraction)])
     assert got == want
+
+
+@given(
+    files=st.lists(
+        st.tuples(st.integers(-(2**40), 2**40), st.integers(0, 1000)),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    ),
+    target=st.sampled_from([1, 100, 1000]),
+    threshold=st.sampled_from([1, 500, 1001]),
+)
+@SLOW
+def test_compaction_plan_matches_python_replica(spark, files, target, threshold):
+    """compaction_plan's first-fit binning (filter < threshold, cumsum of
+    prior rows in file_id order, bin = cum DIV target) re-derived in plain
+    Python — the arithmetic face of the r08 red row, pinned independently
+    of any engine/oracle type seam. Includes negative file_ids (ordering)
+    and zero-row files (cumsum no-ops)."""
+    from graph_database_application_for_recommendations_spark.operators.layout import (
+        compaction_plan,
+    )
+
+    stats = spark.createDataFrame(
+        [(f, n, 0, 0, 0, 0) for f, n in files],
+        "file_id long, n_rows long, min_x long, max_x long, min_y long, max_y long",
+    )
+    got = sorted(
+        map(tuple, compaction_plan(stats, target_rows=target, small_threshold=threshold)
+            .select("file_id", "n_rows", "bin_id").collect())
+    )
+    small = sorted((f, n) for f, n in files if n < threshold)
+    want, cum = [], 0
+    for f, n in small:
+        want.append((f, n, cum // target))  # cum >= 0, so // == trunc-DIV
+        cum += n
+    assert got == sorted(want)
 
 
 @given(
