@@ -3905,6 +3905,54 @@ def test_zorder_key_wide_span_does_not_overflow(spark):
     assert (nr[0]["xb"], nr[1]["xb"]) == (0, 255)
 
 
+def test_zorder_bucketizer_matches_oracle_case_cross_engine(spark):
+    """Round-8 ADVICE: the oracle's bk CTE now mirrors zorder_key's
+    span-branched CASE. The attested events data never leaves the exact
+    branch, so pin BOTH branches cross-engine here: engine buckets must
+    equal the registry CASE formula run by DuckDB on the same rows —
+    narrow span (exact multiply-first) AND a 2^62 span (divide-first)."""
+    import duckdb
+    from graph_database_application_for_recommendations_spark.operators.layout import (
+        zorder_key,
+    )
+
+    nb, bits = 256, 8
+    exact_max_span = 1 << (63 - bits)
+    for rows in (
+        [(0, 0, 0), (1, 1023, 7), (2, 512, 1023)],  # narrow: exact branch
+        [(0, 0, 0), (1, 2**60, 5), (2, 2**61, 9), (3, 2**62, 11)],  # wide
+    ):
+        df = spark.createDataFrame(rows, "rid long, x long, y long")
+        got = sorted(
+            (r["rid"], r["xb"], r["yb"])
+            for r in zorder_key(df, "x", "y", bits=bits).collect()
+        )
+        vals = ", ".join(f"({r}, {x}, {y})" for r, x, y in rows)
+        want = sorted(
+            map(
+                tuple,
+                duckdb.connect().execute(
+                    f"""
+            WITH base(rid, x, y) AS (VALUES {vals}),
+            bnd AS (SELECT MIN(x) AS minx, MAX(x) AS maxx,
+                           MIN(y) AS miny, MAX(y) AS maxy FROM base)
+            SELECT rid,
+              (CASE WHEN (maxx - minx + 1) <= {exact_max_span}
+                    THEN (x - minx) * {nb} // (maxx - minx + 1)
+                    ELSE (x - minx) // (((maxx - minx + 1) + {nb - 1}) // {nb})
+               END) AS xb,
+              (CASE WHEN (maxy - miny + 1) <= {exact_max_span}
+                    THEN (y - miny) * {nb} // (maxy - miny + 1)
+                    ELSE (y - miny) // (((maxy - miny + 1) + {nb - 1}) // {nb})
+               END) AS yb
+            FROM base, bnd
+            """
+                ).fetchall(),
+            )
+        )
+        assert got == want
+
+
 def test_layout_pruning_zorder_beats_linear_on_uniform_grid(spark):
     """On a uniform 2^7 x 2^7 grid, a quarter-rectangle predicate under the
     linear (x-major) layout must scan every block (each block spans the
