@@ -725,6 +725,49 @@ def test_compaction_plan_matches_python_replica(spark, files, target, threshold)
 
 
 @given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 4)),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    ),
+    cap=st.sampled_from([1, 2, 3, 100]),
+)
+@SLOW
+def test_butterfly_capped_matches_python_replica(spark, pairs, cap):
+    """butterfly_count with max_raters_per_book must equal the replica:
+    keep the cap lowest user_ids per item, count co-pairs u1<u2 with
+    shared-item weight w, butterflies = Σ w(w-1)//2 — while n_users /
+    n_items stay the UNCAPPED entity counts. Probes binding/non-binding
+    caps and hub items the fixed-corpus oracle face can't vary."""
+    from collections import Counter
+
+    from graph_database_application_for_recommendations_spark.operators.corating import (
+        butterfly_count,
+    )
+
+    rows = [(u, f"i{i}", 8) for u, i in pairs]
+    df = spark.createDataFrame(rows, "user_id long, isbn string, rating int")
+    got = butterfly_count(df, max_raters_per_book=cap).collect()[0]
+    by_item: dict[str, list[int]] = {}
+    for u, i in pairs:
+        by_item.setdefault(f"i{i}", []).append(u)
+    w = Counter()
+    for users in by_item.values():
+        kept = sorted(users)[:cap]
+        for a in range(len(kept)):
+            for b in range(a + 1, len(kept)):
+                w[(kept[a], kept[b])] += 1
+    assert got["n_users"] == len({u for u, _ in pairs})
+    assert got["n_items"] == len(by_item)
+    assert got["n_copairs"] == len(w)
+    assert got["n_butterflies"] == sum(c * (c - 1) // 2 for c in w.values())
+    assert got["max_pair_butterflies"] == max(
+        (c * (c - 1) // 2 for c in w.values()), default=0
+    )
+
+
+@given(
     docs=st.lists(
         st.tuples(st.sampled_from("pq"), texts),
         min_size=2,
