@@ -768,6 +768,78 @@ def test_butterfly_capped_matches_python_replica(spark, pairs, cap):
 
 
 @given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 5)),
+        min_size=2,
+        max_size=30,
+        unique=True,
+    ),
+    cap=st.sampled_from([1, 2, 100]),
+)
+@SLOW
+def test_linkpred_capped_matches_python_replica(spark, pairs, cap):
+    """linkpred_auc with max_raters_per_book re-derived in plain Python:
+    md5 item split, per-half cap of the lowest user_ids, AA scoring over
+    train items of degree >=2, test-co-pair labels, exact midrank AUC.
+    Probes half assignments, binding caps and degenerate single-class
+    outcomes the fixed-data oracle face can't vary."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    from graph_database_application_for_recommendations_spark.operators.corating import (
+        linkpred_auc,
+    )
+
+    rows = [(u, f"i{i}", 8) for u, i in pairs]
+    df = spark.createDataFrame(rows, "user_id long, isbn string, rating int")
+    got = linkpred_auc(df, max_raters_per_book=cap).collect()[0]
+
+    halves = defaultdict(list)  # (half, isbn) -> users
+    for u, i in pairs:
+        isbn = f"i{i}"
+        h = int(hashlib.md5(isbn.encode()).hexdigest()[:8], 16) % 2
+        halves[(h, isbn)].append(u)
+    train = {k[1]: sorted(v)[:cap] for k, v in halves.items() if k[0] == 0}
+    test = {k[1]: sorted(v)[:cap] for k, v in halves.items() if k[0] == 1}
+    score: dict[tuple[int, int], float] = defaultdict(float)
+    for users in train.values():
+        if len(users) < 2:
+            continue
+        for a in range(len(users)):
+            for b in range(a + 1, len(users)):
+                score[(users[a], users[b])] += 1.0 / math.log(len(users))
+    tpairs = set()
+    for users in test.values():
+        for a in range(len(users)):
+            for b in range(a + 1, len(users)):
+                tpairs.add((users[a], users[b]))
+    labeled = [(round(s, 6), 1 if p in tpairs else 0) for p, s in score.items()]
+    hist = defaultdict(lambda: [0, 0])
+    for s, y in labeled:
+        hist[s][y] += 1
+    if not hist:
+        # no candidate pairs at all: SQL SUM over empty is NULL on both
+        # engines (the attested degenerate contract), COUNT is 0
+        assert (got["n_pos"], got["n_neg"]) == (None, None)
+        assert got["n_distinct_scores"] == 0 and got["auc"] is None
+        return
+    n_pos = sum(v[1] for v in hist.values())
+    n_neg = sum(v[0] for v in hist.values())
+    assert got["n_pos"] == n_pos and got["n_neg"] == n_neg
+    assert got["n_distinct_scores"] == len(hist)
+    if n_pos == 0 or n_neg == 0:
+        assert got["auc"] is None
+    else:
+        cumneg, acc = 0, 0.0
+        for s in sorted(hist):
+            neg, pos = hist[s][0], hist[s][1]
+            acc += pos * (2 * cumneg + neg)
+            cumneg += neg
+        assert got["auc"] == round(acc / (2.0 * n_pos * n_neg), 6)
+
+
+@given(
     docs=st.lists(
         st.tuples(st.sampled_from("pq"), texts),
         min_size=2,
