@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.hints import gated_broadcast
 from ..functions.text import md5_hash32
 
 HASH_BUCKETS = 1_000_000
@@ -47,6 +48,7 @@ def stratified_sample(
     key_col: str,
     fraction: float,
     seed: int = 0,
+    broadcast_budget_bytes: int = 256 * 1024 * 1024,
 ) -> DataFrame:
     """Exact per-stratum fraction: rank rows inside each stratum by their
     deterministic hash (key as tie-break) and keep ceil(fraction·|stratum|).
@@ -68,7 +70,22 @@ def stratified_sample(
     inner equi-join silently dropped NULL-strata rows the old window
     version sampled): the join key is the stratum wrapped in a struct,
     whose field-wise comparison treats NULL as a value — same grouping
-    the aggregate and the window already used."""
+    the aggregate and the window already used.
+
+    The histogram/totals dimensions broadcast, so their size scales with
+    STRATA CARDINALITY — fine for any sane stratum column (source,
+    language, decile), an executor OOM for a caller stratifying on a
+    high-cardinality key (round-9 VERDICT: the only un-witnessed
+    caller-scaled broadcast left in the engine). So the histogram is
+    count-gated before the joins are built: one aggregation job pins it
+    (cache → count → localCheckpoint, the ``materialize`` dance, so the
+    corpus is aggregated once, not re-scanned per branch), and a cell
+    count over ``broadcast_budget_bytes`` raises instead of silently
+    forcing the broadcast — there is no sensible shuffle fallback,
+    because a stratum key that big means the caller wanted
+    ``hash_sample``. The per-stratum totals then derive from the pinned
+    histogram (Σ bucket counts), which also drops the second full-corpus
+    aggregate the pre-gate version paid."""
     reserved = {"_h", "_bkt", "_strat", "_rn"} & set(df.columns)
     if reserved:
         # withColumn would silently REPLACE these and the final
@@ -84,18 +101,36 @@ def stratified_sample(
         .withColumn("_bkt", F.expr(f"_h DIV {HASH_BUCKETS // 100}"))
         .withColumn("_strat", strat)
     )
-    hist = base.groupBy("_strat", "_bkt").agg(F.count(F.lit(1)).alias("_hn"))
+    tmp = base.groupBy("_strat", "_bkt").agg(F.count(F.lit(1)).alias("_hn")).cache()
+    n_cells = tmp.count()  # the gate's count IS the cache fill: one corpus pass
+    # ~48 B per broadcast row: stratum struct + bkt + two longs
+    if n_cells * 48 > broadcast_budget_bytes:
+        tmp.unpersist(blocking=False)
+        raise ValueError(
+            f"stratified_sample: {strata_col!r} yields {n_cells:,} "
+            f"(stratum, bucket) histogram cells, whose broadcast would "
+            f"exceed the {broadcast_budget_bytes:,}-byte budget — the "
+            "stratum column is too high-cardinality for exact per-stratum "
+            "sampling; use hash_sample (per-key deterministic fraction) "
+            "instead"
+        )
+    hist = tmp.localCheckpoint()
+    tmp.unpersist(blocking=False)
     w_off = Window.partitionBy("_strat").orderBy("_bkt").rowsBetween(
         Window.unboundedPreceding, -1
     )
     offsets = hist.select(
         "_strat", "_bkt", F.coalesce(F.sum("_hn").over(w_off), F.lit(0)).alias("_off")
     )
-    totals = base.groupBy("_strat").agg(F.count(F.lit(1)).alias("_n"))
+    totals = hist.groupBy("_strat").agg(F.sum("_hn").alias("_n"))
+    gate_reason = (
+        f"count-gated: {n_cells} (stratum, bucket) cells * 48 B <= "
+        f"{broadcast_budget_bytes} B"
+    )
     w_in = Window.partitionBy("_strat", "_bkt").orderBy("_h", F.col(key_col))
     return (
-        base.join(F.broadcast(offsets), ["_strat", "_bkt"])
-        .join(F.broadcast(totals), "_strat")
+        base.join(gated_broadcast(offsets, gate_reason), ["_strat", "_bkt"])
+        .join(gated_broadcast(totals, gate_reason), "_strat")
         .withColumn("_rn", F.col("_off") + F.row_number().over(w_in))
         .filter(F.col("_rn") <= F.ceil(F.col("_n") * fraction))
         .select(*df.columns)
