@@ -1569,9 +1569,14 @@ def semantic_decontaminate(
         F.col(id_col).alias("doc_id"),
         V.l2_normalize(V.as_double(F.col(vec_col))).alias("_t"),
     )
+    # guard the PROJECTED frame — Catalyst stats propagate through Project,
+    # so the estimate reflects the one vector column actually broadcast;
+    # guarding the raw evalset over-counted wide metadata columns a small
+    # benchmark legitimately carries (round-9 ADVICE)
     ev = assert_broadcastable(
-        evalset, "semantic_decontaminate eval side"
-    ).select(V.l2_normalize(V.as_double(F.col(vec_col))).alias("_e"))
+        evalset.select(V.l2_normalize(V.as_double(F.col(vec_col))).alias("_e")),
+        "semantic_decontaminate eval side (projected to the broadcast vector)",
+    )
     sims = tn.join(
         gated_broadcast(ev, "caller contract: eval-benchmark side, bounded by definition; stats-checked by assert_broadcastable")
     ).select(

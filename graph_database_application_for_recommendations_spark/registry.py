@@ -8133,6 +8133,14 @@ register(
     ),
     """
     WITH base AS (
+      -- user_id // 7 vs Spark's DIV: DuckDB 1.x '//' TRUNCATES toward
+      -- zero for integer operands, matching Spark DIV — but '//' is
+      -- FLOOR division in other engines (and for DOUBLE operands even in
+      -- DuckDB), so the two diverge on negative operands. user_id is
+      -- generated non-negative in every testdata generation (and NULLs
+      -- are filtered here), where trunc == floor; if the oracle engine is
+      -- ever upgraded or ids go signed, re-pin with the cumsum comment's
+      -- discipline below (round-9 ADVICE).
       SELECT event_id, user_id, user_id // 7 AS f
       FROM events WHERE event_id IS NOT NULL AND user_id IS NOT NULL),
     st AS (

@@ -2881,6 +2881,39 @@ def test_semantic_decontaminate_flags_nearest_eval(spark):
     assert not got[3]["contaminated"] and got[3]["max_eval_sim"] == 0.707107
 
 
+def test_semantic_decontaminate_guards_the_projected_frame(spark):
+    """Round-9 ADVICE: the stats guard sat on the FULL evalset, so a
+    small benchmark carrying wide metadata columns exceeded the 256 MB
+    plan estimate and aborted spuriously. The guard now sits on the
+    single-vector projection (Catalyst stats propagate through Project):
+    wide-metadata eval builds fine, a genuinely corpus-scale eval still
+    refuses."""
+    import pytest
+    from graph_database_application_for_recommendations_spark.operators.dedup import (
+        semantic_decontaminate,
+    )
+    from pyspark.sql import functions as F
+
+    tr = spark.createDataFrame(
+        [(1, [2.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    # ~412 B/row estimated across 700k rows (> 256 MB full-frame), but the
+    # projected vector column estimates ~8 B/row (~5.6 MB) — must build
+    wide = spark.range(1, 700_001).select(
+        F.col("id").alias("vec_id"),
+        F.array((F.col("id") % 7).cast("double"), F.lit(1.0)).alias("embedding"),
+        *[F.lit("m" * 50).alias(f"meta{i}") for i in range(40)],
+    )
+    semantic_decontaminate(tr, wide)  # plan-time guard: no execution needed
+    # projection itself corpus-scale (~800 MB estimated): still refuses
+    huge = spark.range(1, 100_000_001).select(
+        F.col("id").alias("vec_id"),
+        F.array((F.col("id") % 7).cast("double"), F.lit(1.0)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="contract is violated"):
+        semantic_decontaminate(tr, huge)
+
+
 def _wav(audio_fmt, channels, sample_rate, bits, block_align, data):
     import struct
 
