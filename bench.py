@@ -326,11 +326,14 @@ def format_record(
 # min of two post-reset passes, fresh vanilla-shaped session). The record
 # then carries
 #
-#     drift_ab = Σ prev-code-now / Σ current-code-now   (same subset)
+#     drift_ab = median over alternating draws of
+#                Σ prev-code-now / Σ current-code-now   (same subset)
 #
 # — ~1.0 means the code did not move and ANY delta vs BENCH_r{N-1} is the
 # machine; >1 means the current code is faster than last round's on this
-# very machine, regardless of what the totals say across sessions.
+# very machine, regardless of what the totals say across sessions. A
+# single draw scatters ±0.2-0.3 here, so the record also carries
+# drift_spread (per-draw min/max) and ab_ref (the baseline commit).
 
 _AB_RUNNER = r"""
 import json, os, sys, time
@@ -391,8 +394,21 @@ def _ab_drift(timings: dict[str, float], sf_dir: str, cpus: int) -> dict | None:
     """Bench the previous round's code AND the current code over the
     top-cost queries through the SAME isolated runner (fresh session,
     one sf0.01 warmup, min of two post-reset passes each) and return
-    {"drift_ab": prev/cur, "ab_n": n} — or None when the calibration
-    can't run (no git history, no prior round, subset too small).
+    {"drift_ab": median prev/cur, "drift_spread": [min, max],
+    "ab_n": n, "ab_draws": d, "ab_ref": commit} — or None when the
+    calibration can't run (no git history, no prior round, subset too
+    small).
+
+    A single A/B draw scatters ±0.2-0.3 on this box (round-9 VERDICT:
+    the r9 record's 1.308 and the judge's 0.854 on IDENTICAL code
+    bracket 1.0 from opposite sides), so the ratio is now the MEDIAN of
+    ``ab_draws`` alternating prev→cur→prev→cur pairs — alternation
+    decorrelates slow ambient drift from the tree under test — with the
+    min/max per-draw ratios published as ``drift_spread`` so a reader
+    sees the envelope instead of mistaking one draw for signal.
+    ``ab_ref`` pins WHICH baseline commit produced the ratio (round-9
+    ADVICE: a re-run after new round artifacts landed silently shifted
+    the baseline, making ratios incomparable across reruns).
 
     Both sides go through _AB_RUNNER rather than reusing the main bench's
     timings: the main numbers are min-of-3 (heavy pass included) inside a
@@ -434,18 +450,36 @@ def _ab_drift(timings: dict[str, float], sf_dir: str, cpus: int) -> dict | None:
     except Exception:
         return None
     try:
-        prev = _ab_runner_times(wt, subset, sf_dir, cpus)
-        cur = _ab_runner_times(root, subset, sf_dir, cpus)
-        if not prev or not cur:
+        draws = max(1, int(os.environ.get("SPARK_GRAFT_AB_DRAWS", "2")))
+        pairs = []
+        for _ in range(draws):
+            prev = _ab_runner_times(wt, subset, sf_dir, cpus)
+            cur = _ab_runner_times(root, subset, sf_dir, cpus)
+            if prev and cur:
+                pairs.append((prev, cur))
+        if not pairs:
             return None
-        common = [n for n in subset if n in prev and n in cur]
+        common = [
+            n for n in subset
+            if all(n in p and n in c for p, c in pairs)
+        ]
         if len(common) < 4:
             return None
-        cur_s = sum(cur[n] for n in common)
-        old_s = sum(prev[n] for n in common)
-        if cur_s <= 0:
-            return None
-        return {"drift_ab": round(old_s / cur_s, 3), "ab_n": len(common)}
+        ratios = []
+        for prev, cur in pairs:
+            cur_s = sum(cur[n] for n in common)
+            if cur_s <= 0:
+                return None
+            ratios.append(sum(prev[n] for n in common) / cur_s)
+        import statistics
+
+        return {
+            "drift_ab": round(statistics.median(ratios), 3),
+            "drift_spread": [round(min(ratios), 3), round(max(ratios), 3)],
+            "ab_n": len(common),
+            "ab_draws": len(ratios),
+            "ab_ref": commit[:8],
+        }
     except Exception:
         return None
     finally:

@@ -700,7 +700,14 @@ def test_bench_record_fits_driver_tail_budget():
     import bench
 
     mix = bench.BENCH_QUERIES + [bench.PIPELINE_QUERY]
-    drift = {"drift_ab": 1.234, "ab_n": 8}  # calibration always survives
+    # calibration always survives — full round-10 field set at worst width
+    drift = {
+        "drift_ab": 1.234,
+        "drift_spread": [0.854, 1.308],
+        "ab_n": 8,
+        "ab_draws": 2,
+        "ab_ref": "abcd1234",
+    }
     timings = {name: 17.35 for name in mix}  # 2-sig -> '17' ; stress longer too
     line = bench.format_record(timings, 1734.945, 0.1, 32, 12, drift)
     assert len(line) <= bench.RECORD_BUDGET, len(line)
@@ -709,6 +716,7 @@ def test_bench_record_fits_driver_tail_budget():
     rec = json.loads(line)
     assert len(rec["queries"]) == len(mix)  # every query survives compaction
     assert rec["drift_ab"] == 1.234 and rec["ab_n"] == 8
+    assert rec["drift_spread"] == [0.854, 1.308] and rec["ab_ref"] == "abcd1234"
     # worst case: every value renders at max 2-sig width with a decimal
     timings = {name: 9.85 for name in mix}
     line = bench.format_record(timings, 999.985, 0.1, 32, 12, drift)
@@ -716,6 +724,47 @@ def test_bench_record_fits_driver_tail_budget():
     rec = json.loads(line)
     assert len(rec["queries"]) == len(mix)
     assert rec["drift_ab"] == 1.234  # drift fields are never compacted away
+    assert rec["drift_spread"] == [0.854, 1.308]
+
+
+def test_ab_drift_median_of_alternating_draws(monkeypatch):
+    """Round-9 VERDICT: a single A/B draw scatters ±0.2-0.3 on this box, so
+    drift_ab is now the median of alternating prev/cur draws with the
+    min/max envelope published, and ab_ref pins the baseline commit
+    (round-9 ADVICE). Stub the runner; the real git worktree dance runs."""
+    import re
+
+    import bench
+
+    names = [f"q{i}" for i in range(8)]
+    timings = {n: float(i + 1) for i, n in enumerate(names)}
+    trees, payloads = [], iter(
+        [
+            {n: 0.8 for n in names},  # draw 1: prev
+            {n: 1.0 for n in names},  # draw 1: cur   -> ratio 0.8
+            {n: 1.2 for n in names},  # draw 2: prev
+            {n: 1.0 for n in names},  # draw 2: cur   -> ratio 1.2
+        ]
+    )
+
+    def fake_runner(tree, subset, sf_dir, cpus):
+        trees.append(tree)
+        assert sorted(subset) == sorted(names)
+        return next(payloads)
+
+    monkeypatch.setattr(bench, "_ab_runner_times", fake_runner)
+    monkeypatch.setenv("SPARK_GRAFT_AB_DRAWS", "2")
+    monkeypatch.delenv("SPARK_GRAFT_AB", raising=False)
+    out = bench._ab_drift(timings, "/root/testdata/sf0.1", 8)
+    assert out is not None, "calibration refused on a live git repo"
+    assert out["drift_ab"] == 1.0  # median of [0.8, 1.2]
+    assert out["drift_spread"] == [0.8, 1.2]
+    assert out["ab_n"] == 8 and out["ab_draws"] == 2
+    assert re.fullmatch(r"[0-9a-f]{8}", out["ab_ref"])
+    # alternation: prev-tree, cur-tree, prev-tree, cur-tree
+    assert len(trees) == 4
+    assert trees[0] == trees[2] and trees[1] == trees[3]
+    assert trees[0] != trees[1]
 
 
 def test_bucketed_join_elides_shuffle(spark, tmp_path):
