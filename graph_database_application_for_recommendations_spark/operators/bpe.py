@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.hints import gated_broadcast
 from ..functions.text import tokens
 
 # sentencepiece-style marker. Enforced, not assumed (ADVICE r3): words
@@ -194,7 +195,11 @@ def bpe_segment(
         seg = seg.withColumn("sym", _apply_merge(F.col("sym"), left, right))
     seg = seg.select("word", F.size("sym").cast("long").alias("_n_after"))
     return (
-        words_per_doc.join(F.broadcast(seg), "word")
+        words_per_doc.join(
+            gated_broadcast(seg, "vocabulary-sized: distinct-word segment "
+                            "table, one (word, length) row per vocab entry"),
+            "word",
+        )
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_words"),

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.hints import gated_broadcast
+
 
 def skew_report(df: DataFrame, key_cols: list[str], top_n: int = 10) -> DataFrame:
     """Top-N heaviest keys with their share of all rows.
@@ -131,7 +133,7 @@ def corpus_datasheet(
     lang_h = (
         base.groupBy("_lang")
         .agg(F.count(F.lit(1)).alias("_c"))
-        .crossJoin(F.broadcast(base.agg(F.count(F.lit(1)).alias("_n"))))
+        .crossJoin(gated_broadcast(base.agg(F.count(F.lit(1)).alias("_n")), "1-row global aggregate"))
         .agg(
             F.round(
                 -F.sum(
@@ -143,8 +145,8 @@ def corpus_datasheet(
         )
     )
     return (
-        main.crossJoin(F.broadcast(src_top))
-        .crossJoin(F.broadcast(lang_h))
+        main.crossJoin(gated_broadcast(src_top, "1-row global aggregate"))
+        .crossJoin(gated_broadcast(lang_h, "1-row global aggregate"))
         .select(
             "n_docs",
             "n_sources",
@@ -192,11 +194,11 @@ def join_size_audit(
     totals = contrib.agg(
         F.sum("_rows").alias("join_rows"),
         F.max("_rows").alias("max_key_rows"),
-    ).crossJoin(F.broadcast(top))
+    ).crossJoin(gated_broadcast(top, "1-row aggregate over an orderBy+limit top-N"))
     sides = left.agg(F.count(F.lit(1)).alias("n_left")).crossJoin(
-        F.broadcast(right.agg(F.count(F.lit(1)).alias("n_right")))
+        gated_broadcast(right.agg(F.count(F.lit(1)).alias("n_right")), "1-row global aggregate")
     )
-    return sides.crossJoin(F.broadcast(totals)).select(
+    return sides.crossJoin(gated_broadcast(totals, "1-row global aggregate")).select(
         "n_left",
         "n_right",
         F.coalesce("join_rows", F.lit(0)).alias("join_rows"),

@@ -212,7 +212,7 @@ def bootstrap_ci(
     w_in = Window.partitionBy("_bkt").orderBy("_u")
     ranked = (
         units.withColumn("_bkt", bkt)
-        .join(F.broadcast(offsets), "_bkt")
+        .join(gated_broadcast(offsets, "two-level rank histogram: one row per bucket, |units| DIV 2^20 (or 2-char prefix) buckets"), "_bkt")
         .withColumn("_idx", F.col("_off") + F.row_number().over(w_in) - 1)
     )
     n = ranked.agg(F.count(F.lit(1)).alias("_n"))
@@ -262,7 +262,7 @@ def bootstrap_ci(
     base = units.agg(
         F.count(F.lit(1)).alias("n_units"), F.round(F.avg("_v"), 6).alias("mean")
     )
-    return base.crossJoin(F.broadcast(ci)).select(
+    return base.crossJoin(gated_broadcast(ci, "1-row global aggregate")).select(
         "n_units",
         F.lit(b_rep).alias("n_replicates"),
         "mean",

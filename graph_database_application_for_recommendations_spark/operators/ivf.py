@@ -22,12 +22,13 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import vector as V
+from ..functions.hints import gated_broadcast
 from ..plans import materialize
 
 
 def _assign(vectors: DataFrame, centroids: DataFrame, id_col: str, out: str) -> DataFrame:
     """Nearest centroid per vector by cosine (vectors pre-normalized)."""
-    pairs = vectors.crossJoin(F.broadcast(centroids)).select(
+    pairs = vectors.crossJoin(gated_broadcast(centroids, "fixed-size construction: IVF centroid table, num_cells rows x dim doubles")).select(
         F.col(id_col),
         F.col("_v"),
         F.col("cell"),
@@ -129,7 +130,7 @@ def cluster_corpus(
     centroids = train_ivf_centroids(
         embeddings, id_col, vec_col, num_cells=k, lloyd_iters=lloyd_iters
     )
-    pairs = vecs.crossJoin(F.broadcast(centroids)).select(
+    pairs = vecs.crossJoin(gated_broadcast(centroids, "fixed-size construction: IVF centroid table, num_cells rows x dim doubles")).select(
         "_cid", "cell", V.dot(F.col("_v"), F.col("_c")).alias("_sim")
     )
     w = Window.partitionBy("_cid").orderBy(F.desc("_sim"), F.asc("cell"))
@@ -174,7 +175,7 @@ def topk_ivf(
         F.col(id_col).alias("query_id"),
         V.l2_normalize(V.as_double(F.col(vec_col))).alias("_v"),
     )
-    q_cells = q_vecs.crossJoin(F.broadcast(centroids)).select(
+    q_cells = q_vecs.crossJoin(gated_broadcast(centroids, "fixed-size construction: IVF centroid table, num_cells rows x dim doubles")).select(
         "query_id", "_v", "cell", V.dot(F.col("_v"), F.col("_c")).alias("_sim")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("cell"))

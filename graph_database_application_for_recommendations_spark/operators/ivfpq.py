@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import vector as V
+from ..functions.hints import gated_broadcast
 from .ivf import _assign, train_ivf_centroids
 from .pq import pq_encode, train_pq_codebooks
 
@@ -79,7 +80,7 @@ def topk_ivfpq(
         V.l2_normalize(V.as_double(F.col(vec_col))).alias("_v"),
     )
     assigned = _assign(c_vecs, centroids, "neighbor_id", "cell")
-    residuals = assigned.join(F.broadcast(centroids), "cell").select(
+    residuals = assigned.join(gated_broadcast(centroids, "fixed-size construction: IVF centroid table, num_cells rows x dim doubles"), "cell").select(
         "neighbor_id",
         "cell",
         F.zip_with("_v", "_c", lambda a, b: a - b).alias("_r"),
@@ -107,7 +108,7 @@ def topk_ivfpq(
         F.col(id_col).alias("query_id"),
         V.l2_normalize(V.as_double(F.col(vec_col))).alias("_qv"),
     )
-    q_cells = q_vecs.crossJoin(F.broadcast(centroids)).select(
+    q_cells = q_vecs.crossJoin(gated_broadcast(centroids, "fixed-size construction: IVF centroid table, num_cells rows x dim doubles")).select(
         "query_id", "_qv", "cell", V.dot(F.col("_qv"), F.col("_c")).alias("_qc")
     )
     wp = Window.partitionBy("query_id").orderBy(F.desc("_qc"), F.asc("cell"))
@@ -175,7 +176,10 @@ def topk_ivfpq(
 
     def _q_side(df: DataFrame):
         """Broadcast query-carrying tables only on the serving-sized path."""
-        return F.broadcast(df) if local else df
+        return gated_broadcast(
+            df, "count-gated: serving-sized query batch "
+            "(|queries| <= max_local_queries on the local path)"
+        ) if local else df
 
     adc_res = F.aggregate(
         F.sequence(F.lit(0), F.lit(mm - 1)),

@@ -37,6 +37,8 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.hints import gated_broadcast
+
 
 def morton_key(xb: Column, yb: Column, bits: int) -> Column:
     """Interleave the low ``bits`` bits of two bucket ids: x fills the odd
@@ -88,7 +90,7 @@ def zorder_key(
 
     out = (
         df.where(F.col(xcol).isNotNull() & F.col(ycol).isNotNull())
-        .crossJoin(F.broadcast(bounds))
+        .crossJoin(gated_broadcast(bounds, "1-row global min/max aggregate"))
         .withColumn("xb", _bucket(xcol, "_minx", "_maxx"))
         .withColumn("yb", _bucket(ycol, "_miny", "_maxy"))
         .withColumn("zkey", morton_key(F.col("xb"), F.col("yb"), bits))
@@ -149,7 +151,7 @@ def _layout_blocks(
         "layout", "cell", F.coalesce(F.sum("_n").over(w_pre), F.lit(0)).alias("_off")
     )
     w_in = Window.partitionBy("layout", "cell").orderBy("x", "y", "rid")
-    ranked = lay.join(F.broadcast(offs), ["layout", "cell"]).withColumn(
+    ranked = lay.join(gated_broadcast(offs, "fixed-size construction: <= 2*4^bits (layout, cell) histogram rows"), ["layout", "cell"]).withColumn(
         "_r", F.col("_off") + F.row_number().over(w_in) - 1
     )
     return ranked.select(

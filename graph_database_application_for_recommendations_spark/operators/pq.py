@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import vector as V
+from ..functions.hints import gated_broadcast
 
 
 def train_pq_codebooks(
@@ -209,7 +210,7 @@ def topk_pq(
         ),
     )
     pairs = (
-        coded.crossJoin(F.broadcast(lut_df))
+        coded.crossJoin(gated_broadcast(lut_df, "driver-built LUT: |queries| rows of m*k doubles, serving-sized by the local-path gate"))
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", adc.alias("_adc"))
     )
@@ -227,7 +228,14 @@ def topk_pq(
     )
     rer = (
         corpus_v.join(
-            F.broadcast(cands.join(F.broadcast(qv_df), "query_id")), "neighbor_id"
+            gated_broadcast(
+                cands.join(
+                    gated_broadcast(qv_df, "driver-built query vectors: |queries| rows, serving-sized by the local-path gate"),
+                    "query_id",
+                ),
+                "bounded by construction: row_number <= rerank*k upstream caps this at |queries|*rerank*k rows",
+            ),
+            "neighbor_id",
         )
         .select(
             "query_id",

@@ -135,7 +135,8 @@ def topk_binary(
     qw = _pack_binary_wide(queries, id_col, vec_col, "query_id", "_qw")
     cw = _pack_binary_wide(corpus, id_col, vec_col, "neighbor_id", "_cw")
     ham = (
-        cw.crossJoin(F.broadcast(qw))
+        cw.crossJoin(gated_broadcast(qw, "caller contract: packed query side, "
+                                     "|queries| rows; stats-checked at entry"))
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",

@@ -6,6 +6,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.hints import gated_broadcast
+
 
 def rated_books(ratings: DataFrame, books: DataFrame, user_id: int) -> DataFrame:
     """P4+J1+T3 — one user's rated books, best first.
@@ -21,7 +23,8 @@ def rated_books(ratings: DataFrame, books: DataFrame, user_id: int) -> DataFrame
     """
     return (
         ratings.filter(F.col("user_id") == user_id)
-        .join(F.broadcast(books), "isbn")
+        .join(gated_broadcast(books, "dimension leaf: books metadata table, "
+                              "small vs the ratings fact side by data model"), "isbn")
         .select("title", "author", "rating")
         .orderBy(F.desc("rating"), F.asc("title"), F.asc("author"))
     )

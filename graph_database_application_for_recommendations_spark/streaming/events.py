@@ -22,6 +22,8 @@ from typing import Any
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..functions.hints import gated_broadcast
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
@@ -694,7 +696,7 @@ def dsir_score_stream(
     # correctness check rejects; the stream-static broadcast join is
     # stateless, so this keeps the whole plan single-state.
     return (
-        tok.join(F.broadcast(log_ratio), "b")
+        tok.join(gated_broadcast(log_ratio, "count()-verified dense table: exactly num_buckets rows, checked above"), "b")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
