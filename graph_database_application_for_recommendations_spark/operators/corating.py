@@ -349,7 +349,7 @@ def linkpred_auc(
     )
     cand = (
         train.alias("a")
-        .join(F.broadcast(ideg), "isbn")
+        .join(gated_broadcast(ideg, "dimension-keyed aggregate: one row per train item with degree >= 2, catalog-sized"), "isbn")
         .join(train.alias("b"), "isbn")
         .where(F.col("a.user_id") < F.col("b.user_id"))
         .groupBy(F.col("a.user_id").alias("u1"), F.col("b.user_id").alias("u2"))
@@ -413,7 +413,7 @@ def butterfly_count(
         F.countDistinct("user_id").alias("n_users"),
         F.countDistinct("isbn").alias("n_items"),
     )
-    return sides.crossJoin(F.broadcast(stats)).select(
+    return sides.crossJoin(gated_broadcast(stats, "1-row global aggregate")).select(
         "n_users",
         "n_items",
         F.coalesce("n_copairs", F.lit(0)).alias("n_copairs"),
@@ -466,13 +466,13 @@ def popularity_gini(ratings: DataFrame, min_rating: int = 0) -> DataFrame:
     w_in = Window.partitionBy("_c", "_pfx").orderBy("isbn")
     ranked = (
         counts.withColumn("_pfx", pfx)
-        .join(F.broadcast(offsets), ["_c", "_pfx"])
+        .join(gated_broadcast(offsets, "two-level rank histogram: |distinct (count, 2-char prefix)| rows"), ["_c", "_pfx"])
         .withColumn("_r", F.col("_off") + F.row_number().over(w_in))
     )
     n_and_tot = counts.agg(
         F.count(F.lit(1)).alias("_n"), F.sum("_c").alias("_tot")
     )
-    agg = ranked.crossJoin(F.broadcast(n_and_tot)).agg(
+    agg = ranked.crossJoin(gated_broadcast(n_and_tot, "1-row global aggregate")).agg(
         F.max("_n").alias("n_items"),
         F.max("_tot").alias("n_interactions"),
         F.sum(F.col("_r") * F.col("_c")).alias("_rc"),

@@ -618,7 +618,7 @@ def benchmark_contamination(
     # eval sets are broadcast-sized by nature; keep the hint unconditional
     # so Catalyst never shuffles the corpus side on a bad size estimate
     return (
-        tg.join(F.broadcast(bg), "shingle")
+        tg.join(gated_broadcast(bg, "caller contract: benchmark eval shingle table, eval sets are broadcast-sized by definition"), "shingle")
         .groupBy("doc_id")
         .agg(
             F.countDistinct("shingle").alias("n_overlap_ngrams"),
@@ -1204,7 +1204,7 @@ def semantic_dedup(
     # would shuffle the whole vector table to extract k rows
     rep_vecs = vecs.select(
         F.col("_sid").alias("rep_id"), F.col("_nv").alias("_rv")
-    ).join(F.broadcast(reps), "rep_id")
+    ).join(gated_broadcast(reps, "k-row cluster-representative aggregate (one row per cluster)"), "rep_id")
     out = members.join(
         gated_broadcast(
             rep_vecs, "k-row cluster-rep table (unique-id semi-join of a k-row aggregate)"
@@ -2062,7 +2062,11 @@ def weighted_jaccard_pairs(
     if max_docs_per_token is not None:
         df_counts = tw.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
         tw = tw.join(
-            F.broadcast(df_counts.filter(F.col("_df") <= max_docs_per_token)), "token"
+            gated_broadcast(
+                df_counts.filter(F.col("_df") <= max_docs_per_token),
+                "vocabulary-sized document-frequency table, hub tokens pruned by the df cap",
+            ),
+            "token",
         ).drop("_df")
     totals = tw.groupBy("doc_id").agg(F.sum("w").alias("_wt"))
     inter = (
@@ -2140,7 +2144,7 @@ def icws_signatures(
     )
     spark = documents.sparkSession
     seeds = spark.range(num_hashes).select(F.col("id").cast("int").alias("seed"))
-    x = tw.crossJoin(F.broadcast(seeds))
+    x = tw.crossJoin(gated_broadcast(seeds, "fixed-size construction: num_hashes seed rows"))
 
     # one md5 is 128 bits = four independent 32-bit uniforms — two digests
     # per (gram, hash) instead of five (the kernel's cost IS the hashing:

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.hints import gated_broadcast
+
 US_PER_MIN = 60 * 1_000_000
 
 
@@ -391,7 +393,7 @@ def value_anomalies(events: DataFrame, z: float = 3.0) -> DataFrame:
     zscore = (F.col("value") - F.col("_mean")) / F.col("_std")
     return (
         events.select("event_id", "event_type", "value")
-        .join(F.broadcast(stats), "event_type")
+        .join(gated_broadcast(stats, "|event_type| rows: the event-type taxonomy is data-model bounded"), "event_type")
         .filter(F.abs(zscore) > z)
         .select(
             "event_id",
@@ -434,7 +436,7 @@ def resample_forward_fill(events: DataFrame, minutes: int = 60) -> DataFrame:
     grid = (
         obs.select("event_type")
         .distinct()
-        .join(F.broadcast(bounds))
+        .join(gated_broadcast(bounds, "1-row global aggregate"))
         .select(
             "event_type",
             F.explode(
@@ -542,7 +544,7 @@ def decayed_activity(
         F.lit(0.5), (F.col("_ref") - F.unix_micros("ts")) / F.lit(half_us)
     )
     return (
-        events.crossJoin(F.broadcast(ref))
+        events.crossJoin(gated_broadcast(ref, "1-row global aggregate"))
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),
@@ -606,10 +608,10 @@ def time_split_report(events: DataFrame, cutoff_us: int) -> DataFrame:
     cold = test_users.join(train_users, "user_id", "left_anti")
     users = (
         train_users.agg(F.count(F.lit(1)).alias("n_train_users"))
-        .crossJoin(F.broadcast(test_users.agg(F.count(F.lit(1)).alias("n_test_users"))))
-        .crossJoin(F.broadcast(cold.agg(F.count(F.lit(1)).alias("n_cold_users"))))
+        .crossJoin(gated_broadcast(test_users.agg(F.count(F.lit(1)).alias("n_test_users")), "1-row global aggregate"))
+        .crossJoin(gated_broadcast(cold.agg(F.count(F.lit(1)).alias("n_cold_users")), "1-row global aggregate"))
     )
-    return counts.crossJoin(F.broadcast(users)).select(
+    return counts.crossJoin(gated_broadcast(users, "1-row global aggregate")).select(
         F.lit(int(cutoff_us)).alias("cutoff_us"),
         "n_train",
         "n_test",
@@ -679,15 +681,13 @@ def value_anomalies_mad(events: DataFrame, k: float = 3.5) -> DataFrame:
     med = events.groupBy("event_type").agg(
         F.expr("percentile(value, 0.5D)").alias("_med")
     )
-    withmed = events.select("event_id", "event_type", "value").join(
-        F.broadcast(med), "event_type"
-    )
+    withmed = events.select("event_id", "event_type", "value").join(gated_broadcast(med, "|event_type| rows: the event-type taxonomy is data-model bounded"), "event_type")
     mad = withmed.groupBy("event_type").agg(
         F.expr("percentile(abs(value - _med), 0.5D)").alias("_mad")
     )
     rz = (F.col("value") - F.col("_med")) / (F.lit(1.4826) * F.col("_mad"))
     return (
-        withmed.join(F.broadcast(mad), "event_type")
+        withmed.join(gated_broadcast(mad, "|event_type| rows: the event-type taxonomy is data-model bounded"), "event_type")
         .where(F.col("_mad") > 0)
         .filter(F.abs(rz) > k)
         .select("event_id", "event_type", "value", F.round(rz, 6).alias("robust_z"))
@@ -718,8 +718,8 @@ def hourly_periodicity(events: DataFrame) -> DataFrame:
         F.desc("_c"), F.asc("hour")
     )
     with_tot = counts.join(
-        F.broadcast(
-            counts.groupBy("event_type").agg(F.sum("_c").alias("_n"))
+        gated_broadcast(
+            counts.groupBy("event_type").agg(F.sum("_c").alias("_n")), "|event_type| rows: the event-type taxonomy is data-model bounded"
         ),
         "event_type",
     )
@@ -769,7 +769,7 @@ def stickiness_report(events: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_days"), F.sum("_dau").alias("_dau_sum")
     )
     mau = events.agg(F.countDistinct("user_id").alias("mau"))
-    return d_agg.crossJoin(F.broadcast(mau)).select(
+    return d_agg.crossJoin(gated_broadcast(mau, "1-row global aggregate")).select(
         "n_days",
         F.round(F.col("_dau_sum") / F.col("n_days"), 6).alias("avg_dau"),
         "mau",

@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.hints import gated_broadcast
 from ..functions.text import tokens
 from .sampling import HASH_BUCKETS, sample_bucket
 
@@ -77,7 +78,7 @@ def pack_chunks(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     start = F.col("_boff") + F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
-    out = tok.join(F.broadcast(offsets), "_blk").withColumn("_start", start)
+    out = tok.join(gated_broadcast(offsets, "block-prefix histogram: one row per doc_id DIV block_size block"), "_blk").withColumn("_start", start)
     last_tok = F.col("_start") + F.greatest(F.col("n_tokens") - 1, F.lit(0))
     return out.select(
         "doc_id",
@@ -258,7 +259,7 @@ def pack_length_buckets(
     )
     w_in = Window.partitionBy("bucket_len", "_blk").orderBy("doc_id")
     ranked = (
-        tok.join(F.broadcast(offsets), ["bucket_len", "_blk"])
+        tok.join(gated_broadcast(offsets, "block-prefix histogram: (log2 bucket_len, doc_id block) rows"), ["bucket_len", "_blk"])
         .withColumn("_rk", F.col("_off") + F.row_number().over(w_in) - 1)
     )
     cap = F.lit(ctx_len) / F.col("bucket_len")  # exact: both powers of two
@@ -312,7 +313,7 @@ def curriculum_order(
     )
     w_in = Window.partitionBy("decile", "_blk").orderBy("_h", "doc_id")
     return (
-        base.join(F.broadcast(offsets), ["decile", "_blk"])
+        base.join(gated_broadcast(offsets, "fixed-size construction: n_tiles x 256 hash-block histogram rows"), ["decile", "_blk"])
         .select(
             "doc_id",
             "decile",

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.hints import gated_broadcast
+
 
 # --- KNN recommender (reference recommender/recommender_knn.py) ---
 
@@ -42,7 +44,7 @@ def recommend_books_knn(
     return (
         sim_users.join(ratings, sim_users.dst == ratings.user_id)
         .join(already_rated, "isbn", "left_anti")
-        .join(F.broadcast(books), "isbn")
+        .join(gated_broadcast(books, "dimension leaf: books metadata table, small vs the ratings fact side by data model"), "isbn")
         .groupBy("isbn", "title", "author")
         .agg(F.round(F.avg("rating"), 6).alias("avgRating"), F.count(F.lit(1)).alias("votes"))
         .orderBy(F.desc("avgRating"), F.desc("votes"), F.asc("isbn"))
@@ -84,7 +86,7 @@ def graph_data_knn(
     )
     t_books = (
         ratings.filter(F.col("user_id") == user_id)
-        .join(F.broadcast(books), "isbn")
+        .join(gated_broadcast(books, "dimension leaf: books metadata table, small vs the ratings fact side by data model"), "isbn")
         .select(
             F.col("isbn").alias("t_isbn"),
             F.col("title").alias("t_title"),
@@ -94,7 +96,7 @@ def graph_data_knn(
     sim = similar_to.filter(F.col("src") == user_id).select(
         F.col("dst").alias("sim_id"), F.col("similarity")
     )
-    s_books = ratings.join(F.broadcast(books), "isbn").select(
+    s_books = ratings.join(gated_broadcast(books, "dimension leaf: books metadata table, small vs the ratings fact side by data model"), "isbn").select(
         F.col("user_id").alias("sim_id"),
         F.col("isbn").alias("s_isbn"),
         F.col("title").alias("s_title"),
@@ -127,7 +129,7 @@ def recommend_books_community(
     (tie-break title, author for determinism)."""
     target_comm = users_with_community.filter(F.col("user_id") == user_id).select("community")
     peers = (
-        users_with_community.join(F.broadcast(target_comm), "community", "left_semi")
+        users_with_community.join(gated_broadcast(target_comm, "point-lookup: one user's community row(s), <= a handful by key"), "community", "left_semi")
         .filter(F.col("user_id") != user_id)
         .select("user_id")
     )
@@ -136,7 +138,7 @@ def recommend_books_community(
         ratings.filter(F.col("rating") >= min_rating)
         .join(peers, "user_id", "left_semi")
         .join(already_rated, "isbn", "left_anti")
-        .join(F.broadcast(books), "isbn")
+        .join(gated_broadcast(books, "dimension leaf: books metadata table, small vs the ratings fact side by data model"), "isbn")
         .groupBy("title", "author")
         .agg(F.count(F.lit(1)).alias("recommendCount"))
         .orderBy(F.desc("recommendCount"), F.asc("title"), F.asc("author"))
@@ -154,7 +156,7 @@ def similar_users_community(
     """
     target_comm = users_with_community.filter(F.col("user_id") == user_id).select("community")
     return (
-        users_with_community.join(F.broadcast(target_comm), "community", "left_semi")
+        users_with_community.join(gated_broadcast(target_comm, "point-lookup: one user's community row(s), <= a handful by key"), "community", "left_semi")
         .filter(F.col("user_id") != user_id)
         .select(F.col("user_id").alias("userId"), "location", "age")
         .orderBy("userId")
@@ -171,10 +173,10 @@ def graph_data_community(
     """Reference ``recommender/recommender_community.py:58-72``: all rating
     edges within the target's community, flattened (user, book, rating)."""
     target_comm = users_with_community.filter(F.col("user_id") == user_id).select("community")
-    members = users_with_community.join(F.broadcast(target_comm), "community", "left_semi")
+    members = users_with_community.join(gated_broadcast(target_comm, "point-lookup: one user's community row(s), <= a handful by key"), "community", "left_semi")
     return (
         members.join(ratings, "user_id")
-        .join(F.broadcast(books), "isbn")
+        .join(gated_broadcast(books, "dimension leaf: books metadata table, small vs the ratings fact side by data model"), "isbn")
         .select(
             F.col("user_id").alias("userId"), "location", "age",
             "isbn", "title", "author", "rating",
@@ -295,7 +297,7 @@ def implicit_training_samples(
     draws = (
         pos.select("user_id")
         .distinct()
-        .crossJoin(F.broadcast(n_items))
+        .crossJoin(gated_broadcast(n_items, "1-row global aggregate"))
         .select(
             "user_id",
             "_n",
@@ -311,7 +313,7 @@ def implicit_training_samples(
                 F.col("_n"),
             ).alias("_idx"),
         )
-        .join(F.broadcast(idx), "_idx")
+        .join(gated_broadcast(idx, "item-catalog dimension: one (isbn, idx) row per distinct item"), "_idx")
     )
     # drop positive hits, dedup repeated draws (smallest j wins), keep k
     clean = (
@@ -383,8 +385,8 @@ def holdout_hit_flags(
     )
     deg = train.groupBy("isbn").agg(F.count(F.lit(1)).alias("_deg"))
     sim = (
-        inter.join(F.broadcast(deg.select(F.col("isbn").alias("i1"), F.col("_deg").alias("_d1"))), "i1")
-        .join(F.broadcast(deg.select(F.col("isbn").alias("i2"), F.col("_deg").alias("_d2"))), "i2")
+        inter.join(gated_broadcast(deg.select(F.col("isbn").alias("i1"), F.col("_deg").alias("_d1")), "item-catalog dimension: per-item degree rows"), "i1")
+        .join(gated_broadcast(deg.select(F.col("isbn").alias("i2"), F.col("_deg").alias("_d2")), "item-catalog dimension: per-item degree rows"), "i2")
         .select(
             "i1",
             "i2",

@@ -91,7 +91,7 @@ def range_search(
     q = _normed(queries, id_col, vec_col, "query_id")
     c = _normed(corpus, id_col, vec_col, "neighbor_id").repartition(par)
     return (
-        c.crossJoin(F.broadcast(q))
+        c.crossJoin(gated_broadcast(q, "caller contract: query block, |Q| small by contract (see docstring)"))
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -134,7 +134,7 @@ def hard_negatives(
     q = _normed(queries, id_col, vec_col, "query_id")
     c = _normed(corpus, id_col, vec_col, "neighbor_id").repartition(par)
     banded = (
-        c.crossJoin(F.broadcast(q))
+        c.crossJoin(gated_broadcast(q, "caller contract: query block, |Q| small by contract (see docstring)"))
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -476,7 +476,7 @@ def assign_to_centroids(
         ),
         V.SIM_SCALE,
     )
-    scored = v.crossJoin(F.broadcast(c)).select("vec_id", "cid", dist.alias("_d"), "_v")
+    scored = v.crossJoin(gated_broadcast(c, "fixed-size construction: k-row centroid table")).select("vec_id", "cid", dist.alias("_d"), "_v")
     w = Window.partitionBy("vec_id").orderBy(F.asc("_d"), F.asc("cid"))
     return (
         scored.withColumn("_rn", F.row_number().over(w))
@@ -831,7 +831,7 @@ def isotropy_report(
         F.sum(F.col("_s") * F.col("_s")).alias("_ss"),
         F.count(F.lit(1)).alias("dim"),
     )
-    return stats.crossJoin(F.broadcast(s2)).select(
+    return stats.crossJoin(gated_broadcast(s2, "1-row global aggregate")).select(
         "n_vectors",
         "dim",
         "mean_norm",

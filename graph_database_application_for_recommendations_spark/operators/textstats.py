@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hints import gated_broadcast
 from ..functions.text import STOPWORDS, normalize, tokens
 
 CJK_RE = r"[\x{4e00}-\x{9fff}]"
@@ -229,7 +230,7 @@ def language_id(
     )
     tok = norm_df.select("doc_id", F.explode(F.split(F.col("norm"), " ")).alias("token"))
     hits = (
-        tok.join(F.broadcast(stop_dim), tok.token == stop_dim.word)
+        tok.join(gated_broadcast(stop_dim, "fixed-size construction: frozen per-language stopword lists"), tok.token == stop_dim.word)
         .groupBy("doc_id", "lang")
         .agg(F.count(F.lit(1)).alias("h"))
     )
@@ -339,8 +340,8 @@ def collocations_pmi(
     scored = (
         cand.join(uni.withColumnRenamed("token", "w1").withColumnRenamed("c_tok", "_c1"), "w1")
         .join(uni.withColumnRenamed("token", "w2").withColumnRenamed("c_tok", "_c2"), "w2")
-        .crossJoin(F.broadcast(total_tok))
-        .crossJoin(F.broadcast(total_pair))
+        .crossJoin(gated_broadcast(total_tok, "1-row global aggregate"))
+        .crossJoin(gated_broadcast(total_pair, "1-row global aggregate"))
         .select(
             "w1",
             "w2",
@@ -445,7 +446,7 @@ def rank_vocabulary(
     w_in = Window.partitionBy("count", "_pfx").orderBy("token")
     vocab = (
         counts.withColumn("_pfx", pfx)
-        .join(F.broadcast(offsets), ["count", "_pfx"])
+        .join(gated_broadcast(offsets, "two-level rank histogram: |distinct (count, 2-char prefix)| rows"), ["count", "_pfx"])
         .withColumn(
             "token_id",
             (F.col("_off") + F.row_number().over(w_in) - 1).cast("long"),
@@ -667,10 +668,10 @@ def lm_scores_from_counts(
         .agg(F.sum("_cnt").alias("_tot"))
     )
     model = big.join(
-        F.broadcast(pre), F.substring(big["bigram"], 1, 1) == pre["_c1"]
+        gated_broadcast(pre, "character-domain aggregate: one row per leading char, bounded by the charset"), F.substring(big["bigram"], 1, 1) == pre["_c1"]
     ).select("bigram", (F.log2(F.col("_cnt") / F.col("_tot"))).alias("_lp"))
     return (
-        grams.join(F.broadcast(model), "bigram")
+        grams.join(gated_broadcast(model, "character-bigram model: bounded by |charset|^2 rows"), "bigram")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
@@ -711,7 +712,7 @@ def length_quantiles_by_source(
     qdim = spark.createDataFrame(quantiles, "num int, den int")
     thresh = (F.col("num") * F.col("_n") + F.col("den") - 1) / F.col("den")
     return (
-        cum.crossJoin(F.broadcast(qdim))
+        cum.crossJoin(gated_broadcast(qdim, "fixed-size construction: literal quantile dimension"))
         .filter(F.col("_cum") >= F.floor(thresh))
         .groupBy("source", "num", "den")
         .agg(F.min("n_tokens").alias("n_tokens_at_q"))
@@ -763,7 +764,7 @@ def length_quantile_keep(
         cum.filter(F.col("_cum") >= F.ceil(F.lit(q) * F.col("_n")))
         .agg(F.min("n_tokens").alias("_t"))
     )
-    return tc.join(F.broadcast(thresh)).filter(
+    return tc.join(gated_broadcast(thresh, "1-row global aggregate")).filter(
         F.col("n_tokens") >= F.col("_t")
     ).select("doc_id", "n_tokens")
 
@@ -814,9 +815,9 @@ def bm25_scores(
     denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
     contrib = idf * (F.col("tf") * (k1 + 1.0)) / denom
     return (
-        tf.join(F.broadcast(df_t), "token")
+        tf.join(gated_broadcast(df_t, "term-filtered aggregate: one row per query term"), "token")
         .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
+        .crossJoin(gated_broadcast(stats, "1-row global aggregate"))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_hits"),
@@ -1294,9 +1295,9 @@ def bm25_scores_from_stats(
     denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
     contrib = idf * (F.col("tf") * (k1 + 1.0)) / denom
     return (
-        tf.join(F.broadcast(df_t), "token")
+        tf.join(gated_broadcast(df_t, "term-filtered aggregate: one row per query term"), "token")
         .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
+        .crossJoin(gated_broadcast(stats, "1-row global aggregate"))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_hits"),
@@ -1395,7 +1396,7 @@ def corpus_profile(documents: DataFrame) -> DataFrame:
         F.countDistinct("source").alias("n_sources"),
         F.round(F.avg("n_tokens"), 6).alias("mean_tokens"),
     )
-    return stats.crossJoin(F.broadcast(med)).select(
+    return stats.crossJoin(gated_broadcast(med, "1-row global aggregate")).select(
         "n_docs",
         "total_tokens",
         "distinct_fingerprints",
@@ -1446,7 +1447,7 @@ def quality_deciles(
     )
     pv = Window.partitionBy("stopword_ratio").orderBy("doc_id")
     ranked = (
-        q.join(F.broadcast(cum), "stopword_ratio")
+        q.join(gated_broadcast(cum, "value-histogram: one row per distinct 6dp value"), "stopword_ratio")
         .withColumn("_r", F.col("_before") + F.row_number().over(pv))
     )
     k = F.lit(n_tiles)
@@ -1491,7 +1492,7 @@ def dsir_scores(
     ratio = dsir_log_ratio(documents, target, num_buckets, id_col, text_col)
     per_doc = raw_tok.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
     return (
-        per_doc.join(F.broadcast(ratio), "b")
+        per_doc.join(gated_broadcast(ratio, "fixed-size construction: num_buckets log-ratio rows"), "b")
         .groupBy("doc_id")
         .agg(
             F.sum("c").cast("long").alias("n_tokens"),
@@ -1568,7 +1569,7 @@ def dsir_log_ratio_from_hists(
             F.coalesce("rc", F.lit(0)).alias("rc"),
             F.coalesce("tc", F.lit(0)).alias("tc"),
         )
-        .crossJoin(F.broadcast(totals))
+        .crossJoin(gated_broadcast(totals, "1-row global aggregate"))
         .select(
             "b",
             (
@@ -1937,13 +1938,13 @@ def min_k_prob_scores(
         F.sum("_cnt").alias("_tot")
     )
     model = big.join(
-        F.broadcast(pre), F.substring(big["bigram"], 1, 1) == pre["_c1"]
+        gated_broadcast(pre, "character-domain aggregate: one row per leading char, bounded by the charset"), F.substring(big["bigram"], 1, 1) == pre["_c1"]
     ).select("bigram", (F.log2(F.col("_cnt") / F.col("_tot"))).alias("_lp"))
     grams = _char_bigrams(documents, id_col, text_col)
     w_doc = Window.partitionBy("doc_id")
     w_rnk = Window.partitionBy("doc_id").orderBy("_lp", "bigram")
     ranked = (
-        grams.join(F.broadcast(model), "bigram")
+        grams.join(gated_broadcast(model, "character-bigram model: bounded by |charset|^2 rows"), "bigram")
         .withColumn("_r", F.row_number().over(w_rnk))
         .withColumn("_n", F.count(F.lit(1)).over(w_doc))
     )
@@ -1998,7 +1999,7 @@ def source_js_divergence(
     )
     counts = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("_c"))
     totals = counts.groupBy("source").agg(F.sum("_c").alias("_tot"))
-    dist = counts.join(F.broadcast(totals), "source").select(
+    dist = counts.join(gated_broadcast(totals, "|sources| rows: the source taxonomy is data-model bounded"), "source").select(
         "source", "token", (F.col("_c") / F.col("_tot")).alias("_p")
     )
     a = dist.select(
@@ -2073,10 +2074,10 @@ def _percentile_rank(scored: DataFrame, value_col: str, out_col: str) -> DataFra
     w = Window.orderBy(value_col).rowsBetween(Window.unboundedPreceding, 0)
     cum = hist.withColumn("_cum", F.sum("_n").over(w))
     total = hist.agg(F.sum("_n").alias("_tot"))
-    ranks = cum.crossJoin(F.broadcast(total)).select(
+    ranks = cum.crossJoin(gated_broadcast(total, "1-row global aggregate")).select(
         value_col, F.round(F.col("_cum") / F.col("_tot"), 6).alias(out_col)
     )
-    return scored.join(F.broadcast(ranks), value_col)
+    return scored.join(gated_broadcast(ranks, "value-histogram: one row per distinct 6dp value"), value_col)
 
 
 def quality_percentile_fusion(
@@ -2140,7 +2141,7 @@ def _midrank(scored: DataFrame, value_col: str, out_col: str) -> DataFrame:
         value_col,
         (F.col("_cum") + (F.col("_n") + 1) / 2.0).alias(out_col),
     )
-    return scored.join(F.broadcast(ranks), value_col)
+    return scored.join(gated_broadcast(ranks, "value-histogram: one row per distinct 6dp value"), value_col)
 
 
 def signal_correlations(
@@ -2221,9 +2222,9 @@ def source_signatures(
     sdf = tf.groupBy("token").agg(F.count(F.lit(1)).alias("_sdf"))
     ns = tot.agg(F.count(F.lit(1)).alias("_ns"))
     scored = (
-        tf.join(F.broadcast(tot), "source")
+        tf.join(gated_broadcast(tot, "|sources| rows: the source taxonomy is data-model bounded"), "source")
         .join(sdf, "token")
-        .crossJoin(F.broadcast(ns))
+        .crossJoin(gated_broadcast(ns, "1-row global aggregate"))
         .select(
             "source",
             "token",

@@ -373,34 +373,44 @@ def test_gated_broadcast_marker_is_single_sourced():
     assert not offenders, f"__gated_bounded__ emitted outside hints.py: {offenders}"
 
 
-def test_no_raw_broadcast_hints_in_iterative_drivers():
-    """Iterative drivers execute their per-round joins eagerly inside the
-    Python loop, so the registered query's final plan never contains them —
-    the plan-walking broadcast guard is structurally blind there (round-8
-    VERDICT item 2: pagerank/eigenvector/hits re-broadcast the full |V|
-    score vector every iteration, ungated — ~24 GB per round at 10⁹
-    nodes). The witness is therefore enforced at SOURCE level for plans/:
-    every broadcast hint must route through ``gated_broadcast`` (via
-    ``gate_node_vector_broadcast`` for counted node vectors), never raw
-    ``F.broadcast``."""
+def test_no_raw_broadcast_hints_engine_wide():
+    """Every broadcast hint in the engine must route through
+    ``gated_broadcast`` (via ``gate_node_vector_broadcast`` for counted
+    node vectors), never raw ``F.broadcast``. Two reasons the ban is at
+    SOURCE level rather than plan level: (a) iterative drivers execute
+    their per-round joins eagerly inside the Python loop, so the
+    registered query's final plan never contains them — the plan-walking
+    guard is structurally blind there (round-8 VERDICT item 2:
+    pagerank/eigenvector/hits re-broadcast the full |V| score vector
+    every iteration, ungated — ~24 GB per round at 10⁹ nodes); (b) the
+    witness's ``reason`` string is the greppable audit record of WHY each
+    frame is bounded, which a bare hint never carries (round-9 VERDICT
+    item 4: uniform engine-wide, not per-directory). Scope: the whole
+    package except ``functions/hints.py`` (the one sanctioned emitter).
+    Comment lines are skipped (round-9 ADVICE: a commented-out call or a
+    docstring ``#`` example must not trip a source-text ban)."""
     import glob
     import os
 
     root = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "graph_database_application_for_recommendations_spark",
-        "plans",
     )
     offenders = []
-    for path in glob.glob(os.path.join(root, "*.py")):
+    for path in glob.glob(os.path.join(root, "**", "*.py"), recursive=True):
+        rel = os.path.relpath(path, root)
+        if rel == os.path.join("functions", "hints.py"):
+            continue
         with open(path) as fh:
             for i, line in enumerate(fh, 1):
+                if line.lstrip().startswith("#"):
+                    continue
                 if "F.broadcast(" in line:
-                    offenders.append(f"{os.path.basename(path)}:{i}")
+                    offenders.append(f"{rel}:{i}")
     assert not offenders, (
-        f"raw F.broadcast inside iterative drivers (loop joins are invisible "
-        f"to the plan sweep — use gate_node_vector_broadcast/gated_broadcast): "
-        f"{offenders}"
+        f"raw F.broadcast in engine sources (use gated_broadcast with a "
+        f"reason naming the boundedness evidence, or "
+        f"gate_node_vector_broadcast for counted node vectors): {offenders}"
     )
 
 
