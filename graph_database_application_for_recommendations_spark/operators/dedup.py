@@ -610,10 +610,18 @@ def benchmark_contamination(
     speed over the training corpus, no shuffle of the big side.
     """
     tg = shingle_set(train_docs, id_col, text_col, n)
-    bg = (
+    # stats-check the caller contract on the projected shingle side
+    # (round-10: the witness alias alone silences the sweep, so a caller
+    # handing a corpus-scale "benchmark" would force-broadcast unchecked).
+    # Size-only stats do NOT shrink through Filter, so an eval set carved
+    # out of a huge corpus by filter may over-estimate and refuse — the
+    # conservative direction; such callers should pin the eval set first
+    # (materialize/localCheckpoint → statless → contract stays with them)
+    bg = assert_broadcastable(
         shingle_set(benchmark_docs, id_col, text_col, n)
         .select(F.col("doc_id").alias("bench_doc"), "shingle")
-        .distinct()
+        .distinct(),
+        "benchmark_contamination eval shingle side",
     )
     # eval sets are broadcast-sized by nature; keep the hint unconditional
     # so Catalyst never shuffles the corpus side on a bad size estimate

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import vector as V
-from ..functions.hints import gated_broadcast
+from ..functions.hints import assert_broadcastable, gated_broadcast
 
 
 def hyperplanes(num_planes: int = 4, dim: int = 64, seed: int = 123) -> list[list[float]]:
@@ -88,10 +88,14 @@ def range_search(
     instead of broadcasting.
     """
     par = corpus.sparkSession.sparkContext.defaultParallelism
-    q = _normed(queries, id_col, vec_col, "query_id")
+    # stats-check the caller contract on the projected (id, vector) frame
+    # (round-10: the witness alias alone silences the sweep)
+    q = assert_broadcastable(
+        _normed(queries, id_col, vec_col, "query_id"), "query-block side"
+    )
     c = _normed(corpus, id_col, vec_col, "neighbor_id").repartition(par)
     return (
-        c.crossJoin(gated_broadcast(q, "caller contract: query block, |Q| small by contract (see docstring)"))
+        c.crossJoin(gated_broadcast(q, "caller contract: query block, |Q| small by contract; stats-checked by assert_broadcastable above"))
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -131,10 +135,14 @@ def hard_negatives(
     ``embedding_neardup_lsh`` and keep the same band filter + window.
     """
     par = corpus.sparkSession.sparkContext.defaultParallelism
-    q = _normed(queries, id_col, vec_col, "query_id")
+    # stats-check the caller contract on the projected (id, vector) frame
+    # (round-10: the witness alias alone silences the sweep)
+    q = assert_broadcastable(
+        _normed(queries, id_col, vec_col, "query_id"), "query-block side"
+    )
     c = _normed(corpus, id_col, vec_col, "neighbor_id").repartition(par)
     banded = (
-        c.crossJoin(gated_broadcast(q, "caller contract: query block, |Q| small by contract (see docstring)"))
+        c.crossJoin(gated_broadcast(q, "caller contract: query block, |Q| small by contract; stats-checked by assert_broadcastable above"))
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",

@@ -569,6 +569,42 @@ def test_assert_broadcastable_contract_guard(spark):
     assert_broadcastable(statless, "test")
 
 
+def test_caller_contract_query_sides_refuse_corpus_scale(spark):
+    """Round-10: the remaining pure caller-contract broadcast sites
+    (range_search / hard_negatives query blocks, benchmark_contamination
+    eval shingles) carry the assert_broadcastable stats guard — a
+    corpus-scale frame handed where a serving-sized one is contracted
+    must refuse at plan time, not OOM an executor mid-broadcast."""
+    import pytest
+    from graph_database_application_for_recommendations_spark.operators import simsearch
+    from graph_database_application_for_recommendations_spark.operators.dedup import (
+        benchmark_contamination,
+    )
+    from pyspark.sql import functions as F
+
+    huge = spark.range(1, 100_000_001).select(
+        F.col("id").alias("vec_id"),
+        F.array((F.col("id") % 7).cast("double"), F.lit(1.0)).alias("embedding"),
+    )
+    tiny = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="contract is violated"):
+        simsearch.range_search(huge, tiny)
+    with pytest.raises(ValueError, match="contract is violated"):
+        simsearch.hard_negatives(huge, tiny)
+    big_docs = spark.range(1, 50_000_001).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("token stream "), F.col("id").cast("string")).alias("text"),
+    )
+    small_docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="contract is violated"):
+        benchmark_contamination(small_docs, big_docs)
+
+
 def test_benchmark_contamination_flags_shared_spans(spark):
     shared = "alpha beta gamma delta epsilon zeta eta theta"  # exactly 8 tokens
     rows_train = [
