@@ -387,8 +387,12 @@ def test_no_raw_broadcast_hints_engine_wide():
     frame is bounded, which a bare hint never carries (round-9 VERDICT
     item 4: uniform engine-wide, not per-directory). Scope: the whole
     package except ``functions/hints.py`` (the one sanctioned emitter).
-    Comment lines are skipped (round-9 ADVICE: a commented-out call or a
-    docstring ``#`` example must not trip a source-text ban)."""
+    The scan is an AST walk, not a text match (round-9 ADVICE: a
+    commented-out call or a docstring example must not trip the ban) —
+    which also catches line-wrapped calls a text scan would miss, and
+    flags a direct ``from pyspark.sql.functions import broadcast`` as
+    the bypass it would be."""
+    import ast
     import glob
     import os
 
@@ -402,13 +406,27 @@ def test_no_raw_broadcast_hints_engine_wide():
         if rel == os.path.join("functions", "hints.py"):
             continue
         with open(path) as fh:
-            for i, line in enumerate(fh, 1):
-                if line.lstrip().startswith("#"):
-                    continue
-                if "F.broadcast(" in line:
-                    offenders.append(f"{rel}:{i}")
+            tree = ast.parse(fh.read(), filename=rel)
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "broadcast"
+                and isinstance(node.func.value, ast.Name)
+                and node.func.value.id == "F"
+            ):
+                offenders.append(f"{rel}:{node.lineno} F.broadcast call")
+            if isinstance(node, ast.ImportFrom) and node.module and (
+                node.module.endswith("pyspark.sql.functions")
+                or node.module == "pyspark.sql.functions"
+            ):
+                for alias in node.names:
+                    if alias.name == "broadcast":
+                        offenders.append(
+                            f"{rel}:{node.lineno} direct broadcast import"
+                        )
     assert not offenders, (
-        f"raw F.broadcast in engine sources (use gated_broadcast with a "
+        f"raw broadcast hint in engine sources (use gated_broadcast with a "
         f"reason naming the boundedness evidence, or "
         f"gate_node_vector_broadcast for counted node vectors): {offenders}"
     )
