@@ -176,9 +176,10 @@ def bpe_segment(
     before; merged subwords after).
 
     Scale shape: the merge folds run over the DISTINCT-word table (
-    vocabulary-sized), which then broadcast-joins back onto the corpus'
-    (doc, word) stream — the corpus itself is touched once and never
-    carries symbol arrays. Each merge is the same leftmost-first
+    vocabulary-sized), which joins back onto the corpus' (doc, word)
+    stream — broadcast under a count gate, plain shuffle equi-join
+    beyond it — so the corpus itself is touched once and never carries
+    symbol arrays. Each merge is the same leftmost-first
     non-overlapping Catalyst fold the trainer uses, so train and apply
     cannot drift apart. Words containing the end-of-word marker are
     dropped, matching training."""
@@ -194,10 +195,19 @@ def bpe_segment(
     for left, right in merges:
         seg = seg.withColumn("sym", _apply_merge(F.col("sym"), left, right))
     seg = seg.select("word", F.size("sym").cast("long").alias("_n_after"))
+    # the distinct-word table scales with the corpus's vocabulary, which
+    # web-scale noisy text does NOT bound — broadcast only on an actual
+    # count (the count sees only the distinct, not the merge folds);
+    # over budget, the plain equi-join shuffles, the correct plan there
+    # (round-10 code review: the bare "vocabulary-sized" witness was
+    # evidence-free)
+    if words_per_doc.select("word").distinct().count() * 64 < 256 * 1024 * 1024:
+        seg = gated_broadcast(
+            seg, "count()-gated: distinct-word rows * 64 B < 256 MB"
+        )
     return (
         words_per_doc.join(
-            gated_broadcast(seg, "vocabulary-sized: distinct-word segment "
-                            "table, one (word, length) row per vocab entry"),
+            seg,
             "word",
         )
         .groupBy(id_col)

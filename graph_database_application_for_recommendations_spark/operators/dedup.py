@@ -2069,13 +2069,17 @@ def weighted_jaccard_pairs(
     )
     if max_docs_per_token is not None:
         df_counts = tw.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
-        tw = tw.join(
-            gated_broadcast(
-                df_counts.filter(F.col("_df") <= max_docs_per_token),
-                "vocabulary-sized document-frequency table, hub tokens pruned by the df cap",
-            ),
-            "token",
-        ).drop("_df")
+        kept = df_counts.filter(F.col("_df") <= max_docs_per_token)
+        # shingle vocabulary scales with the corpus (the df cap prunes
+        # only the hub HEAD, not the unbounded tail), so broadcast only
+        # on an actual count — else the plain equi-join shuffles, which
+        # is the correct plan at that size (round-10 code review: the
+        # bare "vocabulary-sized" witness was evidence-free)
+        if kept.count() * 64 < 256 * 1024 * 1024:
+            kept = gated_broadcast(
+                kept, "count()-gated: kept-shingle table rows * 64 B < 256 MB"
+            )
+        tw = tw.join(kept, "token").drop("_df")
     totals = tw.groupBy("doc_id").agg(F.sum("w").alias("_wt"))
     inter = (
         tw.alias("a")

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import vector as V
-from ..functions.hints import gated_broadcast
+from ..functions.hints import assert_broadcastable, gated_broadcast
 
 
 def train_pq_codebooks(
@@ -174,10 +174,17 @@ def topk_pq(
         "vec_id", "neighbor_id"
     )
 
+    # the query side funnels through the driver (toPandas -> LUT einsum)
+    # and later broadcasts — stats-check the serving-sized caller contract
+    # on the projected frame BEFORE collecting (round-10 code review: the
+    # old reason strings claimed a count gate this operator never had)
     q_pdf = (
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            V.l2_normalize(V.as_double(F.col(vec_col))).alias("_qv"),
+        assert_broadcastable(
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                V.l2_normalize(V.as_double(F.col(vec_col))).alias("_qv"),
+            ),
+            "topk_pq query side",
         )
         .toPandas()
         .sort_values("query_id", ignore_index=True)
@@ -210,7 +217,7 @@ def topk_pq(
         ),
     )
     pairs = (
-        coded.crossJoin(gated_broadcast(lut_df, "driver-built LUT: |queries| rows of m*k doubles, serving-sized by the local-path gate"))
+        coded.crossJoin(gated_broadcast(lut_df, "driver-built LUT: |queries| rows of m*k doubles; caller contract stats-checked by assert_broadcastable at entry"))
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", adc.alias("_adc"))
     )
@@ -230,7 +237,7 @@ def topk_pq(
         corpus_v.join(
             gated_broadcast(
                 cands.join(
-                    gated_broadcast(qv_df, "driver-built query vectors: |queries| rows, serving-sized by the local-path gate"),
+                    gated_broadcast(qv_df, "driver-built query vectors: |queries| rows; caller contract stats-checked by assert_broadcastable at entry"),
                     "query_id",
                 ),
                 "bounded by construction: row_number <= rerank*k upstream caps this at |queries|*rerank*k rows",

@@ -78,14 +78,20 @@ def stratified_sample(
     high-cardinality key (round-9 VERDICT: the only un-witnessed
     caller-scaled broadcast left in the engine). So the histogram is
     count-gated before the joins are built: one aggregation job pins it
-    (cache → count → localCheckpoint, the ``materialize`` dance, so the
-    corpus is aggregated once, not re-scanned per branch), and a cell
-    count over ``broadcast_budget_bytes`` raises instead of silently
-    forcing the broadcast — there is no sensible shuffle fallback,
-    because a stratum key that big means the caller wanted
+    (cache → gate aggregate → localCheckpoint, the ``materialize`` dance,
+    so the corpus is aggregated once, not re-scanned per branch), and an
+    estimated byte size — cell count × fixed width PLUS the measured
+    stratum payload bytes, so a wide string stratum can't slip under a
+    row-count-only bar — over ``broadcast_budget_bytes`` raises instead
+    of silently forcing the broadcast. There is no shuffle fallback by
+    design: a stratum key that big means the caller wanted
     ``hash_sample``. The per-stratum totals then derive from the pinned
     histogram (Σ bucket counts), which also drops the second full-corpus
-    aggregate the pre-gate version paid."""
+    aggregate the pre-gate version paid. The checkpoint pins at most
+    ``broadcast_budget_bytes`` of block storage per call (the gate bound);
+    the blocks are released when the returned plan is garbage-collected
+    on the driver (ContextCleaner), the same lifetime every
+    ``materialize``-built dimension in this engine has."""
     reserved = {"_h", "_bkt", "_strat", "_rn"} & set(df.columns)
     if reserved:
         # withColumn would silently REPLACE these and the final
@@ -102,15 +108,28 @@ def stratified_sample(
         .withColumn("_strat", strat)
     )
     tmp = base.groupBy("_strat", "_bkt").agg(F.count(F.lit(1)).alias("_hn")).cache()
-    n_cells = tmp.count()  # the gate's count IS the cache fill: one corpus pass
-    # ~48 B per broadcast row: stratum struct + bkt + two longs
-    if n_cells * 48 > broadcast_budget_bytes:
+    # the gate's aggregate IS the cache fill: one corpus pass yields both
+    # the cell count and the ACTUAL stratum payload bytes — a fixed
+    # per-cell width alone would wave through a wide string stratum whose
+    # broadcast rows carry the value itself (round-10 code review)
+    st = tmp.agg(
+        F.count(F.lit(1)).alias("_cells"),
+        F.coalesce(
+            F.sum(F.octet_length(F.col("_strat").cast("string"))), F.lit(0)
+        ).alias("_sbytes"),
+    ).collect()[0]
+    n_cells = st["_cells"]
+    # ~48 B fixed per broadcast row (bkt + two longs + struct overhead)
+    # plus the measured stratum bytes each row carries
+    est_bytes = n_cells * 48 + st["_sbytes"]
+    if est_bytes > broadcast_budget_bytes:
         tmp.unpersist(blocking=False)
         raise ValueError(
             f"stratified_sample: {strata_col!r} yields {n_cells:,} "
-            f"(stratum, bucket) histogram cells, whose broadcast would "
-            f"exceed the {broadcast_budget_bytes:,}-byte budget — the "
-            "stratum column is too high-cardinality for exact per-stratum "
+            f"(stratum, bucket) histogram cells (~{est_bytes:,} B with the "
+            f"stratum payload), whose broadcast would exceed the "
+            f"{broadcast_budget_bytes:,}-byte budget — the stratum column "
+            "is too high-cardinality (or too wide) for exact per-stratum "
             "sampling; use hash_sample (per-key deterministic fraction) "
             "instead"
         )
@@ -124,8 +143,8 @@ def stratified_sample(
     )
     totals = hist.groupBy("_strat").agg(F.sum("_hn").alias("_n"))
     gate_reason = (
-        f"count-gated: {n_cells} (stratum, bucket) cells * 48 B <= "
-        f"{broadcast_budget_bytes} B"
+        f"count-gated: {n_cells} (stratum, bucket) cells, ~{est_bytes} B "
+        f"incl. measured stratum payload <= {broadcast_budget_bytes} B"
     )
     w_in = Window.partitionBy("_strat", "_bkt").orderBy("_h", F.col(key_col))
     return (

@@ -407,18 +407,42 @@ def test_no_raw_broadcast_hints_engine_wide():
             continue
         with open(path) as fh:
             tree = ast.parse(fh.read(), filename=rel)
+        # names bound to the pyspark functions module in THIS module —
+        # the ban follows the binding, not the conventional name "F"
+        # (round-10 code review: "import ... as sf" silently bypassed)
+        fn_aliases = set()
+        for node in ast.walk(tree):
+            if isinstance(node, ast.ImportFrom) and node.module == "pyspark.sql":
+                for alias in node.names:
+                    if alias.name == "functions":
+                        fn_aliases.add(alias.asname or alias.name)
+            if isinstance(node, ast.Import):
+                for alias in node.names:
+                    if alias.name == "pyspark.sql.functions":
+                        fn_aliases.add(alias.asname or "pyspark")
         for node in ast.walk(tree):
             if (
                 isinstance(node, ast.Call)
                 and isinstance(node.func, ast.Attribute)
                 and node.func.attr == "broadcast"
                 and isinstance(node.func.value, ast.Name)
-                and node.func.value.id == "F"
+                and node.func.value.id in fn_aliases
             ):
-                offenders.append(f"{rel}:{node.lineno} F.broadcast call")
-            if isinstance(node, ast.ImportFrom) and node.module and (
-                node.module.endswith("pyspark.sql.functions")
-                or node.module == "pyspark.sql.functions"
+                offenders.append(f"{rel}:{node.lineno} functions.broadcast call")
+            # DataFrame.hint('broadcast') is the same forced hint through
+            # the other API door — ban it anywhere in the engine
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "hint"
+                and node.args
+                and isinstance(node.args[0], ast.Constant)
+                and isinstance(node.args[0].value, str)
+                and node.args[0].value.lower() == "broadcast"
+            ):
+                offenders.append(f"{rel}:{node.lineno} .hint('broadcast') call")
+            if isinstance(node, ast.ImportFrom) and node.module and node.module.endswith(
+                "pyspark.sql.functions"
             ):
                 for alias in node.names:
                     if alias.name == "broadcast":

@@ -512,6 +512,18 @@ def test_stratified_sample_gates_strata_cardinality(spark):
         sampling.stratified_sample(
             df, "user_id", "doc_id", 0.2, seed=7, broadcast_budget_bytes=1024
         )
+    # WIDE stratum values: 4 strata x <=100 buckets stays under a 40 KB
+    # budget on cell count alone (<=400*48 B), but each broadcast row
+    # carries the ~300-byte stratum string — the measured-payload gate
+    # must refuse where a fixed-width estimate would wave it through
+    # (round-10 code review)
+    wide = df.withColumn(
+        "lang", F.concat(F.lit("x" * 300), (F.col("doc_id") % 4).cast("string"))
+    )
+    with pytest.raises(ValueError, match="too wide|high-cardinality"):
+        sampling.stratified_sample(
+            wide, "lang", "doc_id", 0.2, seed=7, broadcast_budget_bytes=40_000
+        )
     # the same budget admits a 4-stratum column (<= 400 cells is the
     # histogram bound, but 4 strata * <=100 buckets * 48 B amply fits 256MB
     # default; prove the gated path returns the exact per-stratum counts)
