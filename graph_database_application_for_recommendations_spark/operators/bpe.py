@@ -115,7 +115,7 @@ def bpe_merges(
     Words containing the end-of-word marker are dropped (see
     ``END_OF_WORD``); the SQL oracle twin applies the same filter.
     """
-    from ..plans import materialize
+    from ..plans import release_checkpoint
 
     spark = documents.sparkSession
     words = (
@@ -130,9 +130,19 @@ def bpe_merges(
         F.filter(F.split(F.col("word"), "(?!^)"), lambda x: F.length(x) > 0),
         F.array(F.lit(END_OF_WORD)),
     )
-    cur = materialize(words.select("wc", sym.alias("sym")))
+
+    # Each round is ONE job (the r9 shape paid three: cache-fill count +
+    # eager checkpoint + the TakeOrdered collect): the symbol table is
+    # pinned with cache + LAZY localCheckpoint — plan truncation now, with
+    # the fill and the checkpoint's block materialization riding the NEXT
+    # round's TakeOrdered collect, which is the only scheduled action.
+    def _pin(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+        tmp = df.cache()
+        return tmp.localCheckpoint(eager=False), tmp
+
+    cur, cur_tmp = _pin(words.select("wc", sym.alias("sym")))
+    pins: list[tuple[DataFrame, DataFrame]] = [(cur, cur_tmp)]
     merges: list[tuple[int, str, str, int]] = []
-    prev: DataFrame | None = None
     for rank in range(1, num_merges + 1):
         top = (
             cur.select(F.explode(_adjacent_pairs(F.col("sym"))).alias("p"), "wc")
@@ -142,23 +152,28 @@ def bpe_merges(
             .limit(1)
             .collect()
         )
+        # the collect materialized this round's pin (and consumed the
+        # previous round's blocks on the way) — everything older is dead
+        while len(pins) > 1:
+            stale_ck, stale_tmp = pins.pop(0)
+            stale_tmp.unpersist(blocking=False)
+            stale_ck.unpersist(blocking=False)
+            release_checkpoint(stale_ck)
         if not top:
             break
         row = top[0]
         merges.append((rank, row["left"], row["right"], int(row["pair_count"])))
-        nxt = materialize(
-            cur.select("wc", _apply_merge(F.col("sym"), row["left"], row["right"]).alias("sym")),
-            supersedes=prev,
+        cur, cur_tmp = _pin(
+            cur.select("wc", _apply_merge(F.col("sym"), row["left"], row["right"]).alias("sym"))
         )
-        prev, cur = cur, nxt
-    # the returned merge table is driver data; the last two rounds' symbol
-    # tables are dead — drop their checkpoint blocks now instead of at GC
-    from ..plans import release_checkpoint
-
-    for stale in (prev, cur):
-        if stale is not None:
-            stale.unpersist(blocking=False)
-            release_checkpoint(stale)
+        pins.append((cur, cur_tmp))
+    # the returned merge table is driver data; all remaining symbol-table
+    # pins are dead — drop their blocks now instead of at GC (ADVICE r3:
+    # plain unpersist is a no-op on checkpointed frames)
+    for stale_ck, stale_tmp in pins:
+        stale_tmp.unpersist(blocking=False)
+        stale_ck.unpersist(blocking=False)
+        release_checkpoint(stale_ck)
     return spark.createDataFrame(
         merges, "rank int, left string, right string, pair_count long"
     )
@@ -191,17 +206,22 @@ def bpe_segment(
         F.filter(F.split(F.col("word"), "(?!^)"), lambda x: F.length(x) > 0),
         F.array(F.lit(END_OF_WORD)),
     )
-    seg = words_per_doc.select("word").distinct().select("word", sym.alias("sym"))
+    # one corpus pass for the distinct-word table, CACHED: the count below
+    # (the broadcast gate) is its fill action, and the merge folds + join
+    # side then read the filled cache — the r9 shape ran the corpus
+    # distinct twice, once for the gate and once under the folds
+    vocab = words_per_doc.select("word").distinct().cache()
+    n_vocab = vocab.count()
+    seg = vocab.select("word", sym.alias("sym"))
     for left, right in merges:
         seg = seg.withColumn("sym", _apply_merge(F.col("sym"), left, right))
     seg = seg.select("word", F.size("sym").cast("long").alias("_n_after"))
     # the distinct-word table scales with the corpus's vocabulary, which
     # web-scale noisy text does NOT bound — broadcast only on an actual
-    # count (the count sees only the distinct, not the merge folds);
-    # over budget, the plain equi-join shuffles, the correct plan there
-    # (round-10 code review: the bare "vocabulary-sized" witness was
+    # count; over budget, the plain equi-join shuffles, the correct plan
+    # there (round-10 code review: the bare "vocabulary-sized" witness was
     # evidence-free)
-    if words_per_doc.select("word").distinct().count() * 64 < 256 * 1024 * 1024:
+    if n_vocab * 64 < 256 * 1024 * 1024:
         seg = gated_broadcast(
             seg, "count()-gated: distinct-word rows * 64 B < 256 MB"
         )

@@ -27,18 +27,33 @@ from ..plans import materialize
 
 
 def _assign(vectors: DataFrame, centroids: DataFrame, id_col: str, out: str) -> DataFrame:
-    """Nearest centroid per vector by cosine (vectors pre-normalized)."""
+    """Nearest centroid per vector by cosine (vectors pre-normalized).
+
+    Argmin as a map-side-combinable hash aggregate over
+    struct(_sim desc → max, cell asc → max of −cell): identical winner to
+    the old per-vector row_number window (same ordering keys), but the
+    shuffle carries one combined row per (partition, vector) instead of
+    the whole |corpus|·k candidate table into a per-vector sort — at
+    k = √n cells that was an n^1.5-row sort."""
     pairs = vectors.crossJoin(gated_broadcast(centroids, "fixed-size construction: IVF centroid table, num_cells rows x dim doubles")).select(
         F.col(id_col),
         F.col("_v"),
         F.col("cell"),
         V.dot(F.col("_v"), F.col("_c")).alias("_sim"),
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("cell"))
     return (
-        pairs.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, "_v", F.col("cell").alias(out))
+        pairs.groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("_sim").alias("_sim"),
+                    (-F.col("cell")).alias("_nc"),
+                    F.col("cell").alias("cell"),
+                    F.col("_v").alias("_v"),
+                )
+            ).alias("_b")
+        )
+        .select(id_col, F.col("_b._v").alias("_v"), F.col("_b.cell").alias(out))
     )
 
 
@@ -133,14 +148,23 @@ def cluster_corpus(
     pairs = vecs.crossJoin(gated_broadcast(centroids, "fixed-size construction: IVF centroid table, num_cells rows x dim doubles")).select(
         "_cid", "cell", V.dot(F.col("_v"), F.col("_c")).alias("_sim")
     )
-    w = Window.partitionBy("_cid").orderBy(F.desc("_sim"), F.asc("cell"))
+    # argmin via the same map-side-combinable max-struct aggregate as
+    # _assign (identical ordering keys to the old row_number window)
     return (
-        pairs.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        pairs.groupBy("_cid")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("_sim").alias("_sim"),
+                    (-F.col("cell")).alias("_nc"),
+                    F.col("cell").alias("cell"),
+                )
+            ).alias("_b")
+        )
         .select(
             F.col("_cid").alias(id_col),
-            F.col("cell").alias("cluster"),
-            F.round("_sim", V.SIM_SCALE).alias("similarity"),
+            F.col("_b.cell").alias("cluster"),
+            F.round(F.col("_b._sim"), V.SIM_SCALE).alias("similarity"),
         )
     )
 

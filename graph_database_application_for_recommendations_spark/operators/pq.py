@@ -357,7 +357,12 @@ def topk_opq(
     """
     R = opq_rotation(corpus, m=m, vec_col=vec_col)
     rq = rotate_vectors(queries, R, id_col=id_col, vec_col=vec_col)
-    rc = rotate_vectors(corpus, R, id_col=id_col, vec_col=vec_col)
+    # topk_pq scans its corpus three times (codebook training sample,
+    # encode, exact re-rank) — cache the rotated corpus so the Arrow
+    # rotation matmul runs ONE corpus pass instead of three (it is opaque
+    # to Catalyst, so nothing else can dedupe it). The cache backs the
+    # returned plan and is cleared with the session catalog.
+    rc = rotate_vectors(corpus, R, id_col=id_col, vec_col=vec_col).cache()
     return topk_pq(
         rq,
         rc,

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from . import cache_wide
+from . import cache_wide, gate_node_vector_broadcast
 
 
 def harmonic_closeness_approx(
@@ -64,24 +64,34 @@ def harmonic_closeness_approx(
         "source", F.col("source").alias("node_id"), F.lit(0).alias("dist")
     ).localCheckpoint()
     frontier = visited
-    all_levels = [visited]
+    # per-level state is (source, node)-keyed: ≤ k·|V| rows with exact
+    # counts in hand from each level's fill, so both per-level joins take
+    # count-gated broadcasts (the LogicalRDD sides otherwise plan
+    # stats-blind sort-merge joins that re-sort the edge cache per level)
+    n_frontier = n_visited = k
     for level in range(1, max_iter + 1):
+        bc_f = gate_node_vector_broadcast(n_frontier, "multi-source BFS frontier", bytes_per_row=24)
+        bc_v = gate_node_vector_broadcast(n_visited, "multi-source BFS visited set", bytes_per_row=24)
         nxt = (
-            e.join(frontier.select("source", F.col("node_id").alias("_s")), "_s")
+            e.join(bc_f(frontier.select("source", F.col("node_id").alias("_s"))), "_s")
             .select("source", F.col("_d").alias("node_id"))
             .distinct()
-            .join(visited.select("source", "node_id"), ["source", "node_id"], "left_anti")
+            .join(bc_v(visited.select("source", "node_id")), ["source", "node_id"], "left_anti")
             .select("source", "node_id", F.lit(level).alias("dist"))
         )
+        # ONE job per level: the emptiness count fills the cache; the lazy
+        # checkpoint truncates the plan, its blocks riding the next level's
+        # job. Level caches back slices of the returned union and stay.
         tmp = nxt.coalesce(max(par // 4, 1)).cache()
-        if tmp.count() == 0:
+        n_new = tmp.count()
+        if n_new == 0:
             tmp.unpersist(blocking=False)
             break
-        pinned = tmp.localCheckpoint()
-        tmp.unpersist(blocking=False)
-        all_levels.append(pinned)
+        pinned = tmp.localCheckpoint(eager=False)
         visited = visited.unionByName(pinned)
         frontier = pinned
+        n_frontier = n_new
+        n_visited += n_new
     e.unpersist(blocking=False)
 
     scale = float(n_nodes) / k

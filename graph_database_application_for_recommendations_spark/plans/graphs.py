@@ -148,26 +148,49 @@ def k_core(edges: DataFrame, k: int, src: str = "src", dst: str = "dst") -> Data
     across all rounds; survivors shrink monotonically, so AQE sizes the
     semi-join broadcast from real counts after round one.
     """
-    from . import materialize
+    from . import cache_wide, gate_node_vector_broadcast, release_checkpoint
 
-    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    spark = edges.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    # src-hash-partitioned cache: every peel round's degree aggregate groups
+    # on _s, and the (broadcast) semi-join probes preserve the cached
+    # partitioning, so all rounds run their aggregate exchange-free off one
+    # setup shuffle; without the cache each round re-derived the edge list
+    # AND re-shuffled it into the un-hinted sort-merge semi-joins.
+    e = cache_wide(edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")), par, "_s")
     cur = (
         e.groupBy(F.col("_s").alias("node_id"))
         .agg(F.count(F.lit(1)).alias("core_degree"))
         .filter(F.col("core_degree") >= k)
     )
-    prev: DataFrame | None = None
+    prev_pin: tuple[DataFrame, DataFrame] | None = None
     prev_n: int | None = None
     while True:
-        cur = materialize(cur, supersedes=prev)
-        n = cur.count()
+        # ONE job per round: the fixpoint count doubles as the cache-fill
+        # action (it also first-materializes the previous round's lazy
+        # checkpoint), and the lazy localCheckpoint truncates the plan with
+        # no extra pass. The survivor set is |V|-bounded with an exact
+        # count in hand, so the next round's semi-joins take a count-gated
+        # broadcast instead of the stats-blind sort-merge a LogicalRDD
+        # otherwise plans (which re-sorted the whole edge list per round).
+        tmp = cur.cache()
+        n = tmp.count()
+        cur = tmp.localCheckpoint(eager=False)
+        if prev_pin is not None:
+            p_cache, p_ck = prev_pin
+            p_cache.unpersist(blocking=False)
+            p_ck.unpersist(blocking=False)
+            release_checkpoint(p_ck)
+        prev_pin = (tmp, cur)
         if n == 0 or (prev_n is not None and n == prev_n):
+            e.unpersist(blocking=False)
             return cur
-        prev, prev_n = cur, n
+        prev_n = n
+        bc = gate_node_vector_broadcast(n, "k-core survivor set", bytes_per_row=16)
         nodes = cur.select("node_id")
         cur = (
-            e.join(nodes.withColumnRenamed("node_id", "_s"), "_s", "leftsemi")
-            .join(nodes.withColumnRenamed("node_id", "_d"), "_d", "leftsemi")
+            e.join(bc(nodes.withColumnRenamed("node_id", "_s")), "_s", "leftsemi")
+            .join(bc(nodes.withColumnRenamed("node_id", "_d")), "_d", "leftsemi")
             .groupBy(F.col("_s").alias("node_id"))
             .agg(F.count(F.lit(1)).alias("core_degree"))
             .filter(F.col("core_degree") >= k)
@@ -198,7 +221,7 @@ def bfs_distances(
     leaves. O(diameter) rounds; the frontier broadcast-joins once it is
     small (AQE decides from real sizes).
     """
-    from . import cache_wide
+    from . import cache_wide, gate_node_vector_broadcast
 
     spark = edges.sparkSession
     par = spark.sparkContext.defaultParallelism
@@ -207,23 +230,35 @@ def bfs_distances(
     id_type = edges.schema[src].dataType.simpleString()
     dist = spark.createDataFrame([(source, 0)], f"node_id {id_type}, dist int")
     frontier = dist.select("node_id")
+    # frontier and distance table are |V|-bounded with exact counts in hand
+    # (each level's fill count), so both per-level joins take count-gated
+    # broadcasts — the LogicalRDD sides otherwise plan stats-blind
+    # sort-merge joins that re-sort the edge cache every level
+    n_frontier, n_dist = 1, 1
     for level in range(1, max_iter + 1):
+        bc_f = gate_node_vector_broadcast(n_frontier, "BFS frontier", bytes_per_row=16)
+        bc_d = gate_node_vector_broadcast(n_dist, "BFS visited set", bytes_per_row=16)
         nxt = (
-            e.join(frontier.withColumnRenamed("node_id", "_s"), "_s")
+            e.join(bc_f(frontier.withColumnRenamed("node_id", "_s")), "_s")
             .select(F.col("_d").alias("node_id"))
             .distinct()
-            .join(dist.select("node_id"), "node_id", "left_anti")
+            .join(bc_d(dist.select("node_id")), "node_id", "left_anti")
             .select("node_id", F.lit(level).alias("dist"))
         )
+        # ONE job per level: the emptiness-test count fills the cache; the
+        # level is pinned with an EAGER-free lazy checkpoint (plan
+        # truncation now, blocks ride the next level's job). Level caches
+        # stay: each pinned level backs a slice of the returned union.
         tmp = nxt.cache()
         n_new = tmp.count()
         if n_new == 0:
             tmp.unpersist(blocking=False)
             break
-        pinned = tmp.localCheckpoint()
-        tmp.unpersist(blocking=False)
+        pinned = tmp.localCheckpoint(eager=False)
         dist = dist.unionByName(pinned)
         frontier = pinned.select("node_id")
+        n_frontier = n_new
+        n_dist += n_new
     e.unpersist(blocking=False)
     return dist
 
@@ -260,8 +295,7 @@ def random_walks(
     garbage-collected, not before — unlike the superseded intermediates
     in the training loops, these are the result, not scratch.
     """
-    from . import materialize
-    from pyspark.sql import Window
+    from . import gate_node_vector_broadcast, materialize
     from ..functions.text import md5_hash60
 
     u = F.concat(F.lit("u:"), F.col("user_id").cast("string"))
@@ -271,25 +305,42 @@ def random_walks(
         .unionByName(ratings.select(b.alias("src"), u.alias("dst")))
         .repartition("src")
     )
-    frontier = materialize(
+    f0 = (
         ratings.filter(F.col("user_id") % start_mod == 0)
         .select(u.alias("walk_id"))
         .distinct()
         .select("walk_id", F.col("walk_id").alias("node"))
-    )
+    ).cache()
+    n_walks = f0.count()
+    frontier = f0.localCheckpoint(eager=False)
+    # every walk advances every step (bipartite alternation guarantees a
+    # neighbor), so the frontier stays exactly |walks| rows — one count
+    # gates every step's broadcast
+    bc_f = gate_node_vector_broadcast(n_walks, "walk frontier", bytes_per_row=96)
     out = frontier.select("walk_id", F.lit(0).alias("step"), "node")
     for step in range(1, steps + 1):
         h = md5_hash60(
             F.concat(F.col("walk_id"), F.lit(f"|{step}|"), F.col("dst")), seed
         )
-        w = Window.partitionBy("walk_id").orderBy(h.asc(), F.col("dst").asc())
-        frontier = materialize(
-            frontier.join(edges, frontier.node == edges.src)
-            .select("walk_id", "dst")
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("walk_id", F.col("dst").alias("node"))
-        )
+        # per-walk argmin as a hash aggregate over struct(h, dst) — the
+        # min struct IS the row_number()==1 row of the old per-step window
+        # (same ordering keys), but it map-side combines: the shuffle
+        # carries one row per (partition, walk) instead of the whole
+        # |walks|·degree join output into a per-walk sort. The frontier is
+        # count-gate-broadcast into the edge probe, and each step is
+        # pinned lazily (cache + plan-truncating lazy checkpoint, zero
+        # scheduled jobs per step — everything materializes inside the
+        # consumer's single action, step by step).
+        nxt = (
+            bc_f(frontier)
+            .join(edges, F.col("node") == F.col("src"))
+            .groupBy("walk_id")
+            .agg(
+                F.min(F.struct(h.alias("_h"), F.col("dst").alias("dst"))).alias("_best")
+            )
+            .select("walk_id", F.col("_best.dst").alias("node"))
+        ).cache()
+        frontier = nxt.localCheckpoint(eager=False)
         out = out.unionByName(
             frontier.select("walk_id", F.lit(step).alias("step"), "node")
         )
@@ -436,9 +487,7 @@ def biased_walks(
     the prev-adjacency flag, one per-walk argmin window — all
     |walks|·degree-proportional, same scale story as random_walks.
     """
-    from pyspark.sql import Window
-
-    from . import materialize
+    from . import gate_node_vector_broadcast, materialize
     from ..functions.text import md5_hash60
 
     u_node = F.concat(F.lit("u:"), F.col("user_id").cast("string"))
@@ -449,7 +498,7 @@ def biased_walks(
         .repartition("src")
     )
     adj = edges.select(F.col("src").alias("_ps"), F.col("dst").alias("_pd")).distinct()
-    frontier = materialize(
+    f0 = (
         ratings.filter(F.col("user_id") % start_mod == 0)
         .select(u_node.alias("walk_id"))
         .distinct()
@@ -458,7 +507,12 @@ def biased_walks(
             F.lit(None).cast("string").alias("prev"),
             F.col("walk_id").alias("node"),
         )
-    )
+    ).cache()
+    n_walks = f0.count()
+    frontier = f0.localCheckpoint(eager=False)
+    # the frontier stays exactly |walks| rows every step (bipartite
+    # alternation guarantees a neighbor) — one count gates every step
+    bc_f = gate_node_vector_broadcast(n_walks, "biased-walk frontier", bytes_per_row=128)
     out = frontier.select("walk_id", F.lit(0).alias("step"), "node")
     for step in range(1, steps + 1):
         h = md5_hash60(
@@ -472,22 +526,40 @@ def biased_walks(
             .otherwise(F.lit(1.0 / q))
         )
         key = -F.log(u) / bias
-        w = Window.partitionBy("walk_id").orderBy(key.asc(), F.col("dst").asc())
-        frontier = materialize(
-            frontier.join(edges, frontier.node == edges.src)
+        # per-walk argmin as a map-side-combinable hash aggregate over
+        # struct(key, dst, node): identical ordering keys (and therefore
+        # identical winner, A-ES keys are finite positive doubles) to the
+        # old per-step row_number window, without sorting the full
+        # |walks|·degree join output; ``node`` rides along as the winner's
+        # predecessor. Per step: count-gated frontier broadcast into the
+        # edge probe, lazy pin (cache + plan-truncating lazy checkpoint),
+        # zero scheduled jobs — the consumer's single action materializes
+        # the steps in order.
+        nxt = (
+            bc_f(frontier)
+            .join(edges, F.col("node") == F.col("src"))
             .join(
                 adj,
                 (F.col("prev") == F.col("_ps")) & (F.col("dst") == F.col("_pd")),
                 "left",
             )
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
+            .groupBy("walk_id")
+            .agg(
+                F.min(
+                    F.struct(
+                        key.alias("_k"),
+                        F.col("dst").alias("dst"),
+                        F.col("node").alias("node"),
+                    )
+                ).alias("_best")
+            )
             .select(
                 "walk_id",
-                F.col("node").alias("prev"),
-                F.col("dst").alias("node"),
+                F.col("_best.node").alias("prev"),
+                F.col("_best.dst").alias("node"),
             )
-        )
+        ).cache()
+        frontier = nxt.localCheckpoint(eager=False)
         out = out.unionByName(
             frontier.select("walk_id", F.lit(step).alias("step"), "node")
         )

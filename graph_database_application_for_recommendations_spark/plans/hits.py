@@ -29,7 +29,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from . import cache_wide, gate_node_vector_broadcast
+from . import cache_wide, gate_node_vector_broadcast, release_checkpoint
 
 
 def hits(
@@ -67,35 +67,51 @@ def hits(
     bc_hub = gate_node_vector_broadcast(n_hubs, "HITS hub vector", bytes_per_row=48)
     bc_auth = None
     a = None
-    prev_h = prev_a = None
+    prev_a: tuple[DataFrame, DataFrame] | None = None
+    prev_h: tuple[DataFrame, DataFrame] | None = None
 
     def _half(edge_cache: DataFrame, vec: DataFrame, join_key: str, group_key: str, bc, prev):
-        """One half-round: Σ of the (count-gated) broadcast vec over the
-        co-partitioned edge cache, normalized; the norm aggregate fills the
-        transient cache."""
+        """One half-round in ONE job (the r9 shape paid two): the combined
+        count+Σ_s² aggregate is the cache-fill action for the raw sum table
+        (count feeds the first iteration's authority-side broadcast gate,
+        Σ_s² the normalizer), and the normalized view is pinned with a LAZY
+        localCheckpoint — plan truncation is immediate (without it the
+        analyzer cost on the alternating half-round chain compounds ~3x per
+        round: measured 1.4s → 150s by iteration 6 on sf0.001), while the
+        block materialization rides the NEXT half-round's fill job. ``prev``
+        is this side's previous (raw cache, out checkpoint) pair — its out
+        was first materialized by the opposite side's fill in between, so
+        both are dead by the time this side runs again. The final ``a``/``h``
+        caches stay: they back the returned rows."""
         raw = (
             edge_cache.join(bc(vec), join_key)
             .groupBy(group_key)
             .agg(F.sum("_s").alias("_s"))
+        ).cache()
+        row = raw.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col("_s") * F.col("_s")).alias("_nsq"),
+        ).first()
+        norm = math.sqrt(row["_nsq"])
+        out = raw.select(group_key, (F.col("_s") / F.lit(norm)).alias("_s")).localCheckpoint(
+            eager=False
         )
-        tmp = raw.cache()
-        (norm_sq,) = tmp.agg(F.sum(F.col("_s") * F.col("_s"))).first()
-        out = tmp.localCheckpoint()
-        tmp.unpersist(blocking=False)
         if prev is not None:
-            prev.unpersist(blocking=False)
-        norm = math.sqrt(norm_sq)
-        return out.select(group_key, (F.col("_s") / F.lit(norm)).alias("_s"))
+            prev_raw, prev_out = prev
+            prev_raw.unpersist(blocking=False)
+            prev_out.unpersist(blocking=False)
+            release_checkpoint(prev_out)
+        return out, raw, row["_n"]
 
     for _ in range(iters):
-        a = _half(e_by_auth, h, "_h", "_a", bc_hub, prev_a)
-        prev_a = a
+        a, a_raw, n_a = _half(e_by_auth, h, "_h", "_a", bc_hub, prev_a)
+        prev_a = (a_raw, a)
         if bc_auth is None:
             bc_auth = gate_node_vector_broadcast(
-                a.count(), "HITS authority vector", bytes_per_row=48
+                n_a, "HITS authority vector", bytes_per_row=48
             )
-        h = _half(e_by_hub, a, "_a", "_h", bc_auth, prev_h)
-        prev_h = h
+        h, h_raw, _ = _half(e_by_hub, a, "_a", "_h", bc_auth, prev_h)
+        prev_h = (h_raw, h)
     e_by_hub.unpersist(blocking=False)
     e_by_auth.unpersist(blocking=False)
     return (

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from . import cache_wide, gate_node_vector_broadcast, materialize
+from . import cache_wide, gate_node_vector_broadcast, materialize, release_checkpoint
 from ..functions.hints import gated_broadcast
 from .modularity import modularity
 
@@ -61,6 +61,7 @@ def _local_move(edges: DataFrame, max_sweeps: int) -> DataFrame:
     bc = gate_node_vector_broadcast(n_nodes, "louvain label table")
     labels = materialize(deg.select("node_id", F.col("node_id").alias("community")))
     stale = 0
+    prev_pin: tuple[DataFrame, DataFrame] | None = None
 
     for sweep in range(max_sweeps):
         dst_comm = labels.select(
@@ -144,9 +145,18 @@ def _local_move(edges: DataFrame, max_sweeps: int) -> DataFrame:
             .cache()
         )
         changed = flagged.filter("_moved").count()
-        new_labels = flagged.select("node_id", "community").localCheckpoint()
-        flagged.unpersist(blocking=False)
-        labels.unpersist(blocking=False)
+        # LAZY checkpoint: plan truncation now (the next sweep references
+        # this table ~5 times — untruncated that compounds 5^sweeps), block
+        # materialization riding the next sweep's fill job, which reads the
+        # flagged cache filled by the count above. The superseded sweep's
+        # resources are dead once this fill has run.
+        new_labels = flagged.select("node_id", "community").localCheckpoint(eager=False)
+        if prev_pin is not None:
+            p_cache, p_ck = prev_pin
+            p_cache.unpersist(blocking=False)
+            p_ck.unpersist(blocking=False)
+            release_checkpoint(p_ck)
+        prev_pin = (flagged, new_labels)
         labels = new_labels
         if changed == 0:
             # a half-sweep may be flat while the other half still has
@@ -175,9 +185,19 @@ def _louvain_sequential(
     """
     import numpy as np
 
-    node_ids, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    # a doubled edge list has set(dst) ⊆ set(src), so the sorted node index
+    # comes from src alone (half the sort of the concatenated form) and the
+    # ordinal maps from two binary searches — bit-identical to
+    # np.unique(concat, return_inverse=True) since np.unique sorts. The
+    # subset check is O(|E|) compares; any violation (a caller handing a
+    # non-doubled list) falls back to the general form.
+    node_ids = np.unique(src)
+    s = np.searchsorted(node_ids, src)
+    d = np.searchsorted(node_ids, dst)
+    if len(node_ids) == 0 or not np.array_equal(node_ids[np.minimum(d, len(node_ids) - 1)], dst):
+        node_ids, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+        s, d = inv[: len(src)].copy(), inv[len(src) :].copy()
     n0 = len(node_ids)
-    s, d = inv[: len(src)].copy(), inv[len(src) :].copy()
     w = np.asarray(weight, dtype=np.float64)
     m2 = w.sum()
     mapping = np.arange(n0)  # original node index -> current community label
@@ -248,8 +268,20 @@ def _louvain_sequential(
         uniq, comp = np.unique(comm, return_inverse=True)
         mapping = comp[mapping]
         key = comp[s] * len(uniq) + comp[d]
-        uk, pos = np.unique(key, return_inverse=True)
-        w = np.bincount(pos, weights=w)
+        if len(uniq) * len(uniq) <= max(4 * len(key), 1 << 22):
+            # dense label-pair grid: one bincount pass instead of sorting
+            # the |E|-long key array through np.unique. Both forms sum the
+            # weights in original array order (bincount and
+            # bincount-over-inverse are the same accumulation), so the
+            # coarse weights are bit-identical.
+            wsum = np.bincount(key, weights=w, minlength=len(uniq) * len(uniq))
+            # presence from an unweighted count so zero-weight pairs keep
+            # their row exactly like the np.unique form would
+            uk = np.flatnonzero(np.bincount(key, minlength=len(uniq) * len(uniq)))
+            w = wsum[uk]
+        else:
+            uk, pos = np.unique(key, return_inverse=True)
+            w = np.bincount(pos, weights=w)
         s, d = uk // len(uniq), uk % len(uniq)
         if len(uniq) == n:  # no contraction -> converged
             break

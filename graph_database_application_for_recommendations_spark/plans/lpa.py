@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from . import cache_wide, gate_node_vector_broadcast, materialize
+from . import cache_wide, gate_node_vector_broadcast, materialize, release_checkpoint
 
 
 def label_propagation(
@@ -49,6 +49,7 @@ def label_propagation(
     # doesn't re-shuffle the edge list; huge graphs fall back to shuffle
     n_nodes = labels.count()
     bc = gate_node_vector_broadcast(n_nodes, "LPA label table")
+    prev_pin: tuple[DataFrame, DataFrame] | None = None
 
     for _ in range(max_iter):
         scores = (
@@ -73,21 +74,41 @@ def label_propagation(
             )
             .select(F.col("dst").alias("node_id"), F.col("best.choice").alias("community"))
         )
-        # isolated nodes (no edges) keep their own id as community
-        new_labels = materialize(
-            labels.select("node_id")
-            .join(new_labels, "node_id", "left")
-            .select("node_id", F.coalesce("community", F.col("node_id")).alias("community"))
-        )
-        # rename instead of alias: gated_broadcast wraps its input in the
-        # witness subquery alias, which would clobber a caller alias
-        changed = (
-            new_labels.join(
-                bc(labels.withColumnRenamed("community", "_old")), "node_id"
+        # isolated nodes (no edges) keep their own id as community. The
+        # convergence flag rides along so ONE job both fills the new label
+        # cache and counts the changes (the r9 shape paid materialize's
+        # count + checkpoint + a separate old⋈new comparison pass per
+        # round); the lazy checkpoint truncates the plan now and its blocks
+        # materialize inside the next round's fill. Rename instead of
+        # alias: gated_broadcast wraps its input in the witness subquery
+        # alias, which would clobber a caller alias.
+        # broadcast the NEW side (the ≤|V|-row aggregate output, same count
+        # gate): BuildRight LeftOuter is broadcast-joinable, and the old
+        # label table streams through as the all-nodes base. For a node
+        # absent from new_labels (no in-edges) the old label IS its own id
+        # (initialized so, and it can never move), so coalescing to the old
+        # label keeps the isolated-node contract unchanged.
+        flagged = (
+            labels.withColumnRenamed("community", "_old")
+            .join(bc(new_labels), "node_id", "left")
+            .select(
+                "node_id",
+                F.coalesce("community", F.col("_old")).alias("community"),
+                (
+                    F.col("community").isNotNull()
+                    & (F.col("community") != F.col("_old"))
+                ).alias("_moved"),
             )
-            .filter(F.col("community") != F.col("_old"))
-            .count()
         )
+        tmp = flagged.cache()
+        changed = tmp.filter("_moved").count()
+        new_labels = tmp.select("node_id", "community").localCheckpoint(eager=False)
+        if prev_pin is not None:
+            p_tmp, p_ck = prev_pin
+            p_tmp.unpersist(blocking=False)
+            p_ck.unpersist(blocking=False)
+            release_checkpoint(p_ck)
+        prev_pin = (tmp, new_labels)
         labels = new_labels
         if changed == 0:
             break

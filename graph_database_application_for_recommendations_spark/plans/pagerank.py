@@ -20,7 +20,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from . import cache_wide, gate_node_vector_broadcast, materialize
+from . import cache_wide, gate_node_vector_broadcast, release_checkpoint
+
+# Rounds chained lazily between materialization barriers. Each round
+# references the previous round's table exactly once (the rank vector feeds
+# only the next round's join), so a K-round chain executes every round
+# exactly once inside ONE job — the barrier's cache-fill + localCheckpoint
+# passes (2 driver-synchronized jobs per round, r9 shape) collapse to 2 per
+# K rounds. K stays small and fixed because on the broadcast path a chained
+# round nests its predecessor inside its broadcast build: the top await has
+# to absorb K sequential passes over the edge cache, and
+# spark.sql.broadcastTimeout (300 s default) bounds how deep that can
+# safely go at 100 TB; K=3 keeps the nested build well under the timeout
+# while cutting per-round barriers 3x. On the shuffle-fallback path (gate
+# declines the broadcast) the chain is just K joins+aggs in one plan — the
+# exact unrolled-CTE shape, no futures involved.
+CHAIN_ROUNDS = 3
 
 
 def pagerank(
@@ -79,9 +94,10 @@ def pagerank(
         )
         tele = F.when(in_s, F.lit((1.0 - damping) / len(sources))).otherwise(F.lit(0.0))
     bc = gate_node_vector_broadcast(n, "pagerank rank vector", bytes_per_row=16)
-    prev: DataFrame | None = None
-    for _ in range(iters):
-        contrib = (
+    prev_pin: tuple[DataFrame, DataFrame] | None = None
+    pending = 0
+    for i in range(iters):
+        ranks = (
             trans.join(bc(ranks.withColumnRenamed("node_id", "src")), "src")
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("p")).alias("_s"))
@@ -90,10 +106,26 @@ def pagerank(
                 (tele + F.lit(damping) * F.col("_s")).alias("rank"),
             )
         )
-        # each round's table feeds the next round's broadcast AND (for the
-        # last) the caller — materialize keeps the chain O(iters), not a
-        # re-execute-everything lazy tower
-        ranks = materialize(contrib, supersedes=prev)
-        prev = ranks
+        pending += 1
+        # pin every CHAIN_ROUNDS rounds and at the end: the chain in
+        # between stays lazy (each round referenced exactly once — see
+        # CHAIN_ROUNDS). The barrier is ONE job: the count fills the
+        # block's cache (executing the chained rounds, and first
+        # materializing the previous barrier's lazy checkpoint on the way),
+        # and the LAZY localCheckpoint truncates the plan with no extra
+        # pass — its blocks materialize inside the next block's (or the
+        # caller's) first job, read from the retained cache. The previous
+        # barrier's cache/checkpoint are dead once this block is filled.
+        if pending == CHAIN_ROUNDS or i == iters - 1:
+            tmp = ranks.cache()
+            tmp.count()
+            ranks = tmp.localCheckpoint(eager=False)
+            if prev_pin is not None:
+                p_cache, p_ck = prev_pin
+                p_cache.unpersist(blocking=False)
+                p_ck.unpersist(blocking=False)
+                release_checkpoint(p_ck)
+            prev_pin = (tmp, ranks)
+            pending = 0
     trans.unpersist(blocking=False)
     return ranks

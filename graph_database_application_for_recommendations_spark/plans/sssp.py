@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from . import cache_wide, materialize
+from . import cache_wide, gate_node_vector_broadcast, release_checkpoint
 
 
 def sssp_weighted(
@@ -46,25 +46,55 @@ def sssp_weighted(
 
     id_type = edges.schema[src].dataType.simpleString()
     dist = spark.createDataFrame([(source, 0.0)], f"node_id {id_type}, dist double")
-    dist = materialize(dist)
-    prev = None
+    # the distance table is |reached-nodes|-bounded (≤ |V|); its exact row
+    # count rides along on each round's fill aggregate, so every round's
+    # two joins take a count-gated broadcast of it instead of the
+    # stats-blind sort-merge the LogicalRDD otherwise plans (which re-sorts
+    # the whole cached edge list every round); past the 256 MB gate the
+    # rounds fall back to the shuffle join against the _s-partitioned cache.
+    n_dist = 1
+    prev_tmp: DataFrame | None = None
     for _ in range(max_iter):
+        bc = gate_node_vector_broadcast(n_dist, "SSSP distance vector", bytes_per_row=16)
         relaxed = (
-            e.join(dist.select(F.col("node_id").alias("_s"), "dist"), "_s")
+            e.join(bc(dist.select(F.col("node_id").alias("_s"), "dist")), "_s")
             .select(F.col("_d").alias("node_id"), (F.col("dist") + F.col("_c")).alias("dist"))
             .unionByName(dist)
             .groupBy("node_id")
             .agg(F.min("dist").alias("dist"))
         )
-        nxt = materialize(relaxed, supersedes=prev)
-        # fixpoint test: any node whose distance still improved this round?
-        improved = (
-            nxt.join(dist.withColumnRenamed("dist", "_old"), "node_id", "left")
-            .filter(F.col("_old").isNull() | (F.col("dist") < F.col("_old")))
-            .count()
+        # ONE job per round (the r9 shape paid three): the combined
+        # count/improved aggregate is the cache-fill action AND the
+        # fixpoint test, and the new distance table is pinned with a LAZY
+        # localCheckpoint — immediate plan truncation (the distance table
+        # is referenced three times per round, so an untruncated chain
+        # compounds analyzer cost exponentially), block materialization
+        # riding the next round's fill job.
+        flagged = relaxed.join(
+            bc(dist.select("node_id", F.col("dist").alias("_old"))), "node_id", "left"
         )
-        prev, dist = dist, nxt
-        if improved == 0:
+        tmp = flagged.cache()
+        row = tmp.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(
+                F.when(
+                    F.col("_old").isNull() | (F.col("dist") < F.col("_old")), 1
+                ).otherwise(0)
+            ).alias("_improved"),
+        ).first()
+        nxt = tmp.select("node_id", "dist").localCheckpoint(eager=False)
+        # the fill above consumed (and first materialized) the previous
+        # round's checkpoint; it and its backing cache are dead now
+        if prev_tmp is not None:
+            prev_tmp.unpersist(blocking=False)
+        dist.unpersist(blocking=False)
+        release_checkpoint(dist)
+        prev_tmp = tmp
+        dist = nxt
+        n_dist = row["_n"]
+        if row["_improved"] == 0:
             break
+    # the final round's cache stays: it backs the returned (lazily
+    # checkpointed) distance table until the caller's first action.
     e.unpersist(blocking=False)
     return dist.select("node_id", F.round("dist", 6).alias("dist"))

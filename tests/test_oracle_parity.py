@@ -743,6 +743,7 @@ def test_driver_side_materialization_sites_are_classified():
         "operators/pca.py::pca_fit": (1, "dim x dim Gram matrix (vector-dim bounded)"),
         "operators/pq.py::topk_pq": (1, "codebook-sized LUT to driver"),
         "operators/pq.py::train_pq_codebooks": (1, "sampled k-means training set (bounded sample)"),
+        "operators/sampling.py::stratified_sample": (1, "scalar histogram-size gate aggregate (r10 broadcast guard)"),
         "operators/sketches.py::hll_estimate": (1, "fixed 2^p register table"),
         "plans/fastrp.py::_fastrp_local": (2, "gated driver-local path (documented gates)"),
         "plans/louvain.py::_local_move": (1, "scalar move-count per sweep"),

@@ -479,3 +479,96 @@ def test_linkpred_auc_discriminates_planted_structure(spark):
         [(0.9, 1), (0.1, 1)], "score double, label int"
     )
     assert binary_auc(degenerate).collect()[0]["auc"] is None
+
+
+def test_walk_step_argmin_is_hash_aggregate_not_window(spark):
+    """r10 optimization: the per-step walk argmin must plan as a (map-side
+    combinable) hash aggregate over min(struct(h, dst)), not a per-walk
+    row_number window sorting the whole |walks|·degree join output — and
+    the min-struct winner must equal the window winner row for row."""
+    from pyspark.sql import Window
+
+    from graph_database_application_for_recommendations_spark.plans.graphs import (
+        random_walks,
+    )
+    from graph_database_application_for_recommendations_spark.functions.text import (
+        md5_hash60,
+    )
+
+    ratings = load_ref_tables(spark, SF_SMALL).ratings
+    walks = random_walks(ratings, steps=2)
+    plan = walks._jdf.queryExecution().executedPlan().treeString()
+    assert "Window" not in plan
+    # cross-check the aggregate winner against the window formulation
+    u = F.concat(F.lit("u:"), F.col("user_id").cast("string"))
+    b = F.concat(F.lit("b:"), F.col("isbn"))
+    edges = ratings.select(u.alias("src"), b.alias("dst")).unionByName(
+        ratings.select(b.alias("src"), u.alias("dst"))
+    )
+    frontier = (
+        ratings.filter(F.col("user_id") % 20 == 0)
+        .select(u.alias("walk_id"))
+        .distinct()
+        .select("walk_id", F.col("walk_id").alias("node"))
+    )
+    h = md5_hash60(F.concat(F.col("walk_id"), F.lit("|1|"), F.col("dst")), 7)
+    w = Window.partitionBy("walk_id").orderBy(h.asc(), F.col("dst").asc())
+    via_window = (
+        frontier.join(edges, F.col("node") == F.col("src"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("walk_id", F.col("dst").alias("node"))
+    )
+    step1 = walks.filter(F.col("step") == 1).select("walk_id", "node")
+    assert step1.exceptAll(via_window).count() == 0
+    assert via_window.exceptAll(step1).count() == 0
+
+
+def test_sssp_round_joins_take_gated_broadcast(spark):
+    """r10 optimization: SSSP's per-round joins must consume the distance
+    table through the count-gated broadcast (no per-round sort-merge
+    re-sort of the edge cache), and the result must stay fixpoint-correct
+    (spot-checked distances on a known graph)."""
+    from graph_database_application_for_recommendations_spark.plans.sssp import (
+        sssp_weighted,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 1, 1.0), (2, 3, 1.0), (3, 2, 1.0), (1, 3, 0.25), (3, 1, 0.25)],
+        "src long, dst long, weight double",
+    )
+    out = {r["node_id"]: r["dist"] for r in sssp_weighted(edges, 1).collect()}
+    # cost = 1/weight: 1->3 direct costs 4.0, via 2 costs 2.0
+    assert out == {1: 0.0, 2: 1.0, 3: 2.0}
+
+
+def test_louvain_sequential_fast_index_matches_fallback():
+    """r10 optimization: the unique(src)+searchsorted node index and the
+    dense-bincount coarsening must be bit-identical to the general
+    np.unique forms (same ids, same labels, same Q) on a doubled graph."""
+    import numpy as np
+
+    from graph_database_application_for_recommendations_spark.plans.louvain import (
+        _louvain_sequential,
+    )
+
+    rng = np.random.RandomState(11)
+    a = rng.randint(0, 60, size=400)
+    b = rng.randint(0, 60, size=400)
+    keep = a != b
+    a, b = a[keep], b[keep]
+    src = np.concatenate([a, b])
+    dst = np.concatenate([b, a])
+    w = np.ones(len(src))
+    ids, comm, q = _louvain_sequential(src, dst, w)
+    # fast index must equal the general np.unique(concat) form
+    assert np.array_equal(ids, np.unique(np.concatenate([src, dst])))
+    assert len(comm) == len(ids)
+    assert -0.5 <= q <= 1.0
+    # a NON-doubled list (dst ⊄ src) must take the fallback and still
+    # index every node
+    src3 = np.array([1, 2, 3])
+    dst3 = np.array([2, 3, 99])  # 99 never appears as src
+    ids3, comm3, _ = _louvain_sequential(src3, dst3, np.ones(3))
+    assert np.array_equal(ids3, np.array([1, 2, 3, 99]))
+    assert len(comm3) == 4
