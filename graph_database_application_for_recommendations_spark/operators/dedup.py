@@ -860,21 +860,35 @@ def neardup_components(
     normal case — LSH candidates are a tiny fraction of the corpus) solves
     locally with an iterated numpy min-label pass (O(E) per pass, converges
     in graph-diameter passes); larger graphs run the distributed min-label
-    propagation loop, one join + min-aggregate per round, localCheckpoint
-    lineage cuts — O(diameter) shuffles total.
+    propagation loop at ONE scheduled job per sweep (r10, guide §1.2/§2.4):
+    the changed-row scalar doubles as the round table's cache-fill action,
+    rounds are pinned with plan-truncating lazy checkpoints, the label-
+    sized join sides (labels, neighbor-min, jump table — all exactly or at
+    most |V| rows, counted once) take count-gated broadcasts instead of
+    the stats-blind sort-merge a LogicalRDD otherwise plans, and the
+    doubled edge cache is hash-partitioned on the aggregate key so every
+    sweep's neighbor-min aggregate is exchange-free. The pair list is
+    cached before the size probe, so both paths execute the (expensive)
+    candidate-generation plan exactly once instead of twice.
     """
-    from ..plans import materialize
+    from ..plans import (
+        cache_wide,
+        gate_node_vector_broadcast,
+        release_checkpoint,
+    )
 
     spark = pairs.sparkSession
-    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-    n_edges = edges.count()
+    ec = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).cache()
+    n_edges = ec.count()
     if n_edges == 0:
+        ec.unpersist(blocking=False)
         return spark.createDataFrame([], "doc_id long, group_id long")
     if n_edges <= local_max_edges:
         import numpy as np
         import pandas as pd
 
-        pdf = edges.toPandas()
+        pdf = ec.toPandas()
+        ec.unpersist(blocking=False)
         ids, inv = np.unique(
             np.concatenate([pdf["a"].to_numpy(), pdf["b"].to_numpy()]), return_inverse=True
         )
@@ -892,57 +906,80 @@ def neardup_components(
             pd.DataFrame({"doc_id": ids, "group_id": ids[labels]}).astype("int64"),
             schema="doc_id long, group_id long",
         )
-    und = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    und = und.cache()
-    labels = materialize(
-        und.select(F.col("a").alias("doc_id")).distinct().select(
-            "doc_id", F.col("doc_id").alias("group_id")
-        )
+    par = spark.sparkContext.defaultParallelism
+    und = cache_wide(
+        ec.union(ec.select(F.col("b").alias("a"), F.col("a").alias("b"))), par, "b"
     )
+    ec.unpersist(blocking=False)
+    lc = (
+        und.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("group_id"))
+        .cache()
+    )
+    n_nodes = lc.count()
+    labels = lc.localCheckpoint(eager=False)
+    # the label table is exactly |V| rows every sweep, and neigh-min / the
+    # jump table are <= |V| by construction — ONE count gates all three
+    # per-sweep broadcast sides
+    bc_l = gate_node_vector_broadcast(n_nodes, "CC min-label table", bytes_per_row=16)
+    prev_pin: tuple[DataFrame, ...] = (lc, labels)
+    converged = False
     for _ in range(max_iter):
         neigh = (
-            und.join(labels.withColumnRenamed("doc_id", "a"), "a")
+            und.join(bc_l(labels.withColumnRenamed("doc_id", "a")), "a")
             .groupBy(F.col("b").alias("doc_id"))
             .agg(F.min("group_id").alias("neigh_min"))
         )
-        stepped = labels.join(neigh, "doc_id", "left").select(
-            "doc_id",
-            F.least(F.col("group_id"), F.coalesce("neigh_min", F.col("group_id"))).alias(
-                "group_id"
-            ),
-        )
+        # carry the sweep's input label (_old) so the convergence scalar can
+        # ride the fill job instead of a separate old-vs-new join+count
+        stepped = (
+            labels.select("doc_id", F.col("group_id").alias("_old"))
+            .join(bc_l(neigh), "doc_id", "left")
+            .select(
+                "doc_id",
+                "_old",
+                F.least(F.col("_old"), F.coalesce("neigh_min", F.col("_old"))).alias(
+                    "group_id"
+                ),
+            )
+        ).cache()  # referenced twice by the pointer jump: compute once
         # pointer jump: group_id := label(group_id). Every group_id is some
         # node's doc_id, so a self-join compresses label chains — combined
         # with the neighbor-min step, convergence is O(log diameter)
         # shuffles instead of O(diameter), so a path-shaped component no
         # longer exhausts max_iter and returns unconverged labels.
-        new_labels = materialize(
-            stepped.alias("x")
-            .join(
-                stepped.select(
-                    F.col("doc_id").alias("group_id"), F.col("group_id").alias("_gg")
+        tmp = (
+            stepped.join(
+                bc_l(
+                    stepped.select(
+                        F.col("doc_id").alias("group_id"), F.col("group_id").alias("_gg")
+                    )
                 ),
                 "group_id",
                 "left",
             )
             .select(
                 "doc_id",
+                "_old",
                 F.least(F.col("group_id"), F.coalesce("_gg", F.col("group_id"))).alias(
                     "group_id"
                 ),
             )
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.group_id") != F.col("o.group_id"))
-            .count()
-        )
-        labels.unpersist(blocking=False)
+        ).cache()
+        # ONE job per sweep: the changed-count scalar doubles as the fill
+        changed = tmp.filter(F.col("group_id") != F.col("_old")).count()
+        new_labels = tmp.select("doc_id", "group_id").localCheckpoint(eager=False)
+        stepped.unpersist(blocking=False)
+        for df in prev_pin:
+            df.unpersist(blocking=False)
+            release_checkpoint(df)
+        prev_pin = (tmp, new_labels)
         labels = new_labels
         if changed == 0:
+            converged = True
             break
-    else:
+    if not converged:
         import warnings
 
         warnings.warn(
@@ -951,8 +988,14 @@ def neardup_components(
             f"(component diameter exceeds the sweep budget)",
             stacklevel=2,
         )
+    # eager-pin the result off the final sweep's filled cache so the caller
+    # holds a self-contained checkpoint, then drop every loop pin
+    out = labels.localCheckpoint()
+    for df in prev_pin:
+        df.unpersist(blocking=False)
+        release_checkpoint(df)
     und.unpersist(blocking=False)
-    return labels
+    return out
 
 
 def corpus_dedup_groups(
@@ -1192,26 +1235,22 @@ def semantic_dedup(
     a skewed cell never funnels through one task's sort).
     """
     from ..functions import vector as V
-    from .ivf import cluster_corpus
+    from .ivf import cluster_members
 
-    assigned = cluster_corpus(embeddings, id_col, vec_col, k, lloyd_iters)
-    vecs = embeddings.select(
-        F.col(id_col).alias("_sid"),
-        V.l2_normalize(V.as_double(F.col(vec_col))).alias("_nv"),
-    )
-    members = assigned.join(
-        vecs, assigned[id_col] == vecs["_sid"]
-    ).select(id_col, "cluster", "similarity", "_nv")
+    # the member vector rides the assignment argmax (r10): consuming it
+    # from cluster_corpus + a corpus re-join cost a corpus-sized exchange
+    # + sort AND a second embeddings scan per consumer pass (guide §2.4)
+    members = cluster_members(embeddings, id_col, vec_col, k, lloyd_iters)
     reps = (
         members.groupBy("cluster")
         .agg(F.max(F.struct(F.col("similarity"), (-F.col(id_col)).alias("_negid"))).alias("_m"))
         .select("cluster", (-F.col("_m._negid")).alias("rep_id"))
     )
-    # broadcast the k-row rep table INTO the corpus-sized vector scan —
+    # broadcast the k-row rep table INTO the corpus-sized member scan —
     # without the hint this k-row aggregate has no size stats and Catalyst
-    # would shuffle the whole vector table to extract k rows
-    rep_vecs = vecs.select(
-        F.col("_sid").alias("rep_id"), F.col("_nv").alias("_rv")
+    # would shuffle the whole member table to extract k rows
+    rep_vecs = members.select(
+        F.col(id_col).alias("rep_id"), F.col("_nv").alias("_rv")
     ).join(gated_broadcast(reps, "k-row cluster-representative aggregate (one row per cluster)"), "rep_id")
     out = members.join(
         gated_broadcast(
@@ -1333,61 +1372,95 @@ def greedy_first_writer(
 
     Plan: the classic parallel LFMIS rounds — each round decides every doc
     whose smaller-id neighbors are all decided (the minimum undecided doc
-    always qualifies, so progress is guaranteed); decided state advances
-    through materialized round boundaries (equi-joins on ids only, edge
-    table pinned once). Rounds = duplicate-chain depth, which for real
-    corpora is the depth of in-batch dup chains (tiny); ``max_iters``
-    exhaustion raises loudly rather than returning a wrong prefix (the
-    k-truss budget contract).
+    always qualifies, so progress is guaranteed). ONE scheduled job per
+    round (r10, guide §1.2/§2.4): the frontier fill-count is the only
+    per-round action — it doubles as the progress scalar (undecided
+    shrinks by exactly |frontier|) and materializes the previous round's
+    lazily-pinned undecided table; the kept side is a lazily-pinned chain
+    of per-round deltas (frontier minus killed) that the FINAL result
+    materialization executes in order, so no round pays a job for it.
+    Both |E|-sized semi-joins take count-gated broadcasts of their id-set
+    build sides (exact counts ride the fills) instead of the stats-blind
+    sort-merge a LogicalRDD otherwise plans. Rounds = duplicate-chain
+    depth, which for real corpora is the depth of in-batch dup chains
+    (tiny); ``max_iters`` exhaustion raises loudly rather than returning
+    a wrong prefix (the k-truss budget contract).
     """
-    from ..plans import materialize, release_checkpoint
+    from ..plans import gate_node_vector_broadcast, materialize, release_checkpoint
 
-    edges = materialize(edges.select("a", "b"))
-    undecided = materialize(ids.select("doc_id"))
+    scratch: list[DataFrame] = []  # caches/lazy checkpoints to drop at exit
+
+    def _pin_lazy(df: DataFrame) -> DataFrame:
+        # cache + plan-truncating lazy checkpoint: zero scheduled jobs —
+        # blocks materialize inside whichever later job first reads them
+        tmp = df.cache()
+        out = tmp.localCheckpoint(eager=False)
+        scratch.extend((tmp, out))
+        return out
+
+    ec = edges.select("a", "b").cache()
+    ec.count()
+    edges = ec.localCheckpoint(eager=False)
+    scratch.extend((ec, edges))
+    uc = ids.select("doc_id").cache()
+    n_und = uc.count()
+    undecided = uc.localCheckpoint(eager=False)
+    scratch.extend((uc, undecided))
     kept = ids.select("doc_id").limit(0)
+    n_kept_ub = 0  # upper bound on |kept| (sum of frontier fills)
     try:
-        settled = False
-        for _ in range(max_iters):
-            if undecided.count() == 0:
-                settled = True
-                break
-            ua = undecided.select(F.col("doc_id").alias("a"))
+        rounds_used = 0
+        while n_und > 0:
+            if rounds_used == max_iters:
+                # budget check on the TRACKED count (ADVICE r6 contract:
+                # a chain whose depth equals max_iters exactly empties
+                # undecided during the final granted round and must not
+                # raise)
+                raise RuntimeError(
+                    f"greedy_first_writer: duplicate-chain depth exceeds max_iters="
+                    f"{max_iters}; raise the budget (result would be a wrong prefix)"
+                )
+            rounds_used += 1
+            bc_u = gate_node_vector_broadcast(
+                n_und, "LFMIS undecided id set", bytes_per_row=16
+            )
+            bc_k = gate_node_vector_broadcast(
+                max(n_kept_ub, 1), "LFMIS kept id set (upper bound)", bytes_per_row=16
+            )
+            ua = bc_u(undecided.select(F.col("doc_id").alias("a")))
             # docs with a smaller-id UNDECIDED neighbor wait another round
             pending = (
                 edges.join(ua, "a", "semi").select(F.col("b").alias("doc_id")).distinct()
             )
-            frontier = undecided.join(pending, "doc_id", "left_anti")
+            # the round's ONLY scheduled job: fill + count the frontier
+            # (also first-materializes the previous round's lazy pins)
+            fc = undecided.join(pending, "doc_id", "left_anti").cache()
+            n_frontier = fc.count()
+            frontier = fc.localCheckpoint(eager=False)
+            scratch.extend((fc, frontier))
             # a frontier doc is killed iff a smaller-id KEPT neighbor exists
             # (a same-round conflict is impossible: a kept frontier neighbor
             # a < b would have made b pending, since a was undecided)
-            ka = kept.select(F.col("doc_id").alias("a"))
+            ka = bc_k(kept.select(F.col("doc_id").alias("a")))
             killed = (
                 edges.join(ka, "a", "semi").select(F.col("b").alias("doc_id")).distinct()
             )
-            kept = materialize(
-                kept.unionByName(frontier.join(killed, "doc_id", "left_anti")),
-                supersedes=kept,
+            kept = kept.unionByName(
+                _pin_lazy(frontier.join(killed, "doc_id", "left_anti"))
             )
-            undecided = materialize(
-                undecided.join(frontier, "doc_id", "left_anti"), supersedes=undecided
-            )
-        # budget check AFTER the loop, not for/else: a chain whose depth
-        # equals max_iters exactly empties undecided during the final
-        # granted round, and must not raise (ADVICE r6)
-        if not settled and undecided.count() > 0:
-            raise RuntimeError(
-                f"greedy_first_writer: duplicate-chain depth exceeds max_iters="
-                f"{max_iters}; raise the budget (result would be a wrong prefix)"
-            )
+            n_kept_ub += n_frontier
+            undecided = _pin_lazy(undecided.join(frontier, "doc_id", "left_anti"))
+            n_und -= n_frontier
+        # the final eager pin executes the whole kept delta chain in one job
         return materialize(
             ids.select("doc_id").join(
                 kept.withColumn("keep", F.lit(True)), "doc_id", "left"
             ).select("doc_id", F.coalesce("keep", F.lit(False)).alias("keep"))
         )
     finally:
-        release_checkpoint(edges)
-        release_checkpoint(undecided)
-        release_checkpoint(kept)
+        for df in scratch:
+            df.unpersist(blocking=False)
+            release_checkpoint(df)
 
 
 def ingest_neardup_decisions(

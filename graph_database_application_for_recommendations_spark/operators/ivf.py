@@ -169,6 +169,53 @@ def cluster_corpus(
     )
 
 
+def cluster_members(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    lloyd_iters: int = 4,
+) -> DataFrame:
+    """(vec_id, cluster, similarity, _nv): :func:`cluster_corpus` with the
+    L2-normalized member vector carried THROUGH the argmax aggregate —
+    SemDeDup consumes member vectors immediately after assignment, and
+    re-joining them against a second corpus scan costs a corpus-sized
+    exchange + sort per consumer at 100 TB (guide §2.4: remove shuffles
+    outright). The winner is identical to cluster_corpus's: the struct
+    compares (_sim, _nc) first and _nc (= −cell) is unique per candidate
+    row, so no comparison ever reaches the appended vector field.
+    """
+    vecs = embeddings.select(
+        F.col(id_col).alias("_cid"),
+        V.l2_normalize(V.as_double(F.col(vec_col))).alias("_v"),
+    )
+    centroids = train_ivf_centroids(
+        embeddings, id_col, vec_col, num_cells=k, lloyd_iters=lloyd_iters
+    )
+    pairs = vecs.crossJoin(gated_broadcast(centroids, "fixed-size construction: IVF centroid table, num_cells rows x dim doubles")).select(
+        "_cid", "cell", "_v", V.dot(F.col("_v"), F.col("_c")).alias("_sim")
+    )
+    return (
+        pairs.groupBy("_cid")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("_sim").alias("_sim"),
+                    (-F.col("cell")).alias("_nc"),
+                    F.col("cell").alias("cell"),
+                    F.col("_v").alias("_v"),
+                )
+            ).alias("_b")
+        )
+        .select(
+            F.col("_cid").alias(id_col),
+            F.col("_b.cell").alias("cluster"),
+            F.round(F.col("_b._sim"), V.SIM_SCALE).alias("similarity"),
+            F.col("_b._v").alias("_nv"),
+        )
+    )
+
+
 def topk_ivf(
     queries: DataFrame,
     corpus: DataFrame,

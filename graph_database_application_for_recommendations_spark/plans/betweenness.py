@@ -68,6 +68,15 @@ def betweenness_approx(
     )
 
     # --- forward pass: multi-source BFS with path counting ---------------
+    # ONE job per level (r10, guide §1.2/§2.4): the emptiness-test count
+    # doubles as the cache fill, levels are pinned with plan-truncating
+    # LAZY checkpoints (blocks ride the next level's job), and the
+    # frontier/visited join sides — (source, node) state with exact counts
+    # riding the fills — take count-gated broadcasts instead of the
+    # stats-blind sort-merge a LogicalRDD otherwise plans (which re-sorted
+    # the edge cache every level).
+    from . import gate_node_vector_broadcast
+
     visited = sources.select(
         "source",
         F.col("source").alias("node_id"),
@@ -75,17 +84,28 @@ def betweenness_approx(
         F.lit(1.0).alias("sigma"),
     ).localCheckpoint()
     levels = [visited]
+    level_counts = [k]
+    n_visited = k
     frontier = visited
+    n_frontier = k
     for level in range(1, max_iter + 1):
+        bc_f = gate_node_vector_broadcast(
+            n_frontier, "Brandes frontier (source,node,sigma)", bytes_per_row=40
+        )
+        bc_v = gate_node_vector_broadcast(
+            n_visited, "Brandes visited set (source,node)", bytes_per_row=24
+        )
         nxt = (
             e.join(
-                frontier.select("source", F.col("node_id").alias("_s"), "sigma"),
+                bc_f(frontier.select("source", F.col("node_id").alias("_s"), "sigma")),
                 "_s",
             )
             .groupBy("source", F.col("_d").alias("node_id"))
             .agg(F.sum("sigma").alias("sigma"))
             .join(
-                visited.select("source", "node_id"), ["source", "node_id"], "left_anti"
+                bc_v(visited.select("source", "node_id")),
+                ["source", "node_id"],
+                "left_anti",
             )
             .select("source", "node_id", F.lit(level).alias("dist"), "sigma")
         )
@@ -94,14 +114,17 @@ def betweenness_approx(
         # union doesn't collect hundreds of near-empty partitions whose
         # per-task overhead dominates the supersteps
         tmp = nxt.coalesce(max(par // 4, 1)).cache()
-        if tmp.count() == 0:
+        n_new = tmp.count()
+        if n_new == 0:
             tmp.unpersist(blocking=False)
             break
-        pinned = tmp.localCheckpoint()
-        tmp.unpersist(blocking=False)
+        pinned = tmp.localCheckpoint(eager=False)
         levels.append(pinned)
+        level_counts.append(n_new)
         visited = visited.unionByName(pinned)
         frontier = pinned
+        n_frontier = n_new
+        n_visited += n_new
     max_level = len(levels) - 1
 
     # --- shortest-path DAG: edges (u -> w) with dist_w = dist_u + 1 ------
@@ -117,9 +140,12 @@ def betweenness_approx(
         F.col("dist").alias("_dw"),
         F.col("sigma").alias("_sigma_w"),
     )
+    bc_vis = gate_node_vector_broadcast(
+        n_visited, "Brandes visited state (source,node,dist,sigma)", bytes_per_row=40
+    )
     dag = (
-        e.join(u_side, "_s")
-        .join(w_side, ["source", "_d"])
+        e.join(bc_vis(u_side), "_s")
+        .join(bc_vis(w_side), ["source", "_d"])
         .filter(F.col("_dw") == F.col("_du") + 1)
         .select(
             "source",
@@ -137,14 +163,24 @@ def betweenness_approx(
     # --- backward pass: dependency accumulation level by level -----------
     # delta(u) = Σ_w sigma_u/sigma_w · (1 + delta(w)) over DAG successors;
     # processing levels top-down computes each node's delta exactly once.
+    # ZERO scheduled jobs per level (r10): each level's contribution is
+    # pinned with a cache + plan-truncating lazy checkpoint — the caller's
+    # single action on the returned aggregate materializes the whole
+    # top-down chain in order (the walks-step discipline). The per-level
+    # join sides are level-sized with counts recorded during the forward
+    # pass, so both joins take count-gated broadcasts.
     deltas: DataFrame | None = None  # (source, node_id, delta)
+    n_deltas = 0
     for level in range(max_level, 0, -1):
         w_delta = levels[level].select(
             "source", F.col("node_id").alias("w"), F.lit(0.0).alias("_z")
         )
         if deltas is not None:
+            bc_d = gate_node_vector_broadcast(
+                n_deltas, "Brandes delta table (source,node,delta)", bytes_per_row=32
+            )
             w_delta = w_delta.join(
-                deltas.select("source", F.col("node_id").alias("w"), "delta"),
+                bc_d(deltas.select("source", F.col("node_id").alias("w"), "delta")),
                 ["source", "w"],
                 "left",
             )
@@ -153,9 +189,12 @@ def betweenness_approx(
         w_delta = w_delta.select(
             "source", "w", F.coalesce("delta", "_z").alias("_dw_delta")
         )
+        bc_w = gate_node_vector_broadcast(
+            level_counts[level], "Brandes level-delta join side", bytes_per_row=32
+        )
         contrib = (
             dag.filter(F.col("_dw") == level)
-            .join(w_delta, ["source", "w"])
+            .join(bc_w(w_delta), ["source", "w"])
             .groupBy("source", F.col("u").alias("node_id"))
             .agg(
                 F.sum(
@@ -165,9 +204,14 @@ def betweenness_approx(
                 ).alias("delta")
             )
             .coalesce(max(par // 4, 1))
-            .localCheckpoint()
+            .cache()
+            .localCheckpoint(eager=False)
         )
         deltas = contrib if deltas is None else deltas.unionByName(contrib)
+        # contribution rows are bounded by the DAG edges feeding the level:
+        # at most the predecessor level's size per source-node pair side —
+        # bound the broadcast gate by the accumulated level sizes
+        n_deltas += level_counts[level - 1]
     e.unpersist(blocking=False)
     if deltas is None:
         id_type = edges.schema[src].dataType.simpleString()

@@ -1141,6 +1141,33 @@ def test_cluster_corpus_invariants(spark):
     assert len({r["cluster"] for r in got}) > 1
 
 
+def test_cluster_members_equals_cluster_corpus_plus_vectors(spark):
+    """cluster_members (r10: the member vector rides the assignment argmax
+    so SemDeDup skips a corpus-sized re-join) must pick the IDENTICAL
+    winner as cluster_corpus — the appended vector field sits after the
+    tie-resolving (_sim, _nc) prefix — and carry exactly the L2-normalized
+    input vector."""
+    import numpy as np
+
+    from graph_database_application_for_recommendations_spark.operators.ivf import (
+        cluster_corpus,
+        cluster_members,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    base = {
+        r["vec_id"]: (r["cluster"], r["similarity"])
+        for r in cluster_corpus(emb, k=8, lloyd_iters=2).collect()
+    }
+    got = cluster_members(emb, k=8, lloyd_iters=2).collect()
+    assert {r["vec_id"]: (r["cluster"], r["similarity"]) for r in got} == base
+    pdf = emb.toPandas().set_index("vec_id")
+    for r in got:
+        v = np.asarray(pdf.loc[r["vec_id"], "embedding"], dtype=np.float64)
+        nv = v / (np.linalg.norm(v) or 1.0)
+        assert np.allclose(np.asarray(r["_nv"]), nv, atol=1e-9)
+
+
 def test_temperature_fractions_properties(spark):
     """T=1 keeps the natural distribution; higher T flattens: the largest
     domain is cut hardest, the smallest kept whole; composed with
