@@ -224,10 +224,45 @@ def jaccard_verify_pairs(
     then (doc_b, shingle)) — linear in candidate volume and document
     length, never corpus-quadratic. Candidate pairs sharing no shingle
     simply drop out (their Jaccard is 0 < any positive threshold).
+
+    The corpus is semi-join-restricted to docs that appear in SOME pair
+    BEFORE the shingle explode (guide §3.2: pre-filter the big side):
+    non-candidate docs cannot reach the result — the intersection join
+    and the ``sizes`` lookups only ever touch pair docs — and the explode
+    is the kernel cost, so at corpus scale with sparse candidates this
+    removes almost the whole second tokenize+explode pass. Gated on an
+    actual count of ``pairs`` (its plan is cheap for every caller — the
+    LSH pipeline hands in a materialized candidate list): a pathological
+    candidate volume falls back to the unrestricted scan instead of
+    forcing an unbounded broadcast, and the un-gated path is exactly the
+    r9 shape.
     """
-    sh = shingle_set(documents, id_col, text_col, n)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    from ..functions.hints import gated_broadcast
+
+    docs = documents
     p = pairs.select("doc_a", "doc_b")
+    n_pairs = p.count()
+    # ≤ 2·|pairs| distinct ids; 48 B/row covers a long id or short string
+    # key plus row overhead against the standard 256 MB broadcast budget
+    if 2 * n_pairs * 48 < 256 * 1024 * 1024:
+        ids = (
+            p.select(F.col("doc_a").alias("_cand_id"))
+            .union(p.select(F.col("doc_b").alias("_cand_id")))
+            .distinct()
+        )
+        docs = documents.join(
+            gated_broadcast(
+                ids,
+                f"candidate-pair doc ids: <= {2 * n_pairs} rows (counted) * 48 B < 256 MB",
+            ),
+            F.col(id_col) == F.col("_cand_id"),
+            "left_semi",
+        )
+        p = gated_broadcast(
+            p, f"candidate pair list: {n_pairs} rows (counted) * 48 B < 256 MB"
+        )
+    sh = shingle_set(docs, id_col, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         p.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
         .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), ["doc_b", "shingle"])

@@ -598,14 +598,26 @@ def lm_bigram_scores(
     character transitions are atypical for the corpus — boilerplate,
     encoding noise, non-linguistic content.
 
-    Plan shape: one |chars|-proportional bigram explode feeding two
-    map-side-combinable count aggregates (bigram totals and first-char
-    totals — the conditional's numerator and denominator); the resulting
-    model table is at most |charset|² rows, so it broadcasts back onto
-    the per-doc bigram stream regardless of corpus size. Per-doc mean is
-    a doc_id-keyed aggregate. No UDFs, no windows; linear at 100 TB.
+    Plan shape: ONE |chars|-proportional bigram explode, partial-aggregated
+    to per-(doc, bigram) counts and pinned (``materialize``) — BOTH the
+    model (a further groupBy(bigram) sum; at most |charset|² rows, so it
+    broadcasts back regardless of corpus size) and the per-doc score (a
+    count-weighted mean over the pinned table) derive from it. The r9
+    shape ran the normalize+explode corpus pass TWICE (once for the model
+    counts, once for the scoring stream); the weighted mean
+    Σ c·log2P / Σ c equals the positional AVG exactly in real arithmetic
+    (every position of a (doc, bigram) group carries the same log-prob)
+    and to well under the 6dp output rounding in floats. No UDFs, no
+    windows; linear at 100 TB.
     """
-    return lm_scores_from_counts(documents, bigram_count_table(documents, id_col, text_col), id_col, text_col)
+    from ..plans import materialize
+
+    dc = materialize(_doc_bigram_counts(documents, id_col, text_col))
+    # pin the model counts too: they are bounded by |charset|² but derive
+    # from dc, which would otherwise be re-scanned by each of the model's
+    # consumers (the first-char totals and the broadcast build)
+    big = materialize(dc.groupBy("bigram").agg(F.sum("_c").alias("_cnt")))
+    return _scores_from_doc_counts(dc, big)
 
 
 def _char_bigrams(documents: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -623,6 +635,45 @@ def _char_bigrams(documents: DataFrame, id_col: str, text_col: str) -> DataFrame
                 lambda i: F.substring(F.col("_n"), i, 2),
             )
         ).alias("bigram"),
+    )
+
+
+def _doc_bigram_counts(
+    documents: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(doc_id, bigram, _c): per-document character-bigram occurrence
+    counts — the compressed form of the position stream (guide: aggregate
+    before you shuffle). Both the corpus model and the per-doc score
+    derive from it, so the corpus is normalized+exploded exactly once."""
+    return (
+        _char_bigrams(documents, id_col, text_col)
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+
+
+def _scores_from_doc_counts(dc: DataFrame, big: DataFrame) -> DataFrame:
+    """(doc_id, n_bigrams, lm_score) from per-doc bigram counts ``dc`` and
+    the model count table ``big``. n_bigrams = Σ counts over bigrams the
+    model covers (= the matched-position count); lm_score is the count-
+    weighted mean log2 P(c2|c1), identical to the per-position AVG because
+    every position of a (doc, bigram) group carries the same log-prob."""
+    pre = (
+        big.groupBy(F.substring("bigram", 1, 1).alias("_c1"))
+        .agg(F.sum("_cnt").alias("_tot"))
+    )
+    model = big.join(
+        gated_broadcast(pre, "character-domain aggregate: one row per leading char, bounded by the charset"), F.substring(big["bigram"], 1, 1) == pre["_c1"]
+    ).select("bigram", (F.log2(F.col("_cnt") / F.col("_tot"))).alias("_lp"))
+    return (
+        dc.join(gated_broadcast(model, "character-bigram model: bounded by |charset|^2 rows"), "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("_c").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("_c") * F.col("_lp")) / F.sum("_c"), 6
+            ).alias("lm_score"),
+        )
     )
 
 
@@ -661,22 +712,13 @@ def lm_scores_from_counts(
 ) -> DataFrame:
     """lm_bigram_scores with the MODEL counts supplied (direct or
     consolidated from sidecar deltas — integer counts, so the derived
-    log-probabilities are identical either way; q_ingest_lm pins it)."""
-    grams = _char_bigrams(documents, id_col, text_col)
-    pre = (
-        big.groupBy(F.substring("bigram", 1, 1).alias("_c1"))
-        .agg(F.sum("_cnt").alias("_tot"))
-    )
-    model = big.join(
-        gated_broadcast(pre, "character-domain aggregate: one row per leading char, bounded by the charset"), F.substring(big["bigram"], 1, 1) == pre["_c1"]
-    ).select("bigram", (F.log2(F.col("_cnt") / F.col("_tot"))).alias("_lp"))
-    return (
-        grams.join(gated_broadcast(model, "character-bigram model: bounded by |charset|^2 rows"), "bigram")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(F.avg("_lp"), 6).alias("lm_score"),
-        )
+    log-probabilities are identical either way; q_ingest_lm pins it).
+    Scoring uses the same per-(doc, bigram)-count weighted-mean form as
+    lm_bigram_scores (the two faces must stay value-identical — the
+    sidecar tests pin it), which also shrinks the model-join input from
+    the position stream to its per-doc counts."""
+    return _scores_from_doc_counts(
+        _doc_bigram_counts(documents, id_col, text_col), big
     )
 
 
@@ -1932,15 +1974,28 @@ def min_k_prob_scores(
 
     Plan shape: the bounded |charset|² model broadcasts onto the bigram
     stream; ranking windows partition per doc (bounded by document
-    length, never corpus-wide)."""
-    big = bigram_count_table(documents, id_col, text_col)
+    length, never corpus-wide). The corpus is normalized+exploded ONCE
+    (round 10): both the model and the ranked stream derive from the
+    pinned per-(doc, bigram) count table — the position stream the
+    ranking window needs is reconstructed from the counts with an integer
+    sequence-explode, which is exact because positions of the same
+    (doc, bigram) carry equal log-probs, so the selected bottom-k%
+    multiset (and hence every output value) is unchanged."""
+    from ..plans import materialize
+
+    dc = materialize(_doc_bigram_counts(documents, id_col, text_col))
+    big = materialize(dc.groupBy("bigram").agg(F.sum("_c").alias("_cnt")))
     pre = big.groupBy(F.substring("bigram", 1, 1).alias("_c1")).agg(
         F.sum("_cnt").alias("_tot")
     )
     model = big.join(
         gated_broadcast(pre, "character-domain aggregate: one row per leading char, bounded by the charset"), F.substring(big["bigram"], 1, 1) == pre["_c1"]
     ).select("bigram", (F.log2(F.col("_cnt") / F.col("_tot"))).alias("_lp"))
-    grams = _char_bigrams(documents, id_col, text_col)
+    grams = dc.select(
+        "doc_id",
+        "bigram",
+        F.explode(F.sequence(F.lit(1), F.col("_c"))).alias("_pos"),
+    ).select("doc_id", "bigram")
     w_doc = Window.partitionBy("doc_id")
     w_rnk = Window.partitionBy("doc_id").orderBy("_lp", "bigram")
     ranked = (

@@ -543,6 +543,49 @@ def test_lm_bigram_scores_semantics(spark):
     assert got[3]["lm_score"] == 0.0
 
 
+def test_lm_bigram_scores_weighted_form_equals_positional(spark):
+    """The round-10 single-explode shape (per-(doc, bigram) counts +
+    count-weighted mean) must reproduce the r9 positional form it
+    replaced: same rounded scores and the same n_bigrams (positions, not
+    distinct bigrams) on a corpus with heavy within-doc repetition."""
+    from graph_database_application_for_recommendations_spark.operators.textstats import (
+        _char_bigrams,
+        lm_bigram_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, ("the quick brown fox " * (i % 4 + 1)) + "zz" * (i % 3))
+            for i in range(1, 41)
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = sorted(map(tuple, lm_bigram_scores(docs).collect()))
+    # the r9 positional reference, rebuilt inline: explode positions,
+    # model from the positional counts, per-doc AVG over positions
+    grams = _char_bigrams(docs, "doc_id", "text")
+    big = grams.groupBy("bigram").agg(F.count(F.lit(1)).alias("_cnt"))
+    pre = big.groupBy(F.substring("bigram", 1, 1).alias("_c1")).agg(
+        F.sum("_cnt").alias("_tot")
+    )
+    model = big.join(
+        pre, F.substring(big["bigram"], 1, 1) == pre["_c1"]
+    ).select("bigram", F.log2(F.col("_cnt") / F.col("_tot")).alias("_lp"))
+    want = sorted(
+        map(
+            tuple,
+            grams.join(model, "bigram")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_bigrams"),
+                F.round(F.avg("_lp"), 6).alias("lm_score"),
+            )
+            .collect(),
+        )
+    )
+    assert got == want
+
+
 def test_hits_bipartite_semantics(spark):
     """One book rated by every user plus singleton books: the universal
     book dominates authority mass; all-symmetric users share one hub

@@ -93,6 +93,27 @@ def test_jaccard_verify_pairs_matches_exact_kernel(spark, docs_with_dups):
     assert restricted == exact
 
 
+def test_jaccard_verify_pairs_subset_semi_join_restriction(spark, docs_with_dups):
+    """A strict SUBSET of the candidate pairs (so the round-10 semi-join
+    pre-filter actually drops corpus docs before the shingle explode)
+    yields exactly the exact kernel's values for those pairs — the
+    restriction must not perturb sizes or intersections."""
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs_with_dups, threshold=0.0).collect()
+    }
+    subset = sorted(exact)[::2][:3]
+    assert subset, "fixture must produce overlapping pairs"
+    pairs = spark.createDataFrame(list(subset), "doc_a LONG, doc_b LONG")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.jaccard_verify_pairs(
+            docs_with_dups, pairs, threshold=0.0
+        ).collect()
+    }
+    assert got == {p: exact[p] for p in subset}
+
+
 def test_ngram_jaccard_doc_frequency_cap(spark, docs_with_dups):
     """max_docs_per_shingle: deterministic, never raises jaccard, and a
     non-binding cap reproduces the exact result."""
@@ -4189,6 +4210,57 @@ def test_min_k_prob_flags_memorized_text(spark):
     assert rows[0]["min_k_score"] > rows[9]["min_k_score"] + 1.0
     for r in rows.values():
         assert r["n_lowest"] == (r["n_bigrams"] * 20 + 99) // 100
+
+
+def test_min_k_prob_count_reconstructed_positions_equal_positional_form(spark):
+    """The round-10 shape reconstructs the per-position stream from the
+    pinned (doc, bigram) counts with a sequence-explode; because tied
+    positions carry equal log-probs, the selected bottom-k% multiset —
+    and so every output value — must equal the r9 positional original,
+    rebuilt here inline."""
+    from pyspark.sql import Window
+    from graph_database_application_for_recommendations_spark.operators.textstats import (
+        _char_bigrams,
+        min_k_prob_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, ("sphinx of black quartz " * (i % 3 + 1)) + "ooo" * (i % 4))
+            for i in range(1, 31)
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = sorted(map(tuple, min_k_prob_scores(docs, k_pct=20).collect()))
+    grams = _char_bigrams(docs, "doc_id", "text")
+    big = grams.groupBy("bigram").agg(F.count(F.lit(1)).alias("_cnt"))
+    pre = big.groupBy(F.substring("bigram", 1, 1).alias("_c1")).agg(
+        F.sum("_cnt").alias("_tot")
+    )
+    model = big.join(
+        pre, F.substring(big["bigram"], 1, 1) == pre["_c1"]
+    ).select("bigram", F.log2(F.col("_cnt") / F.col("_tot")).alias("_lp"))
+    w_doc = Window.partitionBy("doc_id")
+    w_rnk = Window.partitionBy("doc_id").orderBy("_lp", "bigram")
+    ranked = (
+        grams.join(model, "bigram")
+        .withColumn("_r", F.row_number().over(w_rnk))
+        .withColumn("_n", F.count(F.lit(1)).over(w_doc))
+    )
+    want = sorted(
+        map(
+            tuple,
+            ranked.where(F.col("_r") <= F.expr("(_n * 20 + 99) DIV 100"))
+            .groupBy("doc_id")
+            .agg(
+                F.max("_n").alias("n_bigrams"),
+                F.count(F.lit(1)).alias("n_lowest"),
+                F.round(F.avg("_lp"), 6).alias("min_k_score"),
+            )
+            .collect(),
+        )
+    )
+    assert got == want
 
 
 def test_isotropy_closed_form_cases(spark):
