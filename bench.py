@@ -196,18 +196,24 @@ def _sf_of(sf_dir: str) -> float:
 
 # The driver archives only a ~2000-char tail of stdout (round-3 VERDICT
 # item 2a), so the LAST line must be a complete, compact JSON record that
-# fits in the tail. format_record implements the progressive-compaction
-# ladder (module-level so tests can pin that the CURRENT mix always fits):
-# full names -> stripped q_ prefix -> 2-sig times -> category-tagged names
-# (still human-matchable) -> TAGGED truncation -> blind truncation last.
+# fits in the tail.
+#
+# NAME STABILITY (round-10 VERDICT item 1): the old ladder picked the
+# truncation width by whatever fit RECORD_BUDGET, so ANY growth in the
+# never-shed fields silently renamed every query between rounds
+# ("pipeline" in r9 -> "pipelin" in r10) and zeroed the driver's
+# round-over-round comparison (111 phantom drops in PERF_r10). The
+# per-query names are now PINNED to one mode — q_ prefix stripped,
+# truncated at NAME_WIDTH=7 chars, ~N collision suffixes in mix order —
+# which is byte-identical to what the r10 record emitted, so PERF_r11
+# matches r10 names directly. Fitting the budget is done by shedding
+# precision and optional fields, NEVER by changing names. New bench
+# queries must be APPENDED to BENCH_QUERIES: appending preserves every
+# existing name (a new collision gets the next ~N; old names keep
+# theirs), while inserting before an existing same-prefix query would
+# renumber it. tests/test_plans.py pins the frozen r10 name list.
 
-_PREFIX_TAGS = [
-    ("q_dedup_", "d:"), ("q_simsearch_", "s:"), ("q_corpus_", "c:"),
-    ("q_events_", "e:"), ("q_text_", "t:"), ("q_graph_", "g:"),
-    ("q_emb_", "m:"), ("q_pipeline_", "p:"), ("q_recsys_", "r:"),
-    ("q_multimodal_", "mm:"), ("q_node_", "n:"), ("q_knn_", "k:"),
-    ("q_", ""),
-]
+NAME_WIDTH = 7  # frozen forever — see block comment above
 
 RECORD_BUDGET = 1985  # the record is the final stdout line; the driver
 # keeps the last ~2000 chars, so anything <= ~1990 survives whole
@@ -226,11 +232,11 @@ def _shorten(names: list[str], width: int) -> dict[str, str]:
     return out
 
 
-def _tag(k: str) -> str:
-    for p, r in _PREFIX_TAGS:
-        if k.startswith(p):
-            return r + k[len(p):]
-    return k
+def record_names(names: list[str]) -> dict[str, str]:
+    """The pinned full-name -> record-name map (see NAME_WIDTH block
+    comment): strip ``q_``, truncate at NAME_WIDTH, ~N on collision in
+    input order. Exposed so tests can pin the frozen r10 snapshot."""
+    return _shorten([k[2:] if k.startswith("q_") else k for k in names], NAME_WIDTH)
 
 
 def format_record(
@@ -241,31 +247,25 @@ def format_record(
     n_heavy: int,
     drift: dict | None = None,
 ) -> str:
-    """ONE JSON line for the driver, progressively compacted to fit
-    RECORD_BUDGET. Every per-query time survives in all modes; the
-    ``drift`` calibration fields survive in all modes too (round-8
-    VERDICT item 5: the total must carry its own machine-drift
-    calibration — two rounds of judge time went to drift forensics)."""
+    """ONE JSON line for the driver. Per-query NAMES are pinned (see
+    NAME_WIDTH block comment) so the driver's round-over-round matching
+    never breaks again; every per-query TIME survives in all modes. To
+    fit RECORD_BUDGET the ladder sheds only precision and optional
+    fields, in order: 2-sig times -> 1-sig times -> drop the drift
+    diagnostics (drift_spread/ab_n/ab_draws/ab_ref — drift_ab itself is
+    kept to the last: round-8 VERDICT item 5 made the total carry its
+    own machine-drift calibration)."""
 
-    def _compact(
-        times: dict[str, float],
-        strip_prefix: bool,
-        sig: int,
-        width: int | None,
-        tags: bool = False,
-        extras: bool = True,
-    ) -> str:
-        if tags:
-            keys = [_tag(k) for k in times]
-        else:
-            keys = [
-                (k[2:] if strip_prefix and k.startswith("q_") else k) for k in times
-            ]
-        if width is not None:
-            m = _shorten(keys, width)
-            keys = [m[k] for k in keys]
+    short = record_names(list(timings))
+    keys = list(short.values())
+
+    def _compact(sig: int, drift_full: bool) -> str:
+        # integral values render as "17" not "17.0" — the 2 bytes/query
+        # this saves keep the full drift diagnostics in the record at
+        # worst-case value widths (JSON numbers either way)
+        vals = [float(f"{v:.{sig}g}") for v in timings.values()]
         q = {
-            kk: float(f"{v:.{sig}g}") for kk, v in zip(keys, times.values())
+            kk: (int(v) if v == int(v) else v) for kk, v in zip(keys, vals)
         }
         rec = {
             "metric": "headline_queries_wall_sec",
@@ -274,41 +274,21 @@ def format_record(
             "queries": q,
             "sf": sf,
         }
-        if drift:  # never shed: the calibration is the point of the field
-            rec.update(drift)
-        if width is None and extras:  # metadata goes first when space is tight
-            rec["cpus"] = cpus
-            # max measurement passes any query received (heavy queries get
-            # a third post-reset pass; h3 says how many did) — ADVICE r6
-            rec["passes"] = 3 if n_heavy else 2
-            rec["h3"] = n_heavy  # queries given the third (heavy) pass
+        if drift:
+            if drift_full:
+                rec.update(drift)
+            elif "drift_ab" in drift:
+                rec["drift_ab"] = drift["drift_ab"]
         return json.dumps(rec, separators=(",", ":"))
 
     attempts = (
-        dict(strip_prefix=False, sig=3, width=None),
-        dict(strip_prefix=True, sig=3, width=None),
-        dict(strip_prefix=True, sig=2, width=None),
-        dict(strip_prefix=True, sig=3, width=None, tags=True),
-        dict(strip_prefix=True, sig=2, width=None, tags=True),
-        # human-matchable tags with the metadata extras shed — preferred
-        # over ANY name truncation (the r7 99-query mix crossed the old
-        # 1850 cutoff by a few bytes and fell all the way to width=14)
-        dict(strip_prefix=True, sig=2, width=None, tags=True, extras=False),
-        # truncate the TAGGED names next: the category prefix plus a long
-        # stem head stays baseline-matchable ("mm:audiohash_d"), unlike the
-        # blind untagged cuts below (the r7 106-query mix needed this)
-        dict(strip_prefix=True, sig=2, width=16, tags=True, extras=False),
-        dict(strip_prefix=True, sig=2, width=12, tags=True, extras=False),
-        dict(strip_prefix=True, sig=2, width=14),
-        dict(strip_prefix=True, sig=2, width=10),
-        # the 113-query mix overflows width=10; keep shrinking rather
-        # than dropping any per-query time (the one invariant here)
-        dict(strip_prefix=True, sig=2, width=8),
-        dict(strip_prefix=True, sig=2, width=7),
-        dict(strip_prefix=True, sig=1, width=6),
+        dict(sig=2, drift_full=True),
+        dict(sig=1, drift_full=True),
+        dict(sig=2, drift_full=False),
+        dict(sig=1, drift_full=False),
     )
     for kw in attempts:
-        line = _compact(timings, **kw)
+        line = _compact(**kw)
         if len(line) <= RECORD_BUDGET:
             break
     return line
@@ -450,7 +430,10 @@ def _ab_drift(timings: dict[str, float], sf_dir: str, cpus: int) -> dict | None:
     except Exception:
         return None
     try:
-        draws = max(1, int(os.environ.get("SPARK_GRAFT_AB_DRAWS", "2")))
+        # default 3 draws (round-10 VERDICT item 7): the 2-draw spread was
+        # 0.80-1.29, too wide for a median to mean much; a third draw costs
+        # ~2 min and makes the median an actual middle value
+        draws = max(1, int(os.environ.get("SPARK_GRAFT_AB_DRAWS", "3")))
         pairs = []
         for _ in range(draws):
             prev = _ab_runner_times(wt, subset, sf_dir, cpus)

@@ -727,6 +727,68 @@ def test_bench_record_fits_driver_tail_budget():
     assert rec["drift_spread"] == [0.854, 1.308]
 
 
+# the exact per-query names the round-10 driver record emitted
+# (BENCH_r10.json), in mix order. Round-10 VERDICT item 1: the old
+# compaction ladder picked the truncation width by what fit the record
+# budget, so growth in never-shed fields silently renamed every query
+# between rounds and zeroed the driver's round-over-round comparison.
+# The names are now pinned (bench.NAME_WIDTH); this snapshot must NEVER
+# change for existing queries — new bench queries append new names.
+_R10_RECORD_NAMES = [
+    "coratin", "node_si", "node_si~1", "node_si~2", "item_si", "eigenve",
+    "ppr", "knn_top", "knn_rec", "comm_re", "recsys_", "communi",
+    "rated_b", "fk_enfo", "dedup_e", "dedup_f", "dedup_m", "dedup_l",
+    "dedup_r", "dedup_s", "dedup_s~1", "dedup_s~2", "dedup_e~1",
+    "dedup_e~2", "corpus_", "dedup_n", "simsear", "simsear~1",
+    "simsear~2", "simsear~3", "simsear~4", "simsear~5", "emb_cen",
+    "emb_pca", "emb_qua", "corpus_~1", "dedup_p", "corpus_~2",
+    "corpus_~3", "simsear~6", "simsear~7", "corpus_~4", "louvain",
+    "pageran", "graph_k", "graph_k~1", "graph_s", "graph_c", "graph_c~1",
+    "hits", "text_la", "text_tf", "text_re", "text_lm", "text_bm",
+    "text_ch", "text_le", "corpus_~5", "corpus_~6", "corpus_~7",
+    "corpus_~8", "corpus_~9", "corpus_~10", "corpus_~11", "text_qu",
+    "multimo", "events_", "events_~1", "events_~2", "events_~3",
+    "events_~4", "events_~5", "events_~6", "events_~7", "events_~8",
+    "events_~9", "events_~10", "events_~11", "events_~12", "events_~13",
+    "events_~14", "events_~15", "events_~16", "events_~17", "text_co",
+    "emb_har", "graph_w", "corpus_~12", "corpus_~13", "corpus_~14",
+    "corpus_~15", "ingest_", "multimo~1", "dedup_c", "multimo~2",
+    "dedup_c~1", "text_c4", "simsear~8", "ingest_~1", "ingest_~2",
+    "text_go", "ingest_~3", "corpus_~16", "text_se", "corpus_~17",
+    "dedup_i", "layout_", "text_so", "graph_l", "events_~18",
+    "corpus_~18", "corpus_~19", "events_~19", "pipelin",
+]
+
+
+def test_bench_record_names_frozen_to_r10_snapshot():
+    """The CURRENT mix + the FULL drift field set must yield byte-identical
+    record names to the r10-frozen snapshot, regardless of record length —
+    the driver matches rounds by these names (round-10 VERDICT item 1)."""
+    import json
+
+    import bench
+
+    mix = bench.BENCH_QUERIES + [bench.PIPELINE_QUERY]
+    # existing names must be a stable prefix-preserving superset: every
+    # r10 name present, in order, even if new queries were appended
+    got = list(bench.record_names(mix).values())
+    assert got[: len(_R10_RECORD_NAMES)] == _R10_RECORD_NAMES
+    assert len(got) == len(set(got)), "record names must be unique"
+    # and the names must survive formatting unchanged with full drift
+    # fields at worst-case value widths (the r10 failure mode: field
+    # growth pushed the ladder past the width-8 attempt)
+    drift = {
+        "drift_ab": 1.044,
+        "drift_spread": [0.801, 1.287],
+        "ab_n": 8,
+        "ab_draws": 3,
+        "ab_ref": "b2b57521",
+    }
+    timings = {name: 17.35 for name in mix}
+    rec = json.loads(bench.format_record(timings, 1734.945, 0.1, 32, 12, drift))
+    assert list(rec["queries"])[: len(_R10_RECORD_NAMES)] == _R10_RECORD_NAMES
+
+
 def test_ab_drift_median_of_alternating_draws(monkeypatch):
     """Round-9 VERDICT: a single A/B draw scatters ±0.2-0.3 on this box, so
     drift_ab is now the median of alternating prev/cur draws with the
