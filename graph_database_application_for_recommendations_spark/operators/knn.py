@@ -135,13 +135,37 @@ def knn_exact_local(
     self-pairs excluded.
     """
     import numpy as np
-    import pandas as pd
 
     spark = embeddings.sparkSession
     pdf = embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")).toPandas()
     pdf = pdf.sort_values("_id", ignore_index=True)
     ids = pdf["_id"].to_numpy()
     mat = np.asarray(pdf["_v"].tolist(), dtype=np.float64)
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+    return knn_exact_local_arrays(
+        spark, ids, mat, id_type, top_k=top_k, cutoff=cutoff, row_block=row_block
+    )
+
+
+def knn_exact_local_arrays(
+    spark,
+    ids,
+    mat,
+    id_type: str,
+    top_k: int = 20,
+    cutoff: float = 0.8,
+    row_block: int = 2048,
+) -> DataFrame:
+    """The :func:`knn_exact_local` kernel over pre-collected arrays —
+    ``ids`` sorted ascending, ``mat`` the matching (n, d) float64 matrix.
+    Lets a caller that already holds driver-local vectors (the pipeline's
+    local FastRP path) skip the embeddings' JVM round-trip entirely
+    (guide §4: shrink the Python boundary); same contract bit for bit.
+    """
+    import numpy as np
+    import pandas as pd
+
+    mat = np.array(mat, dtype=np.float64)  # private copy: normalized in place
     nrm = np.linalg.norm(mat, axis=1)
     nz = nrm > 0
     mat[nz] /= nrm[nz, None]
@@ -183,7 +207,6 @@ def knn_exact_local(
             out_src.extend([ids[lo + row]] * sel.size)
             out_dst.extend(ids[cc[sel]])
             out_sim.extend(vals[sel])
-    id_type = embeddings.schema[id_col].dataType.simpleString()
     return spark.createDataFrame(
         pd.DataFrame({"src": out_src, "dst": out_dst, "similarity": out_sim}),
         schema=f"src {id_type}, dst {id_type}, similarity double",

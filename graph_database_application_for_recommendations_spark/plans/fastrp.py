@@ -241,43 +241,27 @@ def _init_matrix_local(ids, dim: int, seed: int):
     return out
 
 
-def _fastrp_local(
-    nodes: DataFrame,
-    edges: DataFrame,
-    dim: int,
-    iteration_weights: tuple[float, ...],
-    seed: int,
-) -> DataFrame:
-    """Exact driver-side FastRP for driver-sized graphs (numpy kernel).
+def _fastrp_local_solve(ids, src, dst, w, dim, iteration_weights, seed):
+    """numpy FastRP core: node-id strings (any order) + ordinal edge arrays
+    -> the final (dim, n) embedding matrix, column i belonging to ids[i].
 
-    The init vectors come from a bit-exact numpy replica of the
-    distributed path's hash-seeded Spark projection (``_init_matrix_local``
-    vs ``_init_embeddings`` — pinned against each other by the
-    distributed/local equivalence test), so both paths start from identical
-    state; propagation is the identical weighted-mean + L2-normalize
-    recurrence, differing only in float summation order (~1e-15, within the
-    rows-only check tolerance). Node order is canonicalized by sorting ids,
-    so the solve is deterministic regardless of partition layout.
+    Shared by ``_fastrp_local`` (generic string-keyed collect) and the
+    pipeline's pre-mapped bipartite path (plans/pipeline.py). Each node's
+    output column is INDEPENDENT of the node ordering: the init vector is a
+    per-node hash, the per-round mean is a per-dst segment sum whose
+    within-segment summation order is the EDGE ARRAY order (stable argsort
+    keeps rows of equal dst in input order whatever ordinal values the
+    nodes got), and normalization/accumulation are per-column — so two
+    callers that present the same edge multiset in the same row order get
+    bit-identical vectors per node, regardless of how they numbered nodes.
     """
     import numpy as np
-    import pandas as pd
 
-    spark = nodes.sparkSession
-    ip = nodes.select("node_id").toPandas()
-    ip = ip.sort_values("node_id", kind="mergesort", ignore_index=True)
-    ids = ip["node_id"].to_numpy()
     # vectors travel transposed (dim, n): each propagation dim is then a
     # contiguous 1-D gather + segmented reduceat, ~5x faster than the 2-D
     # axis-0 reduceat (which strides across the full row width per segment)
     ht = _init_matrix_local(ids, dim, seed)
 
-    ep = edges.select("src", "dst", "weight").toPandas()
-    # vectorized id->ordinal lookup (hash-join in C); a Python-dict .map
-    # costs seconds at 10^6 string keys
-    idx = pd.Index(ids)
-    src = idx.get_indexer(ep["src"].to_numpy())
-    dst = idx.get_indexer(ep["dst"].to_numpy())
-    w = ep["weight"].to_numpy(dtype=np.float64)
     order = np.argsort(dst, kind="stable")
     src, dst, w = src[order], dst[order], w[order]
     # contiguous dst runs -> segmented sums via reduceat (vectorized groupBy)
@@ -299,13 +283,60 @@ def _fastrp_local(
         ht = _norm_cols(nxt)
         if alpha != 0.0:
             acc = alpha * ht if acc is None else acc + alpha * ht
-    final = _norm_cols(ht.copy() if acc is None else acc)
+    return _norm_cols(ht.copy() if acc is None else acc)
 
-    pdf = pd.DataFrame({"node_id": ids, "embedding": final.T.tolist()})
-    id_field = nodes.schema["node_id"]
+
+def embeddings_df_from_arrays(spark, ids, final, id_type: str = "string") -> DataFrame:
+    """(node_id, embedding array<double>) from a solved (dim, n) matrix —
+    rows sorted by node id, the exact frame ``_fastrp_local`` builds."""
+    import numpy as np
+    import pandas as pd
+
+    perm = np.argsort(ids, kind="stable")
+    pdf = pd.DataFrame({"node_id": ids[perm], "embedding": final[:, perm].T.tolist()})
     return spark.createDataFrame(
-        pdf,
-        schema=f"node_id {id_field.dataType.simpleString()}, embedding array<double>",
+        pdf, schema=f"node_id {id_type}, embedding array<double>"
+    )
+
+
+def _fastrp_local(
+    nodes: DataFrame,
+    edges: DataFrame,
+    dim: int,
+    iteration_weights: tuple[float, ...],
+    seed: int,
+) -> DataFrame:
+    """Exact driver-side FastRP for driver-sized graphs (numpy kernel).
+
+    The init vectors come from a bit-exact numpy replica of the
+    distributed path's hash-seeded Spark projection (``_init_matrix_local``
+    vs ``_init_embeddings`` — pinned against each other by the
+    distributed/local equivalence test), so both paths start from identical
+    state; propagation is the identical weighted-mean + L2-normalize
+    recurrence, differing only in float summation order (~1e-15, within the
+    rows-only check tolerance). Node order is canonicalized by sorting ids,
+    so the solve is deterministic regardless of partition layout.
+    """
+    import pandas as pd
+
+    spark = nodes.sparkSession
+    ip = nodes.select("node_id").toPandas()
+    ip = ip.sort_values("node_id", kind="mergesort", ignore_index=True)
+    ids = ip["node_id"].to_numpy()
+
+    ep = edges.select("src", "dst", "weight").toPandas()
+    # vectorized id->ordinal lookup (hash-join in C); a Python-dict .map
+    # costs seconds at 10^6 string keys
+    idx = pd.Index(ids)
+    src = idx.get_indexer(ep["src"].to_numpy())
+    dst = idx.get_indexer(ep["dst"].to_numpy())
+    import numpy as np
+
+    w = ep["weight"].to_numpy(dtype=np.float64)
+    final = _fastrp_local_solve(ids, src, dst, w, dim, iteration_weights, seed)
+    id_field = nodes.schema["node_id"]
+    return embeddings_df_from_arrays(
+        spark, ids, final, id_field.dataType.simpleString()
     )
 
 

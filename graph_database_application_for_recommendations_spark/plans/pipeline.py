@@ -16,12 +16,77 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.corating import corating_edges
-from ..operators.knn import knn_exact_local, knn_ivf
+from ..operators.knn import knn_exact_local, knn_exact_local_arrays, knn_ivf
 from ..sources.views import load_ref_tables
 from . import fastrp as _fastrp
 from . import lpa as _lpa
 from .graphs import bipartite_rating_graph
 from .modularity import modularity
+
+
+def _bipartite_fastrp_arrays(ratings: DataFrame, dim: int, seed: int):
+    """Driver-local FastRP over the bipartite rating graph, skipping the
+    string-keyed graph materialization: ``(ids, final, user_ids, user_mat)``
+    or ``None`` when the doubled edge count exceeds the local gate.
+
+    Bit-identical to ``fastrp(*bipartite_rating_graph(ratings))`` on this
+    graph family (pinned by test_pipeline_local_arrays_match_generic_path):
+
+    - the gate compares the same number (|doubled edges| = 2·|ratings|);
+    - the edge multiset and its ROW ORDER match the generic path's collect:
+      ``undirected(directed)`` is ``directed.unionByName(flipped)``, whose
+      collected order is [directed rows; flipped rows] each in the ratings
+      cache's scan order — exactly ``concat([u→b], [b→u])`` over one
+      collect of the directed rows (same cached scan, same projection);
+    - node NUMBERING is free (see ``_fastrp_local_solve``: every node's
+      output column is independent of the ordinal scheme), so users/books
+      map through numeric searchsorted instead of the generic path's
+      2·|E| string-hash lookups — the isbn key is ``CAST(partkey AS
+      VARCHAR)`` (sources/views.py), so the int64 parse round-trips;
+    - bipartite graphs built from the rating list have no isolated nodes
+      by construction (every node id comes from a rating row), matching
+      the generic path's ``has_isolated == False`` branch.
+
+    What this removes vs the generic local path, per run (guide §4 shrink
+    the Python boundary, §1.2 don't compute what you throw away): the
+    nodes-distinct job + its collect, half the edge-collect bytes (|E|
+    numeric rows instead of 2·|E| prefixed-string rows), and the 2·|E|
+    string-hash id→ordinal lookups.
+    """
+    import numpy as np
+
+    ratings = ratings.cache()  # no-op when the caller already cached it
+    n_directed = ratings.count()
+    if not (0 < 2 * n_directed <= _fastrp.LOCAL_MAX_EDGES):
+        return None
+    ep = ratings.select(
+        "user_id", "isbn", F.col("rating").cast("double").alias("weight")
+    ).toPandas()
+    users = ep["user_id"].to_numpy(dtype=np.int64)
+    books = ep["isbn"].to_numpy(dtype=np.int64)  # digit strings by construction
+    w_dir = ep["weight"].to_numpy(dtype=np.float64)
+    u_sorted = np.unique(users)
+    b_sorted = np.unique(books)
+    nb = len(b_sorted)
+    u_ord = nb + np.searchsorted(u_sorted, users)
+    b_ord = np.searchsorted(b_sorted, books)
+    # doubled edges in the generic path's collected row order
+    src = np.concatenate([u_ord, b_ord])
+    dst = np.concatenate([b_ord, u_ord])
+    w = np.concatenate([w_dir, w_dir])
+    ids = np.concatenate(
+        [
+            np.char.add("b:", b_sorted.astype("U")),
+            np.char.add("u:", u_sorted.astype("U")),
+        ]
+    ).astype(object)
+    final = _fastrp._fastrp_local_solve(
+        ids, src, dst, w, dim, (0.0, 1.0, 1.0), seed
+    )
+    # the user block, ids ascending — what user_embeddings_from_fastrp +
+    # knn_exact_local's sort would produce (numeric sort == the cast-long
+    # sort of the split node ids)
+    return ids, final, u_sorted, final[:, nb:].T
 
 
 class PipelineResult:
@@ -118,11 +183,25 @@ def run_pipeline(
     # fill re-runs the ratings join. Plan-keyed, so serving queries built
     # from the same load_ref_tables plan share it.
     ratings = ref.ratings.cache()
+    # the driver-local FastRP solve (ids/matrix arrays), computed at most
+    # once and shared by the embeddings AND similar_to stages — the KNN
+    # stage then never round-trips the vectors through the JVM (guide §4)
+    _arrays: dict = {}
+
+    def _local_fastrp():
+        if "v" not in _arrays:
+            _arrays["v"] = _bipartite_fastrp_arrays(ratings, dim, seed)
+        return _arrays["v"]
 
     def _embeddings() -> DataFrame:
         # G2: FastRP on the undirected weighted bipartite graph (S9)
-        nodes, edges = bipartite_rating_graph(ratings)
-        emb_all = _fastrp.fastrp(nodes, edges, dim=dim, seed=seed)
+        arr = _local_fastrp()
+        if arr is not None:
+            ids, final, _, _ = arr
+            emb_all = _fastrp.embeddings_df_from_arrays(spark, ids, final)
+        else:
+            nodes, edges = bipartite_rating_graph(ratings)
+            emb_all = _fastrp.fastrp(nodes, edges, dim=dim, seed=seed)
         return _fastrp.user_embeddings_from_fastrp(emb_all).cache()
 
     def _similar_to() -> DataFrame:
@@ -133,6 +212,16 @@ def run_pipeline(
         # occupancy instead of n², and at the FastRP graph's moderate
         # cosine regime it measures ~3x the recall of hyperplane LSH
         # (see knn_ivf docstring).
+        arr = _local_fastrp()
+        if arr is not None and len(arr[2]) <= knn_lsh_threshold:
+            # both gates held: the vectors never left the driver — solve
+            # straight from the arrays (user ids are BIGINT in the rating
+            # schema; identical kernel, contract and output schema)
+            _, _, user_ids, user_mat = arr
+            return knn_exact_local_arrays(
+                spark, user_ids, user_mat, "bigint",
+                top_k=knn_top_k, cutoff=knn_cutoff,
+            )
         user_emb = result.embeddings
         knn_fn = knn_exact_local if user_emb.count() <= knn_lsh_threshold else knn_ivf
         return knn_fn(user_emb, id_col="user_id", vec_col="embedding",

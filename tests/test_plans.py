@@ -572,3 +572,61 @@ def test_louvain_sequential_fast_index_matches_fallback():
     ids3, comm3, _ = _louvain_sequential(src3, dst3, np.ones(3))
     assert np.array_equal(ids3, np.array([1, 2, 3, 99]))
     assert len(comm3) == 4
+
+
+def test_pipeline_local_arrays_match_generic_path(spark):
+    """The pipeline's pre-mapped bipartite FastRP path (numeric-ordinal
+    collect, KNN straight from the solved arrays — round-11 pipeline
+    optimization) must be BIT-identical to the generic string-keyed local
+    path it replaced: same embedding doubles per node, same similar_to
+    rows. Pins the node-numbering-freedom and edge-row-order arguments in
+    plans/pipeline.py::_bipartite_fastrp_arrays."""
+    from graph_database_application_for_recommendations_spark.operators.knn import (
+        knn_exact_local,
+        knn_exact_local_arrays,
+    )
+    from graph_database_application_for_recommendations_spark.plans import (
+        fastrp as _fastrp,
+    )
+    from graph_database_application_for_recommendations_spark.plans.graphs import (
+        bipartite_rating_graph,
+    )
+    from graph_database_application_for_recommendations_spark.plans.pipeline import (
+        _bipartite_fastrp_arrays,
+    )
+    from graph_database_application_for_recommendations_spark.sources.views import (
+        load_ref_tables,
+    )
+
+    ratings = load_ref_tables(spark, SF_SMALL).ratings.cache()
+    nodes, edges = bipartite_rating_graph(ratings)
+    emb_old = _fastrp.fastrp(nodes, edges, dim=16, seed=42)
+    old = {r["node_id"]: tuple(r["embedding"]) for r in emb_old.collect()}
+    arr = _bipartite_fastrp_arrays(ratings, 16, 42)
+    assert arr is not None, "sf0.001 must take the local gate"
+    ids, final, user_ids, user_mat = arr
+    new = {
+        r["node_id"]: tuple(r["embedding"])
+        for r in _fastrp.embeddings_df_from_arrays(spark, ids, final).collect()
+    }
+    assert old == new  # exact doubles, not approx
+    ue = _fastrp.user_embeddings_from_fastrp(emb_old).cache()
+    sim_old = sorted(
+        map(
+            tuple,
+            knn_exact_local(
+                ue, id_col="user_id", vec_col="embedding", top_k=20, cutoff=0.6
+            ).collect(),
+        )
+    )
+    sim_new = sorted(
+        map(
+            tuple,
+            knn_exact_local_arrays(
+                spark, user_ids, user_mat, "bigint", top_k=20, cutoff=0.6
+            ).collect(),
+        )
+    )
+    assert sim_old == sim_new
+    ue.unpersist(blocking=False)
+    ratings.unpersist(blocking=False)
